@@ -1,0 +1,67 @@
+"""Testdata catalog: loads the driver's parquet tables with normalized types.
+
+Tables (``/root/repo/TESTDATA.md``): region nation customer supplier part
+orders lineitem events documents embeddings.
+
+The only normalization is ``events.ts``: stored as parquet
+TIMESTAMP(NANOS), which Spark 4 reads (under
+``spark.sql.legacy.parquet.nanosAsLong=true``) as a long of epoch-nanos.
+We convert with integer division — ``ts DIV 1000`` stays in long space
+(the values ~1.7e18 overflow double's 53-bit mantissa, so a float
+division would corrupt them) — giving the exact same µs value DuckDB
+sees when it truncates ns→µs. The testdata has zero sub-µs residue, so
+the conversion is lossless.
+
+This is the rebuild of the reference's source layer (reference
+``etl.py:96,170``: JSON feeds; here the driver feeds are parquet), with
+the reference's intent of *explicit schemas everywhere* (its declared
+``SongSchema`` at ``etl.py:75-86`` was accidentally unused, SURVEY §2.9
+B7 — parquet is self-describing so the footer is the explicit schema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # epoch-nanos long -> TIMESTAMP (µs), exact integer arithmetic.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all tables as temp views so ``spark.sql`` can be used
+    interchangeably with the DataFrame API (same Catalyst plans)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

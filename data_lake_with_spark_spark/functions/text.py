@@ -1,0 +1,120 @@
+"""Text-analysis expressions (SURVEY §2.10 E4) — JVM-side column
+compositions over a string column. No Python UDFs: at 100 TB the text
+path must stay inside whole-stage codegen.
+
+All helpers return Columns so operators/queries can compose them freely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists for the n-gram/stopword language
+# heuristic. Deliberately deterministic and dependency-free (real
+# deployments would swap in fastText/CLD3 behind the same signature).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "las", "es", "y", "que"),
+    "fr": ("le", "la", "les", "et", "est", "que", "un"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish tokenizer: words, numbers, or single non-space symbols —
+# approximates subword pre-tokenization without an external vocab.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(col), _WORD_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Regex sub-word-ish tokens (letters / digit runs / symbols)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, the MinHash/Jaccard unit.
+
+    Pure array expression: tokens t -> [" ".join(t[i:i+n])] for each
+    window; empty when fewer than n tokens.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    shingled = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(shingled)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(0.0)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality ∈ [0,1]: long enough, word-like,
+    not punctuation soup. Deterministic composition of the parts."""
+    col = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
+    word_score = F.least(token_count(col) / F.lit(60.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return F.round((len_score + word_score + punct_penalty) / 3.0, 6)
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map of lang -> marker-hit count (the language-ID evidence)."""
+    toks_lower = F.transform(tokens(text), F.lower)
+    pairs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        pairs.append(
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.filter(toks_lower, lambda t: F.array_contains(arr, t))).alias("hits"),
+            )
+        )
+    return F.array(*pairs)
+
+
+def lang_guess(text: Column | str) -> Column:
+    """argmax-by-hits language guess; ties break alphabetically;
+    'und' (undetermined) when no marker hits at all."""
+    scored = lang_scores(text)
+    best = F.array_max(
+        F.transform(
+            scored,
+            # order by (hits, reverse-alphabetical-lang) so max == ties-to-alphabetical-first
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                (F.lit(-1) * F.ascii(F.substring(s["lang"], 1, 1))).alias("tiebreak"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical content fingerprint: lowercase, collapse whitespace,
+    md5 — portable across engines (DuckDB md5 matches)."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing (SURVEY §2.10 E5).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signatures, partitioning — is real and tested; the
+actual media decode is STUBBED (no image/audio libs in this container):
+
+- ``decode_media``     → raises NotImplementedError (clearly marked).
+- ``fake_feature_extract`` → deterministic features derived from the
+  payload bytes (sha-based), so pipelines exercise the full path with
+  stable, assertable outputs.
+
+At 100 TB the binary payloads dominate storage; the layout rule is:
+metadata columns in the same parquet for pruning, payloads
+row-group-aligned, and feature extraction as ``mapInPandas`` (Arrow
+batches, bounded memory via ``maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta", MEDIA_META, False),
+    ]
+)
+
+
+def attach_fake_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a deterministic binary payload column from existing
+    data (sha via repeated md5-unhex) so multimodal plumbing can be
+    exercised on the text testdata. Payload = unhex(md5(text)) ×4."""
+    h = F.unhex(F.md5(F.col(text_col)))
+    payload = F.concat(h, F.unhex(F.md5(F.concat(F.col(text_col), F.lit("x")))))
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Real media decode — requires imaging/audio libraries not present
+    in this environment. The signature and schema are the contract."""
+    raise NotImplementedError(
+        "media decode needs PIL/ffmpeg-class libs (not in this container); "
+        "use fake_feature_extract for the plumbing path"
+    )
+
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def fake_feature_extract(media: DataFrame) -> DataFrame:
+    """Deterministic 'feature extraction' over binary payloads via
+    mapInPandas — the real Arrow-batched shape a decoder would use.
+    Feature i = byte i of sha256(payload) / 255."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [b / 255.0 for b in hashlib.sha256(bytes(p)).digest()[:FEATURE_DIM]]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """'Frame sampling' plumbing: split each payload into fixed-size
+    frames (4 bytes) and keep every nth — pure Spark array ops, the
+    same explode shape a real video frame sampler produces."""
+    n_frames = (F.col("meta.n_bytes") / 4).cast("int")
+    frame_idx = F.sequence(F.lit(0), n_frames - 1)
+    sampled = F.filter(frame_idx, lambda i: i % every_nth == 0)
+    frames = F.transform(
+        sampled,
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(F.col("payload"), i * 4 + 1, 4).alias("frame_bytes"),
+        ),
+    )
+    return media.select(
+        "media_id", F.explode(frames).alias("frame")
+    ).select("media_id", F.col("frame.frame_no").alias("frame_no"), F.col("frame.frame_bytes").alias("frame_bytes"))

@@ -1,0 +1,309 @@
+"""LLM-data-pipeline queries (SURVEY §2.10 E1-E5) over documents +
+embeddings: text analysis, dedup family, vector similarity search,
+multimodal plumbing.
+
+Approximate operators (MinHash-LSH, SimHash, hyperplane-LSH ANN) have
+no SQL oracle by nature → rows-only checks + pytest property tests.
+Exact operators ship full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions import text as TXT
+from data_lake_with_spark_spark.operators import dedup as DD
+from data_lake_with_spark_spark.operators import multimodal as MM
+from data_lake_with_spark_spark.operators import similarity as SIM
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# E4 — text analysis
+# ---------------------------------------------------------------------------
+
+TEXT_STATS_ORACLE = r"""
+SELECT
+  doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER)                               AS n_chars_computed,
+  ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+        / length(text), 6)                                    AS punct_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_stats", oracle=TEXT_STATS_ORACLE, tags=("text", "llm"))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation statistics (E4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            TXT.token_count("text").alias("n_tokens"),
+            F.length("text").alias("n_chars_computed"),
+            F.round(TXT.punct_ratio("text"), 6).alias("punct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BPE_ORACLE = r"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS INTEGER)
+    AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_count_bpe", oracle=BPE_ORACLE, tags=("text", "llm"))
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish (regex pre-tokenizer) token counting (E4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.size(TXT.bpe_ish_tokens("text")).alias("n_bpe_tokens")
+        )
+        .orderBy("doc_id")
+    )
+
+
+LANG_PROFILE_ORACLE = r"""
+SELECT
+  lang,
+  COUNT(*)                    AS n_docs,
+  ROUND(AVG(n_chars), 4)      AS avg_chars,
+  ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_lang_profile", oracle=LANG_PROFILE_ORACLE, tags=("text", "llm", "agg"))
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per language tag."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(TXT.token_count("text")), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_ORACLE = r"""
+SELECT
+  doc_id,
+  ROUND((
+    LEAST(length(text) / 400.0, 1.0)
+    + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
+    + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                   / length(text) * 4, 1.0))
+  ) / 3.0, 6) AS quality
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", oracle=QUALITY_ORACLE, tags=("text", "llm"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score ∈ [0,1] (length/word/punct mix, E4)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score("text").alias("quality")).orderBy(
+        "doc_id"
+    )
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint", oracle=FINGERPRINT_ORACLE, tags=("text", "llm"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 content fingerprint (E4) — the exact-dedup key."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@register("text_language_id", oracle=None, tags=("text", "llm", "heuristic"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (heuristic → rows-only; property-tested
+    in pytest on crafted sentences)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TXT.lang_guess("text").alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 — dedup family
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("dedup_exact", oracle=DEDUP_EXACT_ORACLE, tags=("dedup", "llm", "agg"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (E1): deterministic survivor per key group."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, ["lang", "source"], "doc_id").orderBy("lang", "source")
+
+
+NGRAM_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE, tags=("dedup", "llm", "join"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-3-gram Jaccard ≥ 0.5 (E2, exact flavor) via
+    inverted-index self-join — never materializes n² pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3).orderBy("a_id", "b_id")
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "llm", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (E2) — the 100 TB scale path.
+    Approximate candidate recall → rows-only; pytest asserts recall
+    against the exact Jaccard pairs on the testdata."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "llm", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + hamming≤3 near-pairs via chunk pigeonhole."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# E3 — vector similarity search
+# ---------------------------------------------------------------------------
+
+VEC_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+               6) AS score
+  FROM q, c
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("vector_topk_bruteforce", oracle=VEC_TOPK_ORACLE, tags=("vector", "llm", "topk"))
+def vector_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors (E3 baseline).
+    Double-precision JVM dot products; ranking ties broken by id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+VEC_NEAR_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+ORDER BY a_id, b_id
+"""
+
+
+@register("vector_near_pairs", oracle=VEC_NEAR_ORACLE, tags=("vector", "llm"))
+def vector_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.35 on a bounded id
+    range (the oracle-able exact form; LSH variant below scales)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return SIM.cosine_near_pairs(emb, threshold=0.35).orderBy("a_id", "b_id")
+
+
+@register("vector_topk_lsh", oracle=None, tags=("vector", "llm", "approx", "topk"))
+def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (E3 scale path): bucketed
+    candidates + 1-bit multiprobe, exact re-scoring. Rows-only;
+    pytest measures recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# E5 — multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal", "llm"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched feature extraction (E5).
+    Payloads are deterministic fakes (md5-derived); the decode step for
+    real media is stubbed (no imaging libs in container)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    feats = MM.fake_feature_extract(media)
+    return (
+        media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
+        .join(feats, "media_id")
+        .orderBy("media_id")
+    )

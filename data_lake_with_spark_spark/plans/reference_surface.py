@@ -1,0 +1,254 @@
+"""Queries mirroring the reference's operator inventory (SURVEY §2.1-2.7).
+
+Each query re-expresses one reference operator over the driver testdata
+(the reference's Sparkify feeds don't exist here; the mapping is
+noted per query). The reference's bugs are NOT reproduced — e.g. its
+"dedup" join that was a no-op (reference ``etl.py:115-117``, SURVEY
+§2.9 B1) is implemented as the intended left-anti join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- P1 + P5: projection + distinct (reference etl.py:102,132,182,211) ----
+
+PROJ_DISTINCT_ORACLE = """
+SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_custkey, o_orderstatus, o_orderpriority
+"""
+
+
+@register("proj_distinct", oracle=PROJ_DISTINCT_ORACLE, tags=("projection", "reference"))
+def proj_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + distinct — the reference's dimension-extraction
+    pattern (``songs_table = df.select(...).distinct()``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- P2: equality / predicate filters (reference etl.py:112 et al.) -------
+
+FILTER_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type = 'purchase' AND value > 100.0
+ORDER BY event_id
+"""
+
+
+@register("filter_predicates", oracle=FILTER_ORACLE, tags=("filter", "reference"))
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive pushdown-able predicates (equality + range)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# --- J2: left-outer enrichment join with aliases (etl.py:244-247) ---------
+
+LEFT_OUTER_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e
+LEFT OUTER JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+"""
+
+
+@register("join_left_outer_enrich", oracle=LEFT_OUTER_ORACLE, tags=("join", "reference"))
+def join_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-enrichment left-outer join, keeping unmatched facts — the
+    reference's songplays join (``etl.py:244-247``): all plays retained
+    even when the dimension misses."""
+    ev = _t(spark, sf_dir, "events").alias("e")
+    cust = _t(spark, sf_dir, "customer").alias("c")
+    return (
+        ev.join(cust, F.col("e.user_id") == F.col("c.c_custkey"), "left_outer")
+        .select("e.event_id", "e.user_id", "e.event_type", "c.c_name", "c.c_mktsegment")
+        .orderBy("event_id")
+    )
+
+
+# --- J1 (intended semantics): left-anti "new rows only" -------------------
+
+LEFT_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+@register("join_left_anti_new_rows", oracle=LEFT_ANTI_ORACLE, tags=("join", "reference"))
+def join_left_anti_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's *intended* incremental-upsert
+    dedup (``etl.py:114`` comment; the shipped left-outer was a no-op,
+    SURVEY §2.9 B1). Here: customers with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J3: compound-key (3-column) equi-join (etl.py:275-277) ---------------
+
+COMPOUND_KEY_ORACLE = """
+SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_quantity
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00') old
+  ON  l.l_orderkey = old.l_orderkey
+  AND l.l_partkey  = old.l_partkey
+  AND l.l_suppkey  = old.l_suppkey
+WHERE old.l_orderkey IS NULL
+ORDER BY l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_quantity
+"""
+
+
+@register("join_compound_key_anti", oracle=COMPOUND_KEY_ORACLE, tags=("join", "reference"))
+def join_compound_key_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-column compound-key anti join — the reference's songplays
+    new-vs-existing key ``(start_time, song_id, sessionId)``
+    (``etl.py:275-277``), over lineitem's natural compound key."""
+    li = _t(spark, sf_dir, "lineitem")
+    old = (
+        li.where(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .distinct()
+    )
+    key = ["l_orderkey", "l_partkey", "l_suppkey"]
+    return (
+        li.join(old, key, "left_anti")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+
+
+# --- F1: epoch-millis → timestamp, builtin not UDF (etl.py:173-177) -------
+
+EPOCH_ORACLE = """
+SELECT
+  event_id,
+  epoch_ms(ts)                        AS ts_millis,
+  make_timestamp(epoch_ms(ts) * 1000) AS ts_roundtrip
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("epoch_ms_to_timestamp", oracle=EPOCH_ORACLE, tags=("scalar", "time", "reference"))
+def epoch_ms_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-ms ↔ timestamp, replacing the reference's row-at-a-time
+    Python UDF (``etl.py:173``: datetime.fromtimestamp + strftime +
+    cast) with JVM builtins ``unix_millis``/``timestamp_millis`` —
+    same semantics, no Python-worker round trip."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_millis"),
+            F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- F2-F8: time dimension derivation (etl.py:209-211 + README intent) ----
+
+TIME_DIM_ORACLE = """
+SELECT DISTINCT
+  ts                                   AS start_time,
+  CAST(HOUR(ts) AS INTEGER)            AS hour,
+  CAST(DAYOFMONTH(ts) AS INTEGER)      AS day,
+  CAST(WEEKOFYEAR(ts) AS INTEGER)      AS week,
+  CAST(MONTH(ts) AS INTEGER)           AS month,
+  CAST(YEAR(ts) AS INTEGER)            AS year,
+  CAST(DAYOFWEEK(ts) + 1 AS INTEGER)   AS weekday
+FROM events
+ORDER BY start_time
+"""
+
+
+@register("time_dimension", oracle=TIME_DIM_ORACLE, tags=("scalar", "time", "reference"))
+def time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's time-dimension build (``etl.py:209-211``):
+    distinct timestamps exploded into calendar fields, including the
+    ``weekday`` its README declared but the code never computed
+    (SURVEY §2.9 B8). DuckDB's dayofweek is 0=Sunday vs Spark's
+    1=Sunday, hence the +1 in the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("ts").alias("start_time"),
+            F.hour("ts").alias("hour"),
+            F.dayofmonth("ts").alias("day"),
+            F.weekofyear("ts").alias("week"),
+            F.month("ts").alias("month"),
+            F.year("ts").alias("year"),
+            F.dayofweek("ts").alias("weekday"),
+        )
+        .distinct()
+        .orderBy("start_time")
+    )
+
+
+# --- E6: JSON property extraction on events.props -------------------------
+
+JSON_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("json_extract_props", oracle=JSON_ORACLE, tags=("scalar", "json"))
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from a string column (E6)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --- A4: surrogate key generation (etl.py:271-278) — rows-only ------------
+
+
+@register("surrogate_keys", oracle=None, tags=("scalar", "reference", "nondeterministic"))
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key assignment continuing from a max (the reference's
+    ``monotonically_increasing_id() + max_cnt``, ``etl.py:271-278``,
+    with its NameError bug B3 fixed). IDs are partition-dependent →
+    never oracle'd (rows-only check). The deterministic alternative
+    for dense keys is row_number over an explicit total order."""
+    orders = _t(spark, sf_dir, "orders")
+    base = 1_000_000  # stands in for max(existing surrogate key) + 1
+    return orders.select(
+        (F.monotonically_increasing_id() + F.lit(base)).alias("songplay_like_id"),
+        "o_orderkey",
+    )

@@ -1,0 +1,163 @@
+"""Time-window aggregations over events (SURVEY §2.8 / E8), batch form.
+
+These are the DuckDB-oracle-checkable equivalents of the Structured
+Streaming jobs in ``streaming/jobs.py`` — same window semantics
+(tumbling / sliding / session), same aggregates, executed as batch
+plans. Spark's ``window()``/``session_window()`` produce identical
+results in batch and streaming modes, which is what makes this a valid
+differential check for the streaming layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+TUMBLING_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  event_type,
+  COUNT(*)                 AS n_events,
+  ROUND(SUM(value), 2)     AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("window_tumbling_hourly", oracle=TUMBLING_ORACLE, tags=("window", "streaming"))
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (streaming-equivalent)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS s, * FROM events
+), expanded AS (
+  SELECT s AS window_start, event_type, value FROM starts
+  UNION ALL
+  SELECT s - INTERVAL '30 minutes' AS window_start, event_type, value FROM starts
+)
+SELECT window_start, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM expanded
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@register("window_sliding_hourly", oracle=SLIDING_ORACLE, tags=("window", "streaming"))
+def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, 30-minute hop → every event lands
+    in exactly 2 windows (the oracle materializes both membership
+    copies explicitly)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '5 minutes'
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                        AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       COUNT(*)                       AS n_events,
+       ROUND(SUM(value), 2)           AS total_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("window_session_5min", oracle=SESSION_ORACLE, tags=("window", "streaming"))
+def window_session_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute inactivity gap per user —
+    Spark's session_window end = last event + gap, mirrored in the
+    oracle's lag/cumsum sessionization."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+DAILY_USERS_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '1 day', ts) AS day_start,
+  COUNT(DISTINCT user_id)           AS n_users,
+  COUNT(*)                          AS n_events
+FROM events
+GROUP BY 1
+ORDER BY day_start
+"""
+
+
+@register("window_daily_active_users", oracle=DAILY_USERS_ORACLE, tags=("window", "streaming"))
+def window_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user rollup (tumbling day windows)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("day_start"), "n_users", "n_events")
+        .orderBy("day_start")
+    )

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Contract (driver): run at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``; print ONE
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is executed to completion (collect) — results are small
+aggregates/top-ks, so collect measures full plan execution without
+driver-side materialization costs dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
+from data_lake_with_spark_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_year_revenue",
+    "agg_count_distinct",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "rollup_orders",
+    # reference surface
+    "proj_distinct",
+    "join_left_anti_new_rows",
+    "join_compound_key_anti",
+    "time_dimension",
+    "json_extract_props",
+    # windows / streaming-equivalent
+    "window_tumbling_hourly",
+    "window_session_5min",
+    # llm pipeline
+    "text_stats",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "vector_topk_bruteforce",
+    "vector_topk_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/codegen once so per-query numbers measure the plans,
+    # not first-call JIT.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,16 +43,27 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, the MinHash/Jaccard unit.
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a materialized token array.
 
-    Pure array expression: tokens t -> [" ".join(t[i:i+n])] for each
-    window; empty when fewer than n tokens.
+    IMPORTANT (perf): pass a *column reference* to an already-projected
+    token array, not the tokens() expression itself — subexpressions
+    inside lambda HOFs are re-evaluated per element, so an inlined
+    split would tokenize the text once per shingle (measured 6×
+    slowdown). Project tokens in a separate select first.
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     shingled = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.array_distinct(shingled)
+    return F.when(F.size(toks) >= n, F.array_distinct(shingled)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from text — convenience
+    form for one-shot expressions; hot paths should project tokens()
+    first and use word_shingles_from_tokens (see perf note there)."""
+    return word_shingles_from_tokens(tokens(text), n)
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -22,9 +22,13 @@ Python in the loop.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from data_lake_with_spark_spark.functions.text import tokens, word_shingles
+from data_lake_with_spark_spark.functions.text import (
+    tokens,
+    word_shingles_from_tokens,
+)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -39,11 +43,110 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles) — distinct word n-gram shingle array per doc.
+    Tokens are projected in their own select (perf: see
+    word_shingles_from_tokens)."""
+    return docs.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).select("id", word_shingles_from_tokens(F.col("toks"), n).alias("shingles"))
+
+
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) with distinct word n-gram shingles per doc."""
+    """(id, shingle) — distinct word n-gram shingles per doc, built on
+    the EXPLODED token table with window lead().
+
+    Perf rationale: the array-HOF formulation (slice/transform over a
+    token array) keeps getting its producing expression duplicated by
+    Catalyst (predicate pushdown / CollapseProject substitute the
+    whole nested expression into consumers), turning shingling
+    O(tokens²)-ish per doc. Exploding once and using lead(tok, i) over
+    (id, pos) is a single linear window shuffle and scales with token
+    count — at 100 TB this is also the layout you want (rows, not
+    driver-fattened arrays).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     return (
-        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles"))
-        .select("id", F.explode("shingles").alias("shingle"))
+        tok.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_tail"),
+        )
+        .where(F.col("_tail").isNotNull())  # concat_ws skips nulls → must drop short tails
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
+def _prefix_filtered_shingles(
+    docs: DataFrame, threshold: float, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sorted_shingles, n_sh, prefix) with 64-bit *hashed*
+    shingles globally ordered by (document frequency, hash) and
+    ``prefix`` the PPJoin prefix: the first |A| - ⌈t·|A|⌉ + 1 (rarest)
+    shingles. Two docs with Jaccard ≥ t MUST share a prefix shingle —
+    the candidate join only explodes prefixes, and rare shingles have
+    short posting lists.
+
+    Shingles are hashed to longs up front (xxhash64): joins and
+    array_intersect run on 8-byte keys instead of ~20-char strings,
+    and collision odds at realistic shingle cardinalities are ~n²/2⁶⁴
+    (irrelevant). Both the hashed shingle table and the result are
+    CACHED — callers fan out over them 4× (posting a/b + verify a/b)
+    and recomputing the shingle+frequency subtree dominated runtime
+    before caching.
+    """
+    sh = (
+        shingle_table(docs, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
+        .select(
+            "id", F.transform("ord", lambda s: s["shingle"]).alias("sorted_shingles")
+        )
+        .withColumn("n_sh", F.size("sorted_shingles"))
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
+    )
+    return ordered.withColumn(
+        "prefix", F.slice("sorted_shingles", F.lit(1), prefix_len)
+    ).cache()
+
+
+def jaccard_verify(candidates: DataFrame, shingle_arrays: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (a_id, b_id) pairs against per-doc
+    distinct-shingle arrays — O(|shingles|) per candidate, no global
+    pair join."""
+    arr_a = shingle_arrays.select(
+        F.col("id").alias("a_id"),
+        F.col("sorted_shingles").alias("a_sh"),
+        F.col("n_sh").alias("n_a"),
+    )
+    arr_b = shingle_arrays.select(
+        F.col("id").alias("b_id"),
+        F.col("sorted_shingles").alias("b_sh"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        candidates.join(arr_a, "a_id")
+        .join(arr_b, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -54,30 +157,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact pairwise Jaccard over word n-gram shingle *sets*.
+    """Exact pairwise Jaccard ≥ threshold over word n-gram shingle sets.
 
-    Inverted-index self-join: only pairs sharing ≥1 shingle are ever
-    materialized. Output (a_id, b_id, jaccard) with a_id < b_id,
-    jaccard rounded to 6 (engine-portable double).
+    PPJoin-style: prefix-filtered inverted-index join (only the rarest
+    |A|-⌈t|A|⌉+1 shingles of each doc enter the index) + length filter
+    (t·|A| ≤ |B| ≤ |A|/t) generate candidates; exact verification via
+    array_intersect. Both filters are lossless for Jaccard ≥ t, so the
+    result is identical to the naive O(n²) join at a fraction of the
+    candidates. Output (a_id, b_id, jaccard), a_id < b_id.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    pref = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
+    posting = pref.select("id", "n_sh", F.explode("prefix").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    length_ok = (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")) & (
+        F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")
     )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok,
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
     )
+    return jaccard_verify(candidates, pref, threshold)
 
 
 def minhash_signatures(
@@ -149,12 +255,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
-    return (
-        candidates.join(exact, ["a_id", "b_id"])
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    # verify ONLY the LSH candidates (per-pair array_intersect) — the
+    # whole point of banding is never touching the full pair space
+    arrays = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
+    return jaccard_verify(candidates, arrays, threshold)
 
 
 def simhash(

@@ -1,0 +1,87 @@
+"""End-to-end incremental ETL (reference main(), etl.py:297-314).
+
+Orchestrates: song feed → songs/artists dims; log feed → users/time
+dims + songplays fact; every table written through the left-anti
+upsert sink (idempotent re-runs). Songplay surrogate keys continue
+from the existing table's max (reference etl.py:271-278, with the
+NameError bug B3 fixed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_lake_with_spark_spark.etl.log_pipeline import (
+    build_songplays,
+    build_time_dim,
+    build_users,
+    prepare_log_events,
+)
+from data_lake_with_spark_spark.etl.song_pipeline import build_artists, build_songs
+from data_lake_with_spark_spark.sources.writers import (
+    next_surrogate_key_base,
+    try_read_existing,
+    upsert_parquet,
+    with_surrogate_keys,
+)
+
+
+@dataclass(frozen=True)
+class EtlResult:
+    """Rows appended per table in this run."""
+
+    songs: int
+    artists: int
+    users: int
+    time: int
+    songplays: int
+
+
+def run_etl(
+    spark: SparkSession,
+    song_df: DataFrame,
+    log_df: DataFrame,
+    output_dir: str,
+) -> EtlResult:
+    out = output_dir.rstrip("/")
+
+    songs = build_songs(song_df)
+    n_songs = upsert_parquet(
+        spark, songs, f"{out}/songs", keys=["song_id"], partition_by=("year",)
+    )
+    n_artists = upsert_parquet(
+        spark, build_artists(song_df), f"{out}/artists", keys=["artist_id"]
+    )
+
+    events = prepare_log_events(log_df)
+    n_users = upsert_parquet(
+        spark, build_users(events), f"{out}/users", keys=["userId"]
+    )
+    n_time = upsert_parquet(
+        spark,
+        build_time_dim(events),
+        f"{out}/time",
+        keys=["start_time"],
+        partition_by=("year", "month"),
+    )
+
+    # Fact: read dims back from the lake (the reference read a stale
+    # local path here — B4; we read the configured output location).
+    songs_dim = try_read_existing(spark, f"{out}/songs")
+    artists_dim = try_read_existing(spark, f"{out}/artists")
+    assert songs_dim is not None and artists_dim is not None
+    plays = build_songplays(events, songs_dim, artists_dim)
+    existing_plays = try_read_existing(spark, f"{out}/songplays")
+    base = next_surrogate_key_base(existing_plays, "songplays_id")
+    plays_keyed = with_surrogate_keys(plays, "songplays_id", base)
+    n_plays = upsert_parquet(
+        spark,
+        plays_keyed,
+        f"{out}/songplays",
+        keys=["start_time", "userId", "sessionId"],
+        partition_by=("year", "month"),
+        dedup_new=False,  # natural key is (start_time,user,session); ids must not collapse rows
+    )
+    return EtlResult(n_songs, n_artists, n_users, n_time, n_plays)

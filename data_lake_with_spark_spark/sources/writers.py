@@ -1,0 +1,102 @@
+"""Partition-disciplined writers + the incremental upsert sink.
+
+The reference's upsert protocol (SURVEY §2.5, reference etl.py:105-128
+and 4 clones): read-existing → dedup-join → append. Its implementation
+had the three bugs that defined this rebuild's intent contract:
+left-outer join instead of anti (B1 — dedup was a no-op), bare
+``except:`` swallowing NameErrors (B6), and try/except-driven write-mode
+probing. This module implements the intent:
+
+- left **anti** join on the natural key before append;
+- existence probe catches ``AnalysisException`` (path missing) only;
+- a single ``mode("append")`` write — no exception-driven control flow.
+
+Scale posture: partition columns must be low-cardinality (the
+reference's ``partitionBy("year","artist_id")`` at etl.py:125 is a
+mistake at 100 TB — millions of directories; callers here choose keys
+like (year, month), reference etl.py:233,291).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """Hive-partitioned parquet sink (reference etl.py:125,233,291 S4;
+    unpartitioned S5 when partition_by is empty)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def try_read_existing(spark: SparkSession, path: str) -> DataFrame | None:
+    """Existence probe for the upsert: parquet read that treats only
+    'path does not exist' as empty-state (reference etl.py:108-112 used
+    a bare except and an empty-by-filter stand-in)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: tuple[str, ...] = (),
+    dedup_new: bool = True,
+) -> int:
+    """Incremental upsert: append only rows whose natural key is absent
+    from the existing table. Returns the number of rows appended (the
+    reference logged this count, etl.py:119).
+
+    Idempotent by construction: running the same load twice appends
+    zero rows the second time — the property the reference intended
+    and broke (SURVEY §2.9 B1). Plain-parquet insert-if-absent; Delta
+    ``MERGE INTO`` is the upgrade path when update-in-place is needed.
+    """
+    candidates = new_rows.dropDuplicates(keys) if dedup_new else new_rows
+    existing = try_read_existing(spark, path)
+    if existing is not None:
+        candidates = candidates.join(
+            existing.select(*keys).distinct(), keys, "left_anti"
+        )
+    # One count action, then append the SAME computed set: cache so the
+    # count and the write don't execute the plan twice (the reference
+    # re-ran the whole plan per action, SURVEY §4.1).
+    candidates = candidates.cache()
+    n = candidates.count()
+    if n > 0:
+        write_partitioned(candidates, path, partition_by, mode="append")
+    candidates.unpersist()
+    return n
+
+
+def next_surrogate_key_base(existing: DataFrame | None, key_col: str) -> int:
+    """max(existing key) + 1, or 0 on empty — the reference's intended
+    surrogate-key continuation (etl.py:271-272, fixed per §2.9 B3)."""
+    if existing is None:
+        return 0
+    row = existing.agg(F.max(key_col).alias("mx")).first()
+    return (row["mx"] + 1) if row and row["mx"] is not None else 0
+
+
+def with_surrogate_keys(df: DataFrame, key_col: str, base: int = 0) -> DataFrame:
+    """Globally-unique (not dense) surrogate ids continuing from
+    ``base`` (reference etl.py:278). monotonically_increasing_id is
+    partition-indexed: unique across executors without coordination —
+    the right 100 TB default. Dense ids would serialize on a global
+    row_number; only pay that when an external contract demands it."""
+    return df.withColumn(key_col, F.monotonically_increasing_id() + F.lit(base))

@@ -1,0 +1,165 @@
+"""Streaming jobs over a file-replay of the events table.
+
+The reference is pure batch (SURVEY §2.8); these are the EXT streaming
+operators the testdata's stream-shaped ``events`` table mandates:
+tumbling/sliding window aggregation with watermark, streaming
+deduplication, session windows, and a custom stateful operator
+(applyInPandasWithState running per-user counters).
+
+Batch↔streaming parity: Spark's ``window()``/``session_window()``
+produce the same groups in both modes, so ``plans/windows_batch.py``
+serves as the differential oracle for these jobs — the pytest suite
+runs a job to completion on static data (processAllAvailable) and
+compares against the batch plan.
+
+Scale: file replay stands in for Kafka; everything here is
+partition-parallel and state is keyed (user_id / event_id), so a real
+cluster shards state across executors via the state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# events.parquet stores ts as TIMESTAMP(NANOS); under
+# spark.sql.legacy.parquet.nanosAsLong it surfaces as long — the
+# streaming schema must declare it that way, then convert (same exact
+# integer µs arithmetic as catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream replay of events.parquet with the ns→µs conversion.
+
+    The file source requires a directory: point it at the sf dir with
+    a glob filter (events.parquet is a single file in the testdata)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows per event type with late-data watermark —
+    the streaming twin of plans/windows_batch.window_tumbling_hourly."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-event_id stream: watermarked dropDuplicates —
+    state for ids older than the watermark is evicted (bounded state,
+    the only viable dedup at unbounded scale)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def session_aggregate(stream: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (gap-based) — streaming twin of
+    plans/windows_batch.window_session_5min."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _user_totals_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running per-user totals across
+    micro-batches (the applyInPandasWithState escape hatch for
+    operators Spark lacks natively)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Stateful running totals per user via applyInPandasWithState
+    (update mode; processing-time timeout disabled — state lives for
+    the replay)."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals_fn,
+            outputStructType=USER_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
+    """Drive a streaming plan over the static replay to completion via
+    a memory sink; returns the materialized result as a DataFrame.
+
+    Mode note for finite replays: in append mode a windowed aggregate
+    only emits windows the watermark has passed — the replay's final
+    windows would be withheld. Tests that want the full result use
+    ``complete`` (aggregations) or rely on row-level append
+    (dedup)."""
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")

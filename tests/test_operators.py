@@ -1,0 +1,135 @@
+"""Property tests for the LLM-pipeline operators (dedup, similarity,
+text, multimodal) on crafted fixtures + the driver testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions.text import BPE_ISH_PATTERN  # noqa: F401
+from data_lake_with_spark_spark.functions.text import lang_guess
+from data_lake_with_spark_spark.operators import dedup as DD
+from data_lake_with_spark_spark.operators import multimodal as MM
+from data_lake_with_spark_spark.operators import similarity as SIM
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+    (4, "completely different words about spark sql engines and shuffles"),
+    (5, "tiny"),  # < 3 tokens → no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = {r["text"]: r for r in DD.exact_dedup(docs, ["text"], "doc_id").collect()}
+    dup = out["the quick brown fox jumps over the lazy dog again and again"]
+    assert dup["keep_id"] == 1 and dup["n_copies"] == 2
+
+
+def test_ngram_jaccard_finds_exact_and_near_dups(spark, docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_on_testdata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["a_id"], r["b_id"]) for r in DD.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in DD.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert lsh <= exact  # precision 1.0 (verified candidates)
+    assert len(lsh) >= 0.9 * len(exact)  # high recall on real near-dups
+
+
+def test_simhash_hamming_small_for_near_dups(spark, docs):
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in DD.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert (1, 3) in pairs  # near dup → small hamming distance
+
+
+def test_brute_force_topk_self_similarity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    out = SIM.brute_force_topk(emb, q, k=4)
+    rows = out.collect()
+    assert len(rows) == 12
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    bf = SIM.brute_force_topk(emb, q, k=5).collect()
+    lsh = SIM.lsh_topk(emb, q, k=5).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    lsh_set = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    # approximate: most of the true top-5 should be retrieved via
+    # bucket + 1-bit multiprobe on 64-dim fairly-spread vectors
+    assert len(lsh_set & bf_set) / len(bf_set) >= 0.5
+
+
+def test_lang_guess_on_crafted_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog walk to the house"),
+            (2, "der Hund ist nicht da und das ist gut"),
+            (3, "el perro y el gato es que los dos"),
+            (4, "le chien est un ami et le chat"),
+            (5, "xyzzy qwerty plugh"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", lang_guess("text").alias("g")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    rows = media.collect()
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all(r["meta"]["n_bytes"] == 32 for r in rows)
+    feats = MM.fake_feature_extract(media).collect()
+    assert len(feats) == len(DOCS)
+    assert all(len(r["feature"]) == MM.FEATURE_DIM for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["feature"])
+    # determinism: same payload (docs 1,2 share text) → same feature
+    by_id = {r["media_id"]: list(r["feature"]) for r in feats}
+    assert by_id[1] == by_id[2]
+
+
+def test_multimodal_decode_is_stubbed(spark, docs):
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(media)
+
+
+def test_frame_sample(spark, docs):
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    frames = MM.frame_sample(media, every_nth=2)
+    rows = frames.where(F.col("media_id") == 1).collect()
+    # 32 bytes → 8 frames of 4 bytes → every 2nd → 4 frames
+    assert len(rows) == 4
+    assert all(len(r["frame_bytes"]) == 4 for r in rows)

@@ -1,0 +1,68 @@
+"""Streaming jobs: batch↔streaming differential tests (SURVEY §7.3) —
+the streaming plan over a finite replay must equal the batch window
+plan on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.plans import REGISTRY
+from data_lake_with_spark_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return jobs.events_stream(spark, sf_dir)
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_tumbling_matches_batch(spark, sf_dir, stream):
+    out = jobs.run_to_completion(
+        jobs.tumbling_counts(stream), "t_tumbling", mode="complete"
+    )
+    batch = REGISTRY["window_tumbling_hourly"].spark(spark, sf_dir)
+    assert _sorted_rows(out, "window_start", "event_type") == _sorted_rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_session_matches_batch(spark, sf_dir, stream):
+    out = jobs.run_to_completion(
+        jobs.session_aggregate(stream), "t_session", mode="complete"
+    )
+    batch = REGISTRY["window_session_5min"].spark(spark, sf_dir)
+    assert _sorted_rows(out, "user_id", "session_start") == _sorted_rows(
+        batch, "user_id", "session_start"
+    )
+
+
+def test_streaming_dedup_unique_ids(spark, sf_dir, stream):
+    out = jobs.run_to_completion(jobs.streaming_dedup(stream), "t_dedup")
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()
+    batch_n = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    )
+    assert n == batch_n
+
+
+def test_stateful_running_totals(spark, sf_dir, stream):
+    out = jobs.run_to_completion(
+        jobs.running_user_totals(stream), "t_totals", mode="update"
+    )
+    # final state per user (memory sink in update mode appends each
+    # emission; take the last per user = final totals)
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _sorted_rows(final, "user_id") == _sorted_rows(batch, "user_id")

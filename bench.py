@@ -60,9 +60,17 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM/codegen once so per-query numbers measure the plans,
-    # not first-call JIT.
+    # Warm the JVM/codegen and the Python UDF workers once so per-query
+    # numbers measure the plans, not first-call JIT / worker spin-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1_000).select(_warm("id")).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -21,9 +21,11 @@ deterministic plans, no RNG inside executors.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_lake_with_spark_spark.functions.vector import cosine, dot, hyperplane_bucket
 
@@ -31,6 +33,29 @@ from data_lake_with_spark_spark.functions.vector import cosine, dot, hyperplane_
 def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _bucket_udf(planes_stack: np.ndarray):
+    """Vectorized bucket assignment for ALL tables in one pass:
+    vec → [bucket_table0, …, bucket_table{L-1}].
+
+    A pandas UDF on purpose: the expression form would embed L·b
+    64-float literal arrays in the plan (codegen blow-up, interpreted
+    HOF dots — measured ~10s for 2000 rows); here it's a single
+    (n×dim)·(dim×L·b) numpy matmul per Arrow batch. The plane matrix
+    is a deterministic seeded constant captured in the closure.
+    """
+    n_tables, n_planes, _ = planes_stack.shape
+    flat = planes_stack.reshape(n_tables * n_planes, -1).T  # (dim, L*b)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (mat @ flat >= 0).astype(np.int64).reshape(len(mat), n_tables, n_planes)
+        return pd.Series(list(bits @ weights))  # (n, L)
+
+    return buckets
 
 
 def brute_force_topk(
@@ -91,50 +116,53 @@ def lsh_topk(
     match) per table grows like (1-θ/π)^b. Approximate by design →
     rows-only correctness check; pytest tracks recall vs brute force.
     """
-    tables = [
-        (t, random_planes(n_planes, dim, seed + t)) for t in range(n_tables)
-    ]
-    c_buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
-            )
-            for t, planes in tables
-        ]
+    planes_stack = np.array(
+        [random_planes(n_planes, dim, seed + t) for t in range(n_tables)]
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(c_buckets).alias("tb"),
-    ).select(
-        "neighbor_id", "c_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    buckets = _bucket_udf(planes_stack)
+
+    def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), buckets(F.col(vec_col)).alias("bks")
+        )
+
+    c = (
+        with_buckets(embeddings, "neighbor_id")
+        .select("neighbor_id", F.posexplode("bks").alias("tbl", "bucket"))
     )
     # queries: per table, own bucket + all hamming-1 probes
-    q_probe_structs = []
-    for t, planes in tables:
-        b = hyperplane_bucket(F.col(vec_col), planes)
+    q_b = with_buckets(queries, "query_id")
+    q_probes = []
+    for t in range(n_tables):
+        b = F.element_at(F.col("bks"), t + 1)
         for probe in [b] + [b.bitwiseXOR(F.lit(2**i)) for i in range(n_planes)]:
-            q_probe_structs.append(
-                F.struct(F.lit(t).alias("tbl"), probe.alias("bucket"))
-            )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(F.array(*q_probe_structs)).alias("tb"),
-    ).select(
-        "query_id", "q_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
-    candidates = (
+            q_probes.append(F.struct(F.lit(t).alias("tbl"), probe.alias("bucket")))
+    q = q_b.select(
+        "query_id", F.explode(F.array(*q_probes)).alias("tb")
+    ).select("query_id", F.col("tb.tbl").cast("int").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    # candidate ids only through the bucket join (no vector payloads in
+    # the shuffle); re-attach vectors afterwards for exact re-scoring
+    cand_ids = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cand_ids.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -1,0 +1,91 @@
+"""Specialized join operators Spark lacks natively (SURVEY §2.3 note:
+"theta/range/as-of" joins absent from both Spark and the reference) —
+composed from built-in DataFrame ops so Catalyst still optimizes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the single most recent
+    right row with ``right_ts <= left_ts`` within the same ``by`` group
+    (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, left join).
+
+    Implementation is the union+last-ignorenulls trick — O(n log n)
+    via one window over the interleaved stream, no range explosion:
+
+    1. union left and right rows on a common (by, ts) axis, right rows
+       carrying their payload packed in ONE struct (so all payload
+       columns travel together — independent last() calls could mix
+       rows when payload fields are null);
+    2. ``last(payload, ignorenulls) over (partition by `by` order by
+       ts, is_left rows unbounded preceding)`` — right rows sort before
+       left rows at equal ts, making the bound inclusive;
+    3. keep left rows, unpack the struct.
+
+    Scale: one shuffle on ``by`` (same as any windowed op); skew in
+    ``by`` is handled by AQE or pre-salting upstream.
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(by).alias(by),
+        F.col(right_ts).alias("_ats"),
+        payload.alias("_rpay"),
+        F.lit(0).alias("_is_left"),
+    )
+    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_is_left", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        W.partitionBy(by)
+        .orderBy("_ats", "_is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = u.withColumn("_rfill", F.last("_rpay", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_rfill.{c}").alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return filled.where(F.col("_is_left") == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Band/range join: pairs with ``0 < right_ts - left_ts <=
+    max_gap``, same ``by`` group — via equi-join on time buckets of
+    width ``max_gap`` (each left row probes its own and the next
+    bucket) instead of an O(n²) theta join. The bucket column turns
+    the inequality into 2 hash-join probes; the residual predicate
+    trims the band exactly. At 100 TB the bucket is also the physical
+    partition key.
+    """
+    bucket = lambda ts: F.floor(F.unix_micros(F.col(ts)) / (max_gap_seconds * 1_000_000))  # noqa: E731
+    l = left.withColumn("_lb", bucket(left_ts))
+    r = right.withColumn("_rb", bucket(right_ts))
+    probes = l.withColumn("_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") + 1)))
+    gap_us = F.unix_micros(F.col(f"r.{right_ts}")) - F.unix_micros(F.col(f"l.{left_ts}"))
+    return (
+        probes.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col(f"l.{by}") == F.col(f"r.{by}")) & (F.col("l._probe") == F.col("r._rb")),
+        )
+        .where((gap_us > 0) & (gap_us <= max_gap_seconds * 1_000_000))
+        .drop("_lb", "_rb", "_probe")
+    )

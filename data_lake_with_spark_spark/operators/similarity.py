@@ -172,6 +172,90 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train IVF coarse centroids with Spark ML KMeans (distributed —
+    at 100 TB train on a sample, assign everywhere)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return np.array(model.clusterCenters())
+
+
+def _nearest_centroids_udf(centroids: np.ndarray, n_probe: int):
+    """vec → the ids of its n_probe nearest centroids (euclidean),
+    nearest first. One numpy distance matrix per Arrow batch."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return nearest
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, list_id): coarse-quantizer assignment. Writing this
+    frame ``partitionBy("list_id")`` gives the IVF physical layout —
+    queries then scan only the probed lists via partition pruning."""
+    nearest = _nearest_centroids_udf(centroids, 1)
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(nearest(F.col(vec_col)), 1).alias("list_id"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query scores only the inverted lists
+    of its n_probe nearest centroids — candidate work drops from n to
+    ~n·(n_probe/n_lists). Same output shape as brute_force_topk."""
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    nearest = _nearest_centroids_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest(F.col(vec_col))).alias("list_id"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float,

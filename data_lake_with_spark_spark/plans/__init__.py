@@ -11,6 +11,7 @@ from data_lake_with_spark_spark.plans.registry import REGISTRY, Query, register
 from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     reference_surface,
     relational,
+    relational2,
     llm_ops,
     windows_batch,
 )

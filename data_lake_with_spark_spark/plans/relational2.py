@@ -1,0 +1,400 @@
+"""Relational layer, batch 2: as-of/range joins, exact percentiles,
+unpivot, date arithmetic, regexp extraction, ordered string
+aggregation, conditional aggregation, keep-latest dedup, quartile
+windows, correlated-aggregate filters, histograms, sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators.joins import asof_join, range_join_bucketed
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+ASOF_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.event_id
+"""
+
+
+@register("join_asof_last_purchase", oracle=ASOF_ORACLE, tags=("join", "asof"))
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent
+    purchase at-or-before it (union + last-ignorenulls window — no
+    native Spark as-of join exists)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        suffix="_p",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("value_p").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+RANGE_ORACLE = """
+SELECT e1.event_id AS a_id, e2.event_id AS b_id
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL '5 minutes'
+ORDER BY a_id, b_id
+"""
+
+
+@register("join_range_within_5min", oracle=RANGE_ORACLE, tags=("join", "range"))
+def join_range_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join: per user, pairs of events ≤ 5 minutes apart —
+    bucketized equi-join (2 probes) instead of an O(n²) theta join."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = ev.select(F.col("event_id").alias("a_id"), "user_id", "ts")
+    right = ev.select(F.col("event_id").alias("b_id"), "user_id", F.col("ts").alias("ts2"))
+    out = range_join_bucketed(
+        left, right, by="user_id", left_ts="ts", right_ts="ts2", max_gap_seconds=300
+    )
+    return out.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.50), 4) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_percentiles_exact", oracle=PERCENTILE_ORACLE, tags=("agg", "percentile"))
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). The approximate scale path is
+    ``approx_percentile`` (t-digest) — different sketch, rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
+            F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("q50"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "percentile", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based scale path (rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("median_est"))
+        .orderBy("l_returnflag")
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+ORDER BY p_partkey, metric
+"""
+
+
+@register("unpivot_part_metrics", oracle=UNPIVOT_ORACLE, tags=("reshape",))
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt wide columns to (key, metric, value) rows."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+DATE_ARITH_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)      AS due_date,
+       date_trunc('month', o_orderdate)                       AS month_start,
+       CAST(quarter(o_orderdate) AS INTEGER)                  AS qtr,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(dayofyear(o_orderdate) AS INTEGER)                AS doy,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH           AS plus_3m
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_date_arithmetic", oracle=DATE_ARITH_ORACLE, tags=("scalar", "time"))
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: offsets, truncation, quarter, last_day,
+    day-of-year, add_months."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    # all date-typed outputs are cast back to TIMESTAMP: date-vs-
+    # timestamp representations hash differently across engines
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_add(d, 30).cast("timestamp").alias("due_date"),
+            F.trunc(d, "month").cast("timestamp").alias("month_start"),
+            F.quarter(d).alias("qtr"),
+            F.last_day(d).cast("timestamp").alias("month_end"),
+            F.dayofyear(d).alias("doy"),
+            F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+REGEXP_ORACLE = r"""
+SELECT p_partkey,
+       CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_no,
+       regexp_extract(p_name, '^(\w+)', 1)                        AS first_word,
+       CAST(len(string_split(p_name, ' ')) AS INTEGER)            AS name_words
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register("scalar_regexp_extract", oracle=REGEXP_ORACLE, tags=("scalar", "text"))
+def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction and splitting."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_no"),
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.size(F.split("p_name", " ")).alias("name_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING_AGG_ORACLE = """
+SELECT r.r_name,
+       string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations,
+       COUNT(DISTINCT n.n_nationkey) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("agg_ordered_string", oracle=STRING_AGG_ORACLE, tags=("agg",))
+def agg_ordered_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect_set → sort_array →
+    array_join: deterministic regardless of partitioning)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+COND_AGG_ORACLE = """
+SELECT
+  ROUND(SUM(l_extendedprice * l_discount), 2)                    AS promo_revenue,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+  ROUND(AVG(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 4)   AS avg_price_bulk
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("agg_conditional", oracle=COND_AGG_ORACLE, tags=("agg",))
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style filtered/conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "promo_revenue"
+        ),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 4
+        ).alias("avg_price_bulk"),
+    )
+
+
+KEEP_LATEST_ORACLE = """
+SELECT user_id, event_id, ts
+FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register("dedup_keep_latest", oracle=KEEP_LATEST_ORACLE, tags=("dedup", "window"))
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup (CDC compaction shape): newest row per key via
+    row_number — the deterministic alternative to dropDuplicates."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+NTILE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS price_quartile,
+       ROUND(FIRST_VALUE(l_extendedprice) OVER w, 2) AS cheapest,
+       ROUND(LAST_VALUE(l_extendedprice) OVER
+             (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS priciest
+FROM lineitem
+WHERE l_orderkey < 300
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("window_ntile_first_last", oracle=NTILE_ORACLE, tags=("window",))
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / last_value with explicit frames."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    order = [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    w = W.partitionBy("l_returnflag").orderBy(*order)
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.first("l_extendedprice").over(w), 2).alias("cheapest"),
+            F.round(F.last("l_extendedprice").over(w_full), 2).alias("priciest"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+Q17_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < pa.qty_cut
+"""
+
+
+@register("subquery_correlated_avg", oracle=Q17_ORACLE, tags=("subquery", "agg", "tpch"))
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average as a filter —
+    decorrelated into an aggregate + self-join (what Catalyst does to
+    the subquery form anyway, written explicitly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY 1
+ORDER BY qty_bucket
+"""
+
+
+@register("agg_histogram_buckets", oracle=HISTOGRAM_ORACLE, tags=("agg",))
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width bucket histogram."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.floor(F.col("l_quantity") / 10).alias("qty_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("qty_bucket")
+    )
+
+
+@register("scan_tablesample", oracle=None, tags=("scan", "sampling"))
+def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (the reference's hardcoded 210-file
+    cap, SURVEY §2.9 B5, done right: config-driven, engine-level).
+    Sample membership is engine-specific → rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register("vector_topk_ivf", oracle=None, tags=("vector", "llm", "approx", "topk"))
+def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (E3 scale path #2): KMeans coarse
+    quantizer → inverted lists → n_probe nearest lists scanned per
+    query. The list id is the partition key of the physical layout at
+    scale. Approximate → rows-only; pytest tracks recall."""
+    from data_lake_with_spark_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroids(emb, k=16)
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, centroids, k=5, n_probe=4).orderBy("query_id", "rank")

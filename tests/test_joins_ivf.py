@@ -1,0 +1,84 @@
+"""Property tests for the composed join operators (as-of, range) and
+the IVF ANN index."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators import similarity as SIM
+from data_lake_with_spark_spark.operators.joins import asof_join, range_join_bucketed
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:05")), (1, ts("2024-01-01 10:00:00")), (2, ts("2024-01-01 10:00:03"))],
+        ["sym", "t_ts"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0),  # exactly at trade ts → inclusive
+            (1, ts("2024-01-01 10:00:04"), 101.0),
+            (1, ts("2024-01-01 10:00:06"), 102.0),  # after → never picked
+            (2, ts("2024-01-01 09:59:00"), 50.0),
+        ],
+        ["sym", "q_ts", "px"],
+    )
+    out = asof_join(trades, quotes, by="sym", left_ts="t_ts", right_ts="q_ts", right_cols=["px"])
+    got = {(r["sym"], r["t_ts"].isoformat()): r["px_asof"] for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01T10:00:00"): 100.0,
+        (1, "2024-01-01T10:00:05"): 101.0,
+        (2, "2024-01-01T10:00:03"): 50.0,
+    }
+
+
+def test_asof_join_no_match_yields_null(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 00:00:00"))], ["k", "lt"])
+    right = spark.createDataFrame([(1, ts("2024-01-02 00:00:00"), 1.0)], ["k", "rt", "v"])
+    out = asof_join(left, right, by="k", left_ts="lt", right_ts="rt", right_cols=["v"])
+    assert out.collect()[0]["v_asof"] is None
+
+
+def test_range_join_matches_naive_theta_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = ev.select(F.col("event_id").alias("a_id"), "user_id", "ts")
+    right = ev.select(F.col("event_id").alias("b_id"), "user_id", F.col("ts").alias("ts2"))
+    fast = {
+        (r["a_id"], r["b_id"])
+        for r in range_join_bucketed(left, right, "user_id", "ts", "ts2", 300).collect()
+    }
+    naive = {
+        (r["a_id"], r["b_id"])
+        for r in left.join(right, "user_id")
+        .where(
+            (F.col("ts2") > F.col("ts"))
+            & (F.unix_micros("ts2") - F.unix_micros("ts") <= 300 * 1_000_000)
+        )
+        .select("a_id", "b_id")
+        .collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0
+
+
+@pytest.mark.parametrize("n_probe,min_recall", [(16, 0.999), (4, 0.35)])
+def test_ivf_recall(spark, sf_dir, n_probe, min_recall):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.kmeans_centroids(emb, k=16)
+    assert centroids.shape == (16, 64)
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(emb, q, centroids, k=5, n_probe=n_probe).collect()
+    }
+    # n_probe = n_lists → exhaustive, must equal brute force exactly
+    assert len(ivf & bf) / len(bf) >= min_recall

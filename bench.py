@@ -20,6 +20,9 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+from pyspark.sql import functions as F
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
@@ -63,8 +66,6 @@ def main() -> None:
     # Warm the JVM/codegen and the Python UDF workers once so per-query
     # numbers measure the plans, not first-call JIT / worker spin-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql import functions as F  # noqa: PLC0415
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:

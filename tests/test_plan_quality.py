@@ -1,0 +1,65 @@
+"""Physical-plan regression tests (SURVEY §4 / the 100 TB posture):
+pushdown, pruning, join strategy, top-k, and no-Python-on-hot-paths
+must survive refactors — a correct-but-10×-slower plan is a bug."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lake_with_spark_spark.plans import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_filters_push_to_parquet_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "filter_predicates")
+    assert "PushedFilters" in p
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "event_type" in scan and "value" in scan  # both predicates reached the scan
+
+
+def test_column_pruning_on_wide_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q1_pricing_summary")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    # q1 needs 7 of lineitem's 11 columns; the keys must NOT be read
+    assert "l_orderkey" not in scan.split("ReadSchema")[0]
+    assert "l_partkey" not in scan.split("ReadSchema")[0]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q5_region_year_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # nation/region at minimum
+
+
+def test_top_k_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_anti_join_is_anti(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_left_anti_new_rows")
+    assert "LeftAnti" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q5_region_year_revenue",
+        "time_dimension",
+        "epoch_ms_to_timestamp",
+        "text_stats",
+        "dedup_ngram_jaccard",
+        "window_session_5min",
+    ],
+)
+def test_no_python_udf_on_hot_paths(spark, sf_dir, name):
+    """The reference's biggest inefficiency was a row-at-a-time Python
+    UDF on the hot path (etl.py:173). Core queries must stay JVM-side;
+    Python (Arrow-vectorized only) is reserved for lsh/ivf/multimodal."""
+    p = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p

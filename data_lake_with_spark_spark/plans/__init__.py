@@ -12,6 +12,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     reference_surface,
     relational,
     relational2,
+    tpch_deep,
     llm_ops,
     windows_batch,
 )

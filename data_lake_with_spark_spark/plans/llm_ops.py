@@ -17,6 +17,7 @@ from data_lake_with_spark_spark.functions import text as TXT
 from data_lake_with_spark_spark.operators import dedup as DD
 from data_lake_with_spark_spark.operators import multimodal as MM
 from data_lake_with_spark_spark.operators import similarity as SIM
+from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -77,11 +78,11 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LANG_PROFILE_ORACLE = r"""
+LANG_PROFILE_ORACLE = rf"""
 SELECT
   lang,
   COUNT(*)                    AS n_docs,
-  ROUND(AVG(n_chars), 4)      AS avg_chars,
+  {davg_sql('n_chars')}      AS avg_chars,
   ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
 FROM documents
 GROUP BY lang
@@ -97,7 +98,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            davg(F.col("n_chars")).alias("avg_chars"),
             F.round(F.avg(TXT.token_count("text")), 4).alias("avg_tokens"),
         )
         .orderBy("lang")

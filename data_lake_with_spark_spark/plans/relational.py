@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -40,18 +41,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Aggregation family
 # ---------------------------------------------------------------------------
 
-Q1_ORACLE = """
+Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-  ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-  COUNT(*)                                                         AS count_order
+  {dsum_sql('l_quantity')}                                       AS sum_qty,
+  {dsum_sql('l_extendedprice')}                                  AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount)')}               AS sum_disc_price,
+  {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {davg_sql('l_quantity')}                                       AS avg_qty,
+  {davg_sql('l_extendedprice')}                                  AS avg_price,
+  {davg_sql('l_discount')}                                       AS avg_disc,
+  COUNT(*)                                                       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -61,31 +62,33 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("agg", "tpch"))
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 analog: wide multi-aggregate scan with pushed filter."""
+    """TPC-H Q1 analog: wide multi-aggregate scan with pushed filter.
+    Float sums/avgs use decimal-exact accumulation (plans/parity.py)
+    so results are independent of summation order."""
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q5_ORACLE = """
+Q5_ORACLE = f"""
 SELECT
   r.r_name                                              AS region_name,
   CAST(YEAR(o.o_orderdate) AS INTEGER)                  AS order_year,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
   COUNT(*)                                              AS n_lineitems
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -121,19 +124,17 @@ def q5_region_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy("region_name", "order_year")
     )
 
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT
   o.o_orderkey,
-  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+  {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
   o.o_orderdate,
   o.o_orderpriority
 FROM customer c
@@ -157,9 +158,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -206,8 +205,8 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HAVING_ORACLE = """
-SELECT c.c_custkey, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total_spent
+HAVING_ORACLE = f"""
+SELECT c.c_custkey, COUNT(*) AS n_orders, {dsum_sql('o.o_totalprice')} AS total_spent
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 HAVING COUNT(*) >= 12
@@ -225,7 +224,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            dsum(F.col("o_totalprice")).alias("total_spent"),
         )
         .where(F.col("n_orders") >= 12)
         .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
@@ -462,12 +461,12 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rollup / cube / grouping sets / pivot
 # ---------------------------------------------------------------------------
 
-ROLLUP_ORACLE = """
+ROLLUP_ORACLE = f"""
 SELECT
   CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
   o_orderpriority,
   COUNT(*) AS n_orders,
-  ROUND(SUM(o_totalprice), 2) AS total_price
+  {dsum_sql('o_totalprice')} AS total_price
 FROM orders
 GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS INTEGER), o_orderpriority)
 ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST
@@ -484,7 +483,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
         )
         .orderBy(
             F.col("order_year").asc_nulls_first(),
@@ -493,8 +492,8 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUBE_ORACLE = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {dsum_sql('l_quantity')} AS qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -507,7 +506,7 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("qty"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),

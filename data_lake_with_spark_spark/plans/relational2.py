@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.operators.joins import asof_join, range_join_bucketed
+from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -231,11 +232,11 @@ def agg_ordered_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COND_AGG_ORACLE = """
+COND_AGG_ORACLE = f"""
 SELECT
-  ROUND(SUM(l_extendedprice * l_discount), 2)                    AS promo_revenue,
+  {dsum_sql('l_extendedprice * l_discount')}                    AS promo_revenue,
   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-  ROUND(AVG(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 4)   AS avg_price_bulk
+  {davg_sql('CASE WHEN l_quantity > 25 THEN l_extendedprice END')}   AS avg_price_bulk
 FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
@@ -248,13 +249,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "promo_revenue"
-        ),
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
         F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
-        F.round(
-            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 4
-        ).alias("avg_price_bulk"),
+        davg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))).alias("avg_price_bulk"),
     )
 
 
@@ -325,7 +322,7 @@ WITH part_avg AS (
   SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part_avg pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < pa.qty_cut
@@ -344,14 +341,14 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 
-HISTOGRAM_ORACLE = """
+HISTOGRAM_ORACLE = f"""
 SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
        COUNT(*) AS n,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price
+       {davg_sql('l_extendedprice')} AS avg_price
 FROM lineitem
 GROUP BY 1
 ORDER BY qty_bucket
@@ -366,7 +363,7 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.floor(F.col("l_quantity") / 10).alias("qty_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
         )
         .orderBy("qty_bucket")
     )

@@ -1,0 +1,353 @@
+"""Deeper TPC-H-shaped coverage (E7), adapted to the testdata's
+columns: multi-fact joins, disjunctive predicates, IN/EXISTS/NOT-EXISTS
+subqueries, conditional classification aggregates, top-k over joins.
+These stress the join-order/strategy and subquery-decorrelation parts
+of Catalyst the first relational batch doesn't reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS INTEGER) AS ship_year,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, CAST(YEAR(l.l_shipdate) AS INTEGER)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+@register("q7_nation_volume", oracle=Q7_ORACLE, tags=("join", "agg", "tpch"))
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: cross-nation shipping volume — six-way join
+    with the nation dim joined twice under different roles."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").alias("sn")
+    cn = _t(spark, sf_dir, "nation").alias("cn")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .where(F.col("sn.n_name") != F.col("cn.n_name"))
+        .groupBy(
+            F.col("sn.n_name").alias("supp_nation"),
+            F.col("cn.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q9_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS INTEGER) AS order_year,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity')} AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS INTEGER)
+ORDER BY nation, order_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=Q9_ORACLE, tags=("join", "agg", "tpch"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit per supplier nation and year for a
+    product family (cost modeled as 0.5·retailprice — the testdata has
+    no partsupp supplycost)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year")
+        )
+        .agg(dsum(profit).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("order_year"))
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       ROUND(c.c_acctbal, 2) AS c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_revenue", oracle=Q10_ORACLE, tags=("join", "agg", "topk", "tpch"))
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by returned-item revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q12_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CASE WHEN l.l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_count,
+       CAST(SUM(CASE WHEN l.l_quantity <  25 THEN 1 ELSE 0 END) AS BIGINT) AS small_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q12_priority_classes", oracle=Q12_ORACLE, tags=("join", "agg", "tpch"))
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: two-way CASE classification per priority over
+    a date-bounded join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("l_quantity") >= 25).alias("bulk_count"),
+            F.count_if(F.col("l_quantity") < 25).alias("small_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q14_ORACLE = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+@register("q14_promo_share", oracle=Q14_ORACLE, tags=("join", "agg", "tpch"))
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share (conditional / ratio aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share_pct")
+    )
+
+
+Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_counts", oracle=Q16_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct suppliers per part class, excluding a
+    brand and a NOT-IN supplier set (anti join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#13")
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       {dsum_sql('l.l_quantity')} AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+"""
+
+
+@register("q18_large_orders", oracle=Q18_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-quantity orders via IN-subquery over a grouped
+    HAVING (left-semi join after decorrelation)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(big, "o_orderkey", "left_semi")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 45 AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("q19_disjunctive_predicates", oracle=Q19_ORACLE, tags=("join", "agg", "tpch"))
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides —
+    exercises predicate normalization and join-condition pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 45) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q22_ORACLE = f"""
+WITH rich AS (
+  SELECT * FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+)
+SELECT n.n_name,
+       COUNT(*) AS numcust,
+       {dsum_sql('r.c_acctbal')} AS totacctbal
+FROM rich r
+JOIN nation n ON r.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("q22_idle_rich_customers", oracle=Q22_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: above-average-balance customers with no orders
+    (scalar subquery + NOT EXISTS → anti join), grouped by nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .first()[0]
+    )
+    rich = cust.where(F.col("c_acctbal") > avg_bal)
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(nation), idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -21,12 +22,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-TUMBLING_ORACLE = """
+TUMBLING_ORACLE = f"""
 SELECT
   time_bucket(INTERVAL '1 hour', ts) AS window_start,
   event_type,
   COUNT(*)                 AS n_events,
-  ROUND(SUM(value), 2)     AS total_value
+  {dsum_sql('value')}     AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -41,7 +42,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -53,7 +54,7 @@ def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SLIDING_ORACLE = """
+SLIDING_ORACLE = f"""
 WITH starts AS (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS s, * FROM events
 ), expanded AS (
@@ -61,7 +62,7 @@ WITH starts AS (
   UNION ALL
   SELECT s - INTERVAL '30 minutes' AS window_start, event_type, value FROM starts
 )
-SELECT window_start, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+SELECT window_start, event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
 FROM expanded
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -78,7 +79,7 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -90,7 +91,7 @@ def window_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSION_ORACLE = """
+SESSION_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -107,7 +108,7 @@ SELECT user_id,
        MIN(ts)                        AS session_start,
        MAX(ts) + INTERVAL '5 minutes' AS session_end,
        COUNT(*)                       AS n_events,
-       ROUND(SUM(value), 2)           AS total_value
+       {dsum_sql('value')}           AS total_value
 FROM sess
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
@@ -124,7 +125,7 @@ def window_session_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             "user_id",

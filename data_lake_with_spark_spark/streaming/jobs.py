@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from data_lake_with_spark_spark.plans.parity import dsum
+
 # events.parquet stores ts as TIMESTAMP(NANOS); under
 # spark.sql.legacy.parquet.nanosAsLong it surfaces as long — the
 # streaming schema must declare it that way, then convert (same exact
@@ -66,7 +68,7 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -92,7 +94,7 @@ def session_aggregate(stream: DataFrame, gap: str = "5 minutes", watermark: str 
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dsum(F.col("value")).alias("total_value"),
         )
         .select(
             "user_id",

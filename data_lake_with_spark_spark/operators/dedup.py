@@ -98,24 +98,35 @@ def _prefix_filtered_shingles(
     Shingles are hashed to longs up front (xxhash64): joins and
     array_intersect run on 8-byte keys instead of ~20-char strings,
     and collision odds at realistic shingle cardinalities are ~n²/2⁶⁴
-    (irrelevant). Both the hashed shingle table and the result are
-    CACHED — callers fan out over them 4× (posting a/b + verify a/b)
-    and recomputing the shingle+frequency subtree dominated runtime
-    before caching.
+    (irrelevant). The global order for the prefix is the HASH order —
+    any fixed total order preserves the PPJoin guarantee, and hash
+    order lets the whole thing collapse into one aggregation
+    (sort_array ∘ collect_set) with no shingle-frequency table, no
+    extra join, and no distinct: the groupBy(id) reuses the window's
+    hash(id) partitioning, so the pipeline is 2 shuffles total.
+    (Document-frequency order would make prefixes rarer/candidates
+    fewer, but costs 2 more shuffles — measured net-slower here.)
+    The result is CACHED — callers fan out over it 4× (posting a/b +
+    verify a/b).
     """
-    sh = (
-        shingle_table(docs, id_col, text_col, n)
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        sh.join(freq, "shingle")
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("ord"))
-        .select(
-            "id", F.transform("ord", lambda s: s["shingle"]).alias("sorted_shingles")
+    w = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        tok.select(
+            "id",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead("tok", n - 1).over(w).alias("_tail"),
         )
+        .where(F.col("_tail").isNotNull())
+        .select("id", "h")
+    )
+    ordered = (
+        sh.groupBy("id")
+        .agg(F.sort_array(F.collect_set("h")).alias("sorted_shingles"))
         .withColumn("n_sh", F.size("sorted_shingles"))
     )
     prefix_len = (

@@ -1,0 +1,88 @@
+"""CDC patterns on plain parquet: SCD2 merge emulation and skew-salted
+aggregation.
+
+The reference's upsert is insert-if-absent (SURVEY §2.5); real lakes
+also need update semantics. Without Delta's ``MERGE INTO`` (no Delta
+jars in this environment — it is the drop-in upgrade), SCD2 is
+emulated with anti-join + union + window, which is exactly what MERGE
+compiles to on immutable files anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply a batch of updates to an SCD2 history table.
+
+    ``current``: (key, attrs..., valid_from, valid_to NULL=open).
+    ``updates``: (key, attrs..., ts) — reduced to the latest row per
+    key (max_by on ts) before applying.
+
+    Semantics per key: if the open row's attrs differ from the update
+    (or no open row exists), close the open row at the update ts and
+    append a new open version. No-op updates (same attrs) change
+    nothing — applying the same batch twice is idempotent.
+    """
+    latest = updates.groupBy(key).agg(
+        F.max_by(F.struct(*attrs), ts_col).alias("_u"), F.max(ts_col).alias("_uts")
+    )
+    upd = latest.select(
+        key, *[F.col(f"_u.{a}").alias(f"_u_{a}") for a in attrs], "_uts"
+    )
+    attrs_differ = F.lit(False)
+    for a in attrs:
+        attrs_differ = attrs_differ | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+
+    cur = current.join(upd, key, "left_outer")
+    is_open = F.col(valid_to).isNull()
+    has_change = F.col("_uts").isNotNull() & attrs_differ
+
+    # existing rows: open+changed rows get closed, everything else kept
+    kept = cur.select(
+        key,
+        *attrs,
+        F.col(valid_from),
+        F.when(is_open & has_change, F.col("_uts")).otherwise(F.col(valid_to)).alias(valid_to),
+    )
+    # new open versions: changed keys + brand-new keys
+    open_rows = current.where(is_open).select(key, *attrs)
+    # attrs_differ is null-safe, so a missing open row (all-null attrs)
+    # also counts as changed → brand-new keys insert correctly
+    changed_new = (
+        upd.join(open_rows, key, "left_outer")
+        .where(attrs_differ)
+        .select(
+            key,
+            *[F.col(f"_u_{a}").alias(a) for a in attrs],
+            F.col("_uts").alias(valid_from),
+            F.lit(None).cast("timestamp").alias(valid_to),
+        )
+    )
+    return kept.unionByName(changed_new)
+
+
+def salted_sum(
+    df: DataFrame, keys: list[str], value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-resistant sum: pre-aggregate on (keys, random salt) so a
+    hot key spreads over ``salt_buckets`` reducers, then combine.
+    Equivalent to groupBy(keys).sum — Spark's own partial aggregation
+    usually covers this; explicit salting is for the cases where the
+    hot key's partials still overwhelm one reducer (e.g. after a join
+    that re-partitioned on the skewed key).
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(F.sum(value_col).alias("_psum"))
+    return partial.groupBy(*keys).agg(F.sum("_psum").alias(f"sum_{value_col}"))

@@ -16,11 +16,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
     s = get_spark(
         app_name="tests",
         master=f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '8')}]",
         shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
     )
     yield s
 

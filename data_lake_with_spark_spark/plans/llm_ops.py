@@ -143,6 +143,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
+TOP_TOKENS_ORACLE = r"""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 25
+"""
+
+
+@register("text_top_tokens", oracle=TOP_TOKENS_ORACLE, tags=("text", "llm", "agg"))
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies via explode (the lateral-view shape) —
+    top 25 with deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(25)
+    )
+
+
 @register("text_language_id", oracle=None, tags=("text", "llm", "heuristic"))
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (heuristic → rows-only; property-tested

@@ -152,7 +152,8 @@ SELECT o_orderkey,
        CAST(quarter(o_orderdate) AS INTEGER)                  AS qtr,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
        CAST(dayofyear(o_orderdate) AS INTEGER)                AS doy,
-       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH           AS plus_3m
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH           AS plus_3m,
+       strftime(o_orderdate, '%Y-%m')                         AS ym
 FROM orders
 ORDER BY o_orderkey
 """
@@ -175,6 +176,7 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last_day(d).cast("timestamp").alias("month_end"),
             F.dayofyear(d).alias("doy"),
             F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
         )
         .orderBy("o_orderkey")
     )

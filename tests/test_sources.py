@@ -1,0 +1,72 @@
+"""Source/sink coverage: schema-armed JSON/CSV reads (SURVEY §2.1
+S1/S2 — the reads the reference intended) and partitioned writes with
+partition pruning on re-read (S4)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.etl.schemas import SONG_SCHEMA
+from data_lake_with_spark_spark.sources import read_csv, read_json, write_partitioned
+
+ROWS = [
+    {"artist_id": "A1", "artist_name": "One", "duration": 10.5, "num_songs": 1,
+     "song_id": "S1", "title": "T1", "year": 2001},
+    {"artist_id": "A2", "artist_name": "Two", "duration": 20.5, "num_songs": 1,
+     "song_id": "S2", "title": "T2", "year": 2002},
+]
+
+
+def test_read_json_with_explicit_schema(spark, tmp_path):
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "a.json").write_text("\n".join(json.dumps(r) for r in ROWS))
+    df = read_json(spark, str(p), SONG_SCHEMA)
+    assert df.schema == SONG_SCHEMA  # declared, not inferred
+    got = {r["song_id"]: r for r in df.collect()}
+    assert got["S1"]["duration"] == 10.5
+    assert got["S2"]["artist_latitude"] is None  # missing field → null, no crash
+
+
+def test_read_json_path_list(spark, tmp_path):
+    paths = []
+    for i, row in enumerate(ROWS):
+        f = tmp_path / f"part{i}.json"
+        f.write_text(json.dumps(row))
+        paths.append(str(f))
+    df = read_json(spark, paths, SONG_SCHEMA)
+    assert df.count() == 2
+
+
+def test_read_csv_with_schema(spark, tmp_path):
+    f = tmp_path / "c.csv"
+    f.write_text("song_id,title,year\nS1,T1,2001\nS2,T2,2002\n")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("song_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+        ]
+    )
+    df = read_csv(spark, str(f), schema)
+    assert [r["year"] for r in df.orderBy("song_id").collect()] == [2001, 2002]
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    from data_lake_with_spark_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    write_partitioned(orders, out, partition_by=("order_year",), mode="overwrite")
+    back = spark.read.parquet(out).where(F.col("order_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters: [isnotnull(order_year" in plan.replace("#", "order_year#") or "order_year" in (
+        [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    )
+    assert back.count() == orders.where(F.col("order_year") == 1995).count()

@@ -272,6 +272,58 @@ def minhash_lsh_pairs(
     return jaccard_verify(candidates, arrays, threshold)
 
 
+def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
+    """Cluster near-dup pairs into groups and pick a deterministic
+    survivor: (id, cluster_id = min id reachable, keep = id==cluster).
+
+    Connected components via iterative min-label propagation over the
+    undirected pair graph — each round every node adopts the smallest
+    label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup clusters are tiny, so 2-4 rounds in practice;
+    the loop is driver-side but each round is one distributed join).
+    ``all_ids``: one column ``id`` covering the full corpus — isolated
+    docs become their own cluster and are always kept.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = all_ids.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(8):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "id",
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("keep"),
+    )
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -235,6 +235,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
 
 
+DEDUP_CLUSTER_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+), lab AS (                      -- min-label propagation, fixpoint
+  SELECT doc_id AS id, doc_id AS label FROM documents
+), l1 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM lab l LEFT JOIN edges e ON l.id = e.src
+             LEFT JOIN lab e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), l2 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM l1 l LEFT JOIN edges e ON l.id = e.src
+            LEFT JOIN l1 e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), l3 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM l2 l LEFT JOIN edges e ON l.id = e.src
+            LEFT JOIN l2 e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+)
+SELECT id, label AS cluster_id, id = label AS keep
+FROM l3
+ORDER BY id
+"""
+
+
+@register("dedup_cluster_keep_min", oracle=DEDUP_CLUSTER_ORACLE, tags=("dedup", "llm", "graph"))
+def dedup_cluster_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision (E2): exact Jaccard pairs →
+    connected components (min-label propagation) → keep one doc per
+    cluster. The oracle unrolls 3 propagation rounds — enough for the
+    testdata's shallow clusters (pairs, mostly)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return DD.dedup_clusters(pairs, ids).orderBy("id")
+
+
 @register("dedup_simhash", oracle=None, tags=("dedup", "llm", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + hamming≤3 near-pairs via chunk pigeonhole."""

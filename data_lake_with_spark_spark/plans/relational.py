@@ -665,6 +665,60 @@ def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CROSS_ORACLE = """
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+ORDER BY r_name, n_name
+"""
+
+
+@register("join_cross", oracle=CROSS_ORACLE, tags=("join",))
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (a join type absent from the
+    reference; bounded to the two scale-invariant dims)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+FULL_OUTER_ORACLE = """
+SELECT n.n_nationkey AS nationkey, cn.n_cust, sn.n_supp
+FROM nation n
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cn
+  ON n.n_nationkey = cn.c_nationkey
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sn
+  ON n.n_nationkey = sn.s_nationkey
+ORDER BY nationkey NULLS FIRST
+"""
+
+
+@register("join_full_outer", oracle=FULL_OUTER_ORACLE, tags=("join",))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: per-nation customer vs supplier counts with
+    either side possibly missing."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left_outer")
+        .join(supp, nation.n_nationkey == supp.s_nationkey, "full_outer")
+        .select(F.col("n_nationkey").alias("nationkey"), "n_cust", "n_supp")
+        .orderBy(F.col("nationkey").asc_nulls_first())
+    )
+
+
 EXISTS_ORACLE = """
 SELECT p_partkey, p_name
 FROM part p

@@ -1,0 +1,110 @@
+"""Property-based tests: as-of join vs pandas merge_asof ground truth,
+vector expressions vs numpy, upsert idempotence on random batches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.functions.vector import cosine, dot, l2_distance, norm
+from data_lake_with_spark_spark.operators.joins import asof_join
+from data_lake_with_spark_spark.sources.writers import upsert_parquet
+
+BASE = pd.Timestamp("2024-01-01")
+
+
+@st.composite
+def asof_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = draw(st.lists(st.integers(0, 2), min_size=n_left, max_size=n_left))
+    lts = draw(st.lists(st.integers(0, 1000), min_size=n_left, max_size=n_left))
+    rkeys = draw(st.lists(st.integers(0, 2), min_size=n_right, max_size=n_right))
+    rts = draw(
+        st.lists(st.integers(0, 1000), min_size=n_right, max_size=n_right, unique=True)
+    )
+    return keys, lts, rkeys, rts
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    keys, lts, rkeys, rts = case
+    left_pd = pd.DataFrame(
+        {"k": keys, "lt": [BASE + pd.Timedelta(seconds=s) for s in lts]}
+    ).sort_values("lt").reset_index(drop=True)
+    right_pd = (
+        pd.DataFrame(
+            {
+                "k": pd.array(rkeys, dtype="int64"),
+                "rt": pd.to_datetime([BASE + pd.Timedelta(seconds=s) for s in rts]),
+                "v": pd.array([float(s) for s in rts], dtype="float64"),
+            }
+        )
+        .sort_values("rt")
+        .reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left_pd, right_pd, left_on="lt", right_on="rt", by="k", direction="backward"
+    )
+    left = spark.createDataFrame(left_pd)
+    right = (
+        spark.createDataFrame(right_pd)
+        if len(right_pd)
+        else spark.createDataFrame([], "k bigint, rt timestamp, v double")
+    )
+    got = (
+        asof_join(left, right, by="k", left_ts="lt", right_ts="rt", right_cols=["v"])
+        .orderBy("lt", "k")
+        .toPandas()
+    )
+    exp_sorted = expected.sort_values(["lt", "k"]).reset_index(drop=True)
+    assert list(got["v_asof"].fillna(-1)) == list(exp_sorted["v"].fillna(-1))
+
+
+def test_vector_functions_match_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((20, 16)).astype(np.float32)
+    b = rng.standard_normal((20, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, a[i].tolist(), b[i].tolist()) for i in range(20)], ["i", "a", "b"]
+    )
+    out = df.select(
+        "i",
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        norm(F.col("a")).alias("norm_a"),
+        cosine(F.col("a"), F.col("b")).alias("cos"),
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+    ).toPandas()
+    a64, b64 = a.astype(np.float64), b.astype(np.float64)
+    np.testing.assert_allclose(out["dot"], (a64 * b64).sum(1), rtol=1e-12)
+    np.testing.assert_allclose(out["norm_a"], np.linalg.norm(a64, axis=1), rtol=1e-12)
+    np.testing.assert_allclose(
+        out["cos"],
+        (a64 * b64).sum(1)
+        / (np.linalg.norm(a64, axis=1) * np.linalg.norm(b64, axis=1)),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        out["l2"], np.linalg.norm(a64 - b64, axis=1), rtol=1e-12
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=20
+    )
+)
+def test_upsert_idempotent_on_random_batches(spark, tmp_path_factory, rows):
+    df = spark.createDataFrame(rows, "k long, v long")
+    path = str(tmp_path_factory.mktemp("ups") / "t")
+    n1 = upsert_parquet(spark, df, path, keys=["k"])
+    n2 = upsert_parquet(spark, df, path, keys=["k"])
+    assert n2 == 0
+    stored = spark.read.parquet(path)
+    assert stored.count() == stored.select("k").distinct().count() == n1

@@ -236,6 +236,98 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JSON_MAP_ORACLE = """
+SELECT
+  event_id,
+  CAST(len(json_keys(props)) AS INTEGER)    AS n_keys,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("json_to_map_props", oracle=JSON_MAP_ORACLE, tags=("scalar", "json", "map"))
+def json_to_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JSON parse to MapType (vs the single-path get_json_object):
+    from_json → map<string,bigint> → size/element access."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(
+            "event_id",
+            F.size(m).alias("n_keys"),
+            m.getItem("k").alias("k_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ARRAY_OPS_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS INTEGER)            AS dim,
+  CAST(embedding[1] AS DOUBLE)               AS first_dim,
+  CAST(list_max(embedding) AS DOUBLE)        AS max_dim,
+  CAST(list_min(embedding) AS DOUBLE)        AS min_dim,
+  CAST(list_max(embedding[1:4]) AS DOUBLE)   AS max_head
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("array_ops_embeddings", oracle=ARRAY_OPS_ORACLE, tags=("scalar", "array", "vector"))
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, index,
+    min/max, slice — raw float values (no arithmetic) so the float→
+    double upcast is exact on both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_dim"),
+            F.array_max("embedding").cast("double").alias("max_dim"),
+            F.array_min("embedding").cast("double").alias("min_dim"),
+            F.array_max(F.slice("embedding", 1, 4)).cast("double").alias("max_head"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+NULL_HANDLING_ORACLE = """
+SELECT e.event_id,
+       COALESCE(c.c_name, '(anonymous)')            AS who,
+       CAST(c.c_custkey IS NULL AS BOOLEAN)         AS is_anon,
+       NULLIF(e.event_type, 'error')                AS type_or_null,
+       CASE WHEN c.c_acctbal IS NULL THEN -1.0
+            ELSE ROUND(c.c_acctbal, 2) END          AS bal_or_default
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+"""
+
+
+@register("scalar_null_handling", oracle=NULL_HANDLING_ORACLE, tags=("scalar",))
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / null-test scalars over an outer join's null
+    side."""
+    ev = _t(spark, sf_dir, "events").alias("e")
+    cust = _t(spark, sf_dir, "customer").alias("c")
+    return (
+        ev.join(cust, F.col("e.user_id") == F.col("c.c_custkey"), "left_outer")
+        .select(
+            "e.event_id",
+            F.coalesce("c.c_name", F.lit("(anonymous)")).alias("who"),
+            F.col("c.c_custkey").isNull().alias("is_anon"),
+            F.nullif("e.event_type", F.lit("error")).alias("type_or_null"),
+            F.when(F.col("c.c_acctbal").isNull(), -1.0)
+            .otherwise(F.round("c.c_acctbal", 2))
+            .alias("bal_or_default"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --- A4: surrogate key generation (etl.py:271-278) — rows-only ------------
 
 

@@ -3,7 +3,9 @@
 Double summation is order-dependent; Spark and DuckDB sum groups in
 different orders, so a rounded double sum can land on opposite sides
 of a .005 boundary (observed: 219973.63 vs .62). Fix: cast each term
-to DECIMAL(24,8) — per-row terms are bit-identical across engines, the
+to DECIMAL(18,6) — precision ≤ 18 keeps Spark on the long-backed
+Decimal fast path (measured: same cost as a double sum; (24,8) was
+2× slower) — per-row terms are bit-identical across engines, the
 decimal cast rounds them identically, and decimal summation is EXACT
 and associative — then round and cast back to double. Result: the
 same value on both engines regardless of summation order.
@@ -17,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(24,8)"
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column, scale: int = 2) -> Column:
@@ -34,11 +36,11 @@ def davg(col: Column, scale: int = 4) -> Column:
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:
-    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(24,8))), {scale}) AS DOUBLE)"
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(24,8))) AS DOUBLE)"
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}), {scale})"
     )

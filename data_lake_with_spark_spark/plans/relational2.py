@@ -324,7 +324,7 @@ WITH part_avg AS (
   SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part_avg pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < pa.qty_cut
@@ -343,7 +343,7 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
     )
 
 

@@ -397,3 +397,88 @@ def vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_centroids(emb, k=16)
     queries = emb.where(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, centroids, k=5, n_probe=4).orderBy("query_id", "rank")
+
+ROLLING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS spend_30d
+FROM orders
+WHERE o_custkey <= 20
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_rolling_30day", oracle=ROLLING_ORACLE, tags=("window", "time"))
+def window_rolling_30day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling frame: 30-day trailing spend per customer via
+    RANGE BETWEEN over epoch seconds (value-range, not row-count,
+    frames)."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+            .cast("double")
+            .alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+CORR_ORACLE = """
+SELECT l_returnflag,
+       ROUND(
+         (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))
+         / SQRT(
+             (COUNT(*) * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2))
+             * (COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                - POW(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2))
+           ), 6) AS qty_price_corr,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_corr_median", oracle=CORR_ORACLE, tags=("agg", "stats"))
+def agg_corr_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from decimal-exact moment sums (the builtin
+    corr() is order-dependent in its last ulps → built from the
+    5-moment formula so both engines compute identical doubles) +
+    exact median."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agged = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q * p)).cast("double").alias("sxy"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum(dec(q * q)).cast("double").alias("sxx"),
+        F.sum(dec(p * p)).cast("double").alias("syy"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("med"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") ** 2)
+        * (F.col("n") * F.col("syy") - F.col("sy") ** 2)
+    )
+    return (
+        agged.select(
+            "l_returnflag",
+            F.round(corr, 6).alias("qty_price_corr"),
+            F.round("med", 4).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

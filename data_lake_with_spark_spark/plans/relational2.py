@@ -148,7 +148,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATE_ARITH_ORACLE = """
 SELECT o_orderkey,
        CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)      AS due_date,
-       date_trunc('month', o_orderdate)                       AS month_start,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)    AS month_start,
        CAST(quarter(o_orderdate) AS INTEGER)                  AS qtr,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
        CAST(dayofyear(o_orderdate) AS INTEGER)                AS doy,

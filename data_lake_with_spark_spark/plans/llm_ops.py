@@ -297,6 +297,117 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
 
 
+DECONTAMINATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS g
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+)
+SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared
+FROM sh c JOIN sh b ON c.g = b.g
+WHERE b.doc_id < 20 AND c.doc_id >= 20
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@register("text_decontaminate", oracle=DECONTAMINATE_ORACLE, tags=("text", "llm", "dedup"))
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    8-gram with a benchmark set (docs 0-19 stand in) — the classic
+    training-data hygiene pass. Inverted-index join on 8-gram hashes;
+    at scale the benchmark side is tiny and broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = DD.shingle_table(docs, n=8).select(
+        "id", F.xxhash64("shingle").alias("g")
+    )
+    bench = grams.where(F.col("id") < 20).select(F.col("g")).distinct()
+    corpus = grams.where(F.col("id") >= 20)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CLEAN_ORACLE = r"""
+WITH quality AS (
+  SELECT doc_id,
+         (LEAST(length(text) / 400.0, 1.0)
+          + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
+          + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                         / length(text) * 4, 1.0))) / 3.0 AS q
+  FROM documents
+), eligible AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN quality USING (doc_id) WHERE q >= 0.5
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM eligible
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs UNION SELECT b_id, a_id FROM pairs
+), lab AS (SELECT doc_id AS id, doc_id AS label FROM eligible
+), l1 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM lab l LEFT JOIN edges e ON l.id = e.src LEFT JOIN lab e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), l2 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM l1 l LEFT JOIN edges e ON l.id = e.src LEFT JOIN l1 e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), l3 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM l2 l LEFT JOIN edges e ON l.id = e.src LEFT JOIN l2 e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+)
+SELECT id AS doc_id FROM l3 WHERE id = label
+ORDER BY doc_id
+"""
+
+
+@register("corpus_clean_pipeline", oracle=CORPUS_CLEAN_ORACLE, tags=("text", "llm", "dedup", "pipeline"))
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus cleaning pass: quality filter →
+    exact-Jaccard near-dup clustering → keep one survivor per cluster.
+    Output: the kept doc_ids (what downstream training would read)."""
+    docs = _t(spark, sf_dir, "documents")
+    eligible = docs.where(_quality_raw("text") >= 0.5)
+    pairs = DD.ngram_jaccard_pairs(eligible, threshold=0.5, n=3)
+    ids = eligible.select(F.col("doc_id").alias("id"))
+    clusters = DD.dedup_clusters(pairs, ids)
+    return (
+        clusters.where(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _quality_raw(text_col: str):
+    """Unrounded quality score (the query rounds only at output; the
+    filter must use the raw value so both engines cut identically)."""
+    col = F.col(text_col)
+    len_score = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
+    word_score = F.least(TXT.token_count(col) / F.lit(60.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(TXT.punct_ratio(col) * 4, F.lit(1.0))
+    return (len_score + word_score + punct_penalty) / 3.0
+
+
 # ---------------------------------------------------------------------------
 # E3 — vector similarity search
 # ---------------------------------------------------------------------------

@@ -145,6 +145,41 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_stream_join(
+    stream: DataFrame, within: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same
+    user's purchases within ``within`` AFTER the click. Watermarks on
+    both sides bound the join state (late rows age out) — the scalable
+    form of the batch range join (operators/joins.range_join_bucketed).
+    """
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
 def run_to_completion(df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
     """Drive a streaming plan over the static replay to completion via
     a memory sink; returns the materialized result as a DataFrame.

@@ -1,0 +1,92 @@
+"""Error bounds for approximate sketches (they're rows-only in the
+oracle gate, so accuracy is asserted here) and the AQE skew-join
+runtime split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.streaming import jobs
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("est"),
+    ).first()
+    # HLL++ rsd=0.01 → 5 sigma ≈ 5%
+    assert abs(row["est"] - row["exact"]) / row["exact"] <= 0.05
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("est"),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("p45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("p55"),
+    ).first()
+    # accuracy=1000 → rank error ≤ 1/1000; ±5 percentile is generous
+    assert row["p45"] <= row["est"] <= row["p55"]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A 200k-row hot key versus a uniform side: with the skew
+    thresholds lowered to test scale, AQE must mark the sort-merge
+    join as skew=true and split the hot partition."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # half of all rows share one key → hot partition ≫ 2× median
+        skewed = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha1(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        j = skewed.join(right, "k")
+        # collect() executes THIS plan (count() would build a separate
+        # aggregation query and leave j's adaptive plan unfinalized)
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    stream = jobs.events_stream(spark, sf_dir)
+    out = jobs.run_to_completion(
+        jobs.click_purchase_stream_join(stream), "t_ss_join"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+    ).select("click_id", "purchase_id")
+    got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
+    want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0

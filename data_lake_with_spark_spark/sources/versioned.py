@@ -1,0 +1,97 @@
+"""Versioned parquet tables: append-delta snapshots with time travel.
+
+A minimal pure-parquet approximation of what Delta/Iceberg's log gives
+the lake (those jars aren't in this environment; this keeps the same
+read API shape so swapping in Delta is a drop-in):
+
+```
+table/
+  _v=00000/*.parquet     rows added in version 0
+  _v=00001/*.parquet     rows added in version 1
+  _LATEST                text file: highest committed version
+```
+
+- ``versioned_append(df, path)``  → writes the next ``_v=N`` dir, then
+  commits by rewriting ``_LATEST`` (the write is invisible to readers
+  until the commit, so a crashed write leaves garbage but never a
+  torn table).
+- ``versioned_read(spark, path, version=None)`` → union of all delta
+  dirs ≤ version (default: ``_LATEST``). Time travel = pass an older
+  version.
+- ``versioned_upsert(...)`` → left-anti against the CURRENT view then
+  append — the reference's incremental protocol (SURVEY §2.5) on a
+  versioned table, so every load is also a recoverable snapshot.
+
+Scale notes: deltas keep appends O(new data); compaction (folding old
+deltas into one dir) is the same maintenance Delta's OPTIMIZE does.
+Deletes/updates need tombstones — out of scope here, Delta MERGE is
+the upgrade path (see operators/cdc.py for the logical SCD2 form).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _latest_path(path: str) -> str:
+    return os.path.join(path, "_LATEST")
+
+
+def _version_dir(path: str, v: int) -> str:
+    return os.path.join(path, f"_v={v:05d}")
+
+
+def current_version(path: str) -> int | None:
+    try:
+        with open(_latest_path(path)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def versioned_append(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next version's delta; returns the committed
+    version number."""
+    cur = current_version(path)
+    nxt = 0 if cur is None else cur + 1
+    df.write.mode("errorifexists").parquet(_version_dir(path, nxt))
+    os.makedirs(path, exist_ok=True)
+    tmp = _latest_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    os.replace(tmp, _latest_path(path))  # atomic commit on POSIX
+    return nxt
+
+
+def versioned_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot view at ``version`` (default latest): union of deltas
+    0..version."""
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise ValueError(f"version {v} out of range [0, {latest}]")
+    dirs = [_version_dir(path, i) for i in range(v + 1)]
+    return spark.read.parquet(*dirs)
+
+
+def versioned_upsert(
+    spark: SparkSession, new_rows: DataFrame, path: str, keys: list[str]
+) -> tuple[int, int]:
+    """Insert-if-absent against the current snapshot, committed as a
+    new version. Returns (version, rows_appended); appending zero rows
+    still commits a version (an explicit no-op snapshot)."""
+    candidates = new_rows.dropDuplicates(keys)
+    if current_version(path) is not None:
+        existing = versioned_read(spark, path).select(*keys)
+        candidates = candidates.join(existing, keys, "left_anti")
+    candidates = candidates.cache()
+    n = candidates.count()
+    v = versioned_append(candidates, path)
+    candidates.unpersist()
+    return v, n

@@ -1,0 +1,54 @@
+"""Versioned-table (time travel) semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lake_with_spark_spark.sources.versioned import (
+    current_version,
+    versioned_append,
+    versioned_read,
+    versioned_upsert,
+)
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = versioned_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    v1 = versioned_append(spark.createDataFrame([(2, "b")], "k long, v string"), path)
+    assert (v0, v1) == (0, 1)
+    assert current_version(path) == 1
+    assert {r["k"] for r in versioned_read(spark, path).collect()} == {1, 2}
+    assert {r["k"] for r in versioned_read(spark, path, version=0).collect()} == {1}
+
+
+def test_upsert_versions_are_snapshots(spark, tmp_path):
+    path = str(tmp_path / "t")
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    batch2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    v0, n0 = versioned_upsert(spark, batch1, path, keys=["k"])
+    v1, n1 = versioned_upsert(spark, batch2, path, keys=["k"])
+    assert (v0, n0) == (0, 2)
+    assert (v1, n1) == (1, 1)  # only k=3 is new; k=2 is insert-if-absent
+    now = versioned_read(spark, path)
+    assert now.count() == 3
+    then = versioned_read(spark, path, version=0)
+    assert {r["k"] for r in then.collect()} == {1, 2}
+
+
+def test_read_errors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        versioned_read(spark, path)
+    versioned_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    with pytest.raises(ValueError):
+        versioned_read(spark, path, version=5)
+
+
+def test_noop_upsert_still_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    versioned_upsert(spark, df, path, keys=["k"])
+    v, n = versioned_upsert(spark, df, path, keys=["k"])
+    assert (v, n) == (1, 0)
+    assert versioned_read(spark, path).count() == 1

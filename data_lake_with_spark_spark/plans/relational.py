@@ -64,8 +64,12 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 analog: wide multi-aggregate scan with pushed filter.
     Float sums/avgs use decimal-exact accumulation (plans/parity.py)
-    so results are independent of summation order."""
-    li = _t(spark, sf_dir, "lineitem")
+    so results are independent of summation order. The scan is widened
+    when narrow (catalog.widen_if_narrow) so the 8-way partial
+    aggregation parallelizes even over a single-row-group file."""
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    li = widen_if_narrow(_t(spark, sf_dir, "lineitem"), spark)
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))

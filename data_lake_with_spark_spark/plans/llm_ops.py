@@ -479,9 +479,32 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+@register("dedup_minhash_signatures", oracle=None, tags=("dedup", "llm", "approx"))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature table itself (16 hashes over 3-gram
+    shingles) — deterministic across runs (xxhash64 family), but no
+    DuckDB xxhash64 → rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_signatures(docs, num_hashes=16).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # E5 — multimodal plumbing
 # ---------------------------------------------------------------------------
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "llm"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (E5): payloads split into fixed frames,
+    every 2nd kept — per-media frame counts."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    frames = MM.frame_sample(media, every_nth=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_id")
+    )
 
 
 @register("multimodal_features", oracle=None, tags=("multimodal", "llm"))

@@ -79,6 +79,25 @@ def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding 1-hour/30-minute windows — streaming twin of
+    plans/windows_batch.window_sliding_hourly."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-per-event_id stream: watermarked dropDuplicates —
     state for ids older than the watermark is evicted (bounded state,

@@ -1,0 +1,38 @@
+"""applyInPandas grouped-map vs the JVM window equivalent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators.grouped import zscore_grouped_map, zscore_window
+from data_lake_with_spark_spark.streaming import jobs
+
+
+def test_grouped_map_zscore_matches_window(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("k"), F.col("l_extendedprice").alias("x"))
+        .limit(2000)
+    )
+    pandas_z = {
+        (r["k"], r["x"]): r["z"] for r in zscore_grouped_map(li, "k", "x").collect()
+    }
+    window_z = {
+        (r["k"], r["x"]): r["z"] for r in zscore_window(li, "k", "x").collect()
+    }
+    assert set(pandas_z) == set(window_z)
+    for key, z in pandas_z.items():
+        assert abs(z - window_z[key]) < 1e-9
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    stream = jobs.events_stream(spark, sf_dir)
+    out = jobs.run_to_completion(jobs.sliding_counts(stream), "t_sliding", mode="complete")
+    batch = REGISTRY["window_sliding_hourly"].spark(spark, sf_dir)
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select("window_start", "event_type", "n_events", "total_value").collect()
+    )
+    assert key(out) == key(batch)

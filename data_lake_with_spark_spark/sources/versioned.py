@@ -76,8 +76,46 @@ def versioned_read(
     v = latest if version is None else version
     if not 0 <= v <= latest:
         raise ValueError(f"version {v} out of range [0, {latest}]")
-    dirs = [_version_dir(path, i) for i in range(v + 1)]
+    base = compaction_base(path)
+    start = base if v >= base else 0
+    dirs = [_version_dir(path, i) for i in range(start, v + 1)]
     return spark.read.parquet(*dirs)
+
+
+def _base_path(path: str) -> str:
+    return os.path.join(path, "_BASE")
+
+
+def compaction_base(path: str) -> int:
+    """Version at which the latest full-snapshot compaction sits;
+    reads at or after it start there instead of at delta 0."""
+    try:
+        with open(_base_path(path)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def compact(spark: SparkSession, path: str) -> int:
+    """Fold all deltas into one full-snapshot version (what Delta's
+    OPTIMIZE does for delta sprawl). The snapshot commits as version
+    latest+1 and `_BASE` records it, so post-compaction reads scan one
+    dir; time travel to pre-compaction versions still unions the
+    original deltas (a vacuum step could prune those after a retention
+    window). Returns the compacted version number."""
+    snapshot = versioned_read(spark, path).cache()
+    snapshot.count()
+    latest = current_version(path)
+    assert latest is not None
+    nxt = latest + 1
+    snapshot.write.mode("errorifexists").parquet(_version_dir(path, nxt))
+    snapshot.unpersist()
+    for marker, value in ((_base_path(path), nxt), (_latest_path(path), nxt)):
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(value))
+        os.replace(tmp, marker)
+    return nxt
 
 
 def versioned_upsert(

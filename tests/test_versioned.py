@@ -52,3 +52,20 @@ def test_noop_upsert_still_commits(spark, tmp_path):
     v, n = versioned_upsert(spark, df, path, keys=["k"])
     assert (v, n) == (1, 0)
     assert versioned_read(spark, path).count() == 1
+
+
+def test_compaction_preserves_current_and_history(spark, tmp_path):
+    from data_lake_with_spark_spark.sources.versioned import compact
+
+    path = str(tmp_path / "t")
+    versioned_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    versioned_append(spark.createDataFrame([(2, "b")], "k long, v string"), path)
+    cv = compact(spark, path)
+    assert cv == 2
+    # current view unchanged, served from the single compacted dir
+    assert {r["k"] for r in versioned_read(spark, path).collect()} == {1, 2}
+    # time travel to pre-compaction versions still works
+    assert {r["k"] for r in versioned_read(spark, path, version=0).collect()} == {1}
+    # appends after compaction layer on top of the base
+    versioned_append(spark.createDataFrame([(3, "c")], "k long, v string"), path)
+    assert versioned_read(spark, path).count() == 3

@@ -72,6 +72,9 @@ def main() -> None:
         return s
 
     spark.range(1_000).select(_warm("id")).collect()
+    # first parquet read pays Hadoop FS/codec init — warm it on the
+    # smallest table so per-query numbers measure the queries
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

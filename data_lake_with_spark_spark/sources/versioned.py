@@ -118,6 +118,22 @@ def compact(spark: SparkSession, path: str) -> int:
     return nxt
 
 
+def vacuum(path: str) -> list[int]:
+    """Delete delta dirs below the compaction base — after this, time
+    travel reaches back only to the base (Delta VACUUM semantics).
+    Returns the removed version numbers."""
+    import shutil
+
+    base = compaction_base(path)
+    removed = []
+    for v in range(base):
+        d = _version_dir(path, v)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            removed.append(v)
+    return removed
+
+
 def versioned_upsert(
     spark: SparkSession, new_rows: DataFrame, path: str, keys: list[str]
 ) -> tuple[int, int]:

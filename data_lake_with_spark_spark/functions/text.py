@@ -87,7 +87,9 @@ def quality_score(text: Column | str) -> Column:
     len_score = F.least(F.length(col) / F.lit(400.0), F.lit(1.0))
     word_score = F.least(token_count(col) / F.lit(60.0), F.lit(1.0))
     punct_penalty = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
-    return F.round((len_score + word_score + punct_penalty) / 3.0, 6)
+    score = (len_score + word_score + punct_penalty) / 3.0
+    # portable round: engine ROUND(double) tie modes differ (plans/parity.py)
+    return F.floor(score * 1e6 + 0.5) / 1e6
 
 
 def lang_scores(text: Column | str) -> Column:

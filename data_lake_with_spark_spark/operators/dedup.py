@@ -156,7 +156,7 @@ def jaccard_verify(candidates: DataFrame, shingle_arrays: DataFrame, threshold: 
     return (
         candidates.join(arr_a, "a_id")
         .join(arr_b, "b_id")
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .select("a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

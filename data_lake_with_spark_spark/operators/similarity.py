@@ -83,7 +83,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(score, 6).alias("score"))
+        .select("query_id", "neighbor_id", (F.floor(score * 1e6 + 0.5) / 1e6).alias("score"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -161,7 +161,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+            (F.floor(cosine(F.col("q_vec"), F.col("c_vec")) * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -245,7 +245,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("q_vec"), F.col("vec")), 6).alias("score"),
+            (F.floor(cosine(F.col("q_vec"), F.col("vec")) * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -375,7 +375,7 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("score"),
+            (F.floor(cosine(F.col("q_vec"), F.col("c_vec")) * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -403,7 +403,7 @@ def cosine_near_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
+            (F.floor(cosine(F.col("a_vec"), F.col("b_vec")) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

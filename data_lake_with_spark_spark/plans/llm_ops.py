@@ -34,8 +34,7 @@ SELECT
   doc_id,
   CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
   CAST(length(text) AS INTEGER)                               AS n_chars_computed,
-  ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
-        / length(text), 6)                                    AS punct_ratio
+  FLOOR((length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text)) * 1e6 + 0.5) / 1e6 AS punct_ratio
 FROM documents
 ORDER BY doc_id
 """
@@ -50,7 +49,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             TXT.token_count("text").alias("n_tokens"),
             F.length("text").alias("n_chars_computed"),
-            F.round(TXT.punct_ratio("text"), 6).alias("punct_ratio"),
+            (F.floor(TXT.punct_ratio("text") * 1e6 + 0.5) / 1e6).alias("punct_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -83,7 +82,7 @@ SELECT
   lang,
   COUNT(*)                    AS n_docs,
   {davg_sql('n_chars')}      AS avg_chars,
-  ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+  FLOOR((CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -99,7 +98,7 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             davg(F.col("n_chars")).alias("avg_chars"),
-            F.round(F.avg(TXT.token_count("text")), 4).alias("avg_tokens"),
+            (F.floor(F.sum(TXT.token_count("text")).cast("double") / F.count(F.lit(1)) * 1e4 + 0.5) / 1e4).alias("avg_tokens"),
         )
         .orderBy("lang")
     )
@@ -108,12 +107,12 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_ORACLE = r"""
 SELECT
   doc_id,
-  ROUND((
+  FLOOR(((
     LEAST(length(text) / 400.0, 1.0)
     + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
     + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
                    / length(text) * 4, 1.0))
-  ) / 3.0, 6) AS quality
+  ) / 3.0) * 1e6 + 0.5) / 1e6 AS quality
 FROM documents
 ORDER BY doc_id
 """
@@ -209,7 +208,7 @@ WITH toks AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT a_id, b_id,
-       ROUND(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       FLOOR((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter
 JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
@@ -419,9 +418,7 @@ WITH q AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
 ), scored AS (
   SELECT query_id, neighbor_id,
-         ROUND(list_dot_product(qe, ce)
-               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
-               6) AS score
+         FLOOR((list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))) * 1e6 + 0.5) / 1e6 AS score
   FROM q, c
   WHERE query_id != neighbor_id
 )
@@ -450,9 +447,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
 )
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             6) AS cos_sim
+       FLOOR((list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 AS cos_sim
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v)

@@ -27,12 +27,31 @@ def dsum(col: Column, scale: int = 2) -> Column:
     return F.round(F.sum(col.cast(DEC)), scale).cast("double")
 
 
+def pround(col: Column, scale: int) -> Column:
+    """Portable double rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Engine ROUND(double, n) tie-breaking DIFFERS: Spark rounds the
+    double's shortest decimal representation half-up while DuckDB
+    rounds the binary value (observed: ROUND(101.47925, 4) → 101.4793
+    vs 101.4792). Dyadic ratios (5/128 = 0.0390625) are exact ties and
+    DO occur in jaccard/ratio outputs. floor/multiply/add are
+    bit-identical IEEE ops on both engines, so this form always agrees.
+    Use for any rounded COMPUTED double; ROUND over DECIMAL values is
+    safe (both engines round decimals half-up — probed)."""
+    factor = float(10**scale)
+    return F.floor(col * F.lit(factor) + F.lit(0.5)) / F.lit(factor)
+
+
+def pround_sql(expr: str, scale: int) -> str:
+    factor = float(10**scale)
+    return f"FLOOR(({expr}) * {factor} + 0.5) / {factor}"
+
+
 def davg(col: Column, scale: int = 4) -> Column:
     """Order-independent rounded average: exact decimal sum cast to
-    double, divided by count (both operands identical across engines)."""
-    return F.round(
-        F.sum(col.cast(DEC)).cast("double") / F.count(col), scale
-    )
+    double, divided by count (both operands identical across engines),
+    portable-rounded."""
+    return pround(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:
@@ -40,7 +59,5 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {scale})"
-    )
+    inner = f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr})"
+    return pround_sql(inner, scale)

@@ -242,7 +242,7 @@ SELECT
   CAST(MAX(p_size) AS INTEGER)  AS max_size,
   ROUND(MIN(p_retailprice), 2)  AS min_price,
   ROUND(MAX(p_retailprice), 2)  AS max_price,
-  ROUND(STDDEV_SAMP(p_retailprice), 4) AS sd_price
+  FLOOR((STDDEV_SAMP(p_retailprice)) * 1e4 + 0.5) / 1e4 AS sd_price
 FROM part
 GROUP BY p_brand
 ORDER BY p_brand
@@ -260,7 +260,7 @@ def agg_min_max_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_size").alias("max_size"),
             F.round(F.min("p_retailprice"), 2).alias("min_price"),
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
-            F.round(F.stddev_samp("p_retailprice"), 4).alias("sd_price"),
+            (F.floor(F.stddev_samp("p_retailprice") * 1e4 + 0.5) / 1e4).alias("sd_price"),
         )
         .orderBy("p_brand")
     )
@@ -301,9 +301,9 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 RUNNING_ORACLE = """
 SELECT
   o_custkey, o_orderkey, o_orderdate,
-  ROUND(SUM(o_totalprice) OVER (
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
 FROM orders
 WHERE o_custkey <= 20
 ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -324,7 +324,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2).cast("double").alias("running_spend"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
@@ -363,7 +363,7 @@ SELECT
   p_type, p_partkey,
   CAST(RANK()       OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS price_rank,
   CAST(DENSE_RANK() OVER (PARTITION BY p_type ORDER BY p_size DESC) AS INTEGER)       AS size_drank,
-  ROUND(PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey), 6) AS price_prank
+  FLOOR((PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_retailprice, p_partkey)) * 1e6 + 0.5) / 1e6 AS price_prank
 FROM part
 ORDER BY p_type, p_partkey
 """
@@ -382,7 +382,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.rank().over(by_price).alias("price_rank"),
             F.dense_rank().over(by_size).alias("size_drank"),
-            F.round(F.percent_rank().over(by_price_asc), 6).alias("price_prank"),
+            (F.floor(F.percent_rank().over(by_price_asc) * 1e6 + 0.5) / 1e6).alias("price_prank"),
         )
         .orderBy("p_type", "p_partkey")
     )
@@ -543,9 +543,9 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIVOT_ORACLE = """
 SELECT
   o_orderpriority,
-  ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
-  ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
-  ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+  CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0), 2) AS DOUBLE) AS F,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0), 2) AS DOUBLE) AS O,
+  CAST(ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END), 0), 2) AS DOUBLE) AS P
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -560,13 +560,13 @@ def pivot_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivoted = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .sum("o_totalprice")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")))
     )
     return pivoted.select(
         "o_orderpriority",
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("F"),
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
-        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("P"),
+        F.round(F.coalesce(F.col("F"), F.lit(0).cast("decimal(18,6)")), 2).cast("double").alias("F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0).cast("decimal(18,6)")), 2).cast("double").alias("O"),
+        F.round(F.coalesce(F.col("P"), F.lit(0).cast("decimal(18,6)")), 2).cast("double").alias("P"),
     ).orderBy("o_orderpriority")
 
 

@@ -83,10 +83,10 @@ def join_range_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILE_ORACLE = """
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
-       ROUND(quantile_cont(l_quantity, 0.50), 4) AS q50,
-       ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
-       ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price
+       FLOOR((quantile_cont(l_quantity, 0.25)) * 1e4 + 0.5) / 1e4 AS q25,
+       FLOOR((quantile_cont(l_quantity, 0.50)) * 1e4 + 0.5) / 1e4 AS q50,
+       FLOOR((quantile_cont(l_quantity, 0.75)) * 1e4 + 0.5) / 1e4 AS q75,
+       FLOOR((quantile_cont(l_extendedprice, 0.90)) * 1e4 + 0.5) / 1e4 AS p90_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -102,10 +102,10 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25"),
-            F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("q50"),
-            F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90_price"),
+            (F.floor(F.percentile("l_quantity", F.lit(0.25)) * 1e4 + 0.5) / 1e4).alias("q25"),
+            (F.floor(F.percentile("l_quantity", F.lit(0.50)) * 1e4 + 0.5) / 1e4).alias("q50"),
+            (F.floor(F.percentile("l_quantity", F.lit(0.75)) * 1e4 + 0.5) / 1e4).alias("q75"),
+            (F.floor(F.percentile("l_extendedprice", F.lit(0.90)) * 1e4 + 0.5) / 1e4).alias("p90_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -324,7 +324,7 @@ WITH part_avg AS (
   SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+SELECT FLOOR((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
 FROM lineitem l
 JOIN part_avg pa ON l.l_partkey = pa.l_partkey
 WHERE l.l_quantity < pa.qty_cut
@@ -343,7 +343,7 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2).alias("avg_yearly"))
+        .agg((F.floor(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0 * 1e2 + 0.5) / 1e2).alias("avg_yearly"))
     )
 
 
@@ -435,7 +435,7 @@ def window_rolling_30day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORR_ORACLE = """
 SELECT l_returnflag,
-       ROUND(
+       FLOOR((
          (COUNT(*) * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
           - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
             * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))
@@ -444,8 +444,8 @@ SELECT l_returnflag,
               - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2))
              * (COUNT(*) * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
                 - POW(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2))
-           ), 6) AS qty_price_corr,
-       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+           ) * 1e6 + 0.5)) / 1e6 AS qty_price_corr,
+       FLOOR((quantile_cont(l_quantity, 0.5)) * 1e4 + 0.5) / 1e4 AS median_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -477,8 +477,8 @@ def agg_corr_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agged.select(
             "l_returnflag",
-            F.round(corr, 6).alias("qty_price_corr"),
-            F.round("med", 4).alias("median_qty"),
+            (F.floor(corr * 1e6 + 0.5) / 1e6).alias("qty_price_corr"),
+            (F.floor(F.col("med") * 1e4 + 0.5) / 1e4).alias("median_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -182,10 +182,7 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_ORACLE = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct
+SELECT FLOOR((100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS promo_share_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -202,8 +199,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    ratio = (
+        100.0 * F.sum(dec(promo)).cast("double") / F.sum(dec(rev)).cast("double")
+    )
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share_pct")
+        (F.floor(ratio * 1e4 + 0.5) / 1e4).alias("promo_share_pct")
     )
 
 
@@ -304,9 +305,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 45) & F.col("l_quantity").between(20, 40))
     )
     return j.where(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
@@ -395,8 +394,7 @@ WITH volumes AS (
   JOIN nation n   ON s.s_nationkey = n.n_nationkey
 )
 SELECT order_year,
-       ROUND(CAST(SUM(CAST(CASE WHEN n_name = 'CHINA' THEN vol ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(CAST(vol AS DECIMAL(18,6))) AS DOUBLE), 6) AS china_share
+       FLOOR((CAST(SUM(CAST(CASE WHEN n_name = 'CHINA' THEN vol ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(CAST(vol AS DECIMAL(18,6))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS china_share
 FROM volumes
 GROUP BY order_year
 ORDER BY order_year
@@ -419,11 +417,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(
-                F.sum(dec(F.when(F.col("n_name") == "CHINA", vol).otherwise(0.0)))
-                .cast("double")
-                / F.sum(dec(vol)).cast("double"),
-                6,
+            (
+                F.floor(
+                    F.sum(dec(F.when(F.col("n_name") == "CHINA", vol).otherwise(0.0)))
+                    .cast("double")
+                    / F.sum(dec(vol)).cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
             ).alias("china_share")
         )
         .orderBy("order_year")
@@ -551,5 +553,98 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+Q2_ORACLE = """
+WITH part_supp AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         FLOOR((CAST(SUM(CAST(l.l_extendedprice / l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 1e4 + 0.5) / 1e4 AS avg_unit_price
+  FROM lineitem l
+  GROUP BY l.l_partkey, l.l_suppkey
+), min_cost AS (
+  SELECT l_partkey, MIN(avg_unit_price) AS min_price FROM part_supp GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, ps.avg_unit_price
+FROM part_supp ps
+JOIN min_cost mc ON ps.l_partkey = mc.l_partkey AND ps.avg_unit_price = mc.min_price
+JOIN part p     ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_size <= 20
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
+@register("q2_min_cost_supplier", oracle=Q2_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: the cheapest supplier per part (correlated MIN
+    over a derived part-supplier cost table; no partsupp in the
+    testdata, so unit cost derives from lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 20)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
+    part_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.floor(F.sum(unit).cast("double") / F.count(F.lit(1)) * 1e4 + 0.5) / 1e4).alias("avg_unit_price")
+    )
+    # rename the grouping key on the self-joined side — both frames
+    # derive from the same lineitem plan and Spark can't disambiguate
+    min_cost = part_supp.groupBy("l_partkey").agg(
+        F.min("avg_unit_price").alias("min_price")
+    ).select(F.col("l_partkey").alias("mc_partkey"), "min_price")
+    cheapest = part_supp.join(
+        min_cost,
+        (part_supp.l_partkey == min_cost.mc_partkey)
+        & (part_supp.avg_unit_price == min_cost.min_price),
+    ).select("l_partkey", "l_suppkey", "avg_unit_price")
+    return (
+        cheapest.join(F.broadcast(part), cheapest.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cheapest.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "avg_unit_price")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q20_ORACLE = f"""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, {dsum_sql('l_quantity')} AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM shipped sh
+JOIN part p ON sh.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+WHERE sh.qty > 50
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q20_heavy_promo_suppliers", oracle=Q20_ORACLE, tags=("join", "agg", "tpch"))
+def q20_heavy_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers who shipped substantial volume of a
+    product family in a year (aggregate threshold + semi-style
+    distinct projection)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        dsum(F.col("l_quantity")).alias("qty")
+    )
+    return (
+        shipped.where(F.col("qty") > 50)
+        .join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), shipped.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
     )
 

@@ -199,6 +199,26 @@ def click_purchase_stream_join(
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
+def stream_into_lake(
+    stream: DataFrame, path: str, keys: list[str], query_name: str = "lake_sink"
+):
+    """Exactly-once streaming ingestion: foreachBatch → versioned
+    upsert. Each micro-batch commits as an idempotent insert-if-absent
+    version, so replays/retries of a batch append nothing — the
+    end-to-end exactly-once pattern on a plain-parquet lake."""
+    from data_lake_with_spark_spark.sources.versioned import versioned_upsert
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        versioned_upsert(batch_df.sparkSession, batch_df, path, keys)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_completion(df: DataFrame, query_name: str, mode: str = "append") -> DataFrame:
     """Drive a streaming plan over the static replay to completion via
     a memory sink; returns the materialized result as a DataFrame.

@@ -66,3 +66,23 @@ def test_stateful_running_totals(spark, sf_dir, stream):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert _sorted_rows(final, "user_id") == _sorted_rows(batch, "user_id")
+
+
+def test_stream_into_lake_exactly_once(spark, sf_dir, tmp_path):
+    from data_lake_with_spark_spark.sources.versioned import versioned_read
+
+    path = str(tmp_path / "lake_events")
+    stream = jobs.events_stream(spark, sf_dir)
+    q = jobs.stream_into_lake(stream, path, keys=["event_id"], query_name="lake1")
+    q.awaitTermination(120)
+    table = versioned_read(spark, path)
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    )
+    assert table.count() == n_distinct
+    # replaying the whole stream into the same lake appends nothing
+    q2 = jobs.stream_into_lake(
+        jobs.events_stream(spark, sf_dir), path, keys=["event_id"], query_name="lake2"
+    )
+    q2.awaitTermination(120)
+    assert versioned_read(spark, path).count() == n_distinct

@@ -105,6 +105,19 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedups events whose *event times*
+    fall within the watermark delay of each other even when the dedup
+    key excludes the timestamp — state is evicted by event time, so
+    re-emission of a key is allowed after the window passes (the
+    semantics most dedup-at-ingest pipelines actually want)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def session_aggregate(stream: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour") -> DataFrame:
     """Per-user session windows (gap-based) — streaming twin of
     plans/windows_batch.window_session_5min."""

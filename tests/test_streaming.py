@@ -86,3 +86,12 @@ def test_stream_into_lake_exactly_once(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert versioned_read(spark, path).count() == n_distinct
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    out = jobs.run_to_completion(
+        jobs.streaming_dedup_within_watermark(jobs.events_stream(spark, sf_dir)),
+        "t_dedup_wm",
+    )
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()

@@ -178,18 +178,28 @@ def ngram_jaccard_pairs(
     candidates. Output (a_id, b_id, jaccard), a_id < b_id.
     """
     pref = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
-    posting = pref.select("id", "n_sh", F.explode("prefix").alias("shingle"))
+    posting = pref.select("id", "n_sh", F.posexplode("prefix").alias("pos", "shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
     length_ok = (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")) & (
         F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")
+    )
+    # PPJoin positional filter: overlap can't exceed what's left after
+    # the matching prefix position on either side; jaccard ≥ t needs
+    # overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉. Lossless; halves candidates here.
+    alpha = F.ceil(
+        F.lit(threshold / (1 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    ubound = F.least(
+        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
     )
     candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
-            & length_ok,
+            & length_ok
+            & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()

@@ -13,6 +13,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     relational,
     relational2,
     tpch_deep,
+    tpch_deep2,
     llm_ops,
     windows_batch,
 )

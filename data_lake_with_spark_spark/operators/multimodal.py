@@ -96,6 +96,58 @@ def fake_feature_extract(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+AUDIO_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+    ]
+)
+
+
+def attach_fake_audio(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 16000
+) -> DataFrame:
+    """Audio-shaped (1-D) variant of ``attach_fake_payloads``: one
+    byte ≙ one sample, metadata carries rate + length instead of
+    width×height. Same deterministic md5-derived payload trick so the
+    plumbing is exercised with stable bytes."""
+    payload = F.concat(
+        F.unhex(F.md5(F.col(text_col))),
+        F.unhex(F.md5(F.concat(F.col(text_col), F.lit("a")))),
+        F.unhex(F.md5(F.concat(F.col(text_col), F.lit("b")))),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/fake").alias("media_type"),
+            F.lit(sample_rate).cast("int").alias("sample_rate"),
+            F.length(payload).cast("long").alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def clip_media(media: DataFrame, start: int, length: int) -> DataFrame:
+    """Crop/clip plumbing (the byte-slicing core of image crop / audio
+    clip): slice ``length`` samples starting at ``start`` (0-based) and
+    rewrite the shape metadata to match. Pure JVM ``substring`` on the
+    binary column — no Python worker in the path, so at 100 TB the
+    clip runs at scan speed and the *smaller* clipped payload is what
+    shuffles downstream. Clips shorter than requested (payload ends
+    early) keep their true length in the metadata."""
+    clipped = F.substring(F.col("payload"), start + 1, length)
+    return media.select(
+        "media_id",
+        clipped.alias("payload"),
+        F.struct(
+            F.col("meta.media_type").alias("media_type"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.length(clipped).cast("long").alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """'Frame sampling' plumbing: split each payload into fixed-size
     frames (4 bytes) and keep every nth — pure Spark array ops, the

@@ -534,3 +534,68 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(feats, "media_id")
         .orderBy("media_id")
     )
+
+
+DEDUP_EMB_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label
+  FROM embeddings WHERE vec_id < 400
+), dupes AS (
+  SELECT DISTINCT b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+)
+SELECT vec_id, label FROM e
+WHERE vec_id NOT IN (SELECT b_id FROM dupes)
+ORDER BY vec_id
+"""
+
+
+@register("dedup_embedding_cosine", oracle=DEDUP_EMB_ORACLE, tags=("dedup", "vector", "llm"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (E2's vector flavor as an actual
+    dedup, not just pair listing): drop every vector that has a
+    smaller-id neighbor at cosine ≥ 0.35 — the keep-first-occurrence
+    greedy used by embedding dedup pipelines. Exact form on a bounded
+    id range (O(n²) scoring); the LSH-bucketed variant
+    (vector_topk_lsh's bucketing) is the 100 TB path. The rounded
+    cosine is compared on BOTH engines so boundary pairs agree."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.cosine_near_pairs(emb, threshold=0.35)
+    dupes = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return (
+        emb.join(dupes, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+@register("multimodal_audio_clip", oracle=None, tags=("multimodal", "llm"))
+def multimodal_audio_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal plumbing (E5): 1-D payloads with
+    rate/length metadata, clipped to samples [16, 40) by pure JVM byte
+    slicing, then Arrow-batched feature extraction over the clips.
+    Rows-only (payloads are deterministic fakes; real decode stubbed)."""
+    docs = _t(spark, sf_dir, "documents")
+    audio = MM.attach_fake_audio(docs, "doc_id", "text")
+    clips = MM.clip_media(audio, start=16, length=24)
+    feats = MM.fake_feature_extract(clips)
+    return (
+        clips.select(
+            "media_id",
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.n_samples").alias("clip_samples"),
+        )
+        .join(feats, "media_id")
+        .select(
+            "media_id",
+            "sample_rate",
+            "clip_samples",
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+                "feature_sum"
+            ),
+        )
+        .orderBy("media_id")
+    )

@@ -133,3 +133,26 @@ def test_frame_sample(spark, docs):
     # 32 bytes → 8 frames of 4 bytes → every 2nd → 4 frames
     assert len(rows) == 4
     assert all(len(r["frame_bytes"]) == 4 for r in rows)
+
+
+def test_audio_clip_shape_metadata(spark, docs):
+    """clip_media slices payload bytes and rewrites shape metadata:
+    full-length clips report the requested length, payloads shorter
+    than start+length report their true (smaller) clip size."""
+    audio = MM.attach_fake_audio(docs, "doc_id", "text", sample_rate=8000)
+    full = {r["media_id"]: r for r in audio.collect()}
+    assert all(r["meta"]["n_samples"] == 48 for r in full.values())  # 3×16 md5 bytes
+    assert all(r["meta"]["sample_rate"] == 8000 for r in full.values())
+
+    clips = {r["media_id"]: r for r in MM.clip_media(audio, start=16, length=24).collect()}
+    for mid, r in clips.items():
+        assert r["meta"]["n_samples"] == 24
+        assert len(r["payload"]) == 24
+        assert bytes(r["payload"]) == bytes(full[mid]["payload"])[16:40]
+        assert r["meta"]["media_type"] == "audio/fake"
+
+    # clip running off the end: true length recorded, not the request
+    tail = {r["media_id"]: r for r in MM.clip_media(audio, start=40, length=24).collect()}
+    for mid, r in tail.items():
+        assert r["meta"]["n_samples"] == 8
+        assert bytes(r["payload"]) == bytes(full[mid]["payload"])[40:48]

@@ -1,0 +1,80 @@
+"""Training-data pipeline operators beyond dedup/similarity: the
+shaping steps between a cleaned corpus and a training run.
+
+- ``train_test_split``: deterministic, content-addressed split. The
+  split decision is a pure function of the row's id (md5 prefix
+  compare), so it is stable across runs, engines, cluster sizes and
+  re-partitioning — the property that matters for never leaking test
+  docs into train between pipeline versions. Zero shuffles: the split
+  is a row-local expression.
+
+- ``pack_sequences``: next-fit sequence packing — assign documents to
+  fixed-token-budget packs (training sequences) by running prefix sum
+  of token counts within each shard, ``pack_id = floor(cumsum_before /
+  budget)``. One window per shard; shards (e.g. language) parallelize
+  the packing and keep any one window's state small. This is the
+  deterministic relaxation of bin packing used by LLM data loaders
+  (docs may straddle a boundary; the loader truncates/continues), and
+  unlike greedy best-fit it is expressible as one distributed window —
+  no driver loop, no state store.
+
+At 100 TB: both operators are shuffle-minimal (split: zero; pack: one
+hash-partition + in-partition sort per shard). For packing, shard keys
+must be chosen so a single shard's rows fit a partition sort —
+language/source/date composites do; a single global shard would
+serialize and is the caller's anti-pattern to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split_bucket(id_col: str = "doc_id") -> "F.Column":
+    """2-hex-char md5 prefix of the stringified id — 256 stable
+    buckets, identical in any engine with md5 (string compare, no
+    integer conversion games)."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str = "doc_id", test_fraction: float = 0.1
+) -> DataFrame:
+    """Add a ``split`` column ∈ {train, test}: test iff the md5-prefix
+    bucket falls in the top ``test_fraction`` of the 256-bucket space.
+    Content-addressed → re-running on a grown corpus never moves an
+    existing row between splits."""
+    n_test = round(256 * test_fraction)
+    boundary = format(256 - n_test, "02x")  # e.g. 0.1 → 'e6'
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(id_col) >= F.lit(boundary), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col,
+    budget: int,
+    shard_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Assign each row a ``pack_id`` within its shard: rows are taken
+    in ``order_col`` order and packed next-fit into ``budget``-token
+    sequences. Returns the input plus (n_tokens, pack_id).
+
+    pack_id = floor(tokens_before_this_row / budget) — the row whose
+    prefix sum crosses a budget boundary starts the next pack (loader
+    semantics: it may straddle; deterministic either way)."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.withColumn("n_tokens", token_count_col).withColumn(
+        "pack_id", F.floor(tokens_before / F.lit(budget)).cast("int")
+    )

@@ -156,3 +156,50 @@ def test_audio_clip_shape_metadata(spark, docs):
     for mid, r in tail.items():
         assert r["meta"]["n_samples"] == 8
         assert bytes(r["payload"]) == bytes(full[mid]["payload"])[40:48]
+
+
+def test_train_test_split_stable_and_sized(spark, sf_dir):
+    """Split is content-addressed: per-row assignment identical when
+    computed on the full corpus or any subset, and the test share is
+    near the requested fraction."""
+    from data_lake_with_spark_spark.operators import training as TR
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in TR.train_test_split(docs).collect()}
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in TR.train_test_split(docs.where(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+    frac = sum(1 for v in full.values() if v == "test") / len(full)
+    assert 0.04 < frac < 0.18  # 10% nominal, small-corpus variance
+
+
+def test_pack_sequences_prefix_sum_semantics(spark):
+    """pack_id = floor(tokens-before / budget): packs fill in order,
+    every pack except a shard's last holds >= budget tokens counting
+    its straddling row, and no pack is empty."""
+    from data_lake_with_spark_spark.operators import training as TR
+
+    rows = [("a", i, "x " * (7 + (i * 13) % 40)) for i in range(60)] + [
+        ("b", i, "y " * (3 + (i * 7) % 25)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["shard", "pos", "body"])
+    from data_lake_with_spark_spark.functions.text import token_count
+
+    packed = TR.pack_sequences(
+        df, token_count("body").cast("long"), budget=100, shard_col="shard", order_col="pos"
+    ).collect()
+    by_shard: dict = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["pos"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        cum = 0
+        for r in rs:
+            assert r["pack_id"] == cum // 100, (shard, r["pos"], cum)
+            cum += r["n_tokens"]
+        pack_tokens: dict = {}
+        for r in rs:
+            pack_tokens[r["pack_id"]] = pack_tokens.get(r["pack_id"], 0) + r["n_tokens"]
+        last = max(pack_tokens)
+        assert sorted(pack_tokens) == list(range(last + 1))  # contiguous ids

@@ -6,9 +6,11 @@ Contract (driver): run at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
-Each query is executed to completion (collect) — results are small
-aggregates/top-ks, so collect measures full plan execution without
-driver-side materialization costs dominating.
+Each query is executed to completion and materialized to the driver
+via Arrow (``toPandas``) — the idiomatic PySpark transfer path. Plain
+``collect()`` deserializes row objects one by one and was measured
+4-6x slower than the plans themselves on 500k-row results; Arrow
+batches measure the engine, not py4j.
 """
 
 from __future__ import annotations
@@ -80,7 +82,7 @@ def main() -> None:
     for name in HEADLINE:
         q = REGISTRY[name]
         t0 = time.perf_counter()
-        q.spark(spark, sf_dir).collect()
+        q.spark(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

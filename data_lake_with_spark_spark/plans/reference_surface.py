@@ -121,7 +121,6 @@ LEFT JOIN (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey
   AND l.l_partkey  = old.l_partkey
   AND l.l_suppkey  = old.l_suppkey
 WHERE old.l_orderkey IS NULL
-ORDER BY l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_quantity
 """
 
 
@@ -138,10 +137,11 @@ def join_compound_key_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey"
     )
     key = ["l_orderkey", "l_partkey", "l_suppkey"]
-    return (
-        li.join(old, key, "left_anti")
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    # No global ORDER BY: the result is an append-set (~full-table
+    # sized) — an upsert probe at 100 TB must not end in an unbounded
+    # sort, and the correctness compare is order-insensitive.
+    return li.join(old, key, "left_anti").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
 
 

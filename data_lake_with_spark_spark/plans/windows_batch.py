@@ -162,3 +162,78 @@ def window_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("day_start"), "n_users", "n_events")
         .orderBy("day_start")
     )
+
+
+HYPERTABLE_ORACLE = f"""
+SELECT
+  time_bucket(INTERVAL '1 day', ts) AS day,
+  event_type,
+  COUNT(*) AS n_events,
+  {dsum_sql('value')} AS total_value,
+  MIN(ts) AS first_ts,
+  MAX(ts) AS last_ts
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+@register("rollup_hypertable_daily", oracle=HYPERTABLE_ORACLE, tags=("window", "rollup", "streaming"))
+def rollup_hypertable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: raw events →
+    HOURLY pre-aggregate → DAILY answer computed ONLY from the hourly
+    rollup (sums of sums, counts of counts, min of mins, max of maxs).
+    The oracle computes the daily answer directly from raw events, so
+    parity proves the rollup is losslessly reaggregable — the property
+    that lets a 100 TB deployment persist the hourly table (~1000×
+    smaller), serve coarser windows from it, and merge late partitions
+    by re-rolling only the touched hour. Decimal accumulation keeps
+    the two-level float sum exactly equal to the one-level sum."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_dec"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("timestamp").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_dec"), 2).cast("double").alias("total_value"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register("sketch_hll_daily_union", oracle=None, tags=("sketch", "approx", "streaming"))
+def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pattern (Apache DataSketches HLL via Spark
+    builtins): per-day HLL sketches of the active-user set, merged
+    with hll_union_agg into one estimate of month-wide distinct users
+    — without ever re-touching raw events. This is THE scale pattern
+    for distinct-count dashboards: sketches are tiny, associative and
+    commutative, so daily partitions roll up in any order; a 100 TB
+    deployment stores one sketch per (day, dimension) instead of raw
+    ids. Estimate accuracy vs exact distinct is pytest-bounded
+    (rows-only here: DuckDB has no compatible HLL)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("users_est"),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+    )

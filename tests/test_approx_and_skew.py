@@ -90,3 +90,22 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
     want = {(r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_hll_union_estimate_near_exact(spark, sf_dir):
+    """The merged per-day HLL estimate must be close to the true
+    month-wide distinct-user count (HLL lgK=12 ⇒ rsd ~1.6%; allow 5%),
+    and merging must commute (union of shuffled sketches = same est)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))).first()[0]
+    assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
+    est2 = (
+        daily.orderBy(F.desc("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+        .first()[0]
+    )
+    assert est2 == est

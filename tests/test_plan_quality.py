@@ -63,3 +63,33 @@ def test_no_python_udf_on_hot_paths(spark, sf_dir, name):
     p = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """q6 is the pushdown showcase: all three predicate columns must
+    appear as pushed filters on the lineitem scan."""
+    p = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    pushed = scan.split("PushedFilters")[1] if "PushedFilters" in scan else ""
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {scan[:300]}"
+
+
+def test_q2_decorrelated_min_broadcasts(spark, sf_dir):
+    """q2's correlated scalar-MIN decorrelates into broadcast joins
+    against tiny aggregates/dims — no sort-merge joins should appear."""
+    p = plan_of(spark, sf_dir, "q2_min_cost_part")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_shingle_tokenization_not_duplicated(spark, sf_dir):
+    """The HOF shingle pipeline must slice the barrier-materialized
+    token ATTRIBUTE, never an inlined tokenization — 'slice(split'
+    (or slice(filter(split) in the plan means CollapseProject pushed
+    the split into the transform lambda: O(tokens²) re-splitting per
+    shingle, the measured 6× blowup this design exists to prevent.
+    (split may legitimately appear in the scan-side filter/project —
+    that's once per row, not once per shingle.)"""
+    p = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "slice(split" not in p and "slice(filter(split" not in p

@@ -148,6 +148,46 @@ def clip_media(media: DataFrame, start: int, length: int) -> DataFrame:
     )
 
 
+def resize_image(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor image downsample plumbing (nearest-neighbor):
+    keep every ``factor``-th pixel of every ``factor``-th row of a
+    row-major 1-byte/px payload, and rewrite width/height metadata to
+    match. Pure JVM array ops (sequence → substring picks) — the same
+    gather pattern a real resize kernel uses, minus the filtering
+    math (which needs a decoded raster; see decode_media). At 100 TB
+    the resize shrinks payload bytes ``factor²``× *before* any
+    shuffle/UDF touches them — order matters: resize at scan, then
+    feature-extract."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    new_w = ((w + factor - 1) / factor).cast("int")
+    new_h = ((h + factor - 1) / factor).cast("int")
+    rows = F.sequence(F.lit(0), new_h - 1)
+    cols = F.sequence(F.lit(0), new_w - 1)
+    # row-major gather: byte at (r·factor)·width + c·factor, 1-indexed
+    picked = F.flatten(
+        F.transform(
+            rows,
+            lambda r: F.transform(
+                cols,
+                lambda c: F.substring(F.col("payload"), (r * factor) * w + c * factor + 1, 1),
+            ),
+        )
+    )
+    payload = F.aggregate(
+        picked, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
+    )
+    return media.select(
+        "media_id",
+        payload.alias("payload"),
+        F.struct(
+            F.col("meta.media_type").alias("media_type"),
+            new_w.alias("width"),
+            new_h.alias("height"),
+            (new_w * new_h).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """'Frame sampling' plumbing: split each payload into fixed-size
     frames (4 bytes) and keep every nth — pure Spark array ops, the

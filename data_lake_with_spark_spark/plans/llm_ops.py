@@ -599,3 +599,33 @@ def multimodal_audio_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register("multimodal_resize_features", oracle=None, tags=("multimodal", "llm"))
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-then-extract ordering (E5): images downsampled 2× by
+    pure-JVM byte gather (payload shrinks 4× BEFORE any Arrow/UDF
+    stage touches it — the ordering that matters at 100 TB), then
+    Arrow-batched feature extraction over the small clips. Rows-only
+    (fake payloads; real decode stubbed)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    small = MM.resize_image(media, factor=2)
+    feats = MM.fake_feature_extract(small)
+    return (
+        small.select(
+            "media_id",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .join(feats, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+                "feature_sum"
+            ),
+        )
+        .orderBy("media_id")
+    )

@@ -203,3 +203,22 @@ def test_pack_sequences_prefix_sum_semantics(spark):
             pack_tokens[r["pack_id"]] = pack_tokens.get(r["pack_id"], 0) + r["n_tokens"]
         last = max(pack_tokens)
         assert sorted(pack_tokens) == list(range(last + 1))  # contiguous ids
+
+
+def test_resize_image_gather_and_metadata(spark, docs):
+    """resize_image keeps every factor-th pixel of every factor-th row
+    (row-major, nearest-neighbor) and rewrites width/height/n_bytes."""
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")  # 8x4, 32 bytes
+    full = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in MM.resize_image(media, factor=2).collect()}
+    for mid, r in out.items():
+        assert (r["meta"]["width"], r["meta"]["height"], r["meta"]["n_bytes"]) == (4, 2, 8)
+        expect = bytes(
+            full[mid][(rr * 2) * 8 + cc * 2] for rr in range(2) for cc in range(4)
+        )
+        assert bytes(r["payload"]) == expect
+
+    odd = MM.resize_image(media, factor=3).collect()  # 8x4/3 -> ceil: 3x2
+    for r in odd:
+        assert (r["meta"]["width"], r["meta"]["height"]) == (3, 2)
+        assert len(r["payload"]) == 6

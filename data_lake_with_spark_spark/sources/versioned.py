@@ -96,14 +96,20 @@ def compaction_base(path: str) -> int:
         return 0
 
 
-def compact(spark: SparkSession, path: str) -> int:
+def compact(spark: SparkSession, path: str, keys: list[str] | None = None) -> int:
     """Fold all deltas into one full-snapshot version (what Delta's
     OPTIMIZE does for delta sprawl). The snapshot commits as version
     latest+1 and `_BASE` records it, so post-compaction reads scan one
     dir; time travel to pre-compaction versions still unions the
     original deltas (a vacuum step could prune those after a retention
-    window). Returns the compacted version number."""
-    snapshot = versioned_read(spark, path).cache()
+    window). For merge-on-read tables pass ``keys`` so the snapshot
+    resolves last-writer-wins first (compacting a merged table with a
+    plain union would resurrect overwritten rows). Returns the
+    compacted version number."""
+    if keys is None:
+        snapshot = versioned_read(spark, path).cache()
+    else:
+        snapshot = versioned_read_merged(spark, path, keys).cache()
     snapshot.count()
     latest = current_version(path)
     assert latest is not None
@@ -149,3 +155,54 @@ def versioned_upsert(
     v = versioned_append(candidates, path)
     candidates.unpersist()
     return v, n
+
+
+def versioned_merge(
+    spark: SparkSession, changed_rows: DataFrame, path: str, keys: list[str]
+) -> tuple[int, int]:
+    """Upsert-with-REPLACE (the update half Delta MERGE adds over
+    plain appends): commit the new/changed rows as a delta; key
+    resolution happens at read time (``versioned_read_merged``), so a
+    merge is O(changed rows) with zero read-modify-write of existing
+    data — the merge-on-read strategy (Iceberg MoR / Hudi MOR).
+    Returns (version, rows_written)."""
+    candidates = changed_rows.dropDuplicates(keys).cache()
+    n = candidates.count()
+    v = versioned_append(candidates, path)
+    candidates.unpersist()
+    return v, n
+
+
+def versioned_read_merged(
+    spark: SparkSession, path: str, keys: list[str], version: int | None = None
+) -> DataFrame:
+    """Snapshot view with last-writer-wins key resolution: for each
+    key, the row from the highest version ≤ ``version``. One window
+    shuffle on the keys — the read-side cost of merge-on-read, paid
+    down by ``compact(..., keys=...)`` exactly like Delta OPTIMIZE
+    after MERGE."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise ValueError(f"version {v} out of range [0, {latest}]")
+    base = compaction_base(path)
+    start = base if v >= base else 0
+    parts = []
+    for i in range(start, v + 1):
+        d = _version_dir(path, i)
+        if os.path.isdir(d):
+            parts.append(spark.read.parquet(d).withColumn("_v", F.lit(i)))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy(*keys).orderBy(F.desc("_v"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_v")
+    )

@@ -252,3 +252,54 @@ def run_to_completion(df: DataFrame, query_name: str, mode: str = "append") -> D
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The hourly hypertable pre-aggregate (twin of the batch form in
+    plans/windows_batch.rollup_hypertable_daily), streaming-safe:
+    watermarked so state is bounded."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_dec"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_dec",
+        )
+    )
+
+
+def stream_rollup_into_lake(
+    rollup: DataFrame, path: str, query_name: str = "rollup_sink"
+):
+    """Continuously-maintained rollup table: update-mode streaming
+    aggregation → foreachBatch versioned MERGE (replace-by-key).
+
+    Each micro-batch emits only the (hour, event_type) groups it
+    changed; the merge appends those rows as a new version and readers
+    resolve last-writer-wins (merge-on-read) — so the lake always
+    holds the current rollup, updates cost O(changed groups), and
+    every micro-batch remains a time-travelable snapshot. This is the
+    streaming half of the hypertable pattern: the batch query serves
+    coarser windows FROM this table instead of raw events."""
+    from data_lake_with_spark_spark.sources.versioned import versioned_merge
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        versioned_merge(
+            batch_df.sparkSession, batch_df, path, keys=["hour", "event_type"]
+        )
+
+    return (
+        rollup.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

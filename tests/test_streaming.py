@@ -95,3 +95,31 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     )
     n = out.count()
     assert n == out.select("event_id").distinct().count()
+
+
+def test_stream_rollup_lake_matches_batch(spark, sf_dir, tmp_path):
+    """The continuously-merged rollup table must equal the batch
+    hourly aggregate exactly (decimal sums: no float drift)."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "rollup_lake")
+    stream = jobs.events_stream(spark, sf_dir)
+    q = jobs.stream_rollup_into_lake(jobs.hourly_rollup(stream), path, "rollup1")
+    q.awaitTermination(120)
+
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_dec"])
+        for r in V.versioned_read_merged(spark, path, ["hour", "event_type"]).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["value_dec"])
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("value_dec"),
+        )
+        .collect()
+    }
+    assert got == want

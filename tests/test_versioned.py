@@ -69,3 +69,31 @@ def test_compaction_preserves_current_and_history(spark, tmp_path):
     # appends after compaction layer on top of the base
     versioned_append(spark.createDataFrame([(3, "c")], "k long, v string"), path)
     assert versioned_read(spark, path).count() == 3
+
+
+def test_versioned_merge_last_writer_wins(spark, tmp_path):
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "merged")
+    V.versioned_merge(spark, spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "tag", "val"]), path, ["k"])
+    V.versioned_merge(spark, spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], ["k", "tag", "val"]), path, ["k"])
+    got = {r["k"]: (r["tag"], r["val"]) for r in V.versioned_read_merged(spark, path, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+    # time travel to v0: pre-update state
+    v0 = {r["k"]: r["tag"] for r in V.versioned_read_merged(spark, path, ["k"], version=0).collect()}
+    assert v0 == {1: "a", 2: "b"}
+
+
+def test_compact_merged_table_resolves_keys(spark, tmp_path):
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "merged_compact")
+    V.versioned_merge(spark, spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"]), path, ["k"])
+    V.versioned_merge(spark, spark.createDataFrame([(2, 9.0)], ["k", "v"]), path, ["k"])
+    V.compact(spark, path, keys=["k"])
+    # post-compaction: merged view unchanged, and even a PLAIN read of
+    # the compacted snapshot holds no resurrected rows
+    assert {(r["k"], r["v"]) for r in V.versioned_read_merged(spark, path, ["k"]).collect()} == {(1, 1.0), (2, 9.0)}
+    assert {(r["k"], r["v"]) for r in V.versioned_read(spark, path).collect()} == {(1, 1.0), (2, 9.0)}

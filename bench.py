@@ -35,6 +35,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_region_year_revenue",
+    "q6_forecast_revenue",
     "agg_count_distinct",
     "window_topk_per_group",
     "sort_limit_topk",
@@ -48,14 +49,17 @@ HEADLINE = [
     # windows / streaming-equivalent
     "window_tumbling_hourly",
     "window_session_5min",
+    "rollup_hypertable_daily",
     # llm pipeline
     "text_stats",
     "text_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "vector_topk_bruteforce",
     "vector_topk_lsh",
+    "training_pack_sequences",
 ]
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_lake_with_spark_spark.functions.vector import cosine, dot, hyperplane_bucket
+from data_lake_with_spark_spark.functions.vector import cosine, dot, hyperplane_bucket, norm  # noqa: F401
 
 
 def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -69,14 +69,21 @@ def brute_force_topk(
     """Exact top-k neighbors per query: (query_id, neighbor_id, rank,
     score). Ties break on neighbor_id so the result is a total order.
     """
+    # Norms are precomputed ONCE PER VECTOR in the pre-join selects
+    # (bit-identical to per-pair: same sequential fold, just hoisted) —
+    # per-pair cosine would redo 2 of its 3 array folds n_pairs times.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     score = (
-        cosine(F.col("q_vec"), F.col("c_vec"))
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
         if metric == "cosine"
         else dot(F.col("q_vec"), F.col("c_vec"))
     )
@@ -150,18 +157,23 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     q_vecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c_vecs = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         cand_ids.join(F.broadcast(q_vecs), "query_id")
         .join(c_vecs, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            (F.floor(cosine(F.col("q_vec"), F.col("c_vec")) * 1e6 + 0.5) / 1e6).alias("score"),
+            (F.floor(cos * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -232,20 +244,24 @@ def ivf_topk(
     """IVF approximate top-k: each query scores only the inverted lists
     of its n_probe nearest centroids — candidate work drops from n to
     ~n·(n_probe/n_lists). Same output shape as brute_force_topk."""
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col).withColumn(
+        "c_norm", norm(F.col("vec"))
+    )
     nearest = _nearest_centroids_udf(centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         F.explode(nearest(F.col(vec_col))).alias("list_id"),
     )
+    cos = dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         assigned.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            (F.floor(cosine(F.col("q_vec"), F.col("vec")) * 1e6 + 0.5) / 1e6).alias("score"),
+            (F.floor(cos * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -367,15 +383,24 @@ def pq_topk(
         .where(F.col("rnk") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c_vecs = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    cos = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     reranked = (
         shortlist.join(F.broadcast(q_vecs), "query_id")
         .join(c_vecs, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            (F.floor(cosine(F.col("q_vec"), F.col("c_vec")) * 1e6 + 0.5) / 1e6).alias("score"),
+            (F.floor(cos * 1e6 + 0.5) / 1e6).alias("score"),
         )
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -395,15 +420,24 @@ def cosine_near_pairs(
     """All pairs with cosine ≥ threshold (embedding near-dup, E2's
     vector flavor). O(n²) scoring — callers bound the input or use
     lsh_topk for the scale path."""
-    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    a = embeddings.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+    )
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
     return (
         a.crossJoin(b)
         .where(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
             "b_id",
-            (F.floor(cosine(F.col("a_vec"), F.col("b_vec")) * 1e6 + 0.5) / 1e6).alias("cos_sim"),
+            (F.floor(cos * 1e6 + 0.5) / 1e6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

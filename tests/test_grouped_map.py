@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
@@ -36,3 +37,18 @@ def test_streaming_sliding_matches_batch(spark, sf_dir):
         tuple(r) for r in df.select("window_start", "event_type", "n_events", "total_value").collect()
     )
     assert key(out) == key(batch)
+
+
+def test_weighted_mean_udaf_matches_native(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF vs the native sum(v*w)/sum(w): equal to
+    float tolerance on every group (exact equality is impossible —
+    summation order differs between numpy and the JVM)."""
+    from data_lake_with_spark_spark.operators.grouped import discount_weighted_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = discount_weighted_price(
+        li.where(F.col("l_discount") > 0), "l_returnflag", "l_extendedprice", "l_discount"
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["wmean_udaf"] == pytest.approx(r["wmean_native"], rel=1e-9), r

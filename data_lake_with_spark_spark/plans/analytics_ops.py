@@ -1,0 +1,313 @@
+"""Product/event analytics + catalog maintenance queries.
+
+Shapes a lakehouse query layer is expected to answer over the
+stream-shaped ``events`` table (reference analog: the songplays fact,
+/root/reference/etl.py:239-294) plus ANALYZE-style table profiling and
+corpus-level TF-IDF over ``documents``:
+
+- ordered conversion funnel (signup → view → purchase),
+- weekly cohort retention,
+- gap-based sessionization with ordered event paths,
+- single-pass column statistics profile (ANALYZE TABLE analog),
+- corpus TF-IDF term ranking.
+
+All five are fully oracled. Scale notes per query docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.parity import pround, pround_sql
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t0
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view_after,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after
+"""
+
+
+@register("funnel_signup_view_purchase", oracle=FUNNEL_ORACLE, tags=("analytics", "events"))
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then viewed at or
+    after their first signup, then purchased at or after that first
+    qualifying view. Each stage is a groupBy-min plus an equi-join on
+    user_id — the stage outputs are per-user (small relative to the
+    event log), so at scale the joins broadcast and the only full-fact
+    scans are the three type-filtered passes (one shuffle each on
+    user_id, pruned to two columns)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        cand = ev.where(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            cand = cand.join(prev, "user_id").where(F.col("ts") >= F.col(prev_ts))
+        return cand.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s = stage("signup", None, "", "t0")
+    v = stage("view", s, "t0", "t1")
+    p = stage("purchase", v, "t1", "t2")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(FLOOR(date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(a.act_week AS DATE)) / 7) AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("cohort_weekly_retention", oracle=COHORT_ORACLE, tags=("analytics", "events"))
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by the ISO week
+    of their first event; n_users active per (cohort_week, week_offset).
+    Both inputs reduce to one row per user(/week) before the join, so
+    the join sides are user-cardinality — at 100 TB the event scans
+    dominate and the distinct/min aggregations are map-side partial."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week").cast("date"), F.col("cohort_week").cast("date")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SESSION_PATH_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM sess
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id
+"""
+
+
+@register("sessionize_event_paths", oracle=SESSION_PATH_ORACLE, tags=("analytics", "events", "window"))
+def sessionize_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) with the ordered
+    event-type path per session — the batch twin of
+    ``F.session_window`` that additionally keeps sequence order
+    ('view>click>purchase'). One shuffle on user_id serves both the
+    lag/cumulative-sum window and the final groupBy (same partition
+    key, Catalyst reuses the Exchange). Gap test compares integer
+    epoch-millis (exact on both engines; double epoch seconds would
+    drift on sub-second timestamps)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (ms - F.unix_millis(F.lag("ts").over(w)) > 1_800_000),
+        1,
+    ).otherwise(0)
+    sessioned = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return (
+        sessioned.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(ordered, lambda x: x["event_type"]), ">"
+            ).alias("path"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+PROFILE_ORACLE = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_orderkey)    AS c1, COUNT(DISTINCT o_orderkey)    AS d1,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+         COUNT(o_custkey)     AS c2, COUNT(DISTINCT o_custkey)     AS d2,
+         CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+         COUNT(o_totalprice)  AS c3, COUNT(DISTINCT o_totalprice)  AS d3,
+         MIN(o_totalprice) AS mn3, MAX(o_totalprice) AS mx3,
+         COUNT(o_orderstatus) AS c4, COUNT(DISTINCT o_orderstatus) AS d4
+  FROM orders
+)
+SELECT 'o_custkey' AS col_name, n_rows, c2 AS n_nonnull, d2 AS ndv, mn2 AS min_val, mx2 AS max_val FROM a
+UNION ALL
+SELECT 'o_orderkey', n_rows, c1, d1, mn1, mx1 FROM a
+UNION ALL
+SELECT 'o_orderstatus', n_rows, c4, d4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+UNION ALL
+SELECT 'o_totalprice', n_rows, c3, d3, mn3, mx3 FROM a
+ORDER BY col_name
+"""
+
+
+@register("stats_table_profile", oracle=PROFILE_ORACLE, tags=("stats", "catalog"))
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE analog: per-column row/non-null/NDV/min/max profile
+    of ``orders``, computed in ONE scan (a single wide aggregate row,
+    exploded into per-column rows) — the stats a cost-based optimizer
+    or a data-quality monitor ingests. At scale swap the exact
+    COUNT(DISTINCT) for approx_count_distinct; the exact form is used
+    here because the oracle checks values."""
+    orders = _t(spark, sf_dir, "orders")
+    agged = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("c1"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.min("o_orderkey").cast("double").alias("mn1"),
+        F.max("o_orderkey").cast("double").alias("mx1"),
+        F.count("o_custkey").alias("c2"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.min("o_custkey").cast("double").alias("mn2"),
+        F.max("o_custkey").cast("double").alias("mx2"),
+        F.count("o_totalprice").alias("c3"),
+        F.countDistinct("o_totalprice").alias("d3"),
+        F.min("o_totalprice").alias("mn3"),
+        F.max("o_totalprice").alias("mx3"),
+        F.count("o_orderstatus").alias("c4"),
+        F.countDistinct("o_orderstatus").alias("d4"),
+    )
+    null_d = F.lit(None).cast("double")
+
+    def row(name: str, c: str, d: str, mn, mx) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(c).alias("n_nonnull"),
+            F.col(d).alias("ndv"),
+            mn.alias("min_val"),
+            mx.alias("max_val"),
+        )
+
+    return (
+        agged.select(
+            F.explode(
+                F.array(
+                    row("o_orderkey", "c1", "d1", F.col("mn1"), F.col("mx1")),
+                    row("o_custkey", "c2", "d2", F.col("mn2"), F.col("mx2")),
+                    row("o_totalprice", "c3", "d3", F.col("mn3"), F.col("mx3")),
+                    row("o_orderstatus", "c4", "d4", null_d, null_d),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+), stats AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS total_tf, COUNT(*) AS df
+  FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, total_tf, df,
+       {pround_sql('CAST(total_tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)', 4)} AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, term
+LIMIT 20
+"""
+
+
+@register("text_tfidf_top_terms", oracle=TFIDF_ORACLE, tags=("text", "llm"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-20 terms by summed tf·idf (idf = ln(N/df)).
+    Because idf is constant per term, the per-doc score sum collapses
+    to total_tf·ln(N/df) — one tokenize pass, two partial-aggregated
+    groupBys, and a broadcast of the single-row corpus count. Rounded
+    via the portable-rounding form; ties at the cut rank break on term
+    so the top-20 set is deterministic on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "total_tf",
+            "df",
+            pround(
+                F.col("total_tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "term")
+        .limit(20)
+    )

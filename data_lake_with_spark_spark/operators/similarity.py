@@ -190,12 +190,18 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Train IVF coarse centroids with Spark ML KMeans (distributed —
-    at 100 TB train on a sample, assign everywhere)."""
+    at 100 TB train on a sample, assign everywhere). Pass
+    ``sample_fraction`` to train on a seeded Bernoulli sample: centroid
+    quality degrades sub-linearly with sample size while training cost
+    is linear, so ~1% is the right operating point at scale."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction is not None and sample_fraction < 1.0:
+        embeddings = embeddings.sample(fraction=sample_fraction, seed=seed)
     feats = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     return np.array(model.clusterCenters())
@@ -270,6 +276,58 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def autotune_nprobe(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    target_recall: float = 0.9,
+    n_val_queries: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[int, dict[int, float]]:
+    """Pick the smallest ``n_probe`` whose measured recall@k on a held-
+    out validation split meets ``target_recall``.
+
+    Validation queries are a deterministic content-addressed split
+    (md5 of the id — same device-independent scheme as the training
+    split operator), so the tuning set is stable across runs and
+    cluster layouts. Ground truth is exact brute-force top-k over the
+    full table for JUST those queries (cheap: n_val · n, not n²).
+    Candidate probes grow geometrically (1, 2, 4, …, n_lists) so the
+    driver runs O(log n_lists) small Spark jobs, not one per probe.
+    Returns ``(chosen_n_probe, {n_probe: recall})``; falls back to
+    n_lists (exhaustive ≡ brute force) if the target is unreachable.
+    """
+    n_lists = len(centroids)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8), 16, 10).cast("long"),
+        F.lit(1000),
+    )
+    val_frac_cut = max(1, min(1000, round(1000 * n_val_queries / max(embeddings.count(), 1))))
+    val_queries = embeddings.where(bucket < val_frac_cut)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embeddings, val_queries, k, id_col, vec_col).collect()
+    }
+    if not truth:
+        return 1, {}
+    measured: dict[int, float] = {}
+    n_probe = 1
+    while n_probe <= n_lists:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                embeddings, val_queries, centroids, k, n_probe, id_col, vec_col
+            ).collect()
+        }
+        measured[n_probe] = len(got & truth) / len(truth)
+        if measured[n_probe] >= target_recall:
+            return n_probe, measured
+        n_probe *= 2
+    return n_lists, measured
 
 
 def pq_train(

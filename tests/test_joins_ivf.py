@@ -95,3 +95,26 @@ def test_pq_recall_vs_brute_force(spark, sf_dir):
     bf = {(r["query_id"], r["neighbor_id"]) for r in SIM.brute_force_topk(emb, q, k=5).collect()}
     pq = {(r["query_id"], r["neighbor_id"]) for r in SIM.pq_topk(emb, q, books, k=5, rerank_factor=8).collect()}
     assert len(pq & bf) / len(bf) >= 0.8  # 16x16 codes + 8x rerank: ~0.92 measured
+
+
+def test_ivf_autotune_nprobe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.kmeans_centroids(emb, k=16, sample_fraction=0.5)
+    assert centroids.shape == (16, 64)
+    chosen, measured = SIM.autotune_nprobe(
+        emb, centroids, k=5, target_recall=0.9, n_val_queries=25
+    )
+    assert 1 <= chosen <= 16
+    # recall is monotone in n_probe; the chosen setting met the target
+    # (or fell back to exhaustive, which is exact by construction)
+    probes = sorted(measured)
+    assert all(
+        measured[a] <= measured[b] + 1e-9 for a, b in zip(probes, probes[1:])
+    )
+    if chosen in measured:
+        assert measured[chosen] >= 0.9
+    # determinism: same seed -> same split -> same choice
+    chosen2, _ = SIM.autotune_nprobe(
+        emb, centroids, k=5, target_recall=0.9, n_val_queries=25
+    )
+    assert chosen2 == chosen

@@ -50,7 +50,11 @@ HEADLINE = [
     "window_tumbling_hourly",
     "window_session_5min",
     "rollup_hypertable_daily",
+    # event analytics
+    "sessionize_event_paths",
+    "cohort_weekly_retention",
     # llm pipeline
+    "text_tfidf_top_terms",
     "text_stats",
     "text_fingerprint",
     "dedup_exact",

@@ -93,3 +93,43 @@ def test_shingle_tokenization_not_duplicated(spark, sf_dir):
     that's once per row, not once per shingle.)"""
     p = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
     assert "slice(split" not in p and "slice(filter(split" not in p
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """100 TB posture: a selective dim-side filter should inject a
+    runtime bloom filter on the fact-scan side of a shuffle join
+    (cuts shuffled fact rows before the exchange). Size thresholds are
+    lowered because the sf0.01 scan is far below the 10 GiB production
+    default — the assertion is about plan shape, not byte counts."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "might_contain" in plan.lower(), plan[:4000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

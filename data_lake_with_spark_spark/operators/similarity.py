@@ -278,6 +278,68 @@ def ivf_topk(
     )
 
 
+def write_ivf_layout(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF physical layout: vectors hive-partitioned by
+    their coarse list id. At 100 TB this is the difference between ANN
+    being a full-corpus scan and a scan of n_probe/n_lists of it —
+    queries prune to the probed partitions at the file-listing level."""
+    ivf_assign(embeddings, centroids, id_col, vec_col).write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a ``write_ivf_layout`` table. The probed list
+    ids (n_queries × n_probe ints — driver-trivial at any scale) become
+    a literal ``isin`` partition filter, so only the probed partition
+    directories are listed and scanned. Same output contract as
+    ``ivf_topk``; identical results for the same centroids/params."""
+    nearest = _nearest_centroids_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(nearest(F.col(vec_col))).alias("list_id"),
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    assigned = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(probed))
+        .withColumn("c_norm", norm(F.col("vec")))
+    )
+    cos = dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        assigned.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.floor(cos * 1e6 + 0.5) / 1e6).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def autotune_nprobe(
     embeddings: DataFrame,
     centroids: np.ndarray,

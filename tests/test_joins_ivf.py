@@ -118,3 +118,25 @@ def test_ivf_autotune_nprobe(spark, sf_dir):
         emb, centroids, k=5, target_recall=0.9, n_val_queries=25
     )
     assert chosen2 == chosen
+
+
+def test_ivf_layout_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.kmeans_centroids(emb, k=16)
+    path = str(tmp_path / "ivf_layout")
+    SIM.write_ivf_layout(emb, centroids, path)
+    q = emb.where(F.col("vec_id") < 10)
+    from_layout = SIM.ivf_topk_from_layout(
+        spark, path, q, centroids, k=5, n_probe=4
+    )
+    # partition pruning reached the scan: list_id is a partition filter
+    plan = from_layout._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan and "list_id" in scan.split("PartitionFilters")[1]
+    # identical results to the unmaterialized operator
+    got = {(r["query_id"], r["neighbor_id"]) for r in from_layout.collect()}
+    ref = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(emb, q, centroids, k=5, n_probe=4).collect()
+    }
+    assert got == ref and len(got) > 0

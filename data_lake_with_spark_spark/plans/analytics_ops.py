@@ -57,21 +57,52 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     event log), so at scale the joins broadcast and the only full-fact
     scans are the three type-filtered passes (one shuffle each on
     user_id, pruned to two columns)."""
+    from data_lake_with_spark_spark.operators.funnel import funnel_stage_users
+
     ev = _t(spark, sf_dir, "events")
-
-    def stage(event_type: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
-        cand = ev.where(F.col("event_type") == event_type).select("user_id", "ts")
-        if prev is not None:
-            cand = cand.join(prev, "user_id").where(F.col("ts") >= F.col(prev_ts))
-        return cand.groupBy("user_id").agg(F.min("ts").alias(out_ts))
-
-    s = stage("signup", None, "", "t0")
-    v = stage("view", s, "t0", "t1")
-    p = stage("purchase", v, "t1", "t2")
+    s, v, p = funnel_stage_users(ev, ["signup", "view", "purchase"])
     return (
         s.agg(F.count(F.lit(1)).alias("n_signup"))
         .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+FUNNEL_7D_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t
+   AND epoch_ms(e.ts) - epoch_ms(s.t) <= 604800000
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+   AND epoch_ms(e.ts) - epoch_ms(v.t) <= 604800000
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'signup' AS stage, (SELECT COUNT(*) FROM s) AS n_users
+UNION ALL
+SELECT 1, 'view', (SELECT COUNT(*) FROM v)
+UNION ALL
+SELECT 2, 'purchase', (SELECT COUNT(*) FROM p)
+ORDER BY stage_idx
+"""
+
+
+@register("funnel_within_7d", oracle=FUNNEL_7D_ORACLE, tags=("analytics", "events"))
+def funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameterized N-stage funnel operator
+    (``operators/funnel.py``) in long form, with a 7-day max gap
+    between consecutive stages — each stage must happen within a week
+    of the previous one's first qualifying event."""
+    from data_lake_with_spark_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["signup", "view", "purchase"], max_gap_seconds=7 * 86400
     )
 
 

@@ -222,3 +222,26 @@ def test_resize_image_gather_and_metadata(spark, docs):
     for r in odd:
         assert (r["meta"]["width"], r["meta"]["height"]) == (3, 2)
         assert len(r["payload"]) == 6
+
+
+def test_funnel_counts_monotone_and_gap_tightens(spark, sf_dir):
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.funnel import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    stages = ["signup", "view", "purchase"]
+    free = {r["stage"]: r["n_users"] for r in funnel_counts(ev, stages).collect()}
+    # monotone down the funnel
+    assert free["signup"] >= free["view"] >= free["purchase"]
+    # a finite gap can only lose conversions, never add them
+    day = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(ev, stages, max_gap_seconds=86400).collect()
+    }
+    assert all(day[s] <= free[s] for s in stages)
+    # first stage is gap-independent
+    assert day["signup"] == free["signup"]
+    # single-stage funnel ≡ distinct users with that event
+    one = funnel_counts(ev, ["click"]).collect()
+    n_click = ev.where("event_type = 'click'").select("user_id").distinct().count()
+    assert len(one) == 1 and one[0]["n_users"] == n_click

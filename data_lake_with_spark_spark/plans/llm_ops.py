@@ -458,10 +458,11 @@ ORDER BY a_id, b_id
 
 @register("vector_near_pairs", oracle=VEC_NEAR_ORACLE, tags=("vector", "llm"))
 def vector_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ 0.35 on a bounded id
-    range (the oracle-able exact form; LSH variant below scales)."""
+    """Embedding near-duplicate pairs: cosine ≥ 0.35 via LSH-bucketed
+    candidates + exact verify (no cross join in the plan; pytest pins
+    recall 1.0 vs the exact form, which remains the DuckDB oracle)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return SIM.cosine_near_pairs(emb, threshold=0.35).orderBy("a_id", "b_id")
+    return SIM.lsh_near_pairs(emb, threshold=0.35).orderBy("a_id", "b_id")
 
 
 @register("vector_topk_lsh", oracle=None, tags=("vector", "llm", "approx", "topk"))
@@ -532,6 +533,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
         .join(feats, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+                "feature_sum"
+            ),
+            F.round(F.element_at("feature", 1), 6).alias("feature_0"),
+            F.round(F.element_at("feature", 2), 6).alias("feature_1"),
+        )
         .orderBy("media_id")
     )
 
@@ -558,12 +568,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (E2's vector flavor as an actual
     dedup, not just pair listing): drop every vector that has a
     smaller-id neighbor at cosine ≥ 0.35 — the keep-first-occurrence
-    greedy used by embedding dedup pipelines. Exact form on a bounded
-    id range (O(n²) scoring); the LSH-bucketed variant
-    (vector_topk_lsh's bucketing) is the 100 TB path. The rounded
+    greedy used by embedding dedup pipelines. Pairs come from
+    ``lsh_near_pairs`` (bucket equi-join + exact verify — the 100 TB
+    path, no cross join); the O(n²) exact form survives only as the
+    DuckDB oracle and the recall-1.0 pytest reference. The rounded
     cosine is compared on BOTH engines so boundary pairs agree."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
-    pairs = SIM.cosine_near_pairs(emb, threshold=0.35)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
     dupes = pairs.select(F.col("b_id").alias("vec_id")).distinct()
     return (
         emb.join(dupes, "vec_id", "left_anti")

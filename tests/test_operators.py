@@ -91,6 +91,23 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert len(lsh_set & bf_set) / len(bf_set) >= 0.5
 
 
+def test_lsh_near_pairs_matches_exact_form(spark, sf_dir):
+    """lsh_near_pairs must be result-identical to the O(n²) exact form
+    on the oracled range: precision 1.0 by construction (exact verify),
+    recall 1.0 by measured bucketing margin (L=24 tables at b=3 bits
+    for the low 0.35 threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    exact = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in SIM.cosine_near_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], r["cos_sim"])
+        for r in SIM.lsh_near_pairs(emb, threshold=0.35).collect()
+    }
+    assert lsh == exact
+
+
 def test_lang_guess_on_crafted_sentences(spark):
     df = spark.createDataFrame(
         [

@@ -44,6 +44,15 @@ def test_anti_join_is_anti(spark, sf_dir):
     assert "LeftAnti" in p
 
 
+@pytest.mark.parametrize("name", ["dedup_embedding_cosine", "vector_near_pairs"])
+def test_embedding_near_pairs_has_no_cross_join(spark, sf_dir, name):
+    """Embedding near-dup queries must run the LSH-bucketed path: an
+    O(n²) cartesian pair-generation would not survive a 100× scale-up."""
+    p = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 @pytest.mark.parametrize(
     "name",
     [

@@ -131,20 +131,24 @@ def attach_fake_audio(
 def clip_media(media: DataFrame, start: int, length: int) -> DataFrame:
     """Crop/clip plumbing (the byte-slicing core of image crop / audio
     clip): slice ``length`` samples starting at ``start`` (0-based) and
-    rewrite the shape metadata to match. Pure JVM ``substring`` on the
+    rewrite the length metadata to match. Pure JVM ``substring`` on the
     binary column — no Python worker in the path, so at 100 TB the
     clip runs at scan speed and the *smaller* clipped payload is what
     shuffles downstream. Clips shorter than requested (payload ends
-    early) keep their true length in the metadata."""
+    early) keep their true length in the metadata.
+
+    Works on any media flavor: the input ``meta`` struct is preserved
+    as-is except for its length field (``n_samples`` when present —
+    audio — else ``n_bytes``), so image meta (width/height/n_bytes)
+    survives a clip unchanged in shape."""
     clipped = F.substring(F.col("payload"), start + 1, length)
+    meta_fields = media.schema["meta"].dataType.fieldNames()
+    length_field = "n_samples" if "n_samples" in meta_fields else "n_bytes"
     return media.select(
-        "media_id",
-        clipped.alias("payload"),
-        F.struct(
-            F.col("meta.media_type").alias("media_type"),
-            F.col("meta.sample_rate").alias("sample_rate"),
-            F.length(clipped).cast("long").alias("n_samples"),
-        ).alias("meta"),
+        "media_id", clipped.alias("payload"), "meta"
+    ).withColumn(
+        "meta",
+        F.col("meta").withField(length_field, F.length("payload").cast("long")),
     )
 
 
@@ -176,14 +180,25 @@ def resize_image(media: DataFrame, factor: int = 2) -> DataFrame:
     payload = F.aggregate(
         picked, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
     )
-    return media.select(
+    # Two-phase select: the gather is expensive, so n_bytes measures the
+    # ACTUAL materialized payload (payloads shorter than the declared
+    # width×height yield short gathers) in a second projection that
+    # CollapseProject won't inline (non-cheap expr referenced twice).
+    resized = media.select(
         "media_id",
         payload.alias("payload"),
+        F.col("meta.media_type").alias("_media_type"),
+        new_w.alias("_new_w"),
+        new_h.alias("_new_h"),
+    )
+    return resized.select(
+        "media_id",
+        "payload",
         F.struct(
-            F.col("meta.media_type").alias("media_type"),
-            new_w.alias("width"),
-            new_h.alias("height"),
-            (new_w * new_h).cast("long").alias("n_bytes"),
+            F.col("_media_type").alias("media_type"),
+            F.col("_new_w").alias("width"),
+            F.col("_new_h").alias("height"),
+            F.length("payload").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
 

@@ -350,8 +350,12 @@ def autotune_nprobe(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> tuple[int, dict[int, float]]:
-    """Pick the smallest ``n_probe`` whose measured recall@k on a held-
-    out validation split meets ``target_recall``.
+    """Pick the smallest POWER-OF-TWO ``n_probe`` whose measured
+    recall@k on a held-out validation split meets ``target_recall``
+    (the geometric schedule can overshoot the minimal feasible probe
+    count by up to 2× — the price of O(log n_lists) tuning jobs;
+    binary-search between the last failing and first passing power if
+    the gap matters).
 
     Validation queries are a deterministic content-addressed split
     (md5 of the id — same device-independent scheme as the training
@@ -361,7 +365,9 @@ def autotune_nprobe(
     Candidate probes grow geometrically (1, 2, 4, …, n_lists) so the
     driver runs O(log n_lists) small Spark jobs, not one per probe.
     Returns ``(chosen_n_probe, {n_probe: recall})``; falls back to
-    n_lists (exhaustive ≡ brute force) if the target is unreachable.
+    n_lists if the target is unreachable — that fallback's recall is
+    1.0 by construction (probing every list IS the exhaustive scan),
+    not a measured value, so it is absent from the returned dict.
     """
     n_lists = len(centroids)
     bucket = F.pmod(

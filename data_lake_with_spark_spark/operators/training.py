@@ -45,7 +45,15 @@ def train_test_split(
     bucket falls in the top ``test_fraction`` of the 256-bucket space.
     Content-addressed → re-running on a grown corpus never moves an
     existing row between splits."""
-    n_test = round(256 * test_fraction)
+    n_test = min(256, max(0, round(256 * test_fraction)))
+    # The 2-hex-char bucket space has exactly 256 cells; n_test of 0 or
+    # 256 can't be expressed as a 2-char boundary compare (format(256)
+    # is 3 chars and would lexicographically invert the split), so
+    # short-circuit the degenerate fractions.
+    if n_test == 0:
+        return df.withColumn("split", F.lit("train"))
+    if n_test == 256:
+        return df.withColumn("split", F.lit("test"))
     boundary = format(256 - n_test, "02x")  # e.g. 0.1 → 'e6'
     return df.withColumn(
         "split",

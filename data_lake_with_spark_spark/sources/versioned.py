@@ -158,16 +158,44 @@ def versioned_upsert(
 
 
 def versioned_merge(
-    spark: SparkSession, changed_rows: DataFrame, path: str, keys: list[str]
+    changed_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: str | None = None,
 ) -> tuple[int, int]:
     """Upsert-with-REPLACE (the update half Delta MERGE adds over
     plain appends): commit the new/changed rows as a delta; key
     resolution happens at read time (``versioned_read_merged``), so a
     merge is O(changed rows) with zero read-modify-write of existing
     data — the merge-on-read strategy (Iceberg MoR / Hudi MOR).
-    Returns (version, rows_written)."""
-    candidates = changed_rows.dropDuplicates(keys).cache()
+    Returns (version, rows_written).
+
+    A batch with CONFLICTING rows for one key (same key, different
+    values) has no well-defined merge result: pass ``order_by`` to
+    resolve deterministically (highest value wins per key, ties on the
+    key's first-sorted row), else the conflict raises rather than
+    silently committing an arbitrary winner. Exact full-row duplicates
+    are always collapsed silently."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if order_by is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+        candidates = (
+            changed_rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        candidates = changed_rows.dropDuplicates(keys)
+    candidates = candidates.cache()
     n = candidates.count()
+    if order_by is None and changed_rows.dropDuplicates().count() != n:
+        candidates.unpersist()
+        raise ValueError(
+            "versioned_merge: batch has conflicting rows for the same key; "
+            "pass order_by= for a deterministic tie-break"
+        )
     v = versioned_append(candidates, path)
     candidates.unpersist()
     return v, n

@@ -292,9 +292,7 @@ def stream_rollup_into_lake(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        versioned_merge(
-            batch_df.sparkSession, batch_df, path, keys=["hour", "event_type"]
-        )
+        versioned_merge(batch_df, path, keys=["hour", "event_type"])
 
     return (
         rollup.writeStream.foreachBatch(sink)

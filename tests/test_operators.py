@@ -192,6 +192,19 @@ def test_train_test_split_stable_and_sized(spark, sf_dir):
     assert 0.04 < frac < 0.18  # 10% nominal, small-corpus variance
 
 
+def test_train_test_split_degenerate_fractions(spark, sf_dir):
+    """Fractions that round to 0 or 256 buckets must short-circuit:
+    the 3-hex-char boundary of format(256) would lexicographically
+    invert the split (~93% spuriously marked test)."""
+    from data_lake_with_spark_spark.operators import training as TR
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    tiny = {r["split"] for r in TR.train_test_split(docs, test_fraction=0.001).collect()}
+    assert tiny == {"train"}
+    everything = {r["split"] for r in TR.train_test_split(docs, test_fraction=1.0).collect()}
+    assert everything == {"test"}
+
+
 def test_pack_sequences_prefix_sum_semantics(spark):
     """pack_id = floor(tokens-before / budget): packs fill in order,
     every pack except a shard's last holds >= budget tokens counting

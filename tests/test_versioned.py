@@ -75,9 +75,9 @@ def test_versioned_merge_last_writer_wins(spark, tmp_path):
     from data_lake_with_spark_spark.sources import versioned as V
 
     path = str(tmp_path / "merged")
-    V.versioned_merge(spark, spark.createDataFrame(
+    V.versioned_merge(spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0)], ["k", "tag", "val"]), path, ["k"])
-    V.versioned_merge(spark, spark.createDataFrame(
+    V.versioned_merge(spark.createDataFrame(
         [(2, "b2", 21.0), (3, "c", 30.0)], ["k", "tag", "val"]), path, ["k"])
     got = {r["k"]: (r["tag"], r["val"]) for r in V.versioned_read_merged(spark, path, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
@@ -86,12 +86,38 @@ def test_versioned_merge_last_writer_wins(spark, tmp_path):
     assert v0 == {1: "a", 2: "b"}
 
 
+def test_versioned_merge_conflicting_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "conflict")
+    conflicted = spark.createDataFrame(
+        [(1, "old", 1.0), (1, "new", 2.0)], ["k", "tag", "ts"]
+    )
+    # no tie-break column → refuse rather than commit an arbitrary winner
+    with _pytest.raises(ValueError, match="conflicting"):
+        V.versioned_merge(conflicted, path, ["k"])
+    # deterministic tie-break: highest order_by value wins
+    v, n = V.versioned_merge(conflicted, path, ["k"], order_by="ts")
+    assert (v, n) == (0, 1)
+    got = V.versioned_read_merged(spark, path, ["k"]).collect()
+    assert [(r["k"], r["tag"]) for r in got] == [(1, "new")]
+    # exact full-row duplicates collapse silently (not a conflict)
+    v2, n2 = V.versioned_merge(
+        spark.createDataFrame([(2, "x", 1.0), (2, "x", 1.0)], ["k", "tag", "ts"]),
+        path,
+        ["k"],
+    )
+    assert n2 == 1
+
+
 def test_compact_merged_table_resolves_keys(spark, tmp_path):
     from data_lake_with_spark_spark.sources import versioned as V
 
     path = str(tmp_path / "merged_compact")
-    V.versioned_merge(spark, spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"]), path, ["k"])
-    V.versioned_merge(spark, spark.createDataFrame([(2, 9.0)], ["k", "v"]), path, ["k"])
+    V.versioned_merge(spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"]), path, ["k"])
+    V.versioned_merge(spark.createDataFrame([(2, 9.0)], ["k", "v"]), path, ["k"])
     V.compact(spark, path, keys=["k"])
     # post-compaction: merged view unchanged, and even a PLAIN read of
     # the compacted snapshot holds no resurrected rows

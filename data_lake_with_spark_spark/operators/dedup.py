@@ -133,10 +133,20 @@ def _prefix_filtered_shingles(
     ).cache()
 
 
-# Below this many docs the shingle-array side (~1.2 KB/doc) fits a
-# sane broadcast (≲40 MB) and verify becomes map-side-only; above it,
-# shuffle joins — the 100 TB path.
-BROADCAST_ARRAYS_MAX_DOCS = 30_000
+# Below this much INPUT (Catalyst's plan-stats estimate — on-disk
+# parquet bytes for file scans) the shingle-array side fits a sane
+# broadcast (~10× inflation text→hashed-shingle arrays: 4 MiB input
+# ≈ 30k docs ≈ 40 MB of arrays) and verify becomes map-side-only;
+# above it, shuffle joins — the 100 TB path. Stats-based so the
+# decision needs NO action during plan construction.
+BROADCAST_ARRAYS_MAX_INPUT_BYTES = 4 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated output size of the plan (derived from file
+    sizes for parquet scans, filter selectivity applied) — a lazy
+    stand-in for count() when choosing join strategy."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))  # noqa: SLF001
 
 
 def jaccard_verify(
@@ -190,7 +200,6 @@ def ngram_jaccard_pairs(
     candidates. Output (a_id, b_id, jaccard), a_id < b_id.
     """
     pref = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
-    n_docs = pref.count()  # materializes the cache; cheap thereafter
     posting = pref.select("id", "n_sh", F.posexplode("prefix").alias("pos", "shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
@@ -220,7 +229,7 @@ def ngram_jaccard_pairs(
     ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
     verified = jaccard_verify(
         candidates, pref, threshold,
-        broadcast_arrays=n_docs <= BROADCAST_ARRAYS_MAX_DOCS,
+        broadcast_arrays=_plan_size_bytes(docs) <= BROADCAST_ARRAYS_MAX_INPUT_BYTES,
     )
     return verified.distinct()
 
@@ -299,7 +308,7 @@ def minhash_lsh_pairs(
     arrays = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
     return jaccard_verify(
         candidates, arrays, threshold,
-        broadcast_arrays=arrays.count() <= BROADCAST_ARRAYS_MAX_DOCS,
+        broadcast_arrays=_plan_size_bytes(docs) <= BROADCAST_ARRAYS_MAX_INPUT_BYTES,
     )
 
 

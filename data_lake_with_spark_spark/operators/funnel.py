@@ -19,26 +19,48 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# A funnel stage: either an event-type string (matched against
+# ``type_col``) or a (label, arbitrary-boolean-Column) pair — e.g.
+# ("big_purchase", (F.col("event_type") == "purchase") & (F.col("value") > 100)).
+Stage = "str | tuple[str, Column]"
+
+
+def _normalize_stages(
+    stages: Sequence, type_col: str
+) -> list[tuple[str, Column]]:
+    norm: list[tuple[str, Column]] = []
+    for s in stages:
+        if isinstance(s, str):
+            norm.append((s, F.col(type_col) == s))
+        else:
+            label, pred = s
+            norm.append((label, pred))
+    return norm
 
 
 def funnel_stage_users(
     events: DataFrame,
-    stages: Sequence[str],
+    stages: Sequence,
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
     max_gap_seconds: int | None = None,
 ) -> list[DataFrame]:
     """Per-stage frames ``(user_col, _t)``: each user who reached the
-    stage, with their first qualifying timestamp."""
+    stage, with their first qualifying timestamp. Stages are event-type
+    strings or (label, predicate Column) pairs — a predicate stage
+    filters the log on any boolean expression, so the same operator
+    expresses type funnels, value-threshold funnels, and
+    property-match funnels (predicates still push to the scan)."""
     if not stages:
         raise ValueError("funnel needs at least one stage")
     frames: list[DataFrame] = []
     prev: DataFrame | None = None
-    for stage in stages:
-        cand = events.where(F.col(type_col) == stage).select(user_col, ts_col)
+    for _label, pred in _normalize_stages(stages, type_col):
+        cand = events.where(pred).select(user_col, ts_col)
         if prev is not None:
             cand = cand.join(prev, user_col).where(F.col(ts_col) >= F.col("_t"))
             if max_gap_seconds is not None:
@@ -54,22 +76,25 @@ def funnel_stage_users(
 
 def funnel_counts(
     events: DataFrame,
-    stages: Sequence[str],
+    stages: Sequence,
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
     max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Long-form funnel: one row per stage — ``(stage_idx, stage,
-    n_users)`` — users monotonically non-increasing down the funnel."""
+    n_users)`` — users monotonically non-increasing down the funnel.
+    Stage labels are the event-type string or the first element of a
+    (label, predicate) pair."""
     frames = funnel_stage_users(
         events, stages, ts_col, user_col, type_col, max_gap_seconds
     )
+    labels = [label for label, _ in _normalize_stages(stages, type_col)]
     counted = [
         f.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i).alias("stage_idx"), F.lit(stage).alias("stage"), "n_users"
+            F.lit(i).alias("stage_idx"), F.lit(label).alias("stage"), "n_users"
         )
-        for i, (stage, f) in enumerate(zip(stages, frames))
+        for i, (label, f) in enumerate(zip(labels, frames))
     ]
     out = counted[0]
     for c in counted[1:]:

@@ -106,6 +106,51 @@ def funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_PRED_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), v AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t
+  WHERE e.event_type = 'view' AND e.value >= 100.0 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+  WHERE e.event_type IN ('purchase', 'click') AND e.value >= 10.0
+  GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'signup' AS stage, (SELECT COUNT(*) FROM s) AS n_users
+UNION ALL
+SELECT 1, 'big_view', (SELECT COUNT(*) FROM v)
+UNION ALL
+SELECT 2, 'monetized', (SELECT COUNT(*) FROM p)
+ORDER BY stage_idx
+"""
+
+
+@register("funnel_predicate_stages", oracle=FUNNEL_PRED_ORACLE, tags=("analytics", "events"))
+def funnel_predicate_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stages as ARBITRARY boolean predicates, not just event
+    types: signup → a view worth ≥ 100 → any monetized interaction
+    (purchase or click) worth ≥ 10. Same per-stage shape as the type
+    funnel — a predicate-filtered two-column pass over the log (the
+    value/type predicates push to the parquet scan), one groupBy-min
+    per stage, user-cardinality equi-joins between stages."""
+    from data_lake_with_spark_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    stages = [
+        "signup",
+        ("big_view", (F.col("event_type") == "view") & (F.col("value") >= 100.0)),
+        (
+            "monetized",
+            F.col("event_type").isin("purchase", "click") & (F.col("value") >= 10.0),
+        ),
+    ]
+    return funnel_counts(ev, stages)
+
+
 COHORT_ORACLE = """
 WITH first AS (
   SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week

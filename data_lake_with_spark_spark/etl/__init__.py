@@ -12,9 +12,10 @@ from data_lake_with_spark_spark.etl.log_pipeline import (
     build_users,
     prepare_log_events,
 )
-from data_lake_with_spark_spark.etl.pipeline import run_etl
+from data_lake_with_spark_spark.etl.pipeline import run_etl, run_etl_from_config
 
 __all__ = [
+    "run_etl_from_config",
     "LOG_SCHEMA",
     "SONG_SCHEMA",
     "build_artists",

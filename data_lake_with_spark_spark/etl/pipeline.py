@@ -85,3 +85,26 @@ def run_etl(
         dedup_new=False,  # natural key is (start_time,user,session); ids must not collapse rows
     )
     return EtlResult(n_songs, n_artists, n_users, n_time, n_plays)
+
+
+def run_etl_from_config(
+    spark: SparkSession,
+    config,
+    song_feed: str = "song_data",
+    log_feed: str = "log_data",
+) -> EtlResult:
+    """The reference's ``main()`` with its config surface made real
+    (reference etl.py:15-20 dl.cfg, etl.py:305-314 hardcoded s3a
+    roots): feeds are read schema-armed from ``config.input_root``,
+    every table lands under ``config.output_root``, and any
+    filesystem credentials/endpoints in ``config.spark_conf`` are
+    applied first — so pointing the whole pipeline at s3a/abfs/local
+    is a config change, not a code change."""
+    from data_lake_with_spark_spark.config import apply_spark_conf
+    from data_lake_with_spark_spark.etl.schemas import LOG_SCHEMA, SONG_SCHEMA
+    from data_lake_with_spark_spark.sources.readers import read_json
+
+    apply_spark_conf(spark, config)
+    song_df = read_json(spark, config.input_uri(song_feed), SONG_SCHEMA)
+    log_df = read_json(spark, config.input_uri(log_feed), LOG_SCHEMA)
+    return run_etl(spark, song_df, log_df, config.output_root)

@@ -294,6 +294,30 @@ def write_ivf_layout(
     ).mode("overwrite").parquet(path)
 
 
+def write_ivf_layout_versioned(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Commit an IVF index (re)build as a new version of a versioned
+    table: the version dir is hive-partitioned by ``list_id`` exactly
+    like ``write_ivf_layout``, so version-pinned reads still prune to
+    the probed partitions — and a re-index (new centroids, grown
+    corpus) is time-travelable: queries pin version N−1 until the new
+    index validates, then flip. Each version is a SELF-CONTAINED
+    snapshot (an index rebuild replaces the index, it doesn't delta
+    it). Returns the committed version."""
+    from data_lake_with_spark_spark.sources.versioned import versioned_append
+
+    return versioned_append(
+        ivf_assign(embeddings, centroids, id_col, vec_col),
+        path,
+        partition_by=("list_id",),
+    )
+
+
 def ivf_topk_from_layout(
     spark,
     path: str,
@@ -303,12 +327,29 @@ def ivf_topk_from_layout(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: int | None = None,
 ) -> DataFrame:
     """IVF top-k against a ``write_ivf_layout`` table. The probed list
     ids (n_queries × n_probe ints — driver-trivial at any scale) become
     a literal ``isin`` partition filter, so only the probed partition
     directories are listed and scanned. Same output contract as
-    ``ivf_topk``; identical results for the same centroids/params."""
+    ``ivf_topk``; identical results for the same centroids/params.
+
+    Works on plain layouts and versioned ones: against a
+    ``write_ivf_layout_versioned`` table the scan pins one snapshot
+    version (default latest; pass ``version`` to time-travel a
+    pre-re-index top-k). Centroids must be the ones that built that
+    version."""
+    from data_lake_with_spark_spark.sources.versioned import (
+        current_version,
+        versioned_snapshot_dir,
+    )
+
+    data_dir = (
+        versioned_snapshot_dir(path, version)
+        if current_version(path) is not None
+        else path
+    )
     nearest = _nearest_centroids_udf(centroids, n_probe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -318,7 +359,7 @@ def ivf_topk_from_layout(
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     assigned = (
-        spark.read.parquet(path)
+        spark.read.parquet(data_dir)
         .where(F.col("list_id").isin(probed))
         .withColumn("c_norm", norm(F.col("vec")))
     )

@@ -51,12 +51,19 @@ def current_version(path: str) -> int | None:
         return None
 
 
-def versioned_append(df: DataFrame, path: str) -> int:
+def versioned_append(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> int:
     """Write ``df`` as the next version's delta; returns the committed
-    version number."""
+    version number. ``partition_by`` hive-partitions the version dir
+    (partition-pruned reads inside a pinned version — e.g. an IVF
+    index layout)."""
     cur = current_version(path)
     nxt = 0 if cur is None else cur + 1
-    df.write.mode("errorifexists").parquet(_version_dir(path, nxt))
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(_version_dir(path, nxt))
     os.makedirs(path, exist_ok=True)
     tmp = _latest_path(path) + ".tmp"
     with open(tmp, "w") as fh:
@@ -80,6 +87,28 @@ def versioned_read(
     start = base if v >= base else 0
     dirs = [_version_dir(path, i) for i in range(start, v + 1)]
     return spark.read.parquet(*dirs)
+
+
+def versioned_snapshot_dir(path: str, version: int | None = None) -> str:
+    """Directory of EXACTLY one committed version — for tables whose
+    every version is a self-contained snapshot (index rebuilds,
+    compaction outputs) rather than a delta. The returned dir is a
+    plain parquet root, so hive partitioning inside it still prunes."""
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise ValueError(f"version {v} out of range [0, {latest}]")
+    return _version_dir(path, v)
+
+
+def versioned_read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read exactly one version dir (no delta union) — see
+    ``versioned_snapshot_dir``."""
+    return spark.read.parquet(versioned_snapshot_dir(path, version))
 
 
 def _base_path(path: str) -> str:

@@ -120,6 +120,39 @@ def test_ivf_autotune_nprobe(spark, sf_dir):
     assert chosen2 == chosen
 
 
+def test_ivf_versioned_layout_time_travel(spark, sf_dir, tmp_path):
+    """A re-index commits a new version; top-k against version N-1
+    still answers from the OLD index (old centroids, old assignment)
+    and still partition-prunes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_versioned")
+    q = emb.where(F.col("vec_id") < 10)
+
+    cents_v0 = SIM.kmeans_centroids(emb, k=16, seed=42)
+    assert SIM.write_ivf_layout_versioned(emb, cents_v0, path) == 0
+    before = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.ivf_topk_from_layout(spark, path, q, cents_v0, k=5, n_probe=4).collect()
+    }
+
+    # re-index: different centroid count/seed AND a grown corpus shape
+    cents_v1 = SIM.kmeans_centroids(emb, k=8, seed=7)
+    assert SIM.write_ivf_layout_versioned(emb, cents_v1, path) == 1
+
+    # version pin: the pre-re-index top-k is reproducible bit-for-bit
+    pinned = SIM.ivf_topk_from_layout(
+        spark, path, q, cents_v0, k=5, n_probe=4, version=0
+    )
+    plan = pinned._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan and "list_id" in scan.split("PartitionFilters")[1]
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pinned.collect()}
+    assert got == before
+    # latest (default) answers from the new index
+    latest = SIM.ivf_topk_from_layout(spark, path, q, cents_v1, k=5, n_probe=4)
+    assert latest.count() > 0
+
+
 def test_ivf_layout_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = SIM.kmeans_centroids(emb, k=16)

@@ -131,3 +131,67 @@ def fingerprint(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def top_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token — the
+    Gopher-style repetition signal. Pure per-row HOFs over an already-
+    projected token array (see word_shingles_from_tokens perf note):
+    O(distinct·n) per row, embarrassingly parallel, ZERO shuffles —
+    at 100 TB this beats the explode + double-groupBy relational form,
+    which shuffles every token twice."""
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda x: x == d))
+    )
+    return F.when(
+        F.size(toks) > 0, F.array_max(counts) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_bigram_fraction(toks: Column) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram
+    in the same document (1 − distinct/total) — catches loops and
+    boilerplate that single-token frequency misses."""
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / (F.size(toks) - 1),
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns chosen for Java-regex / RE2 (DuckDB) parity: character
+# classes and \b only, no lookarounds. Real deployments extend the
+# table; the machinery (ordered regexp_replace chain + match counting)
+# is the operator.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_match_count(text: Column | str) -> Column:
+    """Total PII matches across all patterns (counted BEFORE
+    redaction; order-independent because the patterns are disjoint)."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = F.lit(0)
+    for _name, pattern, _repl in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+    return n
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder — an ordered
+    regexp_replace chain, fully JVM-side (codegen), so redaction runs
+    at scan speed over 100 TB. Email runs first so its local part
+    can't be half-eaten by the phone/IP digit patterns."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = col
+    for _name, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out

@@ -63,6 +63,48 @@ def train_test_split(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 50,
+    stride_tokens: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-window shaping step of a training pipeline. Chunk i
+    covers tokens [i·stride, i·stride + chunk_tokens); the tail chunk
+    is short rather than padded. Returns (id, chunk_idx, chunk_text,
+    n_chunk_tokens).
+
+    Pure per-row HOFs (sequence → slice → array_join) over a projected
+    token array, then ONE posexplode — no joins, no shuffles beyond
+    the explode's pipeline, so chunking is scan-speed at 100 TB and
+    the output inherits the input's partitioning by id."""
+    from data_lake_with_spark_spark.functions.text import tokens
+
+    if stride_tokens <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride_tokens must be positive")
+    toked = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride_tokens))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice("toks", s + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size("toks") - s).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        toked.where(F.size("toks") > 0)
+        .select("id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_idx",
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col,

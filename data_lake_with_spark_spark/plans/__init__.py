@@ -10,6 +10,7 @@ from data_lake_with_spark_spark.plans.registry import REGISTRY, Query, register
 # Import for side effects: each module registers its queries.
 from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     analytics_ops,
+    corpus_ops,
     reference_surface,
     relational,
     relational2,

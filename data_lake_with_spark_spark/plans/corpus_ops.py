@@ -1,0 +1,168 @@
+"""Corpus-shaping queries a training-data pipeline runs before text
+ever reaches a tokenizer: repetition filtering (Gopher-style), PII
+redaction, and context-window chunking. All three stay JVM-side
+(HOFs / regexp chains over projected token arrays — zero Python, zero
+shuffles beyond one explode), so they run at scan speed over 100 TB.
+
+Reference analog: the reference's per-record reshaping stage
+(/root/reference/etl.py:239-294 — derive columns from raw text/ts
+fields); these queries are the LLM-corpus versions of that stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions import text as TXT
+from data_lake_with_spark_spark.plans.parity import pround, pround_sql
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+CHUNK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(0, len(t), 40)) AS start
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(start / 40 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(t, start + 1, start + 50), ' ') AS chunk_text,
+       CAST(LEAST(50, len(t) - start) AS INTEGER) AS n_chunk_tokens
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register("chunk_documents", oracle=CHUNK_ORACLE, tags=("text", "llm", "training"))
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: 50-token chunks every 40
+    tokens (10-token overlap), short tail unpadded. One projected
+    token array + per-row HOFs + one posexplode — no shuffle, output
+    co-partitioned with the input."""
+    from data_lake_with_spark_spark.operators.training import chunk_documents as op
+
+    docs = _t(spark, sf_dir, "documents")
+    return op(docs, chunk_tokens=50, stride_tokens=40).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), m AS (
+  SELECT doc_id,
+    CASE WHEN len(t) > 0 THEN
+      list_max(list_transform(list_distinct(t), d -> len(list_filter(t, x -> x = d)))) * 1.0 / len(t)
+    ELSE 0.0 END AS top_frac,
+    CASE WHEN len(t) >= 2 THEN
+      1.0 - len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) * 1.0 / (len(t) - 1)
+    ELSE 0.0 END AS dup_frac
+  FROM toks
+)
+SELECT doc_id,
+       {top} AS top_token_frac,
+       {dup} AS dup_bigram_frac,
+       (top_frac <= 0.125 AND dup_frac <= 0.06) AS keep
+FROM m
+ORDER BY doc_id
+""".format(top=pround_sql("top_frac", 6), dup=pround_sql("dup_frac", 6))
+
+
+@register(
+    "filter_gopher_repetition",
+    oracle=REPETITION_ORACLE,
+    tags=("text", "llm", "quality"),
+)
+def filter_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: single-most-frequent-token
+    fraction and duplicate-bigram fraction per document, with the
+    keep/drop verdict. Pure per-row HOFs over one projected token
+    array — zero shuffles (the explode+groupBy relational form would
+    shuffle every token twice; see functions/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    top = TXT.top_token_fraction(F.col("toks"))
+    dup = TXT.duplicate_bigram_fraction(F.col("toks"))
+    return (
+        toked.select(
+            "doc_id",
+            pround(top, 6).alias("top_token_frac"),
+            pround(dup, 6).alias("dup_bigram_frac"),
+            ((top <= 0.125) & (dup <= 0.06)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The corpus is synthetic word salad with no real PII, so the query
+# plants deterministic PII (email / phone / IPv4 by doc_id mod 3) and
+# then redacts it — the assertion is that the redaction chain finds
+# and replaces ALL of it, verified cross-engine.
+PII_ORACLE = r"""
+WITH dirty AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com' ||
+    CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+    CASE WHEN doc_id % 3 = 1 THEN ' from 192.168.' || (doc_id % 256) || '.1' ELSE '' END
+    AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+     + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER)
+    AS n_pii,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM dirty
+ORDER BY doc_id
+"""
+
+
+@register("pii_redact", oracle=PII_ORACLE, tags=("text", "llm", "quality"))
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: typed-placeholder redaction of emails, phone
+    numbers, and IPv4 addresses via an ordered JVM regexp_replace
+    chain, with the per-document match count. Patterns are restricted
+    to the Java-regex ∩ RE2 dialect so the oracle runs them verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" from 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        dirty.select(
+            "doc_id",
+            TXT.pii_match_count("text").cast("int").alias("n_pii"),
+            TXT.redact_pii("text").alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )

@@ -43,6 +43,87 @@ def test_text_functions_on_edge_inputs(spark):
     assert by_id[1]["fp"] == by_id[2]["fp"]
 
 
+def test_chunk_documents_overlap_and_tail(spark):
+    from data_lake_with_spark_spark.operators.training import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(12))),  # 12 tokens
+            (2, "one two"),  # shorter than a chunk
+            (3, "   "),  # whitespace-only → no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=5, stride_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # starts 0,4,8 → lengths 5,5,4; overlap tokens shared verbatim
+    assert [r["n_chunk_tokens"] for r in c1] == [5, 5, 4]
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    assert c1[2]["chunk_text"] == "w8 w9 w10 w11"
+    assert [r["chunk_text"] for r in by_doc[2]] == ["one two"]
+    assert 3 not in by_doc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, stride_tokens=0)
+
+
+def test_pii_redaction_patterns(spark):
+    from data_lake_with_spark_spark.functions.text import pii_match_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io now"),
+            (2, "call 555-123-4567 or visit 10.0.0.1"),
+            (3, "clean text 123-45 1.2.3 not pii"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_match_count("text").alias("n"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert out[1]["n"] == 1 and out[1]["red"] == "mail <EMAIL> now"
+    assert out[2]["n"] == 2 and out[2]["red"] == "call <PHONE> or visit <IP>"
+    assert out[3]["n"] == 0 and out[3]["red"] == "clean text 123-45 1.2.3 not pii"
+
+
+def test_repetition_fractions_on_crafted_docs(spark):
+    from data_lake_with_spark_spark.functions.text import (
+        duplicate_bigram_fraction,
+        tokens,
+        top_token_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # one token dominates; all bigrams equal
+            (2, "a b c d"),  # all distinct
+            (3, "solo"),  # 1 token → no bigrams
+        ],
+        ["id", "text"],
+    ).select("id", tokens("text").alias("toks"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            top_token_fraction(F.col("toks")).alias("top"),
+            duplicate_bigram_fraction(F.col("toks")).alias("dup"),
+        ).collect()
+    }
+    assert out[1]["top"] == 1.0 and abs(out[1]["dup"] - 2 / 3) < 1e-9
+    assert out[2]["top"] == 0.25 and out[2]["dup"] == 0.0
+    assert out[3]["top"] == 1.0 and out[3]["dup"] == 0.0
+
+
 def test_vacuum_drops_pre_base_history(spark, tmp_path):
     from data_lake_with_spark_spark.sources.versioned import (
         compact,

@@ -17,6 +17,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     tpch_deep,
     tpch_deep2,
     llm_ops,
+    quality_ops,
     training_ops,
     windows_batch,
 )

@@ -1,0 +1,78 @@
+"""Data-quality expectation suite: violation counting on crafted dirty
+data, and the one-scan-per-table plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators.quality import (
+    cnt_dup,
+    cnt_null,
+    cnt_where,
+    fk_expectation,
+    table_expectations,
+    union_report,
+)
+
+
+def test_expectations_count_violations(spark):
+    dirty = spark.createDataFrame(
+        [
+            (1, 10.0),
+            (1, -5.0),   # dup key + negative value
+            (2, 3.0),
+            (None, 7.0),  # null key
+        ],
+        "k long, v double",
+    )
+    report = {
+        r["check_name"]: r["n_violations"]
+        for r in table_expectations(
+            dirty,
+            [
+                ("k not null", cnt_null("k")),
+                ("k unique", cnt_dup("k")),
+                ("v > 0", cnt_where(F.col("v") <= 0)),
+            ],
+        ).collect()
+    }
+    # count_distinct ignores the null key row: 4 rows, 2 distinct
+    # non-null keys -> 2 in excess (the dup AND the null-key row).
+    assert report == {"k not null": 1, "k unique": 2, "v > 0": 1}
+
+
+def test_fk_expectation_counts_orphans(spark):
+    child = spark.createDataFrame([(1,), (1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = fk_expectation(
+        child, parent, ["fk"], "child.fk", parent_keys=["pk"]
+    ).collect()[0]
+    assert (row["check_name"], row["n_violations"]) == ("child.fk", 1)
+
+
+def test_union_report_and_empty_suite(spark):
+    a = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    r = union_report(
+        [
+            table_expectations(a, [("a", cnt_null("k"))]),
+            table_expectations(a, [("b", cnt_where(F.col("v") < 0))]),
+        ]
+    ).collect()
+    assert [(x["check_name"], x["n_violations"]) for x in r] == [("a", 0), ("b", 0)]
+    with pytest.raises(ValueError):
+        union_report([])
+    with pytest.raises(ValueError):
+        table_expectations(a, [])
+
+
+def test_dq_suite_scans_each_table_once(spark, sf_dir):
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    df = REGISTRY["dq_expectations"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # orders appears in its folded check scan + the FK's parent side;
+    # lineitem in its folded scan + the FK child side. A per-check
+    # scan would show 3 orders / 3 lineitem scans.
+    assert plan.count("orders.parquet") <= 2
+    assert plan.count("lineitem.parquet") <= 2

@@ -20,6 +20,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       {rev} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""".format(rev=dsum_sql("l_extendedprice * (1 - l_discount)", 2))
+
+
+@register("join_salted_skew", oracle=SALTED_ORACLE, tags=("join", "skew"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join skew mitigation (operators/skew.py) on the
+    lineitem→orders fact join: probe rows carry a deterministic row
+    hash salt, the build side is replicated salt×, and the join key
+    becomes (orderkey, salt) — a hot orderkey spreads over 8 reducers.
+    Result is exactly the plain join (the oracle IS the plain SQL
+    join); use when the build side sits in the broadcast-threshold
+    failure zone and AQE can't re-split (co-grouping, streaming)."""
+    from data_lake_with_spark_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 ASOF_ORACLE = """
 SELECT c.event_id, c.user_id, c.ts,
        p.ts AS purchase_ts, p.value AS purchase_value

@@ -67,6 +67,54 @@ def test_aqe_splits_skewed_join(spark):
             conf.set(k, v)
 
 
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be result-identical to the plain join on
+    skewed data, and must actually spread the hot key's rows: every
+    salt bucket of the hot key must be populated."""
+    from data_lake_with_spark_spark.operators.skew import SALT, salted_join
+
+    probe = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    build = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    plain = probe.join(build, ["k"])
+    salted = salted_join(probe, build, ["k"], salt=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert (
+        salted.unionAll(plain).groupBy(*plain.columns).count()
+        .where(F.col("count") != 2).count() == 0
+    )
+    # the hot key's probe rows hash into all 8 salt buckets
+    p = probe.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(8))
+    )
+    assert p.where(F.col("k") == 7).select(SALT).distinct().count() == 8
+    # left join keeps unmatched probe rows exactly once
+    probe_missing = probe.unionAll(spark.createDataFrame([(99_999, 0)], "k long, payload long"))
+    left = salted_join(probe_missing, build, ["k"], salt=4, how="left")
+    assert left.where(F.col("k") == 99_999).count() == 1
+    assert left.where(F.col("k") == 99_999).collect()[0]["v"] is None
+
+
+def test_two_phase_count_distinct_matches_native(spark, sf_dir):
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.skew import two_phase_count_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    native = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    two_phase = {
+        (r["event_type"], r["n_distinct"])
+        for r in two_phase_count_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    assert two_phase == native
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     stream = jobs.events_stream(spark, sf_dir)
     out = jobs.run_to_completion(

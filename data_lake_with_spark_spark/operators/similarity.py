@@ -644,11 +644,18 @@ def lsh_near_pairs(
     tb = embeddings.select(
         F.col(id_col).alias("id"), buckets(F.col(vec_col)).alias("bks")
     ).select("id", F.posexplode("bks").alias("tbl", "bucket"))
+    # Self-join via alias (not renamed projections): both sides share
+    # one canonical subplan, so ReuseExchange evaluates the pandas-UDF
+    # bucketing + explode ONCE and the second side reads the shuffle.
     cand = (
-        tb.select(F.col("id").alias("a_id"), "tbl", "bucket")
-        .join(tb.select(F.col("id").alias("b_id"), "tbl", "bucket"), ["tbl", "bucket"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        tb.alias("a")
+        .join(
+            tb.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
     a = embeddings.select(

@@ -24,8 +24,12 @@ table/
 
 Scale notes: deltas keep appends O(new data); compaction (folding old
 deltas into one dir) is the same maintenance Delta's OPTIMIZE does.
-Deletes/updates need tombstones — out of scope here, Delta MERGE is
-the upgrade path (see operators/cdc.py for the logical SCD2 form).
+Updates are ``versioned_merge`` (replace-by-key, resolved at read by
+``versioned_read_merged``); deletes are ``versioned_delete``
+tombstones resolved the same way, physically erased by
+``compact(keys=...)`` + ``vacuum``. Delta MERGE INTO remains the
+drop-in upgrade when its jars are available (see operators/cdc.py for
+the logical SCD2 form).
 """
 
 from __future__ import annotations
@@ -33,6 +37,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+# Column marking a delta row as a merge-on-read DELETE of its key.
+TOMBSTONE = "_tombstone"
 
 
 def _latest_path(path: str) -> str:
@@ -86,7 +94,10 @@ def versioned_read(
     base = compaction_base(path)
     start = base if v >= base else 0
     dirs = [_version_dir(path, i) for i in range(start, v + 1)]
-    return spark.read.parquet(*dirs)
+    # mergeSchema: tombstone deltas carry the extra _tombstone column;
+    # without the merge, parquet would pick one file's schema and
+    # silently drop columns on mixed tables.
+    return spark.read.option("mergeSchema", "true").parquet(*dirs)
 
 
 def versioned_snapshot_dir(path: str, version: int | None = None) -> str:
@@ -230,6 +241,32 @@ def versioned_merge(
     return v, n
 
 
+def versioned_delete(
+    spark: SparkSession, keys_df: DataFrame, path: str, keys: list[str]
+) -> tuple[int, int]:
+    """Merge-on-read DELETE (the tombstone half of Delta MERGE): commit
+    full-schema rows flagged ``_tombstone`` for the given keys as a new
+    version — O(deleted keys), zero read-modify-write.
+    ``versioned_read_merged`` resolves a tombstoned key to absent; time
+    travel to the pre-delete version still sees the rows; and
+    ``compact(..., keys=...)`` + ``vacuum`` physically removes the data
+    (the retention/right-to-erasure path). Returns
+    (version, keys_tombstoned)."""
+    from pyspark.sql import functions as F
+
+    current = versioned_read(spark, path)
+    tomb = keys_df.select(*keys).dropDuplicates(keys)
+    for fld in current.schema.fields:
+        if fld.name not in keys and fld.name != TOMBSTONE:
+            tomb = tomb.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    ordered = [f.name for f in current.schema.fields if f.name != TOMBSTONE]
+    tomb = tomb.select(*ordered).withColumn(TOMBSTONE, F.lit(True)).cache()
+    n = tomb.count()
+    v = versioned_append(tomb, path)
+    tomb.unpersist()
+    return v, n
+
+
 def versioned_read_merged(
     spark: SparkSession, path: str, keys: list[str], version: int | None = None
 ) -> DataFrame:
@@ -253,13 +290,17 @@ def versioned_read_merged(
     for i in range(start, v + 1):
         d = _version_dir(path, i)
         if os.path.isdir(d):
-            parts.append(spark.read.parquet(d).withColumn("_v", F.lit(i)))
+            part = spark.read.parquet(d).withColumn("_v", F.lit(i))
+            if TOMBSTONE not in part.columns:
+                part = part.withColumn(TOMBSTONE, F.lit(False))
+            parts.append(part)
     merged = parts[0]
     for p in parts[1:]:
-        merged = merged.unionByName(p)
+        merged = merged.unionByName(p, allowMissingColumns=True)
     w = Window.partitionBy(*keys).orderBy(F.desc("_v"))
     return (
         merged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "_v")
+        .where(~F.coalesce(F.col(TOMBSTONE), F.lit(False)))
+        .drop("_rn", "_v", TOMBSTONE)
     )

@@ -112,6 +112,38 @@ def test_versioned_merge_conflicting_batch(spark, tmp_path):
     assert n2 == 1
 
 
+def test_versioned_delete_tombstones(spark, tmp_path):
+    """MoR delete: merged view drops the key, time travel resurrects
+    it, compact+vacuum physically erases it, and a later merge can
+    re-insert the same key."""
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "del")
+    V.versioned_merge(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"]), path, ["k"]
+    )
+    ver, n = V.versioned_delete(
+        spark, spark.createDataFrame([(2,), (2,), (9,)], ["k"]), path, ["k"]
+    )
+    assert (ver, n) == (1, 2)  # dup key collapsed; absent key 9 tombstones harmlessly
+    merged = {r["k"]: r["v"] for r in V.versioned_read_merged(spark, path, ["k"]).collect()}
+    assert merged == {1: "a", 3: "c"}
+    assert "_tombstone" not in V.versioned_read_merged(spark, path, ["k"]).columns
+    # time travel: pre-delete snapshot still has k=2
+    v0 = {r["k"] for r in V.versioned_read_merged(spark, path, ["k"], version=0).collect()}
+    assert v0 == {1, 2, 3}
+    # re-insert after delete wins (higher version than the tombstone)
+    V.versioned_merge(spark.createDataFrame([(2, "b2")], ["k", "v"]), path, ["k"])
+    merged2 = {r["k"]: r["v"] for r in V.versioned_read_merged(spark, path, ["k"]).collect()}
+    assert merged2 == {1: "a", 2: "b2", 3: "c"}
+    # physical erasure: delete again, compact with keys, vacuum history
+    V.versioned_delete(spark, spark.createDataFrame([(2,)], ["k"]), path, ["k"])
+    V.compact(spark, path, keys=["k"])
+    V.vacuum(path)
+    assert {r["k"] for r in V.versioned_read(spark, path).collect()} == {1, 3}
+    assert {r["k"] for r in V.versioned_read_merged(spark, path, ["k"]).collect()} == {1, 3}
+
+
 def test_compact_merged_table_resolves_keys(spark, tmp_path):
     from data_lake_with_spark_spark.sources import versioned as V
 

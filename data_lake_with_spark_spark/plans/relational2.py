@@ -20,6 +20,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+STRAT_SAMPLE_ORACLE = """
+WITH ranked AS (
+  SELECT event_id, event_type, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+)
+SELECT event_id, event_type, user_id FROM ranked
+WHERE rn <= 20
+ORDER BY event_type, event_id
+"""
+
+
+@register("sample_stratified_topk", oracle=STRAT_SAMPLE_ORACLE, tags=("sample", "window"))
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 20 events per type,
+    chosen by content hash (md5 of the id) — reproducible across
+    engines, runs, and partition layouts, unlike seeded TABLESAMPLE
+    (which is layout-dependent; see scan_tablesample, rows-only for
+    that reason). One window shuffle on the stratum column."""
+    from data_lake_with_spark_spark.operators.sampling import stratified_topk
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return stratified_topk(ev, ["event_type"], 20, "event_id").orderBy(
+        "event_type", "event_id"
+    )
+
+
 SALTED_ORACLE = """
 SELECT o.o_orderpriority,
        {rev} AS revenue,

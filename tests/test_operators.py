@@ -205,6 +205,38 @@ def test_train_test_split_degenerate_fractions(spark, sf_dir):
     assert everything == {"test"}
 
 
+def test_stratified_sampling_deterministic(spark, sf_dir):
+    """Content-addressed sampling: subset-stability (a row's membership
+    never depends on what other rows exist) and exact per-stratum k."""
+    from data_lake_with_spark_spark.operators.sampling import (
+        stratified_fraction,
+        stratified_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    frac = stratified_fraction(ev, 0.1, "event_id")
+    ids_full = {r["event_id"] for r in frac.collect()}
+    # same rows selected when sampling any subset of the corpus
+    ids_sub = {
+        r["event_id"]
+        for r in stratified_fraction(
+            ev.where(F.col("event_id") % 2 == 0), 0.1, "event_id"
+        ).collect()
+    }
+    assert ids_sub == {i for i in ids_full if i % 2 == 0}
+    n = ev.count()
+    assert 0.05 * n < len(ids_full) < 0.18 * n
+    # degenerate fractions short-circuit
+    assert stratified_fraction(ev, 0.0, "event_id").count() == 0
+    assert stratified_fraction(ev, 1.0, "event_id").count() == n
+    # topk: exact k per stratum, stable across repeated runs
+    got = stratified_topk(ev, ["event_type"], 7, "event_id")
+    counts = {r["event_type"]: r["n"] for r in got.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v == 7 for v in counts.values()) and len(counts) == 5
+    again = stratified_topk(ev, ["event_type"], 7, "event_id")
+    assert {r["event_id"] for r in got.collect()} == {r["event_id"] for r in again.collect()}
+
+
 def test_pack_sequences_prefix_sum_semantics(spark):
     """pack_id = floor(tokens-before / budget): packs fill in order,
     every pack except a shard's last holds >= budget tokens counting

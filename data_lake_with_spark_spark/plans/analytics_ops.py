@@ -106,6 +106,72 @@ def funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         MAX(value) AS v
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT b.user_id, UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds b
+)
+SELECT s.user_id, s.hour,
+       CAST(h.v IS NOT NULL AS BOOLEAN) AS observed,
+       LAST_VALUE(h.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+ORDER BY s.user_id, s.hour
+"""
+
+
+@register(
+    "timeseries_resample_locf", oracle=RESAMPLE_ORACLE, tags=("timeseries", "events")
+)
+def timeseries_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with forward fill: each user's event
+    values become a dense hourly series from their first to last
+    active hour (per-user time spine via sequence+explode — generated
+    distributed, sized by each user's own range, never a global
+    calendar cross join), gaps carry the last observation forward
+    (last-ignorenulls window). The hypertable-rollup complement: that
+    query compresses time, this one densifies it for models that need
+    an evenly spaced signal."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.max("value").alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
 FUNNEL_PRED_ORACLE = """
 WITH s AS (
   SELECT user_id, MIN(ts) AS t FROM events

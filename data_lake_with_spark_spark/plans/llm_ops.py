@@ -475,6 +475,60 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+MEAN_POOL_ORACLE = """
+WITH ex AS (
+  SELECT vec_id // 50 AS group_id,
+         UNNEST(range(len(embedding))) AS pos,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS sv
+  FROM embeddings
+), per_dim AS (
+  SELECT group_id, pos, SUM(sv) AS s FROM ex GROUP BY group_id, pos
+)
+SELECT group_id,
+       CAST(COUNT(*) AS INTEGER) AS n_dims,
+       CAST(MAX(CASE WHEN pos = 0 THEN s END) AS BIGINT) AS d0_sum_scaled,
+       CAST(MAX(CASE WHEN pos = 1 THEN s END) AS BIGINT) AS d1_sum_scaled,
+       CAST(SUM(s) AS BIGINT) AS all_dims_sum_scaled
+FROM per_dim GROUP BY group_id
+ORDER BY group_id
+"""
+
+
+@register("vector_mean_pool", oracle=MEAN_POOL_ORACLE, tags=("vector", "llm", "agg"))
+def vector_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-row vector pooling (chunk embeddings → document
+    embedding): posexplode to (group, dim, value), per-dim sum, then
+    the pooled array rebuilt by ordered collect — the shape that
+    scales (per-group state is one float per dim, never a list of
+    member vectors; collect_list of the 64 per-dim sums is bounded by
+    dim, not group size). Values are pre-scaled to exact integers
+    (floor(v·1e6)) so the pooled sums hash-compare bit-exactly across
+    engines; mean = sum / (n·1e6) downstream."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") / 50).cast("long").alias("group_id"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).withColumn("sv", F.floor(F.col("val").cast("double") * 1e6).cast("long"))
+    per_dim = ex.groupBy("group_id", "pos").agg(F.sum("sv").alias("s"))
+    pooled = per_dim.groupBy("group_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+        ).alias("pooled")
+    )
+    return (
+        pooled.select(
+            "group_id",
+            F.size("pooled").alias("n_dims"),
+            F.element_at("pooled", 1).alias("d0_sum_scaled"),
+            F.element_at("pooled", 2).alias("d1_sum_scaled"),
+            F.aggregate("pooled", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "all_dims_sum_scaled"
+            ),
+        )
+        .orderBy("group_id")
+    )
+
+
 @register("dedup_minhash_signatures", oracle=None, tags=("dedup", "llm", "approx"))
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash signature table itself (16 hashes over 3-gram

@@ -144,6 +144,46 @@ def test_versioned_delete_tombstones(spark, tmp_path):
     assert {r["k"] for r in V.versioned_read_merged(spark, path, ["k"]).collect()} == {1, 3}
 
 
+def test_versioned_changes_feed(spark, tmp_path):
+    """Change feed: inserts/updates/deletes between snapshots with
+    state-diff semantics (identical rewrites suppressed), across both
+    the delta fast path and the post-compaction full-diff fallback."""
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "cdf")
+    V.versioned_merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), path, ["k"]
+    )  # v0
+    V.versioned_merge(
+        spark.createDataFrame([(2, "b2"), (3, "c"), (1, "a")], ["k", "v"]), path, ["k"]
+    )  # v1: update k2, insert k3, identical rewrite k1
+    V.versioned_delete(spark, spark.createDataFrame([(1,)], ["k"]), path, ["k"])  # v2
+
+    def feed(v_from, v_to=None):
+        return {
+            (r["k"], r["_change_type"])
+            for r in V.versioned_changes(spark, path, ["k"], v_from, v_to).collect()
+        }
+
+    assert feed(-1, 0) == {(1, "insert"), (2, "insert")}
+    # k1's identical rewrite in v1 is not a change
+    assert feed(0, 1) == {(2, "update"), (3, "insert")}
+    assert feed(1, 2) == {(1, "delete")}
+    assert feed(0, 2) == {(2, "update"), (3, "insert"), (1, "delete")}
+    assert feed(2, 2) == set()
+    # delete rows carry null attributes
+    del_row = [
+        r for r in V.versioned_changes(spark, path, ["k"], 1, 2).collect()
+    ][0]
+    assert del_row["v"] is None
+    # compaction inside the range → full-diff fallback, same answers
+    V.compact(spark, path, keys=["k"])  # v3 snapshot (base)
+    V.versioned_merge(spark.createDataFrame([(4, "d")], ["k", "v"]), path, ["k"])  # v4
+    assert feed(0, 4) == {(2, "update"), (3, "insert"), (1, "delete"), (4, "insert")}
+    with pytest.raises(ValueError):
+        V.versioned_changes(spark, path, ["k"], 3, 99)
+
+
 def test_compact_merged_table_resolves_keys(spark, tmp_path):
     from data_lake_with_spark_spark.sources import versioned as V
 

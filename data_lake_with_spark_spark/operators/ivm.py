@@ -1,0 +1,78 @@
+"""Incremental view maintenance: keep a sum/count aggregate in step
+with its base table by applying change-feed deltas instead of
+recomputing — the materialized-view maintenance loop every warehouse
+runs, built on ``versioned_changes(include_preimages=True)``.
+
+Sum and count are self-maintainable: each change row contributes a
+signed delta (+ for insert/update_postimage, − for delete/
+update_preimage), so a refresh costs O(changes) + one join against
+the current aggregate — at 100 TB the difference between touching a
+few changed groups and rescanning the table. Averages derive as
+sum/count; min/max are NOT self-maintainable under deletes (a deleted
+max needs a rescan of its group) and are deliberately absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_COL = "n_rows"
+
+
+def agg_delta(
+    changes: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Signed per-group deltas from a pre-image change feed:
+    (group_cols, n_rows, <sum_cols>) where every value is the NET
+    effect of the batch on that group."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return changes.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias(N_COL),
+        *[F.sum(sign * F.col(c)).alias(c) for c in sum_cols],
+    )
+
+
+def apply_delta(
+    current: DataFrame, delta: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Merge a delta into the current aggregate: full outer join on the
+    group, add component-wise, drop groups whose row count reaches 0.
+    Only changed groups shuffle (the delta side is small); untouched
+    groups pass through the join unmodified."""
+    d = delta.select(
+        *group_cols,
+        F.col(N_COL).alias("_d_n"),
+        *[F.col(c).alias(f"_d_{c}") for c in sum_cols],
+    )
+    merged = current.join(d, group_cols, "full_outer").select(
+        *group_cols,
+        (F.coalesce(F.col(N_COL), F.lit(0)) + F.coalesce(F.col("_d_n"), F.lit(0)))
+        .cast("long")
+        .alias(N_COL),
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0.0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return merged.where(F.col(N_COL) > 0)
+
+
+def maintain(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """One refresh step: ``current`` aggregate (None = first build)
+    advanced by a change batch. Exactly equals recomputing the
+    aggregate from the post-change base table (pytest-pinned)."""
+    delta = agg_delta(changes, group_cols, sum_cols)
+    if current is None:
+        return delta.where(F.col(N_COL) > 0)
+    return apply_delta(current, delta, group_cols, sum_cols)

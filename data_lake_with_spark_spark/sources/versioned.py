@@ -247,6 +247,7 @@ def versioned_changes(
     keys: list[str],
     v_from: int,
     v_to: int | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Change feed between two snapshots (the Delta Change Data Feed
     analog): one row per key whose RESOLVED STATE differs between
@@ -255,6 +256,13 @@ def versioned_changes(
     key with null attributes). ``v_from = -1`` means "before the table
     existed" (version 0's rows feed as inserts). Rewrites that leave a
     key's value unchanged are NOT emitted (state-diff semantics).
+
+    With ``include_preimages`` the feed matches Delta CDF's four-type
+    shape — updates emit an ``update_preimage`` row (old values) AND
+    an ``update_postimage`` row, and delete rows carry their old
+    values instead of nulls — which is exactly what downstream
+    incremental aggregate maintenance needs (subtract pre, add post;
+    see operators/ivm.py).
 
     Fast path reads only the deltas in (v_from, v_to] — O(changes) —
     and joins their keys against the v_from view for pre-images. When
@@ -337,11 +345,29 @@ def versioned_changes(
         )
         .otherwise(F.lit(None))  # rewrite with identical values
     )
-    return (
-        joined.withColumn("_change_type", change)
-        .where(F.col("_change_type").isNotNull())
-        .select(*keys, *data_cols, "_change_type")
+    tagged = joined.withColumn("_change_type", change).where(
+        F.col("_change_type").isNotNull()
     )
+    if not include_preimages:
+        return tagged.select(*keys, *data_cols, "_change_type")
+    pre_cols = [F.col(f"_pre_vals.{c}").alias(c) for c in data_cols]
+    post_rows = tagged.where(F.col("_change_type") != "delete").select(
+        *keys,
+        *data_cols,
+        F.when(F.col("_change_type") == "update", F.lit("update_postimage"))
+        .otherwise(F.col("_change_type"))
+        .alias("_change_type"),
+    )
+    pre_rows = tagged.where(
+        F.col("_change_type").isin("update", "delete")
+    ).select(
+        *keys,
+        *pre_cols,
+        F.when(F.col("_change_type") == "update", F.lit("update_preimage"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+    )
+    return post_rows.unionByName(pre_rows)
 
 
 def versioned_delete(

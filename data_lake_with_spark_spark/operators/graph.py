@@ -1,0 +1,96 @@
+"""Graph operators over pair tables (the near-dup graph E2 produces:
+``(a_id, b_id)`` undirected edges).
+
+Connected components live in operators/dedup.py (min-label
+propagation); here are the other graph shapes a dedup/link-analysis
+pipeline asks for:
+
+- ``degrees``: per-node edge count — one explode + hash-agg (map-side
+  combine), the cheap health check of a candidate-pair stage (a
+  super-node = a boilerplate cluster about to blow up verification).
+- ``pagerank``: fixed-iteration damped PageRank. Each iteration is
+  ONE join (ranks → out-edges) + ONE hash-agg (sum contributions per
+  destination) — the textbook distributed formulation; dangling nodes
+  (none in an undirected pair graph) would redistribute uniformly.
+  Each iteration's result is materialized with ``localCheckpoint`` —
+  iterative algorithms MUST truncate lineage or the plan grows by one
+  join+agg per round until the driver chokes on it (on a real cluster
+  use reliable ``checkpoint`` dirs for fault tolerance; the shape is
+  identical). O(iterations) shuffles total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(pairs: DataFrame) -> DataFrame:
+    """Both directions of each (a_id, b_id) pair: (src, dst)."""
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    rev = pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def degrees(pairs: DataFrame) -> DataFrame:
+    """(id, degree) for every node with at least one edge."""
+    return (
+        undirected_edges(pairs)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def pagerank(
+    pairs: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    all_ids: DataFrame | None = None,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, rank) after ``n_iter`` damped power iterations over the
+    undirected pair graph. ``all_ids`` adds isolated nodes (rank
+    stays at the teleport floor). Ranks sum to ~1 over the node set.
+    Deterministic given the input; float summation order may differ
+    across layouts — callers compare with tolerance, not hashes.
+    ``num_partitions`` sizes the per-iteration shuffles (rank/contrib
+    tables are node-cardinality — usually far smaller than the
+    session's default shuffle width; 10 iterations at the wrong width
+    is 10× the overhead)."""
+    edges = undirected_edges(pairs)
+    nodes = edges.select(F.col("src").alias(id_col)).distinct()
+    if all_ids is not None:
+        nodes = nodes.unionByName(
+            all_ids.select(F.col(all_ids.columns[0]).alias(id_col))
+        ).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-edges materialized once; every iteration reads the snapshot
+    out_edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            out_edges.join(ranks, out_edges["src"] == ranks[id_col])
+            .select(
+                F.col("dst").alias(id_col),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        if num_partitions:
+            contribs = contribs.repartition(num_partitions, id_col)
+        contribs = contribs.groupBy(id_col).agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            nodes.join(contribs, id_col, "left")
+            .select(
+                id_col,
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+        )
+    return ranks

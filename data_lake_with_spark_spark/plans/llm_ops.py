@@ -637,6 +637,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAPH_DEGREE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs
+  ) GROUP BY id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+@register("graph_degree_distribution", oracle=GRAPH_DEGREE_ORACLE, tags=("graph", "dedup", "llm"))
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the embedding near-dup graph — the health
+    check of a candidate-pair stage (a heavy tail means boilerplate
+    super-nodes about to quadratically bloat verification). Pairs come
+    from the LSH-bucketed path (recall 1.0 on this range, so the exact
+    cross-join oracle agrees); degrees are one explode + two hash-aggs."""
+    from data_lake_with_spark_spark.operators.graph import degrees
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    return (
+        degrees(pairs)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@register("graph_pagerank_neardup", oracle=None, tags=("graph", "dedup", "llm", "iterative"))
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the near-dup graph: which documents sit at
+    the center of duplicate clusters (rank ∝ cluster hubness) — the
+    canonical iterative-algorithm shape (driver loop over lazy plans,
+    one join + one agg per iteration). Rows-only: float summation
+    order is layout-dependent; the numpy differential pytest pins
+    values to 1e-9."""
+    from data_lake_with_spark_spark.operators.graph import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    pr = pagerank(pairs, n_iter=10, num_partitions=8)
+    return pr.select(
+        F.col("id").alias("vec_id"), F.round("rank", 9).alias("rank")
+    ).orderBy(F.desc("rank"), "vec_id").limit(50)
+
+
 @register("multimodal_audio_clip", oracle=None, tags=("multimodal", "llm"))
 def multimodal_audio_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-shaped multimodal plumbing (E5): 1-D payloads with

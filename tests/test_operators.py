@@ -205,6 +205,40 @@ def test_train_test_split_degenerate_fractions(spark, sf_dir):
     assert everything == {"test"}
 
 
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank vs a dense numpy power iteration with identical
+    damping/iterations on a crafted graph (star + chain + isolate)."""
+    import numpy as np
+
+    from data_lake_with_spark_spark.operators.graph import degrees, pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (3, 4), (5, 6)], ["a_id", "b_id"]
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(8)], ["id"])  # 7 isolated
+    got = {r["id"]: r["rank"] for r in pagerank(pairs, n_iter=10, all_ids=all_ids).collect()}
+
+    n, d = 8, 0.85
+    adj = np.zeros((n, n))
+    for a, b in [(0, 1), (0, 2), (0, 3), (3, 4), (5, 6)]:
+        adj[a, b] = adj[b, a] = 1
+    out = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for src in range(n):
+            if out[src]:
+                contrib += adj[src] * (r[src] / out[src])
+        r = (1 - d) / n + d * contrib
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # star center outranks leaves; isolate sits at the teleport floor
+    assert got[0] > got[1] and abs(got[7] - (1 - d) / n) < 1e-12
+    # degrees sanity on the same graph
+    deg = {r_["id"]: r_["degree"] for r_ in degrees(pairs).collect()}
+    assert deg == {0: 3, 1: 1, 2: 1, 3: 2, 4: 1, 5: 1, 6: 1}
+
+
 def test_stratified_sampling_deterministic(spark, sf_dir):
     """Content-addressed sampling: subset-stability (a row's membership
     never depends on what other rows exist) and exact per-stratum k."""

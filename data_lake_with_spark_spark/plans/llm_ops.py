@@ -637,6 +637,78 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECODE_WAV_ORACLE = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(64)) AS i FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(64 AS INTEGER) AS n_samples,
+       CAST(SUM(((doc_id * 31 + i * 7) % 65536) - 32768) AS BIGINT) AS sum_samples
+FROM s GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@register("decode_audio_wav", oracle=DECODE_WAV_ORACLE, tags=("multimodal", "llm", "decode"))
+def decode_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (E5, no longer stubbed for WAV): closed-form
+    16-bit PCM payloads are encoded to genuine RIFF/WAV bytes, decoded
+    back by the stdlib-``wave`` mapInPandas stage, and the decoded
+    samples are JVM-aggregated. The oracle predicts the sample sums
+    analytically — a hash-checked proof the decoder reproduces the
+    exact PCM content."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_wav_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    return (
+        dec.select(
+            "media_id",
+            "sample_rate",
+            F.size("values").alias("n_samples"),
+            F.aggregate("values", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "sum_samples"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
+DECODE_PNG_ORACLE = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(32)) AS idx FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(SUM((doc_id * 3 + 13 * (idx // 8) + 5 * (idx % 8)) % 256) AS BIGINT)
+         AS sum_pixels
+FROM s GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@register("decode_image_png", oracle=DECODE_PNG_ORACLE, tags=("multimodal", "llm", "decode"))
+def decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (E5, no longer stubbed for PNG): closed-form
+    8×4 grayscale rasters are encoded to genuine PNGs — scanline
+    filter rotating through all five types by doc id — inflated and
+    defiltered back by the stdlib-zlib decoder, and the raster sums
+    hash-checked against the analytic oracle."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_png_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    return (
+        dec.select(
+            "media_id",
+            "width",
+            "height",
+            F.aggregate("values", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "sum_pixels"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
 GRAPH_DEGREE_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v

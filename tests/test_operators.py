@@ -137,10 +137,13 @@ def test_multimodal_roundtrip(spark, docs):
     assert by_id[1] == by_id[2]
 
 
-def test_multimodal_decode_is_stubbed(spark, docs):
+def test_multimodal_decode_unsupported_format_raises(spark, docs):
+    """Formats without a stdlib codec (the fake 'image/fake' payloads)
+    still fail loudly at execution; wav/png decode for real (see
+    test_decode_media_real_and_unsupported)."""
     media = MM.attach_fake_payloads(docs, "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(media)
+    with pytest.raises(Exception, match="PIL|ffmpeg|NotImplemented"):
+        MM.decode_media(media).collect()
 
 
 def test_frame_sample(spark, docs):
@@ -203,6 +206,62 @@ def test_train_test_split_degenerate_fractions(spark, sf_dir):
     assert tiny == {"train"}
     everything = {r["split"] for r in TR.train_test_split(docs, test_fraction=1.0).collect()}
     assert everything == {"test"}
+
+
+def test_media_codecs_round_trip():
+    """WAV and PNG codecs are lossless over every supported shape:
+    all five PNG scanline filters × all four channel layouts, and
+    full-range 16-bit PCM."""
+    import itertools
+
+    from data_lake_with_spark_spark.operators.media_codecs import (
+        decode_png_bytes,
+        decode_wav_bytes,
+        encode_png,
+        encode_wav,
+    )
+
+    samples = [((i * 31 + 7) % 65536) - 32768 for i in range(64)] + [-32768, 32767]
+    rate, nch, got = decode_wav_bytes(encode_wav(samples, 16000))
+    assert (rate, nch, got) == (16000, 1, samples)
+    stereo = decode_wav_bytes(encode_wav(samples[:8], 8000, n_channels=2))
+    assert stereo == (8000, 2, samples[:8])
+
+    for ch, ft in itertools.product([1, 2, 3, 4], range(5)):
+        w, h = 7, 5
+        raster = bytes(
+            (x * 3 + y * 11 + c * 29) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        assert decode_png_bytes(encode_png(raster, w, h, ch, filter_type=ft)) == (
+            w, h, ch, raster,
+        ), f"ch={ch} filter={ft}"
+
+
+def test_decode_media_real_and_unsupported(spark):
+    from data_lake_with_spark_spark.operators.multimodal import (
+        attach_png_payloads,
+        attach_wav_payloads,
+        decode_media,
+    )
+
+    docs = spark.createDataFrame([(k,) for k in range(5)], ["doc_id"])
+    wav = {r["media_id"]: r for r in decode_media(attach_wav_payloads(docs, "doc_id")).collect()}
+    assert wav[3]["sample_rate"] == 16000 and len(wav[3]["values"]) == 64
+    assert wav[3]["values"][2] == ((3 * 31 + 2 * 7) % 65536) - 32768
+    png = {r["media_id"]: r for r in decode_media(attach_png_payloads(docs, "doc_id")).collect()}
+    assert (png[4]["width"], png[4]["height"]) == (8, 4)
+    assert png[4]["values"][8 + 2] == (4 * 3 + 13 * 1 + 5 * 2) % 256  # pixel (2,1)
+    # formats needing external libs still fail loudly
+    from data_lake_with_spark_spark.operators.multimodal import attach_fake_payloads
+
+    fake = attach_fake_payloads(docs.withColumn("text", F.lit("t")), "doc_id", "text")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PIL|ffmpeg|NotImplemented"):
+        decode_media(fake).collect()
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):

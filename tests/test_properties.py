@@ -17,6 +17,44 @@ from data_lake_with_spark_spark.sources.writers import upsert_parquet
 BASE = pd.Timestamp("2024-01-01")
 
 
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_round_trip_property(samples, rate):
+    from data_lake_with_spark_spark.operators.media_codecs import (
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    assert decode_wav_bytes(encode_wav(samples, rate)) == (rate, 1, samples)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_png_codec_round_trip_property(data):
+    from data_lake_with_spark_spark.operators.media_codecs import (
+        decode_png_bytes,
+        encode_png,
+    )
+
+    w = data.draw(st.integers(1, 12))
+    h = data.draw(st.integers(1, 12))
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+    ft = data.draw(st.integers(0, 4))
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    assert decode_png_bytes(encode_png(raster, w, h, ch, filter_type=ft)) == (
+        w, h, ch, raster,
+    )
+
+
 @st.composite
 def asof_case(draw):
     n_left = draw(st.integers(1, 12))

@@ -1,0 +1,82 @@
+"""Z-order clustering: morton-code correctness and the data-skipping
+property — files of a z-ordered table are tight in EVERY clustered
+dimension, where a plain sort is tight in one."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators.zorder import (
+    MORTON,
+    with_zorder_key,
+    write_zordered,
+)
+
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], ["x", "y"])
+    # drive buckets directly through the interleave helper via a 3-bit key
+    from data_lake_with_spark_spark.operators.zorder import _interleave
+
+    out = df.select(
+        "x", "y", _interleave([F.col("x"), F.col("y")], bits=3).alias("m")
+    ).collect()
+    got = {(r["x"], r["y"]): r["m"] for r in out}
+    # bit j of x → position 2j; bit j of y → position 2j+1
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    # x=3 (0b11) → bits 0,2 ; y=5 (0b101) → bits 1,5 → 0b100111 = 39
+    assert got[(3, 5)] == 0b100111
+
+
+def _file_spreads(spark, path, cols):
+    df = spark.read.parquet(path).withColumn("_f", F.expr("input_file_name()"))
+    spreads = {}
+    for c in cols:
+        per_file = (
+            df.groupBy("_f")
+            .agg((F.max(c) - F.min(c)).alias("spread"))
+            .agg(F.avg("spread").alias("avg"))
+            .collect()[0]["avg"]
+        )
+        total = df.agg((F.max(c) - F.min(c)).alias("r")).collect()[0]["r"]
+        spreads[c] = per_file / total
+    return spreads
+
+
+def test_zorder_files_tight_in_both_dimensions(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    z_path = str(tmp_path / "zordered")
+    s_path = str(tmp_path / "single_sorted")
+    write_zordered(ev, ["user_id", "value"], z_path, n_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+    z = _file_spreads(spark, z_path, ["user_id", "value"])
+    s = _file_spreads(spark, s_path, ["user_id", "value"])
+    # plain sort: tight on its key, near-useless on the other
+    assert s["user_id"] < 0.35 and s["value"] > 0.7
+    # z-order: materially tight on BOTH (8 files ≈ 3 curve bits ≈
+    # ~1.5 bits per dimension → expected spread ≈ 0.35-0.6 of range),
+    # and strictly better than the plain sort on the non-key dimension
+    assert z["user_id"] < 0.65 and z["value"] < 0.65
+    assert z["value"] < s["value"]
+    # no key column leaks into the written schema
+    assert MORTON not in spark.read.parquet(z_path).columns
+    # row count preserved
+    assert spark.read.parquet(z_path).count() == ev.count()
+
+
+def test_with_zorder_key_handles_skew(spark):
+    # 90% of rows share one value in dim x — rank bucketing must still
+    # produce a full-range morton key from the OTHER dimension
+    rows = [(7 if i % 10 else i, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    keyed = with_zorder_key(df, ["x", "y"], bits=8)
+    n_distinct = keyed.select(MORTON).distinct().count()
+    assert n_distinct > 100

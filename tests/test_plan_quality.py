@@ -63,6 +63,14 @@ def test_embedding_near_pairs_has_no_cross_join(spark, sf_dir, name):
         "text_stats",
         "dedup_ngram_jaccard",
         "window_session_5min",
+        "chunk_documents",
+        "filter_gopher_repetition",
+        "pii_redact",
+        "dq_expectations",
+        "timeseries_resample_locf",
+        "sample_stratified_topk",
+        "funnel_predicate_stages",
+        "join_salted_skew",
     ],
 )
 def test_no_python_udf_on_hot_paths(spark, sf_dir, name):
@@ -72,6 +80,15 @@ def test_no_python_udf_on_hot_paths(spark, sf_dir, name):
     p = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_funnel_predicate_pushdown(spark, sf_dir):
+    """Predicate funnel stages must push their type/value filters to
+    the events scan, not evaluate them post-join."""
+    p = plan_of(spark, sf_dir, "funnel_predicate_stages")
+    scans = [l for l in p.splitlines() if "FileScan parquet" in l and "events" in l]
+    assert scans
+    assert any("value" in s.split("PushedFilters")[-1] for s in scans if "PushedFilters" in s)
 
 
 def test_q6_predicates_reach_scan(spark, sf_dir):

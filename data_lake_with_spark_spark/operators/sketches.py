@@ -1,0 +1,92 @@
+"""Count-min sketch: mergeable heavy-hitter counting over unbounded
+key spaces (the frequency complement of the HLL distinct sketch in
+plans/windows_batch.py).
+
+The sketch is a d×w counter matrix held AS A DATAFRAME of (row, col,
+cnt) cells: building is one explode (d cells per item) + one hash-agg;
+merging two sketches is union + sum (associative/commutative — the
+same roll-up algebra as HLL, so a 100 TB deployment keeps one tiny
+sketch per partition and folds them in any order); a point query is
+min over a key's d cells. Estimates are deterministic given the hash
+family — md5-derived and engine-portable, so a SQL oracle can rebuild
+the identical sketch — and obey cnt_true ≤ est ≤ cnt_true + εN with
+the classic (d, w) guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+D_DEFAULT = 4
+W_DEFAULT = 256
+
+
+def _cell(item: F.Column, row: int, w: int) -> F.Column:
+    """Portable column hash → [0, w): first 8 md5 hex chars parsed as
+    an int (DuckDB twin: CAST('0x' || substring(md5(..), 1, 8) AS
+    BIGINT) % w)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(item.cast("string"), F.lit(f"#r{row}"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(w))
+
+
+def cms_build(
+    df: DataFrame, item_col: str, d: int = D_DEFAULT, w: int = W_DEFAULT
+) -> DataFrame:
+    """(row, col, cnt) sketch cells for the items of ``df``. One
+    explode to d cells per item, one hash-agg with map-side combine."""
+    item = F.col(item_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), _cell(item, r, w).alias("col"))
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Fold sketches built with identical (d, w): union + sum."""
+    if not sketches:
+        raise ValueError("nothing to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = D_DEFAULT,
+    w: int = W_DEFAULT,
+) -> DataFrame:
+    """Point estimates: min over each item's d cells. Missing cells
+    count 0 (item never hashed there). Output (item_col, est)."""
+    item = F.col(item_col)
+    probes = items.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), _cell(item, r, w).alias("col"))
+                    for r in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select(item_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -237,3 +237,55 @@ def sketch_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("users_est"),
         F.sum("exact_daily").alias("sum_daily_exact"),
     )
+
+
+CMS_ORACLE = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), cells AS (
+  SELECT t.r AS row,
+         CAST(('0x' || substring(md5(tok || '#r' || t.r), 1, 8)) AS BIGINT) % 256 AS col
+  FROM toks, range(4) t(r)
+), sketch AS (
+  SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY row, col
+), vocab AS (
+  SELECT DISTINCT tok FROM toks
+), probes AS (
+  SELECT v.tok, t.r AS row,
+         CAST(('0x' || substring(md5(v.tok || '#r' || t.r), 1, 8)) AS BIGINT) % 256 AS col
+  FROM vocab v, range(4) t(r)
+), est AS (
+  SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS e
+  FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
+  GROUP BY p.tok
+), true_counts AS (
+  SELECT tok, COUNT(*) AS t FROM toks GROUP BY tok
+)
+SELECT e.tok, CAST(e.e AS BIGINT) AS est, CAST(t.t AS BIGINT) AS true_cnt
+FROM est e JOIN true_counts t USING (tok)
+ORDER BY tok
+"""
+
+
+@register("sketch_countmin_tokens", oracle=CMS_ORACLE, tags=("sketch", "approx", "text"))
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter counting (operators/sketches.py):
+    the corpus token stream folds into a 4×256 mergeable counter
+    table, every vocabulary item is point-estimated (min over its d
+    cells), and the estimate sits beside the true count. The hash
+    family is md5-derived and engine-portable, so the DuckDB oracle
+    rebuilds the IDENTICAL sketch — estimates hash-match exactly,
+    proving determinism and the ≥-true bound in one query."""
+    from data_lake_with_spark_spark.functions import text as TXT
+    from data_lake_with_spark_spark.operators.sketches import cms_build, cms_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+    sketch = cms_build(toks, "tok")
+    est = cms_query(sketch, toks.distinct(), "tok")
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(true_counts, "tok")
+        .select("tok", F.col("est").cast("long"), F.col("true_cnt").cast("long"))
+        .orderBy("tok")
+    )

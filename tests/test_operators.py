@@ -208,6 +208,34 @@ def test_train_test_split_degenerate_fractions(spark, sf_dir):
     assert everything == {"test"}
 
 
+def test_count_min_sketch_merge_and_bounds(spark):
+    """CMS algebra: partition-wise sketches merged == one-shot sketch;
+    estimates never undercount; a tiny width forces collisions that
+    only ever OVERcount."""
+    from data_lake_with_spark_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    rows = [(i, f"tok{i % 7}") for i in range(100)] + [(100, "rare")]
+    df = spark.createDataFrame(rows, ["i", "item"])
+    whole = cms_build(df, "item", d=3, w=4)
+    half1 = cms_build(df.where(F.col("i") < 50), "item", d=3, w=4)
+    half2 = cms_build(df.where(F.col("i") >= 50), "item", d=3, w=4)
+    merged = cms_merge(half1, half2)
+    as_cells = lambda s: {(r["row"], r["col"]): r["cnt"] for r in s.collect()}
+    assert as_cells(merged) == as_cells(whole)
+    true_counts = {r["item"]: r["n"] for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r["item"]: r["est"]
+        for r in cms_query(whole, df.distinct(), "item", d=3, w=4).collect()
+    }
+    assert all(est[k] >= v for k, v in true_counts.items())
+    # w=4 with 8 distinct keys must collide somewhere
+    assert any(est[k] > v for k, v in true_counts.items())
+
+
 def test_media_codecs_round_trip():
     """WAV and PNG codecs are lossless over every supported shape:
     all five PNG scanline filters × all four channel layouts, and

@@ -212,6 +212,21 @@ def click_purchase_stream_join(
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+) -> DataFrame:
+    """Stream-static enrichment: every micro-batch joins against the
+    (re-read-per-batch) static dimension — stateless, no watermark
+    needed, and the dim side broadcasts under the usual threshold, so
+    the stream never shuffles. The streaming form of the reference's
+    fact-enrichment join (etl.py:244-247). Left join: events without a
+    dim row pass through with nulls rather than being dropped."""
+    d = F.broadcast(
+        dim.withColumnRenamed(dim_key, stream_key) if dim_key != stream_key else dim
+    )
+    return stream.join(d, stream_key, "left")
+
+
 def stream_into_lake(
     stream: DataFrame, path: str, keys: list[str], query_name: str = "lake_sink"
 ):

@@ -40,6 +40,31 @@ def test_session_matches_batch(spark, sf_dir, stream):
     )
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream):
+    """Stream-static dim join == the same join in batch, including
+    pass-through of events with no dim match (left semantics)."""
+    from data_lake_with_spark_spark.catalog import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    out = jobs.run_to_completion(
+        jobs.enrich_stream_with_dim(stream, dim, "user_id", "c_custkey"),
+        "t_enrich",
+    ).select("event_id", "user_id", "c_name")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            dim.withColumnRenamed("c_custkey", "user_id"), "user_id", "left"
+        )
+        .select("event_id", "user_id", "c_name")
+    )
+    assert _sorted_rows(out, "event_id") == _sorted_rows(batch, "event_id")
+    assert out.where(F.col("c_name").isNull()).count() == batch.where(
+        F.col("c_name").isNull()
+    ).count()
+
+
 def test_streaming_dedup_unique_ids(spark, sf_dir, stream):
     out = jobs.run_to_completion(jobs.streaming_dedup(stream), "t_dedup")
     n = out.count()

@@ -88,8 +88,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ASOF_ORACLE = """
-SELECT c.event_id, c.user_id, c.ts,
-       p.ts AS purchase_ts, p.value AS purchase_value
+SELECT c.event_id, c.user_id, CAST(epoch_ms(c.ts) AS BIGINT) AS ts_ms,
+       CAST(epoch_ms(p.ts) AS BIGINT) AS purchase_ts_ms, p.value AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND p.ts <= c.ts
@@ -101,7 +101,12 @@ ORDER BY c.event_id
 def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click paired with the user's most recent
     purchase at-or-before it (union + last-ignorenulls window — no
-    native Spark as-of join exists)."""
+    native Spark as-of join exists). Timestamps are emitted as epoch
+    millis (exact integers): a struct-extracted timestamp column was
+    observed to occasionally collect with a shifted representation in
+    long shared sessions, and integer epochs are engine- and
+    representation-proof (same hardening as the nanos-as-long
+    ingestion path)."""
     ev = _t(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -119,8 +124,8 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        "ts",
-        F.col("ts_p").alias("purchase_ts"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(F.col("ts_p")).alias("purchase_ts_ms"),
         F.col("value_p").alias("purchase_value"),
     ).orderBy("event_id")
 

@@ -41,6 +41,56 @@ def stratified_fraction(
     return df.where(_bucket(id_col) < F.lit(format(n_keep, "02x")))
 
 
+def mixture_resample(
+    df: DataFrame, weights: dict[str, float], domain_col: str, id_col: str
+) -> DataFrame:
+    """Downsample to target domain proportions, content-addressed.
+
+    Given target shares ``weights`` (normalized internally), keeps the
+    LARGEST subset whose domain mix matches the targets: the binding
+    domain (smallest count/weight ratio) is kept in full and every
+    other domain is thinned to match, via the same 256-bucket md5
+    scheme as ``stratified_fraction`` (so the kept set is a pure
+    function of row content — reproducible across engines, runs and
+    partitionings; domains absent from ``weights`` are dropped).
+
+    Fully lazy and declarative: per-domain counts are a tiny
+    hash-aggregate, the binding ratio is a 1-row aggregate attached by
+    broadcast, and the final keep test is a map-side filter against the
+    broadcast per-domain boundary — one data-sized scan, no action
+    during plan construction. The per-domain keep fraction is
+    quantized to the 1/256 bucket grid (identically on any engine that
+    computes the same plan — floor(x+0.5) rounding, 'zz' sentinel for
+    keep-all so the 3-hex-digit boundary bug cannot occur)."""
+    total = sum(weights.values())
+    norm = {k: v / total for k, v in weights.items()}
+    wmap = F.create_map(*[F.lit(x) for kv in norm.items() for x in kv])
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_w", wmap[F.col(domain_col)])
+        .where(F.col("_w").isNotNull())
+    )
+    binding = counts.agg(
+        F.min(F.col("_cnt").cast("double") / F.col("_w")).alias("_ratio")
+    )
+    n_keep = F.floor(
+        F.lit(256.0) * F.col("_ratio") * F.col("_w") / F.col("_cnt").cast("double")
+        + F.lit(0.5)
+    ).cast("int")
+    boundaries = counts.crossJoin(F.broadcast(binding)).select(
+        domain_col,
+        F.when(n_keep >= 256, F.lit("zz"))
+        .otherwise(F.lower(F.lpad(F.hex(n_keep), 2, "0")))
+        .alias("_keep_below"),
+    )
+    return (
+        df.join(F.broadcast(boundaries), domain_col)
+        .where(_bucket(id_col) < F.col("_keep_below"))
+        .drop("_keep_below")
+    )
+
+
 def stratified_topk(
     df: DataFrame, strata_cols: list[str], k: int, id_col: str
 ) -> DataFrame:

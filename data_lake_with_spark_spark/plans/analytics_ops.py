@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
-from data_lake_with_spark_spark.plans.parity import pround, pround_sql
+from data_lake_with_spark_spark.plans.parity import dsum, dsum_sql, pround, pround_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -400,6 +400,129 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
         .orderBy("col_name")
+    )
+
+
+TRANSITION_ORACLE = f"""
+WITH nxt AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       {pround_sql(
+           'CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)',
+           6,
+       )} AS p
+FROM pairs
+ORDER BY event_type, next_type
+"""
+
+
+@register("events_transition_matrix", oracle=TRANSITION_ORACLE, tags=("analytics", "events", "window"))
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | event_type) with observed counts. One
+    shuffle on user_id for the lead window, then a tiny
+    (|types|²-row) aggregate; the normalizing row-sum is a second
+    window over that tiny frame, not over raw events. At 100 TB the
+    user_id shuffle is the only data-sized exchange and it
+    partitions evenly (per-user sequences are short)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(W.partitionBy("event_type"))
+    return (
+        pairs.select(
+            "event_type",
+            "next_type",
+            "n",
+            pround(F.col("n").cast("double") / row_total.cast("double"), 6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+ZSCORE_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {dsum_sql('value', 2)} AS revenue
+  FROM events
+  GROUP BY 1
+), roll AS (
+  SELECT day, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(SUM(CAST(revenue * revenue AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n_win
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, revenue,
+       {pround_sql(
+           '(revenue - sx / n_win) / sqrt((sxx - sx * sx / n_win) / (n_win - 1))',
+           4,
+       )} AS z,
+       (n_win >= 7 AND
+        abs((revenue - sx / n_win)
+            / sqrt((sxx - sx * sx / n_win) / (n_win - 1))) > 2.0) AS is_anomaly
+FROM roll
+WHERE n_win >= 2 AND (sxx - sx * sx / n_win) / (n_win - 1) > 1e-12
+ORDER BY day
+"""
+
+
+@register("anomaly_rolling_zscore", oracle=ZSCORE_ORACLE, tags=("analytics", "events", "window", "stats"))
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score anomaly flag over daily event revenue.
+
+    Cross-engine portability: windowed STDDEV_SAMP uses different
+    incremental algorithms in Spark vs DuckDB (last-ulp drift), so the
+    variance is computed from EXACT decimal window sums of x and x²
+    (both bit-identical per row across engines) and only then combined
+    in deterministic double arithmetic — z is bit-identical on both
+    engines before rounding, so the |z|>2 flag cannot straddle the
+    boundary. The daily pre-aggregate shrinks the window input to
+    one row per day; the unpartitioned ORDER BY day window is over
+    that tiny frame, not raw events (at 100 TB the per-day rollup is
+    the only data-sized shuffle; a production variant would window
+    within a dimension key and stay partitioned)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum(F.col("value"), 2).alias("revenue"))
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    dec = "decimal(18,6)"
+    roll = daily.select(
+        "day",
+        "revenue",
+        F.sum(F.col("revenue").cast(dec)).over(w).cast("double").alias("sx"),
+        F.sum((F.col("revenue") * F.col("revenue")).cast(dec)).over(w).cast("double").alias("sxx"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n_win"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_win")) / (
+        F.col("n_win") - 1
+    )
+    z = (F.col("revenue") - F.col("sx") / F.col("n_win")) / F.sqrt(var)
+    return (
+        roll.where((F.col("n_win") >= 2) & (var > 1e-12))
+        .select(
+            "day",
+            "revenue",
+            pround(z, 4).alias("z"),
+            ((F.col("n_win") >= 7) & (F.abs(z) > 2.0)).alias("is_anomaly"),
+        )
+        .orderBy("day")
     )
 
 

@@ -10,11 +10,14 @@ needed despite being "ML pipeline" ops.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.functions import text as TXT
+from data_lake_with_spark_spark.operators import sampling as SMP
 from data_lake_with_spark_spark.operators import training as TR
+from data_lake_with_spark_spark.plans.parity import pround, pround_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -50,6 +53,83 @@ def training_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(TXT.token_count("text").cast("long")).alias("total_tokens"),
         )
         .orderBy("split", "lang")
+    )
+
+
+# Target corpus mix for the resampling query. Normalized here exactly
+# as operators/sampling.mixture_resample normalizes internally (same
+# insertion order, same float ops) so the oracle can embed the
+# identical double literals.
+MIX_WEIGHTS = {"de": 0.15, "en": 0.4, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_TOTAL = sum(MIX_WEIGHTS.values())
+_MIX_NORM = {k: v / _MIX_TOTAL for k, v in MIX_WEIGHTS.items()}
+
+MIXTURE_ORACLE = f"""
+WITH wt(lang, w) AS (
+  VALUES {", ".join(f"('{k}', CAST({v!r} AS DOUBLE))" for k, v in _MIX_NORM.items())}
+), counts AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+), cw AS (
+  SELECT c.lang, c.cnt, wt.w FROM counts c JOIN wt USING (lang)
+), binding AS (
+  SELECT MIN(CAST(cnt AS DOUBLE) / w) AS ratio FROM cw
+), bounds AS (
+  SELECT lang, cnt,
+         CASE WHEN FLOOR(256.0 * ratio * w / CAST(cnt AS DOUBLE) + 0.5) >= 256
+              THEN 'zz'
+              ELSE printf('%02x',
+                   CAST(FLOOR(256.0 * ratio * w / CAST(cnt AS DOUBLE) + 0.5)
+                        AS INTEGER)) END AS keep_below
+  FROM cw, binding
+), keptc AS (
+  SELECT d.lang, COUNT(*) AS n_after
+  FROM documents d JOIN bounds b USING (lang)
+  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < b.keep_below
+  GROUP BY d.lang
+)
+SELECT b.lang,
+       b.cnt AS n_before,
+       COALESCE(k.n_after, 0) AS n_after,
+       {pround_sql(
+           'CAST(COALESCE(k.n_after, 0) AS DOUBLE)'
+           ' / CAST(SUM(COALESCE(k.n_after, 0)) OVER () AS DOUBLE)',
+           6,
+       )} AS share_after
+FROM bounds b LEFT JOIN keptc k USING (lang)
+ORDER BY b.lang
+"""
+
+
+@register("sample_domain_mixture", oracle=MIXTURE_ORACLE, tags=("training", "llm", "sampling"))
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a target language mix (40% en, 15% each
+    of de/es/fr/zh) — the domain-reweighting step of a training-data
+    pipeline. The kept set is content-addressed (md5 buckets), so the
+    mix is reproducible across engines and partitionings; the binding
+    domain is kept whole and the rest are thinned to match. Reports
+    per-language before/after counts and the achieved share. One
+    data-sized scan + a broadcast of the 5-row boundary table; the
+    achieved share tracks the target up to the 1/256 bucket grid and
+    per-bucket population noise."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = SMP.mixture_resample(docs, MIX_WEIGHTS, "lang", "doc_id")
+    keptc = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    joined = (
+        before.join(keptc, "lang", "left")
+        .withColumn("n_after", F.coalesce("n_after", F.lit(0)))
+    )
+    total_after = F.sum("n_after").over(W.partitionBy())
+    return (
+        joined.select(
+            "lang",
+            "n_before",
+            "n_after",
+            pround(
+                F.col("n_after").cast("double") / total_after.cast("double"), 6
+            ).alias("share_after"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -358,6 +358,44 @@ def test_stratified_sampling_deterministic(spark, sf_dir):
     assert {r["event_id"] for r in got.collect()} == {r["event_id"] for r in again.collect()}
 
 
+def test_mixture_resample_targets_and_determinism(spark, sf_dir):
+    """Domain mixture resampling: the binding domain survives whole,
+    the achieved mix tracks the targets up to bucket granularity,
+    unlisted domains drop, and the kept set is run-stable."""
+    from data_lake_with_spark_spark.operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    before = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {"en": 0.4, "de": 0.2, "zh": 0.4}
+    kept = mixture_resample(docs, weights, "lang", "doc_id")
+    after = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # unlisted domains are dropped entirely
+    assert set(after) <= set(weights)
+    # the binding domain (min count/weight) is kept in full
+    binding = min(weights, key=lambda k: before[k] / weights[k])
+    assert after[binding] == before[binding]
+    # every domain's achieved share is within bucket noise of target
+    total_after = sum(after.values())
+    for k, w in weights.items():
+        assert abs(after[k] / total_after - w / sum(weights.values())) < 0.12
+    # deterministic: same kept ids on a second evaluation
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in mixture_resample(docs, weights, "lang", "doc_id").collect()
+    }
+    assert ids1 == ids2
+    # degenerate: a single domain keeps everything (boundary 'zz' path)
+    solo = mixture_resample(docs, {"en": 1.0}, "lang", "doc_id")
+    assert solo.count() == before["en"]
+
+
 def test_pack_sequences_prefix_sum_semantics(spark):
     """pack_id = floor(tokens-before / budget): packs fill in order,
     every pack except a shard's last holds >= budget tokens counting

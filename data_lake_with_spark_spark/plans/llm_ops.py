@@ -16,8 +16,16 @@ from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.functions import text as TXT
 from data_lake_with_spark_spark.operators import dedup as DD
 from data_lake_with_spark_spark.operators import multimodal as MM
+from data_lake_with_spark_spark.operators import quantize as QZ
 from data_lake_with_spark_spark.operators import similarity as SIM
-from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
+from data_lake_with_spark_spark.plans.parity import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    pround,
+    pround_sql,
+)
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -527,6 +535,50 @@ def vector_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+QUANT_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id,
+         UNNEST(range(len(embedding))) AS pos,
+         CAST(UNNEST(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), sc AS (
+  SELECT pos, MAX(abs(v)) AS scale FROM ex GROUP BY pos
+), q AS (
+  SELECT vec_id, ex.pos, v, scale,
+         CASE WHEN scale = 0 THEN 0
+              ELSE CAST(FLOOR(127.0 * v / scale + 0.5) AS INTEGER) END AS qv
+  FROM ex JOIN sc ON ex.pos = sc.pos
+)
+SELECT vec_id,
+       MAX(CASE WHEN pos = 0 THEN qv END) AS q0,
+       MAX(CASE WHEN pos = 1 THEN qv END) AS q1,
+       MAX(CASE WHEN pos = 2 THEN qv END) AS q2,
+       {pround_sql(
+           'MAX(CASE WHEN scale = 0 THEN 0.0'
+           ' ELSE abs(v - qv * scale / 127.0) END)',
+           6,
+       )} AS linf_err
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@register("vector_quantize_int8", oracle=QUANT_ORACLE, tags=("vector", "llm", "quantize"))
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding
+    corpus (the 4x storage-shrink step before SIMD int8 distance
+    kernels) with per-vector L∞ reconstruction error. Deterministic
+    and training-free — scales are corpus maxima, codes are portable
+    half-up rounds — so unlike PQ this quantizer oracles exactly.
+    Plan: one posexplode scan, a dim-row aggregate, broadcast join
+    back; no data-sized shuffle beyond the scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quantized = QZ.quantize_int8(emb)
+    per_vec = QZ.dequantize_error(quantized)
+    return per_vec.select(
+        "vec_id", "q0", "q1", "q2", pround(F.col("linf_err"), 6).alias("linf_err")
+    ).orderBy("vec_id")
 
 
 @register("dedup_minhash_signatures", oracle=None, tags=("dedup", "llm", "approx"))

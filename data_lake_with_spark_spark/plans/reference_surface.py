@@ -295,6 +295,37 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POSEXPLODE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(range(len(string_split(text, ' ')))) AS pos,
+         UNNEST(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+FROM tok WHERE token <> ''
+ORDER BY doc_id, pos
+"""
+
+
+@register("lateral_posexplode_tokens", oracle=POSEXPLODE_ORACLE, tags=("scalar", "array", "lateral"))
+def lateral_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral surface: posexplode a tokenized column into
+    position-indexed rows (the LATERAL VIEW / UNNEST WITH ORDINALITY
+    analog). Positions come from the generator itself, not a window —
+    no shuffle at all; the explode is pipelined inside the scan stage.
+    The DuckDB oracle zips parallel UNNESTs (range + list) since it
+    lacks WITH ORDINALITY."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .where(F.col("token") != "")
+        .orderBy("doc_id", "pos")
+    )
+
+
 NULL_HANDLING_ORACLE = """
 SELECT e.event_id,
        COALESCE(c.c_name, '(anonymous)')            AS who,

@@ -396,6 +396,40 @@ def test_mixture_resample_targets_and_determinism(spark, sf_dir):
     assert solo.count() == before["en"]
 
 
+def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
+    """int8 quantization: codes within [-127, 127], reconstruction
+    error within the half-step bound scale/254 per dimension, and the
+    quantizer is idempotent on already-representable values (v = k *
+    scale/127 quantizes back to k)."""
+    from data_lake_with_spark_spark.operators.quantize import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    stats = q.agg(
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+        F.max(
+            F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+                F.abs(F.col("v") - F.col("q") * F.col("scale") / 127.0)
+                - F.col("scale") / 254.0
+            )
+        ).alias("worst_slack"),
+    ).collect()[0]
+    assert -127 <= stats["qmin"] and stats["qmax"] <= 127
+    assert stats["worst_slack"] <= 1e-12  # error never exceeds half a step
+    # representable values survive a quantize round-trip exactly
+    from pyspark.sql import Row
+
+    scale = 0.5
+    rows = [Row(vec_id=i, embedding=[k * scale / 127.0]) for i, k in enumerate([-127, -3, 0, 64, 127])]
+    tiny = spark.createDataFrame(rows)
+    got = {
+        r["vec_id"]: r["q"]
+        for r in quantize_int8(tiny).collect()
+    }
+    assert got == {0: -127, 1: -3, 2: 0, 3: 64, 4: 127}
+
+
 def test_pack_sequences_prefix_sum_semantics(spark):
     """pack_id = floor(tokens-before / budget): packs fill in order,
     every pack except a shard's last holds >= budget tokens counting

@@ -342,6 +342,39 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAMINATE_BLOOM_ORACLE = DECONTAMINATE_ORACLE
+
+
+@register("decontaminate_bloom", oracle=DECONTAMINATE_BLOOM_ORACLE, tags=("text", "llm", "dedup", "bloom"))
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination: build an 8 KiB
+    bloom bitmap over the benchmark 8-grams, prune corpus grams
+    MAP-SIDE with JVM bit probes, then resolve the (rare) false
+    positives with the exact join on the survivors. No false
+    negatives, so the output is bit-identical to text_decontaminate
+    and shares its oracle — the bloom changes the plan, not the
+    answer. At 100 TB the corpus side never shuffles a pruned gram;
+    the bitmap build's collect is bounded at m/64 longs by
+    construction (same class as the PQ codebook collect)."""
+    from data_lake_with_spark_spark.operators import bloom as BL
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = DD.shingle_table(docs, n=8).select(
+        "id", F.xxhash64("shingle").alias("g")
+    )
+    bench = grams.where(F.col("id") < 20).select("g").distinct()
+    bitmap = BL.build_bloom(bench, "g")
+    corpus = grams.where(F.col("id") >= 20).where(
+        BL.might_contain(F.col("g"), bitmap)
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
 CORPUS_CLEAN_ORACLE = r"""
 WITH quality AS (
   SELECT doc_id,

@@ -723,6 +723,31 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+ORDER BY c_custkey
+"""
+
+
+@register("join_left_semi", oracle=SEMI_ORACLE, tags=("join",))
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS analog): customers with at least one
+    high-value order, emitting each at most once without a distinct —
+    the semi join stops probing a key after the first match, so it
+    shuffles no duplicate matches and needs no post-dedup. Filter on
+    the build side is pushed before the exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 EXISTS_ORACLE = """
 SELECT p_partkey, p_name
 FROM part p

@@ -430,6 +430,30 @@ def test_quantize_int8_bounds_and_roundtrip(spark, sf_dir):
     assert got == {0: -127, 1: -3, 2: 0, 3: 64, 4: 127}
 
 
+def test_bloom_prunes_without_false_negatives(spark, sf_dir):
+    """Bloom prefilter: every true member survives (no false
+    negatives — the exact-join result is unchanged) and the map-side
+    prune rejects the overwhelming majority of non-members."""
+    from data_lake_with_spark_spark.operators import bloom as BL
+    from data_lake_with_spark_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = DD.shingle_table(docs, n=8).select(
+        "id", F.xxhash64("shingle").alias("g")
+    )
+    bench = grams.where(F.col("id") < 20).select("g").distinct()
+    bitmap = BL.build_bloom(bench, "g")
+    corpus = grams.where(F.col("id") >= 20)
+    survivors = corpus.where(BL.might_contain(F.col("g"), bitmap))
+    true_hits = corpus.join(bench, "g").select("g").distinct()
+    missed = true_hits.join(
+        survivors.select("g").distinct(), "g", "left_anti"
+    ).count()
+    assert missed == 0
+    n_corpus, n_surv = corpus.count(), survivors.count()
+    assert n_surv < 0.05 * n_corpus  # FP rate ~1e-4 at m=2^16, k=3
+
+
 def test_pack_sequences_prefix_sum_semantics(spark):
     """pack_id = floor(tokens-before / budget): packs fill in order,
     every pack except a shard's last holds >= budget tokens counting

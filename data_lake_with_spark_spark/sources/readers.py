@@ -34,3 +34,20 @@ def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     if isinstance(paths, str):
         return spark.read.parquet(paths)
     return spark.read.parquet(*paths)
+
+
+def read_orc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """ORC scan — like parquet, self-describing (embedded schema,
+    column stats, predicate pushdown), so no schema argument."""
+    if isinstance(paths, str):
+        return spark.read.orc(paths)
+    return spark.read.orc(*paths)
+
+
+def read_jsonl(
+    spark: SparkSession, paths: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """Line-delimited JSON (the interchange format LLM corpora ship
+    in) with mandatory schema — same no-inference policy as
+    read_json; Spark's json source is newline-delimited by default."""
+    return spark.read.schema(schema).json(paths)

@@ -56,6 +56,58 @@ def test_read_csv_with_schema(spark, tmp_path):
     assert [r["year"] for r in df.orderBy("song_id").collect()] == [2001, 2002]
 
 
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan: values survive a round trip and a filtered
+    re-read pushes the predicate into the ORC scan."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.sources import read_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    want = orders.agg(F.sum("o_orderkey").alias("s")).first()["s"]
+    assert back.agg(F.sum("o_orderkey").alias("s")).first()["s"] == want
+    plan = (
+        back.where(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:120]
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    """JSON-lines round trip with declared schema (no inference)."""
+    import json as _json
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.sources import read_jsonl
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    f = tmp_path / "docs.jsonl"
+    f.write_text(
+        "\n".join(_json.dumps(r.asDict()) for r in docs.collect()) + "\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_jsonl(spark, str(f), schema)
+    assert back.schema == schema
+    assert back.count() == 50
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
+
+
 def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     from data_lake_with_spark_spark.catalog import load_table
 

@@ -12,13 +12,17 @@ a thin adapter over the query registry
 
 from __future__ import annotations
 
+import os
 import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO_ROOT))
 
 from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 
@@ -41,6 +45,27 @@ DRIVER_ALIASES = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``data_lake_with_spark_spark`` importable inside executor
+    Python workers regardless of the driver's cwd/PYTHONPATH — the
+    ``--py-files`` deployment path, done programmatically. Arrow UDF
+    stages (mapInPandas/applyInPandas) deserialize functions by module
+    reference, so workers must be able to import the package; on a real
+    cluster this addPyFile is also how the package reaches executors."""
+    sc = spark.sparkContext
+    if getattr(sc, "_dlws_pyfiles_shipped", False):
+        return
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="dlws_pyfiles_"), "data_lake_with_spark_spark.zip"
+    )
+    pkg = _REPO_ROOT / "data_lake_with_spark_spark"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg.rglob("*.py")):
+            zf.write(py, py.relative_to(_REPO_ROOT).as_posix())
+    sc.addPyFile(zpath)
+    sc._dlws_pyfiles_shipped = True
+
+
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply the oracle-parity/session settings that matter even when
     the driver owns SparkSession construction."""
@@ -49,6 +74,10 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; catalog handles long ts either way
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # best-effort: local runs with repo-root cwd don't need it
     return spark
 
 

@@ -14,6 +14,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     reference_surface,
     relational,
     relational2,
+    semantic_ops,
     tpch_deep,
     tpch_deep2,
     llm_ops,

@@ -234,6 +234,69 @@ def ngram_jaccard_pairs(
     return verified.distinct()
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional shingle containment C(a→b) = |A∩B| / |A| ≥ threshold
+    — the near-CONTAINMENT detector (quotes, excerpts, supersets) that
+    symmetric Jaccard misses: a short doc fully quoted inside a long
+    one has high containment but low Jaccard.
+
+    Prefix filtering still applies, but only on the contained (A) side:
+    an overlap ≥ ⌈t·|A|⌉ forces a shared shingle within the first
+    |A| − ⌈t·|A|⌉ + 1 of A's sorted shingles, while B contributes its
+    FULL posting list (containment puts no upper bound on |B|). The
+    candidate join is A-prefix × B-full on the shingle hash — lossless,
+    and at scale the A-side explode is a fraction of the corpus. The
+    only B-side filter is |B| ≥ ⌈t·|A|⌉ (B must be big enough to hold
+    the overlap). Verification is exact array_intersect against the
+    cached per-doc arrays. Output (a_id, b_id, containment), a ≠ b,
+    both directions evaluated independently.
+    """
+    pref = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
+    a = pref.select(
+        "id", "n_sh", F.explode("prefix").alias("shingle")
+    ).alias("a")
+    b = pref.select(
+        "id", "n_sh", F.explode("sorted_shingles").alias("shingle")
+    ).alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.n_sh") >= F.ceil(F.lit(threshold) * F.col("a.n_sh"))),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    arr_a = pref.select(
+        F.col("id").alias("a_id"),
+        F.col("sorted_shingles").alias("a_sh"),
+        F.col("n_sh").alias("n_a"),
+    )
+    arr_b = pref.select(
+        F.col("id").alias("b_id"),
+        F.col("sorted_shingles").alias("b_sh"),
+    )
+    if _plan_size_bytes(docs) <= BROADCAST_ARRAYS_MAX_INPUT_BYTES:
+        arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
+    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+    cont = inter / F.col("n_a")
+    return (
+        candidates.join(arr_a, "a_id")
+        .join(arr_b, "b_id")
+        .select(
+            "a_id", "b_id", (F.floor(cont * 1e6 + 0.5) / 1e6).alias("containment")
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,

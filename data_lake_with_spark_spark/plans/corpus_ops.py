@@ -166,3 +166,96 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+VOCAB_OOV_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT 256
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       FLOOR(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("text_vocab_oov", oracle=VOCAB_OOV_ORACLE, tags=("text", "llm", "vocab"))
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary coverage: build the 256-token vocabulary by
+    corpus frequency (ties → lexicographic, so the cut is total) and
+    report each document's out-of-vocabulary token count and rate —
+    the tokenizer-fit signal a corpus pipeline checks before training.
+    Plan: one token explode + hash-agg for counts, a TakeOrdered
+    (distributed top-V, never a single-partition sort) for the
+    vocabulary, then a broadcast left join back over the exploded
+    tokens with a map-side-combined per-doc aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(256)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.floor(F.col("n_oov") * 1.0 / F.col("n_tokens") * 1e6 + 0.5) / 1e6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAINMENT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       FLOOR(n_inter * 1.0 / sa.n_sh * 1e6 + 0.5) / 1e6 AS containment
+FROM inter JOIN sizes sa ON a_id = sa.doc_id
+WHERE n_inter * 1.0 / sa.n_sh >= 0.8
+ORDER BY a_id, b_id
+"""
+
+
+@register("dedup_containment", oracle=CONTAINMENT_ORACLE, tags=("dedup", "text", "llm"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 3-gram containment ≥ 0.8 — finds docs whose shingle
+    set is (nearly) swallowed by another doc: quotes, excerpts, and
+    boilerplate supersets that symmetric Jaccard under-scores. Runs the
+    one-sided-prefix inverted-index join from operators/dedup.py:
+    contained-side prefixes × container-side full postings, exact
+    array_intersect verify."""
+    from data_lake_with_spark_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, threshold=0.8, n=3).orderBy("a_id", "b_id")

@@ -142,3 +142,27 @@ def test_vacuum_drops_pre_base_history(spark, tmp_path):
     assert versioned_read(spark, path).count() == 2  # current intact
     with _pytest.raises(Exception):  # pre-base history is gone
         versioned_read(spark, path, version=0).collect()
+
+
+def test_containment_catches_quote_that_jaccard_misses(spark):
+    from data_lake_with_spark_spark.operators import dedup as DD
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    padding = " ".join(f"pad{i} filler{i} extra{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + padding), (3, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in DD.containment_pairs(docs, threshold=0.8, n=3).collect()
+    }
+    # every 3-gram of the quote appears in the superset doc
+    assert pairs.get((1, 2)) == 1.0
+    # the reverse direction is NOT contained (superset has many extra
+    # shingles), and the unrelated doc pairs with nothing
+    assert (2, 1) not in pairs
+    assert all(3 not in p for p in pairs)
+    # symmetric Jaccard misses the same relationship at its threshold
+    jac = DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    assert jac == []

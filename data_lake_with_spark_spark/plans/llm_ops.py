@@ -794,6 +794,42 @@ def decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECODE_GIF_ORACLE = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(32)) AS idx FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(SUM((doc_id * 7 + 11 * (idx // 8) + 3 * (idx % 8)) % 256) AS BIGINT)
+         AS sum_pixels
+FROM s GROUP BY doc_id ORDER BY media_id
+"""
+
+
+@register("decode_image_gif", oracle=DECODE_GIF_ORACLE, tags=("multimodal", "llm", "decode"))
+def decode_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode #3 (E5): closed-form grayscale rasters are
+    LZW-compressed into genuine GIF87a files, decoded back by the
+    stdlib-only bit-level LZW decoder (variable code width, clear-code
+    resets, KwKwK), and the raster sums hash-checked against the
+    analytic oracle."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_gif_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    return (
+        dec.select(
+            "media_id",
+            "width",
+            "height",
+            F.aggregate("values", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "sum_pixels"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
 GRAPH_DEGREE_ORACLE = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v

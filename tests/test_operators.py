@@ -524,3 +524,23 @@ def test_funnel_counts_monotone_and_gap_tightens(spark, sf_dir):
     one = funnel_counts(ev, ["click"]).collect()
     n_click = ev.where("event_type = 'click'").select("user_id").distinct().count()
     assert len(one) == 1 and one[0]["n_users"] == n_click
+
+
+def test_gif_codec_roundtrip_properties(spark):
+    """Encoder/decoder agreement on rasters that force the LZW table
+    through growth, resets, and the KwKwK case."""
+    from data_lake_with_spark_spark.operators.media_codecs import (
+        decode_gif_bytes,
+        encode_gif,
+    )
+
+    cases = [
+        bytes([0] * 1),                       # single pixel
+        bytes([5] * 4096),                    # run -> KwKwK chains
+        bytes((i * 37) % 256 for i in range(12000)),  # growth past 12-bit reset
+    ]
+    widths = [1, 64, 100]
+    for raster, w in zip(cases, widths):
+        h = len(raster) // w
+        got = decode_gif_bytes(encode_gif(raster, w, h))
+        assert got == (w, h, raster)

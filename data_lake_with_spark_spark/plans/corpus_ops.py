@@ -342,3 +342,63 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(25)
     )
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), cnt AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT SUM(c) AS t FROM cnt
+), scored AS (
+  SELECT doc_id,
+         CAST(FLOOR((ln(CAST(c AS DOUBLE)) - ln(CAST(t AS DOUBLE))) * 1e6)
+              AS BIGINT) AS lp_q
+  FROM tok JOIN cnt USING (term) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       FLOOR(SUM(lp_q) * 1.0 / COUNT(*) / 1e6 * 1e4 + 0.5) / 1e4
+         AS mean_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("text_unigram_logprob", oracle=UNIGRAM_LOGPROB_ORACLE, tags=("text", "llm", "quality"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style perplexity proxy
+    quality filter): each document's mean ln P(token) under the
+    corpus's own unigram distribution — rare-token-heavy docs score
+    low. Per-token log-probabilities are quantized to exact integers
+    (floor(ln p · 1e6)) BEFORE summation, so the per-doc aggregate is
+    order-independent and bit-identical on any engine and any
+    partitioning — the same decimal-moment trick the rolling z-score
+    uses, applied to transcendentals. Plan: one explode, a token-count
+    hash-agg, a shuffle join back on token (the count table broadcasts
+    when small), map-side-combined per-doc sums."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    lp_q = F.floor(
+        (F.log(F.col("c").cast("double")) - F.log(F.col("t").cast("double"))) * 1e6
+    ).cast("long")
+    return (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp_q.alias("lp_q"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp_q").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.floor(F.col("s") * 1.0 / F.col("n_tokens") / 1e6 * 1e4 + 0.5) / 1e4
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

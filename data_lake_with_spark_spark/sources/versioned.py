@@ -60,18 +60,25 @@ def current_version(path: str) -> int | None:
 
 
 def versioned_append(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    collect_stats: bool = False,
 ) -> int:
     """Write ``df`` as the next version's delta; returns the committed
     version number. ``partition_by`` hive-partitions the version dir
     (partition-pruned reads inside a pinned version — e.g. an IVF
-    index layout)."""
+    index layout). ``collect_stats`` records the per-file min/max
+    manifest (see write_stats_manifest) for flat dirs — partitioned
+    dirs already prune on the partition key."""
     cur = current_version(path)
     nxt = 0 if cur is None else cur + 1
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(_version_dir(path, nxt))
+    if collect_stats and not partition_by:
+        write_stats_manifest(_version_dir(path, nxt))
     os.makedirs(path, exist_ok=True)
     tmp = _latest_path(path) + ".tmp"
     with open(tmp, "w") as fh:
@@ -433,3 +440,119 @@ def versioned_read_merged(
         .where(~F.coalesce(F.col(TOMBSTONE), F.lit(False)))
         .drop("_rn", "_v", TOMBSTONE)
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level data skipping (Iceberg manifest analog)
+# ---------------------------------------------------------------------------
+
+_STATS_NAME = "_stats.json"
+
+
+def write_stats_manifest(version_dir: str) -> int:
+    """Record per-FILE column min/max for every parquet file in a
+    (non-hive-partitioned) version dir, read from parquet FOOTER
+    metadata only — no data scan, exactly how Iceberg builds its
+    manifests. Columns whose footer lacks usable stats (or whose type
+    doesn't serialize) are simply omitted for that file, which the
+    pruner treats as "must read" — skipping stays conservative, never
+    wrong. Returns the number of files recorded."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(version_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(version_dir, name)
+        meta = pq.ParquetFile(fpath).metadata
+        cols: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if not isinstance(lo, (int, float, str)) or not isinstance(
+                    hi, (int, float, str)
+                ):
+                    continue
+                cname = col.path_in_schema
+                if cname in cols:
+                    cols[cname] = [min(cols[cname][0], lo), max(cols[cname][1], hi)]
+                else:
+                    cols[cname] = [lo, hi]
+        entries.append({"file": name, "stats": cols})
+    tmp = os.path.join(version_dir, _STATS_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh)
+    os.replace(tmp, os.path.join(version_dir, _STATS_NAME))
+    return len(entries)
+
+
+def _prune_dir(version_dir: str, column: str, lo, hi) -> tuple[list[str], int]:
+    """(files to read, total files) for one version dir under the
+    range predicate lo ≤ column ≤ hi. Files without a manifest entry
+    or without stats for the column are always read."""
+    import json
+
+    manifest_path = os.path.join(version_dir, _STATS_NAME)
+    all_files = sorted(
+        n for n in os.listdir(version_dir) if n.endswith(".parquet")
+    )
+    if not os.path.exists(manifest_path):
+        return [os.path.join(version_dir, n) for n in all_files], len(all_files)
+    with open(manifest_path) as fh:
+        entries = {e["file"]: e["stats"] for e in json.load(fh)}
+    keep = []
+    for name in all_files:
+        st = entries.get(name, {}).get(column)
+        if st is None or (st[0] <= hi and st[1] >= lo):
+            keep.append(os.path.join(version_dir, name))
+    return keep, len(all_files)
+
+
+def versioned_read_range(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Snapshot read with FILE-LEVEL skipping for lo ≤ column ≤ hi:
+    only files whose manifest min/max overlaps the range are opened;
+    the exact predicate is still applied on top (skipping prunes I/O,
+    never semantics). Returns (df, {"files_read": n, "files_total": m})
+    so callers/tests can see the pruning. At 100 TB this is the
+    difference between opening every footer on the driver and touching
+    only the files a range query needs — pair with
+    operators/zorder.py, which is what makes per-file ranges tight in
+    the first place."""
+    from pyspark.sql import functions as F
+
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise ValueError(f"version {v} out of range [0, {latest}]")
+    base = compaction_base(path)
+    start = base if v >= base else 0
+    files: list[str] = []
+    total = 0
+    for i in range(start, v + 1):
+        keep, n = _prune_dir(_version_dir(path, i), column, lo, hi)
+        files.extend(keep)
+        total += n
+    if not files:
+        # empty-but-typed frame: read schema from any file of the span
+        any_dir = _version_dir(path, start)
+        df = spark.read.parquet(any_dir).where(F.lit(False))
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = df.where((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+    return df, {"files_read": len(files), "files_total": total}

@@ -195,3 +195,68 @@ def test_compact_merged_table_resolves_keys(spark, tmp_path):
     # the compacted snapshot holds no resurrected rows
     assert {(r["k"], r["v"]) for r in V.versioned_read_merged(spark, path, ["k"]).collect()} == {(1, 1.0), (2, 9.0)}
     assert {(r["k"], r["v"]) for r in V.versioned_read(spark, path).collect()} == {(1, 1.0), (2, 9.0)}
+
+
+def test_stats_manifest_prunes_range_reads(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "skiptbl")
+    # range-clustered layout: repartitionByRange gives each file a
+    # tight, nearly disjoint k-range (what zorder/sort would produce)
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.versioned_append(
+        df.repartitionByRange(8, "k"), path, collect_stats=True
+    )
+    pruned, info = V.versioned_read_range(spark, path, "k", 100, 300)
+    assert info["files_total"] == 8
+    assert info["files_read"] < info["files_total"], info
+    # skipping prunes I/O, never semantics
+    expected = df.where((F.col("k") >= 100) & (F.col("k") <= 300))
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(
+        r["k"] for r in expected.collect()
+    )
+
+    # second delta without clustering: its files all overlap the range
+    # -> read, but the clustered delta still prunes
+    V.versioned_append(
+        spark.range(10_000, 20_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(4),
+        path,
+        collect_stats=True,
+    )
+    pruned2, info2 = V.versioned_read_range(spark, path, "k", 100, 300)
+    assert info2["files_total"] == 12
+    assert info2["files_read"] == info["files_read"], info2  # v1 fully skipped
+    assert pruned2.count() == 201
+
+
+def test_stats_manifest_absent_is_conservative(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "noskip")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    V.versioned_append(df.repartitionByRange(4, "k"), path)  # no manifest
+    pruned, info = V.versioned_read_range(spark, path, "k", 0, 10)
+    assert info["files_read"] == info["files_total"] == 4
+    assert pruned.count() == 11
+
+
+def test_stats_manifest_empty_result_keeps_schema(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "emptyskip")
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+    V.versioned_append(df.repartitionByRange(4, "k"), path, collect_stats=True)
+    pruned, info = V.versioned_read_range(spark, path, "k", 5_000, 6_000)
+    assert info["files_read"] == 0
+    assert pruned.count() == 0
+    assert set(pruned.columns) == {"k", "s"}

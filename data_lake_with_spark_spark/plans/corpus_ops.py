@@ -402,3 +402,75 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+FUZZY_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS n FROM tok WHERE length(tok) >= 4
+  GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 200
+), variants AS (
+  SELECT tok AS src,
+         concat(substr(tok, 1, length(tok)//2 - 1),
+                substr(tok, length(tok)//2 + 1, length(tok))) AS variant
+  FROM vocab
+)
+SELECT v.variant, w.tok AS matched, CAST(levenshtein(v.variant, w.tok) AS INTEGER) AS dist
+FROM (SELECT DISTINCT variant FROM variants) v
+JOIN vocab w ON levenshtein(v.variant, w.tok) <= 1
+ORDER BY v.variant, matched
+"""
+
+
+@register("join_fuzzy_editdist", oracle=FUZZY_ORACLE, tags=("join", "text", "fuzzy"))
+def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 1 join via deletion-neighborhood blocking
+    (FastSS): each side expands to its 1-deletion key set plus itself,
+    candidates come from the key equi-join (two strings at distance 1
+    ALWAYS share a key: insert/delete → one side's deletion hits the
+    other; substitution → same-position deletions collide), and the
+    exact levenshtein verifies. The oracle brute-forces the same pairs
+    with a cross join — feasible at 200 words; the blocked join is the
+    form that survives a dictionary of 10^8. Query corpus: a typo'd
+    variant (middle character dropped) of each top-200 corpus token,
+    matched back against that vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TXT.tokens("text")).alias("tok"))
+        .where(F.length("tok") >= 4)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(200)
+        .select("tok")
+    )
+    variants = vocab.select(
+        F.expr(
+            "concat(substring(tok, 1, length(tok) div 2 - 1),"
+            "       substring(tok, length(tok) div 2 + 1, length(tok)))"
+        ).alias("variant")
+    ).distinct()
+    del_keys = (
+        "array_union(array(%(c)s), transform(sequence(1, length(%(c)s)),"
+        " i -> concat(substring(%(c)s, 1, i - 1),"
+        "             substring(%(c)s, i + 1, length(%(c)s)))))"
+    )
+    vkeys = variants.select(
+        "variant", F.explode(F.expr(del_keys % {"c": "variant"})).alias("k")
+    )
+    wkeys = vocab.select(
+        "tok", F.explode(F.expr(del_keys % {"c": "tok"})).alias("k")
+    )
+    return (
+        vkeys.join(wkeys, "k")
+        .select("variant", F.col("tok").alias("matched"))
+        .distinct()
+        .where(F.levenshtein("variant", "matched") <= 1)
+        .select(
+            "variant",
+            "matched",
+            F.levenshtein("variant", "matched").cast("int").alias("dist"),
+        )
+        .orderBy("variant", "matched")
+    )

@@ -166,3 +166,41 @@ def test_containment_catches_quote_that_jaccard_misses(spark):
     # symmetric Jaccard misses the same relationship at its threshold
     jac = DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
     assert jac == []
+
+
+def test_deletion_neighborhood_blocking_is_complete(spark):
+    """Every edit-distance-1 relationship (insert/delete/substitute)
+    must share a deletion key — brute-force comparison on a crafted
+    dictionary."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    words = ["table", "tables", "tble", "cable", "fable", "tabble", "chair"]
+    df = spark.createDataFrame([(w,) for w in words], ["tok"])
+    del_keys = (
+        "array_union(array(tok), transform(sequence(1, length(tok)),"
+        " i -> concat(substring(tok, 1, i - 1),"
+        "             substring(tok, i + 1, length(tok)))))"
+    )
+    keys = df.select("tok", F.explode(F.expr(del_keys)).alias("k"))
+    blocked = {
+        (r["a"], r["b"])
+        for r in keys.alias("x")
+        .join(keys.alias("y"), F.col("x.k") == F.col("y.k"))
+        .select(F.col("x.tok").alias("a"), F.col("y.tok").alias("b"))
+        .distinct()
+        .where(F.levenshtein("a", "b") <= 1)
+        .collect()
+    }
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0 or j == 0:
+                return i + j
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (a[i-1] != b[j-1]))
+        return d(len(a), len(b))
+    brute = {(a, b) for a, b in product(words, words) if lev(a, b) <= 1}
+    assert blocked == brute

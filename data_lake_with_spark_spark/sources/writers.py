@@ -100,3 +100,30 @@ def with_surrogate_keys(df: DataFrame, key_col: str, base: int = 0) -> DataFrame
     the right 100 TB default. Dense ids would serialize on a global
     row_number; only pay that when an external contract demands it."""
     return df.withColumn(key_col, F.monotonically_increasing_id() + F.lit(base))
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "F.Column"],
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+) -> dict:
+    """Write parquet while collecting aggregate metrics IN the write
+    pass via ``df.observe`` — row counts, null counts, min/max land on
+    the driver from the same task set that wrote the files, so a
+    100 TB load gets its data-quality profile for free instead of
+    paying a second full scan. Returns the observed metric values.
+
+    (Delta's operationMetrics / an audit-log INSERT gets these from
+    the commit log; this is the engine-level equivalent for plain
+    parquet sinks.)"""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return dict(obs.get)

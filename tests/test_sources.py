@@ -122,3 +122,29 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
         [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     )
     assert back.count() == orders.where(F.col("order_year") == 1995).count()
+
+
+def test_write_with_metrics_single_pass(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources.writers import write_with_metrics
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "observed")
+    got = write_with_metrics(
+        df,
+        path,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.sum(F.col("v").isNull().cast("long")),
+            "max_id": F.max("id"),
+        },
+    )
+    assert got == {"n_rows": 1000, "n_null_v": 100, "max_id": 999}
+    # the write itself is intact and re-readable
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.where(F.col("v").isNull()).count() == 100

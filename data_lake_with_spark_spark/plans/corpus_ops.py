@@ -474,3 +474,134 @@ def join_fuzzy_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant", "matched")
     )
+
+
+RAG_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(0, len(t), 40)) AS start
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, CAST(start / 40 AS INTEGER) AS chunk_idx,
+         list_slice(t, start + 1, start + 50) AS ctoks
+  FROM starts
+), ctok AS (
+  SELECT doc_id, chunk_idx, unnest(ctoks) AS tok FROM chunks
+), emb AS (
+  SELECT doc_id, chunk_idx, d.dim,
+         SUM(CAST(CAST('0x' || substring(md5(tok || '#e' || d.dim), 1, 8) AS BIGINT)
+                  % 1001 AS BIGINT) - 500) AS v
+  FROM ctok CROSS JOIN (SELECT UNNEST(range(8)) AS dim) d
+  GROUP BY doc_id, chunk_idx, d.dim
+), q AS (
+  SELECT doc_id AS q_doc, chunk_idx AS q_chunk, dim, v FROM emb
+  WHERE doc_id < 5 AND chunk_idx = 0
+), c AS (
+  SELECT doc_id AS c_doc, chunk_idx AS c_chunk, dim, v FROM emb
+  WHERE doc_id >= 20
+), dots AS (
+  SELECT q_doc, q_chunk, c_doc, c_chunk, SUM(q.v * c.v) AS dot
+  FROM q JOIN c USING (dim) GROUP BY q_doc, q_chunk, c_doc, c_chunk
+), qn AS (
+  SELECT q_doc, q_chunk, SUM(v * v) AS qq FROM q GROUP BY q_doc, q_chunk
+), cn AS (
+  SELECT c_doc, c_chunk, SUM(v * v) AS cc FROM c GROUP BY c_doc, c_chunk
+), scored AS (
+  SELECT q_doc, c_doc, c_chunk,
+         FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM dots JOIN qn USING (q_doc, q_chunk) JOIN cn USING (c_doc, c_chunk)
+  WHERE qq > 0 AND cc > 0
+)
+SELECT q_doc, c_doc, c_chunk, CAST(rnk AS INTEGER) AS rank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc
+                                   ORDER BY score DESC, c_doc ASC, c_chunk ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY q_doc, rank
+"""
+
+
+@register("rag_chunk_retrieval", oracle=RAG_ORACLE, tags=("vector", "text", "llm", "rag", "pipeline"))
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest+retrieve composition: context-window
+    chunking (50/40 overlap, the chunk_documents operator) → 8-dim
+    bag-of-hashed-tokens chunk embeddings (portable md5 hash family,
+    integer components, so embeddings are bit-identical on any engine)
+    → exact cosine top-3 corpus chunks per query chunk. The dot
+    products are dim-join integer sums — order-independent, no float
+    accumulation anywhere before the final rounded cosine. Plan: the
+    query side (5 chunks) broadcasts; the corpus side is one scan +
+    map-side-combined per-(query,chunk) partial sums; ranking is a
+    per-query window over ≤|corpus| rows. The 100 TB upgrade swaps the
+    brute-force stage for the IVF layout (vector_topk_ivf) unchanged
+    upstream."""
+    from data_lake_with_spark_spark.operators.training import chunk_documents as chunk_op
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_op(docs, chunk_tokens=50, stride_tokens=40)
+    ctok = chunks.select(
+        "doc_id", "chunk_idx", F.explode(TXT.tokens("chunk_text")).alias("tok")
+    )
+    dims = F.array(*[F.lit(d) for d in range(8)])
+    tok_dim = ctok.select(
+        "doc_id", "chunk_idx", "tok", F.explode(dims).alias("dim")
+    )
+    hval = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit("#e"), F.col("dim"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1001
+        - 500
+    )
+    emb = tok_dim.groupBy("doc_id", "chunk_idx", "dim").agg(
+        F.sum(hval).alias("v")
+    )
+    q = (
+        emb.where((F.col("doc_id") < 5) & (F.col("chunk_idx") == 0))
+        .select(
+            F.col("doc_id").alias("q_doc"),
+            F.col("chunk_idx").alias("q_chunk"),
+            "dim",
+            F.col("v").alias("qv"),
+        )
+    )
+    c = emb.where(F.col("doc_id") >= 20).select(
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_idx").alias("c_chunk"),
+        "dim",
+        F.col("v").alias("cv"),
+    )
+    dots = (
+        c.join(F.broadcast(q), "dim")
+        .groupBy("q_doc", "q_chunk", "c_doc", "c_chunk")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+    )
+    qn = q.groupBy("q_doc", "q_chunk").agg(F.sum(F.col("qv") * F.col("qv")).alias("qq"))
+    cn = c.groupBy("c_doc", "c_chunk").agg(F.sum(F.col("cv") * F.col("cv")).alias("cc"))
+    from pyspark.sql import Window
+
+    score = F.floor(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("qq").cast("double")) * F.sqrt(F.col("cc").cast("double")))
+        * 1e6
+        + 0.5
+    ) / 1e6
+    scored = (
+        dots.join(F.broadcast(qn), ["q_doc", "q_chunk"])
+        .join(cn, ["c_doc", "c_chunk"])
+        .where((F.col("qq") > 0) & (F.col("cc") > 0))
+        .select("q_doc", "c_doc", "c_chunk", score.alias("score"))
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("score"), F.asc("c_doc"), F.asc("c_chunk")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_doc", "c_doc", "c_chunk", F.col("rank").cast("int").alias("rank"), "score")
+        .orderBy("q_doc", "rank")
+    )

@@ -1,0 +1,99 @@
+"""Content-deduplicating corpus ingestion (operators/ingest.py):
+batch and streaming forms, idempotence by content rather than key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import ingest as ING
+from data_lake_with_spark_spark.sources import versioned as V
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_ingest_drops_exact_and_near_dups_against_corpus(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "corpus")
+    docs = _docs(spark, sf_dir)
+    seed = docs.where(F.col("doc_id") >= 100)
+    V.versioned_append(seed, path)
+    n_seed = seed.count()
+
+    fresh = docs.where(F.col("doc_id") < 20)
+    exact_dup = (
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+        .withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    near_dup = (
+        docs.where((F.col("doc_id") >= 110) & (F.col("doc_id") < 115))
+        .withColumn("doc_id", F.col("doc_id") + 20_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    batch = fresh.unionByName(exact_dup).unionByName(near_dup)
+
+    n_added = ING.ingest_batch(spark, batch, path, threshold=0.5)
+    table = V.versioned_read(spark, path)
+    # exact dups die in the fingerprint stage, near dups in the
+    # jaccard stage; only the fresh docs (minus any natural near-dups
+    # of the seeded corpus) can land
+    added_ids = {
+        r["doc_id"] for r in table.join(seed, "doc_id", "left_anti").collect()
+    }
+    assert added_ids <= {r["doc_id"] for r in fresh.collect()}
+    assert not any(i >= 10_000 for i in added_ids)
+    assert n_added == len(added_ids)
+    assert table.count() == n_seed + n_added
+
+    # content idempotence: the same batch under NEW ids appends nothing
+    renumbered = batch.withColumn("doc_id", F.col("doc_id") + 500_000)
+    assert ING.ingest_batch(spark, renumbered, path, threshold=0.5) == 0
+    assert table.count() == n_seed + n_added
+
+
+def test_ingest_batch_internal_keep_first(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (3, "totally different words in this one right here"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota"),  # near dup of 1
+    ]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ING.dedup_batch_against_corpus(batch, None, threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_stream_corpus_ingest_content_dedup_across_batches(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "incoming")
+    path = str(tmp_path / "stream_corpus")
+    docs = _docs(spark, sf_dir)
+    first = docs.where(F.col("doc_id") < 30)
+    # second file: same CONTENT as the first under fresh ids + 5 new docs
+    second = (
+        first.withColumn("doc_id", F.col("doc_id") + 900_000)
+        .unionByName(docs.where((F.col("doc_id") >= 30) & (F.col("doc_id") < 35)))
+    )
+    first.coalesce(1).write.parquet(f"{src}/f1")
+    second.coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = ING.stream_corpus_ingest(stream, path, threshold=0.5, query_name="ci1")
+    q.awaitTermination(240)
+
+    table = V.versioned_read(spark, path)
+    ids = sorted(r["doc_id"] for r in table.collect())
+    # no renumbered duplicate of batch-1 content survived
+    assert not any(i >= 900_000 for i in ids)
+    # batch-1 survivors present, and the genuinely-new docs of batch 2
+    # are present except any that near-dup batch-1 content
+    n_first_survivors = ING.dedup_batch_against_corpus(
+        first, None, threshold=0.5
+    ).count()
+    assert len([i for i in ids if i < 30]) == n_first_survivors
+    assert table.count() == len(ids)

@@ -148,3 +148,48 @@ def test_write_with_metrics_single_pass(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.where(F.col("v").isNull()).count() == 100
+
+
+def test_python_datasource_reads_partitioned_and_pruned(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import pydatasource as PDS
+
+    PDS.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 200)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang"]
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 5
+    # rows are the documented pure function of doc_id
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in df.where(F.col("doc_id") < 5).collect()}
+    for i in range(5):
+        _, text, lang = PDS.synth_row(i)
+        assert got[i] == (text, lang)
+
+
+def test_python_datasource_filter_pushdown_prunes_generation(spark):
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import pydatasource as PDS
+
+    PDS.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 1000)
+        .option("partitions", 4)
+        .load()
+        .where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    )
+    rows = df.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(100, 110))
+    # the range reached the reader: the post-scan Filter keeps only the
+    # isnotnull guard — the >= / < comparisons were absorbed by
+    # pushFilters, so rows outside [100, 110) are never generated
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan synthetic_docs" in plan
+    assert ">= 100" not in plan and "< 110" not in plan

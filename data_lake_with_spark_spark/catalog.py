@@ -3,14 +3,11 @@
 Tables (``/root/repo/TESTDATA.md``): region nation customer supplier part
 orders lineitem events documents embeddings.
 
-The only normalization is ``events.ts``: stored as parquet
-TIMESTAMP(NANOS), which Spark 4 reads (under
-``spark.sql.legacy.parquet.nanosAsLong=true``) as a long of epoch-nanos.
-We convert with integer division — ``ts DIV 1000`` stays in long space
-(the values ~1.7e18 overflow double's 53-bit mantissa, so a float
-division would corrupt them) — giving the exact same µs value DuckDB
-sees when it truncates ns→µs. The testdata has zero sub-µs residue, so
-the conversion is lossless.
+The only normalization is ``events.ts``: the driver has shipped it as
+both TIMESTAMP(NANOS) (epoch-nanos ``bigint`` under ``nanosAsLong``)
+and ``timestamp[us]`` (TIMESTAMP_NTZ in Spark 4); both are normalized
+to TIMESTAMP by ``functions.time.normalize_ts`` — see that module for
+the exactness argument per encoding.
 
 This is the rebuild of the reference's source layer (reference
 ``etl.py:96,170``: JSON feeds; here the driver feeds are parquet), with
@@ -24,7 +21,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.functions.time import normalize_ts
 
 TABLES = (
     "region",
@@ -48,9 +46,8 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # epoch-nanos long -> TIMESTAMP (µs), exact integer arithmetic.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_ts(df, "ts")
     return df
 
 

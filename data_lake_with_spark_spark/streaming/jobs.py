@@ -28,36 +28,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from data_lake_with_spark_spark.functions.time import normalize_ts
 from data_lake_with_spark_spark.plans.parity import dsum
 
-# events.parquet stores ts as TIMESTAMP(NANOS); under
-# spark.sql.legacy.parquet.nanosAsLong it surfaces as long — the
-# streaming schema must declare it that way, then convert (same exact
-# integer µs arithmetic as catalog.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Declared schema for the events stream, probed from the file.
+
+    readStream schemas are declared, not inferred — and the driver's
+    ``events.parquet`` has shipped ``ts`` as both epoch-nanos bigint
+    and ``timestamp[us]`` (TIMESTAMP_NTZ). Hardcoding either shape
+    breaks on the other (round 3 proved it), so probe the footer with
+    a one-off batch read: parquet schema reads are metadata-only, no
+    job runs.
+    """
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream replay of events.parquet with the ns→µs conversion.
+    """readStream replay of events.parquet, ts normalized to TIMESTAMP.
 
     The file source requires a directory: point it at the sf dir with
     a glob filter (events.parquet is a single file in the testdata)."""
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_ts(raw, "ts")
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -9,8 +9,23 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from data_lake_with_spark_spark.streaming.jobs import EVENTS_RAW_SCHEMA
+from data_lake_with_spark_spark.functions.time import normalize_ts
+
+# This test writes its own feed with ts as epoch-NANOS long (the old
+# encoding), so the declared stream schema is long — and normalize_ts
+# must handle it (bigint branch).
+NANOS_LONG_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
 
 
 def _write_events(path, rows):
@@ -37,12 +52,12 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     ])
 
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(NANOS_LONG_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(str(src))
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = normalize_ts(raw, "ts")
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))

@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_lake_with_spark_spark.functions.time import epoch_ms
+
 # A funnel stage: either an event-type string (matched against
 # ``type_col``) or a (label, arbitrary-boolean-Column) pair — e.g.
 # ("big_purchase", (F.col("event_type") == "purchase") & (F.col("value") > 100)).
@@ -65,7 +67,7 @@ def funnel_stage_users(
             cand = cand.join(prev, user_col).where(F.col(ts_col) >= F.col("_t"))
             if max_gap_seconds is not None:
                 cand = cand.where(
-                    F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("_t"))
+                    epoch_ms(ts_col) - epoch_ms("_t")
                     <= max_gap_seconds * 1000
                 )
             cand = cand.drop("_t")

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_lake_with_spark_spark.functions.time import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -75,11 +77,11 @@ def range_join_bucketed(
     trims the band exactly. At 100 TB the bucket is also the physical
     partition key.
     """
-    bucket = lambda ts: F.floor(F.unix_micros(F.col(ts)) / (max_gap_seconds * 1_000_000))  # noqa: E731
+    bucket = lambda ts: F.floor(epoch_us(ts) / (max_gap_seconds * 1_000_000))  # noqa: E731
     l = left.withColumn("_lb", bucket(left_ts))
     r = right.withColumn("_rb", bucket(right_ts))
     probes = l.withColumn("_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") + 1)))
-    gap_us = F.unix_micros(F.col(f"r.{right_ts}")) - F.unix_micros(F.col(f"l.{left_ts}"))
+    gap_us = epoch_us(f"r.{right_ts}") - epoch_us(f"l.{left_ts}")
     return (
         probes.alias("l")
         .join(

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_lake_with_spark_spark.functions.time import epoch_ms
+
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.plans.parity import dsum, dsum_sql, pround, pround_sql
 from data_lake_with_spark_spark.plans.registry import register
@@ -300,10 +302,10 @@ def sessionize_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift on sub-second timestamps)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts"))
+    ms = epoch_ms("ts")
     new_sess = F.when(
         F.lag("ts").over(w).isNull()
-        | (ms - F.unix_millis(F.lag("ts").over(w)) > 1_800_000),
+        | (ms - epoch_ms(F.lag("ts").over(w)) > 1_800_000),
         1,
     ).otherwise(0)
     sessioned = ev.withColumn(

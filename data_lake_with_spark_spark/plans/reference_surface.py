@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_lake_with_spark_spark.functions.time import epoch_ms
+
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.plans.registry import register
 
@@ -167,8 +169,8 @@ def epoch_ms_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(
             "event_id",
-            F.unix_millis("ts").alias("ts_millis"),
-            F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+            epoch_ms("ts").alias("ts_millis"),
+            F.timestamp_millis(epoch_ms("ts")).alias("ts_roundtrip"),
         )
         .orderBy("event_id")
     )

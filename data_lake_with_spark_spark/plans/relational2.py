@@ -10,6 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_lake_with_spark_spark.functions.time import epoch_ms
+
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.operators.joins import asof_join, range_join_bucketed
 from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
@@ -124,8 +126,8 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_millis("ts").alias("ts_ms"),
-        F.unix_millis(F.col("ts_p")).alias("purchase_ts_ms"),
+        epoch_ms("ts").alias("ts_ms"),
+        epoch_ms("ts_p").alias("purchase_ts_ms"),
         F.col("value_p").alias("purchase_value"),
     ).orderBy("event_id")
 

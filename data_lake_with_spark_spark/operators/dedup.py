@@ -89,47 +89,62 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def _prefix_filtered_shingles(
-    docs: DataFrame, threshold: float, n: int, id_col: str, text_col: str
+def sorted_shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, sorted_shingles, n_sh, prefix) with 64-bit *hashed*
-    shingles globally ordered by (document frequency, hash) and
-    ``prefix`` the PPJoin prefix: the first |A| - ⌈t·|A|⌉ + 1 (rarest)
-    shingles. Two docs with Jaccard ≥ t MUST share a prefix shingle —
-    the candidate join only explodes prefixes, and rare shingles have
-    short posting lists.
+    """(id, sorted_shingles) — sorted distinct 64-bit *hashed* word
+    n-gram shingles per doc. This is the pure-function-of-text
+    representation that ingestion persists as a companion column
+    (operators/ingest.py) so the corpus is never re-tokenized.
 
     Shingles are hashed to longs up front (xxhash64): joins and
     array_intersect run on 8-byte keys instead of ~20-char strings,
     and collision odds at realistic shingle cardinalities are ~n²/2⁶⁴
-    (irrelevant). The global order for the prefix is the HASH order —
-    any fixed total order preserves the PPJoin guarantee, and hash
-    order needs no shingle-frequency table and no extra join.
-    (Document-frequency order would make prefixes rarer/candidates
-    fewer, but costs 2 more shuffles — measured net-slower here.)
+    (irrelevant).
 
     The whole per-doc array is computed with HOFs over the
     barrier-materialized token array (see _token_arrays): one skinny
     shuffle instead of explode + window-lead + collect_set shuffling
     every token twice — measured 2.7s → 1.5s cold, 1.1s → 0.4s warm
-    at sf0.1, identical output. The result is CACHED — callers fan
-    out over it 4× (posting a/b + verify a/b).
+    at sf0.1, identical output. Docs with fewer than ``n`` tokens have
+    no shingles and are excluded.
     """
     toks = _token_arrays(docs, id_col, text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.size("toks") - n),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
     )
-    ordered = (
+    return (
         toks.where(F.size("toks") >= n)
         .select("id", F.sort_array(F.array_distinct(sh)).alias("sorted_shingles"))
-        .withColumn("n_sh", F.size("sorted_shingles"))
     )
+
+
+def prefix_from_arrays(arrays: DataFrame, threshold: float) -> DataFrame:
+    """(id, sorted_shingles) → + (n_sh, prefix): the PPJoin prefix is
+    the first |A| - ⌈t·|A|⌉ + 1 (hash-order rarest) shingles. Two docs
+    with Jaccard ≥ t MUST share a prefix shingle — the candidate join
+    only explodes prefixes. The global order is the HASH order — any
+    fixed total order preserves the PPJoin guarantee, and hash order
+    needs no shingle-frequency table and no extra join.
+    (Document-frequency order would make prefixes rarer/candidates
+    fewer, but costs 2 more shuffles — measured net-slower here.)
+    Pure column math over the stored arrays — no text access."""
+    out = arrays.withColumn("n_sh", F.size("sorted_shingles"))
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
     )
-    return ordered.withColumn(
-        "prefix", F.slice("sorted_shingles", F.lit(1), prefix_len)
+    return out.withColumn("prefix", F.slice("sorted_shingles", F.lit(1), prefix_len))
+
+
+def _prefix_filtered_shingles(
+    docs: DataFrame, threshold: float, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sorted_shingles, n_sh, prefix) from raw text — see
+    sorted_shingle_arrays + prefix_from_arrays. The result is CACHED —
+    callers fan out over it 4× (posting a/b + verify a/b)."""
+    return prefix_from_arrays(
+        sorted_shingle_arrays(docs, id_col, text_col, n), threshold
     ).cache()
 
 
@@ -200,6 +215,21 @@ def ngram_jaccard_pairs(
     candidates. Output (a_id, b_id, jaccard), a_id < b_id.
     """
     pref = _prefix_filtered_shingles(docs, threshold, n, id_col, text_col)
+    return jaccard_pairs_from_prefix(
+        pref,
+        threshold,
+        broadcast_arrays=_plan_size_bytes(docs) <= BROADCAST_ARRAYS_MAX_INPUT_BYTES,
+    )
+
+
+def jaccard_pairs_from_prefix(
+    pref: DataFrame, threshold: float, broadcast_arrays: bool = False
+) -> DataFrame:
+    """The PPJoin candidate+verify pipeline over a prepared prefix
+    table (id, sorted_shingles, n_sh, prefix) — see ngram_jaccard_pairs
+    for the algorithm. Split out so callers holding PRECOMPUTED shingle
+    arrays (the ingestion companion column) skip tokenization
+    entirely."""
     posting = pref.select("id", "n_sh", F.posexplode("prefix").alias("pos", "shingle"))
     a = posting.alias("a")
     b = posting.alias("b")
@@ -227,10 +257,7 @@ def ngram_jaccard_pairs(
         & length_ok
         & (ubound >= alpha),
     ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-    verified = jaccard_verify(
-        candidates, pref, threshold,
-        broadcast_arrays=_plan_size_bytes(docs) <= BROADCAST_ARRAYS_MAX_INPUT_BYTES,
-    )
+    verified = jaccard_verify(candidates, pref, threshold, broadcast_arrays)
     return verified.distinct()
 
 

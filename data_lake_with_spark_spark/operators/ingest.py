@@ -13,22 +13,91 @@ from the text itself.
 Scale posture: the exact stage is one fingerprint anti-join (hash
 shuffle on a 32-char key). The near-dup stage reuses the PPJoin
 prefix-filtered inverted index from operators/dedup.py over
-corpus ∪ batch; at 100 TB the corpus-side shingle arrays are the
-thing to pre-materialize (they are a pure function of the text, so a
-production deployment persists them as a companion column/table and
-the per-batch cost is |batch|-driven, not |corpus|-driven — noted in
-ROADMAP). Batches are small relative to the corpus, so candidate
-postings are dominated by corpus×batch collisions, never corpus².
+corpus ∪ batch. The corpus-side dedup keys are PRE-MATERIALIZED:
+``ingest_batch`` appends every survivor with two companion columns —
+``_fp`` (canonical fingerprint) and ``_shingles`` (sorted hashed
+3-gram shingle array) — both pure functions of the text, so the
+per-batch near-dup cost is tokenize(|batch|) + an index join, never
+tokenize(|corpus|). Corpus rows from pre-companion appends (nulls
+under mergeSchema) fall back to recomputation from text; everything
+ingested through this module never re-tokenizes. Batches are small
+relative to the corpus, so candidate postings are dominated by
+corpus×batch collisions, never corpus².
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.functions import text as TXT
 from data_lake_with_spark_spark.operators import dedup as DD
 from data_lake_with_spark_spark.sources import versioned as V
+
+# Companion columns persisted with every ingested corpus row. Pure
+# functions of text_col; _shingles is the sorted_shingle_arrays
+# representation (empty array = "computed, doc too short to shingle" —
+# distinct from null = "row predates companions").
+FP_COL = "_fp"
+SHINGLES_COL = "_shingles"
+
+
+def _empty_shingles() -> Column:
+    return F.array().cast("array<bigint>")
+
+
+def _neg_id(id_col: str) -> Column:
+    # corpus rows get negative pair-ids so "smaller partner" can never
+    # resurrect a batch row over a corpus match
+    return -F.col(id_col) - 1
+
+
+def with_companions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``df`` + (_fp, _shingles) computed from text — what
+    ingest_batch persists so later batches never re-derive them."""
+    arrays = DD.sorted_shingle_arrays(df, id_col=id_col, text_col=text_col, n=3)
+    return (
+        df.withColumn(FP_COL, TXT.fingerprint(F.col(text_col)))
+        .join(
+            arrays.select(
+                F.col("id").alias(id_col), F.col("sorted_shingles").alias(SHINGLES_COL)
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(SHINGLES_COL, F.coalesce(F.col(SHINGLES_COL), _empty_shingles()))
+    )
+
+
+def _corpus_keys(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_cid, _fp, _shingles) for every corpus row.
+
+    Rows with stored companions are served straight from the columns —
+    the parquet scan reads only (id, _fp, _shingles), never text, and
+    no tokenization runs. Rows where the companions read as null
+    (appends that predate this module, merged in under mergeSchema)
+    are recomputed from text; on a corpus maintained purely by
+    ingest_batch that branch matches zero rows and its scan prunes on
+    the pushed IS NULL filter."""
+    has = FP_COL in corpus.columns and SHINGLES_COL in corpus.columns
+    if has:
+        stored_rows = corpus.where(
+            F.col(FP_COL).isNotNull() & F.col(SHINGLES_COL).isNotNull()
+        )
+        stored = stored_rows.select(
+            _neg_id(id_col).alias("_cid"), FP_COL, SHINGLES_COL
+        )
+        legacy = corpus.where(
+            F.col(FP_COL).isNull() | F.col(SHINGLES_COL).isNull()
+        )
+    else:
+        stored, legacy = None, corpus
+    recomputed = with_companions(
+        legacy.select(id_col, text_col), id_col=id_col, text_col=text_col
+    ).select(_neg_id(id_col).alias("_cid"), FP_COL, SHINGLES_COL)
+    return recomputed if stored is None else stored.unionByName(recomputed)
 
 
 def dedup_batch_against_corpus(
@@ -44,47 +113,52 @@ def dedup_batch_against_corpus(
     Exact stage: canonical-fingerprint left-anti join. Near stage:
     Jaccard ≥ threshold pairs over corpus ∪ batch; a batch row is
     dropped if it pairs with ANY corpus row or with a smaller-id batch
-    row (keep-first greedy, same contract as semdedup)."""
-    fp = TXT.fingerprint(F.col(text_col))
-    batch_fp = batch.withColumn("_fp", fp)
-    if corpus is not None:
-        corpus_fp = corpus.select(TXT.fingerprint(F.col(text_col)).alias("_fp"))
-        batch_fp = batch_fp.join(corpus_fp, "_fp", "left_anti")
+    row (keep-first greedy, same contract as semdedup). Corpus-side
+    keys come from the stored companion columns when present (see
+    _corpus_keys) — only the batch is tokenized."""
+    ckeys = (
+        _corpus_keys(corpus, id_col, text_col).cache() if corpus is not None else None
+    )
+    batch_fp = batch.withColumn(FP_COL, TXT.fingerprint(F.col(text_col)))
+    if ckeys is not None:
+        batch_fp = batch_fp.join(ckeys.select(FP_COL), FP_COL, "left_anti")
     # batch-internal exact dups: keep the smallest id per fingerprint
-    w_min = batch_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    w_min = batch_fp.groupBy(FP_COL).agg(F.min(id_col).alias("_keep_id"))
     batch_fp = (
-        batch_fp.join(w_min, "_fp")
+        batch_fp.join(w_min, FP_COL)
         .where(F.col(id_col) == F.col("_keep_id"))
-        .drop("_fp", "_keep_id")
+        .drop(FP_COL, "_keep_id")
     )
 
-    tagged_batch = batch_fp.select(
-        F.col(id_col).alias("_cid"), F.col(text_col), F.lit(True).alias("_is_batch")
-    )
-    if corpus is not None:
-        tagged = corpus.select(
-            # corpus rows get negative pair-ids so "smaller partner"
-            # can never resurrect a batch row over a corpus match
-            (-F.col(id_col) - 1).alias("_cid"),
-            F.col(text_col),
-            F.lit(False).alias("_is_batch"),
-        ).unionByName(tagged_batch)
+    tagged_batch = batch_fp.select(F.col(id_col).alias("_cid"), F.col(text_col))
+    batch_arrays = DD.sorted_shingle_arrays(
+        tagged_batch, id_col="_cid", text_col=text_col, n=3
+    ).withColumnRenamed("id", "_cid")
+    if ckeys is not None:
+        corpus_arrays = ckeys.select(
+            "_cid", F.col(SHINGLES_COL).alias("sorted_shingles")
+        )
+        all_arrays = corpus_arrays.unionByName(batch_arrays)
     else:
-        tagged = tagged_batch
-    pairs = DD.ngram_jaccard_pairs(
-        tagged, threshold=threshold, n=3, id_col="_cid", text_col=text_col
+        all_arrays = batch_arrays
+    pref = DD.prefix_from_arrays(
+        all_arrays.withColumnRenamed("_cid", "id"), threshold
+    ).cache()
+    pairs = DD.jaccard_pairs_from_prefix(
+        pref,
+        threshold,
+        # stats-estimated bytes of the ARRAY side (for stored corpora the
+        # estimate derives from parquet file sizes — conservative, since
+        # those include the text column)
+        broadcast_arrays=DD._plan_size_bytes(all_arrays)  # noqa: SLF001
+        <= DD.BROADCAST_ARRAYS_MAX_INPUT_BYTES * 10,
     )
-    flags = tagged.select("_cid", "_is_batch")
-    annotated = (
-        pairs.join(flags.withColumnRenamed("_cid", "a_id"), "a_id")
-        .withColumnRenamed("_is_batch", "_a_batch")
-        .join(flags.withColumnRenamed("_cid", "b_id"), "b_id")
-        .withColumnRenamed("_is_batch", "_b_batch")
-    )
-    # a_id < b_id always; corpus ids are negative → in a corpus/batch
-    # pair the batch row is ALWAYS b. Drop b when a is corpus, or when
-    # both are batch (keep-first). A batch row can never drop a corpus row.
-    drops = annotated.where(F.col("_b_batch")).select(
+    # a_id < b_id always; corpus pair-ids are negative → in a
+    # corpus/batch pair the batch row is ALWAYS b. Drop b when a is
+    # corpus, or when both are batch (keep-first). A batch row can
+    # never drop a corpus row, and b_id >= 0 identifies batch rows
+    # without any flag join.
+    drops = pairs.where(F.col("b_id") >= 0).select(
         F.col("b_id").alias("_cid")
     ).distinct()
     survivors = tagged_batch.join(drops, "_cid", "left_anti")
@@ -102,15 +176,20 @@ def ingest_batch(
     text_col: str = "text",
 ) -> int:
     """Content-dedup ``batch`` against the versioned corpus at
-    ``corpus_path`` and append the survivors as a new version (no
-    commit when nothing survives). Returns the number of appended
-    rows."""
+    ``corpus_path`` and append the survivors as a new version — WITH
+    the (_fp, _shingles) companion columns, so future batches dedup
+    against this append without touching its text (no commit when
+    nothing survives). Returns the number of appended rows."""
     try:
         corpus = V.versioned_read(spark, corpus_path)
     except FileNotFoundError:
         corpus = None
-    survivors = dedup_batch_against_corpus(
-        batch, corpus, threshold=threshold, id_col=id_col, text_col=text_col
+    survivors = with_companions(
+        dedup_batch_against_corpus(
+            batch, corpus, threshold=threshold, id_col=id_col, text_col=text_col
+        ),
+        id_col=id_col,
+        text_col=text_col,
     ).cache()
     n = survivors.count()
     if n:

@@ -97,3 +97,61 @@ def test_stream_corpus_ingest_content_dedup_across_batches(spark, sf_dir, tmp_pa
     ).count()
     assert len([i for i in ids if i < 30]) == n_first_survivors
     assert table.count() == len(ids)
+
+
+def test_companioned_corpus_not_retokenized(spark, sf_dir, tmp_path):
+    """The perf contract of the companion columns: when every corpus row
+    was ingested through ingest_batch, per-batch dedup must not tokenize
+    corpus text. Plan-shape check: every corpus parquet scan that reads
+    the text column does so only under the pushed IS-NULL legacy filter
+    (matched by zero row groups on a fully-companioned corpus); the
+    stored-keys scan reads (doc_id, _fp, _shingles) without text."""
+    path = str(tmp_path / "corpus")
+    docs = _docs(spark, sf_dir)
+    ING.ingest_batch(spark, docs.where(F.col("doc_id") >= 400), path)
+    corpus = V.versioned_read(spark, path)
+    assert {ING.FP_COL, ING.SHINGLES_COL} <= set(corpus.columns)
+    assert corpus.where(F.col(ING.SHINGLES_COL).isNull()).count() == 0
+
+    batch = spark.createDataFrame(
+        [(1, "one fresh little document about nothing in particular")],
+        ["doc_id", "text"],
+    )
+    plan = (
+        ING.dedup_batch_against_corpus(batch, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "FileScan parquet" not in line:
+            continue
+        read_schema = line.split("ReadSchema:")[-1]
+        if "text" in read_schema:
+            pushed = line.split("PushedFilters:")[-1].split("]")[0]
+            assert "IsNull" in pushed, f"corpus text scanned without legacy filter: {line}"
+
+
+def test_companion_path_matches_recompute_path(spark, sf_dir, tmp_path):
+    """Stored-shingle dedup must produce byte-identical survivors to
+    recomputing every corpus key from text (the pre-companion path)."""
+    path = str(tmp_path / "corpus")
+    docs = _docs(spark, sf_dir)
+    ING.ingest_batch(spark, docs.where(F.col("doc_id") >= 300), path)
+    corpus = V.versioned_read(spark, path)
+
+    batch = (
+        docs.where(F.col("doc_id") < 20)
+        .unionByName(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 305))
+            .withColumn("doc_id", F.col("doc_id") + 50_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+        )
+    )
+    with_stored = ING.dedup_batch_against_corpus(batch, corpus, threshold=0.5)
+    recompute = ING.dedup_batch_against_corpus(
+        batch, corpus.drop(ING.FP_COL, ING.SHINGLES_COL), threshold=0.5
+    )
+    a = sorted(r["doc_id"] for r in with_stored.collect())
+    b = sorted(r["doc_id"] for r in recompute.collect())
+    assert a == b and len(a) > 0

@@ -7,9 +7,12 @@ Sum and count are self-maintainable: each change row contributes a
 signed delta (+ for insert/update_postimage, − for delete/
 update_preimage), so a refresh costs O(changes) + one join against
 the current aggregate — at 100 TB the difference between touching a
-few changed groups and rescanning the table. Averages derive as
-sum/count; min/max are NOT self-maintainable under deletes (a deleted
-max needs a rescan of its group) and are deliberately absent.
+few changed groups and rescanning the table. Averages and stddev are
+self-maintainable THROUGH moments: maintain (n, Σx, Σx²) as three sum
+aggregates and derive avg = Σx/n, var = (Σx² − (Σx)²/n)/(n−1) at read
+time (``maintain_moments`` / ``moment_stats``). Min/max are NOT
+self-maintainable under deletes (a deleted max needs a rescan of its
+group) and are deliberately absent.
 """
 
 from __future__ import annotations
@@ -76,3 +79,44 @@ def maintain(
     if current is None:
         return delta.where(F.col(N_COL) > 0)
     return apply_delta(current, delta, group_cols, sum_cols)
+
+
+def _sq(c: str) -> str:
+    return f"{c}__sumsq"
+
+
+def maintain_moments(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """One refresh step for a moment-sum state (group_cols, n_rows,
+    <c>, <c>__sumsq per value col) — enough to derive avg/var/stddev
+    without ever rescanning the base table. Σx² is just another
+    self-maintainable sum (of x·x), so the whole state rides the same
+    signed-delta merge as plain sums."""
+    aug = changes
+    for c in value_cols:
+        aug = aug.withColumn(_sq(c), F.col(c) * F.col(c))
+    sum_cols = list(value_cols) + [_sq(c) for c in value_cols]
+    return maintain(current, aug, group_cols, sum_cols)
+
+
+def moment_stats(state: DataFrame, group_cols: list[str], value_cols: list[str]) -> DataFrame:
+    """Derive (avg, variance, stddev) per value col from a
+    ``maintain_moments`` state — pure column math at read time, no base
+    access. Sample variance ((Σx² − (Σx)²/n)/(n−1), Spark's
+    var_samp/stddev_samp semantics; null when n < 2), clamped at 0
+    against negative float residue."""
+    n = F.col(N_COL)
+    out_cols = [*group_cols, n.alias(N_COL)]
+    for c in value_cols:
+        s, ss = F.col(c), F.col(_sq(c))
+        var = F.when(n > 1, F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
+        out_cols += [
+            (s / n).alias(f"avg_{c}"),
+            var.alias(f"var_{c}"),
+            F.sqrt(var).alias(f"stddev_{c}"),
+        ]
+    return state.select(*out_cols)

@@ -523,20 +523,12 @@ ORDER BY q_doc, rank
 """
 
 
-@register("rag_chunk_retrieval", oracle=RAG_ORACLE, tags=("vector", "text", "llm", "rag", "pipeline"))
-def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end RAG ingest+retrieve composition: context-window
-    chunking (50/40 overlap, the chunk_documents operator) → 8-dim
-    bag-of-hashed-tokens chunk embeddings (portable md5 hash family,
-    integer components, so embeddings are bit-identical on any engine)
-    → exact cosine top-3 corpus chunks per query chunk. The dot
-    products are dim-join integer sums — order-independent, no float
-    accumulation anywhere before the final rounded cosine. Plan: the
-    query side (5 chunks) broadcasts; the corpus side is one scan +
-    map-side-combined per-(query,chunk) partial sums; ranking is a
-    per-query window over ≤|corpus| rows. The 100 TB upgrade swaps the
-    brute-force stage for the IVF layout (vector_topk_ivf) unchanged
-    upstream."""
+def _rag_chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, dim, v) — 8-dim bag-of-hashed-tokens chunk
+    embeddings over 50/40-overlap chunks. Integer components from a
+    portable md5 hash family, so the embeddings are bit-identical on
+    any engine (shared by the brute-force and IVF RAG variants and
+    their oracles)."""
     from data_lake_with_spark_spark.operators.training import chunk_documents as chunk_op
 
     docs = _t(spark, sf_dir, "documents")
@@ -557,9 +549,24 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 1001
         - 500
     )
-    emb = tok_dim.groupBy("doc_id", "chunk_idx", "dim").agg(
-        F.sum(hval).alias("v")
-    )
+    return tok_dim.groupBy("doc_id", "chunk_idx", "dim").agg(F.sum(hval).alias("v"))
+
+
+@register("rag_chunk_retrieval", oracle=RAG_ORACLE, tags=("vector", "text", "llm", "rag", "pipeline"))
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest+retrieve composition: context-window
+    chunking (50/40 overlap, the chunk_documents operator) → 8-dim
+    bag-of-hashed-tokens chunk embeddings (portable md5 hash family,
+    integer components, so embeddings are bit-identical on any engine)
+    → exact cosine top-3 corpus chunks per query chunk. The dot
+    products are dim-join integer sums — order-independent, no float
+    accumulation anywhere before the final rounded cosine. Plan: the
+    query side (5 chunks) broadcasts; the corpus side is one scan +
+    map-side-combined per-(query,chunk) partial sums; ranking is a
+    per-query window over ≤|corpus| rows. The 100 TB upgrade swaps the
+    brute-force stage for the IVF layout (vector_topk_ivf) unchanged
+    upstream."""
+    emb = _rag_chunk_embeddings(spark, sf_dir)
     q = (
         emb.where((F.col("doc_id") < 5) & (F.col("chunk_idx") == 0))
         .select(
@@ -601,6 +608,199 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_doc", "c_doc", "c_chunk", F.col("rank").cast("int").alias("rank"), "score")
+        .orderBy("q_doc", "rank")
+    )
+
+
+RAG_IVF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, UNNEST(range(0, len(t), 40)) AS start
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, CAST(start / 40 AS INTEGER) AS chunk_idx,
+         list_slice(t, start + 1, start + 50) AS ctoks
+  FROM starts
+), ctok AS (
+  SELECT doc_id, chunk_idx, unnest(ctoks) AS tok FROM chunks
+), emb AS (
+  SELECT doc_id, chunk_idx, d.dim,
+         SUM(CAST(CAST('0x' || substring(md5(tok || '#e' || d.dim), 1, 8) AS BIGINT)
+                  % 1001 AS BIGINT) - 500) AS v
+  FROM ctok CROSS JOIN (SELECT UNNEST(range(8)) AS dim) d
+  GROUP BY doc_id, chunk_idx, d.dim
+), q AS (
+  SELECT doc_id AS q_doc, chunk_idx AS q_chunk, dim, v FROM emb
+  WHERE doc_id < 5 AND chunk_idx = 0
+), c AS (
+  SELECT doc_id AS c_doc, chunk_idx AS c_chunk, dim, v FROM emb
+  WHERE doc_id >= 20
+), lm_keys AS (
+  SELECT c_doc, c_chunk,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_doc, c_chunk) - 1 AS BIGINT) AS lm_id
+  FROM (SELECT DISTINCT c_doc, c_chunk FROM c ORDER BY c_doc, c_chunk LIMIT 8)
+), lm AS (
+  SELECT lm_id, dim, v AS lv FROM lm_keys JOIN c USING (c_doc, c_chunk)
+), cass AS (
+  SELECT c_doc, c_chunk, lm_id AS list_id FROM (
+    SELECT c.c_doc, c.c_chunk, lm.lm_id,
+           ROW_NUMBER() OVER (PARTITION BY c.c_doc, c.c_chunk
+                              ORDER BY SUM((c.v - lm.lv) * (c.v - lm.lv)), lm.lm_id) AS rn
+    FROM c JOIN lm USING (dim)
+    GROUP BY c.c_doc, c.c_chunk, lm.lm_id
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_doc, q_chunk, lm_id AS list_id FROM (
+    SELECT q.q_doc, q.q_chunk, lm.lm_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_doc, q.q_chunk
+                              ORDER BY SUM((q.v - lm.lv) * (q.v - lm.lv)), lm.lm_id) AS rn
+    FROM q JOIN lm USING (dim)
+    GROUP BY q.q_doc, q.q_chunk, lm.lm_id
+  ) WHERE rn <= 2
+), cand AS (
+  SELECT DISTINCT p.q_doc, p.q_chunk, a.c_doc, a.c_chunk
+  FROM probes p JOIN cass a ON p.list_id = a.list_id
+), dots AS (
+  SELECT n.q_doc, n.q_chunk, n.c_doc, n.c_chunk, SUM(q.v * c.v) AS dot
+  FROM cand n
+  JOIN q ON q.q_doc = n.q_doc AND q.q_chunk = n.q_chunk
+  JOIN c ON c.c_doc = n.c_doc AND c.c_chunk = n.c_chunk AND c.dim = q.dim
+  GROUP BY n.q_doc, n.q_chunk, n.c_doc, n.c_chunk
+), qn AS (
+  SELECT q_doc, q_chunk, SUM(v * v) AS qq FROM q GROUP BY q_doc, q_chunk
+), cn AS (
+  SELECT c_doc, c_chunk, SUM(v * v) AS cc FROM c GROUP BY c_doc, c_chunk
+), scored AS (
+  SELECT q_doc, c_doc, c_chunk,
+         FLOOR(CAST(dot AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM dots JOIN qn USING (q_doc, q_chunk) JOIN cn USING (c_doc, c_chunk)
+  WHERE qq > 0 AND cc > 0
+)
+SELECT q_doc, c_doc, c_chunk, CAST(rnk AS INTEGER) AS rank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc
+                                   ORDER BY score DESC, c_doc ASC, c_chunk ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+ORDER BY q_doc, rank
+"""
+
+
+@register(
+    "rag_chunk_retrieval_ivf",
+    oracle=RAG_IVF_ORACLE,
+    tags=("vector", "text", "llm", "rag", "ivf", "pipeline"),
+)
+def rag_chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval through the IVF physical layout — the 100 TB scale
+    path the brute-force variant's docstring promises. Same chunk →
+    embed pipeline (_rag_chunk_embeddings), then:
+
+    - coarse quantizer: 8 LANDMARK centroids — the embeddings of the
+      first 8 corpus chunks by (doc_id, chunk_idx). Deterministic and
+      SQL-expressible, so unlike KMeans-IVF the whole approximate
+      pipeline has an exact DuckDB oracle; landmark (random-sample)
+      centroids are a standard IVF initialization.
+    - corpus chunks are assigned to their nearest landmark by INTEGER
+      L2² (exact on any engine) and written hive-partitioned by
+      list_id — the write_ivf_layout pattern at chunk granularity.
+    - each query probes its 2 nearest lists; the probed ids (≤10 ints,
+      driver-trivial at any scale) become a literal isin partition
+      filter, so only probed partition dirs are listed and scanned
+      (plan-asserted in tests/test_plan_quality.py).
+    - scoring inside probed lists only: integer dot products, rounded
+      cosine, per-query top-3 with deterministic tie-breaks.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    emb = _rag_chunk_embeddings(spark, sf_dir)
+    dim8 = F.sequence(F.lit(0), F.lit(7))
+    vecs = (
+        emb.groupBy("doc_id", "chunk_idx")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.transform(
+                dim8, lambda d: F.coalesce(F.col("m")[d], F.lit(0).cast("bigint"))
+            ).alias("vec"),
+        )
+    )
+
+    def l2sq(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def dotp(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    cvec = vecs.where(F.col("doc_id") >= 20).select(
+        F.col("doc_id").alias("c_doc"), F.col("chunk_idx").alias("c_chunk"), "vec"
+    )
+    # 8 landmark vectors — a bounded driver collect (same contract as
+    # the probed-list-id collect in ivf_topk_from_layout)
+    lm_rows = cvec.orderBy("c_doc", "c_chunk").limit(8).collect()
+    lm = spark.createDataFrame(
+        [(i, list(r["vec"])) for i, r in enumerate(lm_rows)],
+        "lm_id bigint, lvec array<bigint>",
+    )
+
+    w_assign = Window.partitionBy("c_doc", "c_chunk").orderBy("d2", "lm_id")
+    assigned = (
+        cvec.crossJoin(F.broadcast(lm))
+        .withColumn("d2", l2sq("vec", "lvec"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("c_doc", "c_chunk", "vec", F.col("lm_id").alias("list_id"))
+    )
+    scratch = tempfile.mkdtemp(prefix="dlws_rag_ivf_")
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(scratch)
+
+    qvec = vecs.where((F.col("doc_id") < 5) & (F.col("chunk_idx") == 0)).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        F.col("vec").alias("qvec"),
+    )
+    w_probe = Window.partitionBy("q_doc", "q_chunk").orderBy("d2", "lm_id")
+    probes = (
+        qvec.crossJoin(F.broadcast(lm))
+        .withColumn("d2", l2sq("qvec", "lvec"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 2)
+        .select("q_doc", "q_chunk", "qvec", F.col("lm_id").alias("list_id"))
+    )
+    probed = sorted({int(r["list_id"]) for r in probes.select("list_id").distinct().collect()})
+
+    layout = spark.read.parquet(scratch).where(F.col("list_id").isin(probed))
+    cand = layout.join(F.broadcast(probes), "list_id")
+    qq = dotp("qvec", "qvec")
+    cc = dotp("vec", "vec")
+    score = F.floor(
+        dotp("qvec", "vec").cast("double")
+        / (F.sqrt(qq.cast("double")) * F.sqrt(cc.cast("double")))
+        * 1e6
+        + 0.5
+    ) / 1e6
+    scored = cand.where((qq > 0) & (cc > 0)).select(
+        "q_doc", "c_doc", "c_chunk", score.alias("score")
+    )
+    w_rank = Window.partitionBy("q_doc").orderBy(
+        F.desc("score"), F.asc("c_doc"), F.asc("c_chunk")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
         .where(F.col("rank") <= 3)
         .select("q_doc", "c_doc", "c_chunk", F.col("rank").cast("int").alias("rank"), "score")
         .orderBy("q_doc", "rank")

@@ -86,3 +86,74 @@ def test_change_feed_preimage_shape(spark, tmp_path):
     }
     # delete carries its OLD value for subtraction
     assert dele == {("delete", 20.0)}
+
+
+def test_ivm_moments_track_avg_stddev(spark, tmp_path):
+    """maintain_moments + moment_stats equals full-recompute
+    avg/var_samp/stddev_samp across inserts, both update kinds, and
+    deletes — including n==1 groups (null variance)."""
+    path = str(tmp_path / "mom")
+    V.versioned_merge(
+        spark.createDataFrame(
+            [(1, "red", 10.0), (2, "red", 5.0), (3, "blue", 2.0), (4, "red", 7.5)],
+            ["k", "cat", "v"],
+        ),
+        path,
+        ["k"],
+    )
+    state = ivm.maintain_moments(
+        None, V.versioned_changes(spark, path, ["k"], -1, 0, include_preimages=True),
+        ["cat"], ["v"],
+    )
+
+    def check(state):
+        got = {
+            (r["cat"], r["n_rows"],
+             round(r["avg_v"], 9),
+             None if r["var_v"] is None else round(r["var_v"], 6),
+             None if r["stddev_v"] is None else round(r["stddev_v"], 6))
+            for r in ivm.moment_stats(state, ["cat"], ["v"]).collect()
+        }
+        want = {
+            (r["cat"], r["n_rows"],
+             round(r["avg_v"], 9),
+             None if r["var_v"] is None else round(r["var_v"], 6),
+             None if r["stddev_v"] is None else round(r["stddev_v"], 6))
+            for r in V.versioned_read_merged(spark, path, ["k"])
+            .groupBy("cat")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.avg("v").alias("avg_v"),
+                F.var_samp("v").alias("var_v"),
+                F.stddev_samp("v").alias("stddev_v"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    check(state)
+
+    # value update, group-moving update, insert
+    V.versioned_merge(
+        spark.createDataFrame(
+            [(1, "red", 11.5), (3, "red", 2.0), (5, "green", 7.0)], ["k", "cat", "v"]
+        ),
+        path,
+        ["k"],
+    )
+    state = ivm.maintain_moments(
+        state, V.versioned_changes(spark, path, ["k"], 0, 1, include_preimages=True),
+        ["cat"], ["v"],
+    )
+    check(state)
+    # green has one row → sample variance must be null, not 0
+    g = {r["cat"]: r for r in ivm.moment_stats(state, ["cat"], ["v"]).collect()}
+    assert g["green"]["var_v"] is None and g["green"]["stddev_v"] is None
+
+    # delete two red rows
+    V.versioned_delete(spark, spark.createDataFrame([(2,), (4,)], ["k"]), path, ["k"])
+    state = ivm.maintain_moments(
+        state, V.versioned_changes(spark, path, ["k"], 1, 2, include_preimages=True),
+        ["cat"], ["v"],
+    )
+    check(state)

@@ -159,3 +159,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_rag_ivf_scan_prunes_to_probed_partitions(spark, sf_dir):
+    """The IVF layout contract: the retrieval scan must carry a
+    list_id partition filter (only probed partition dirs are listed),
+    and the pruned partition count must be below the total list count
+    (8 landmarks, 2 probes per query over 5 near-identical queries)."""
+    p = plan_of(spark, sf_dir, "rag_chunk_retrieval_ivf")
+    layout_scans = [
+        l for l in p.splitlines()
+        if "FileScan parquet" in l and "dlws_rag_ivf_" in l
+    ]
+    assert layout_scans, "IVF layout scan missing from plan"
+    scan = layout_scans[0]
+    part = scan.split("PartitionFilters:")[-1].split("]")[0]
+    assert "list_id" in part and ("IN" in part or "isin" in part.lower() or "in(" in part.lower()), part

@@ -332,12 +332,17 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    avg_bal = (
-        cust.where(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal"))
-        .first()[0]
+    # scalar subquery as a lazy broadcast cross-join of the 1-row
+    # aggregate: no separate driver round-trip job, the whole plan
+    # stays composable/lazy
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
     )
-    rich = cust.where(F.col("c_acctbal") > avg_bal)
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+    )
     idle = rich.join(
         orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
     )
@@ -491,10 +496,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue")).first()[0]
+    # scalar max as a lazy broadcast cross-join (no driver round-trip);
+    # the doubled revenue subplan canonicalizes identically, so
+    # ReuseExchange shares the shuffle
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .drop("_mx")
+    )
     return (
-        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
-        .where(F.col("total_revenue") == mx)
+        supp.join(top, supp.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )

@@ -1,0 +1,120 @@
+"""Streaming materialized view: an IVM aggregate advanced per
+micro-batch of change rows, each refresh committed as a time-travelable
+version. Final state must equal the single-shot fold of all changes
+(which test_ivm.py pins to full recompute)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_lake_with_spark_spark.operators import ivm
+from data_lake_with_spark_spark.sources import versioned as V
+from data_lake_with_spark_spark.streaming import materialized as MV
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), True),
+        T.StructField("cat", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("_change_type", T.StringType(), True),
+    ]
+)
+
+BATCH1 = [
+    (1, "red", 10.0, "insert"),
+    (2, "red", 5.0, "insert"),
+    (3, "blue", 2.0, "insert"),
+]
+BATCH2 = [
+    (1, "red", 10.0, "update_preimage"),
+    (1, "red", 11.5, "update_postimage"),
+    (3, "blue", 2.0, "update_preimage"),
+    (3, "red", 2.0, "update_postimage"),  # group-moving
+    (4, "green", 7.0, "insert"),
+]
+BATCH3 = [(4, "green", 7.0, "delete")]
+
+
+def _write(path, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "cat", "v", "_change_type"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def _state_rows(df):
+    return {
+        (r["cat"], r["n_rows"], round(r["v"], 9)) for r in df.collect()
+    }
+
+
+def test_stream_maintained_view_matches_single_shot_fold(spark, tmp_path):
+    src = tmp_path / "changes"
+    src.mkdir()
+    state = str(tmp_path / "view")
+    _write(str(src / "b1.parquet"), BATCH1)
+    _write(str(src / "b2.parquet"), BATCH2)
+    _write(str(src / "b3.parquet"), BATCH3)
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_view(stream, state, ["cat"], ["v"], query_name="mv1")
+    q.awaitTermination(240)
+
+    all_changes = spark.createDataFrame(BATCH1 + BATCH2 + BATCH3, CHANGE_SCHEMA)
+    want = _state_rows(ivm.maintain(None, all_changes, ["cat"], ["v"]))
+    got = _state_rows(MV.read_view(spark, state))
+    assert got == want
+    # blue emptied by the group-moving update; green emptied by delete
+    assert {c for c, _, _ in got} == {"red"}
+
+    # time travel: one committed version per micro-batch, and version 0
+    # is the view after batch 1 alone
+    assert V.current_version(state) == 2
+    v0 = _state_rows(MV.read_view(spark, state, version=0))
+    b1 = spark.createDataFrame(BATCH1, CHANGE_SCHEMA)
+    assert v0 == _state_rows(ivm.maintain(None, b1, ["cat"], ["v"]))
+
+
+def test_stream_maintained_moment_view(spark, tmp_path):
+    src = tmp_path / "changes"
+    src.mkdir()
+    state = str(tmp_path / "mview")
+    _write(str(src / "b1.parquet"), BATCH1)
+    _write(str(src / "b2.parquet"), BATCH2)
+
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_moment_view(stream, state, ["cat"], ["v"], query_name="mv2")
+    q.awaitTermination(240)
+
+    stats = {
+        (r["cat"], r["n_rows"], round(r["avg_v"], 9),
+         None if r["stddev_v"] is None else round(r["stddev_v"], 6))
+        for r in ivm.moment_stats(MV.read_view(spark, state), ["cat"], ["v"]).collect()
+    }
+    # post-change base: k1 red 11.5, k2 red 5.0, k3 red 2.0, k4 green 7.0
+    base = spark.createDataFrame(
+        [(1, "red", 11.5), (2, "red", 5.0), (3, "red", 2.0), (4, "green", 7.0)],
+        ["k", "cat", "v"],
+    )
+    want = {
+        (r["cat"], r["n_rows"], round(r["avg_v"], 9),
+         None if r["stddev_v"] is None else round(r["stddev_v"], 6))
+        for r in base.groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.avg("v").alias("avg_v"),
+            F.stddev_samp("v").alias("stddev_v"),
+        )
+        .collect()
+    }
+    assert stats == want

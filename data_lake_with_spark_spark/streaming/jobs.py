@@ -314,3 +314,61 @@ def stream_rollup_into_lake(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _make_user_totals_processor():
+    """StatefulProcessor for transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState (running_user_totals above is
+    the legacy twin). Composable typed state handles instead of one
+    tuple blob; requires the RocksDB state store provider, which also
+    brings changelog checkpointing + state bounded by disk, not heap —
+    the 100 TB keyed-state posture. Defined lazily (import inside) so
+    environments without the API still import this module."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserTotalsProcessor()
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas — same
+    contract as running_user_totals (update mode, state lives for the
+    replay), on the modern stateful API. The caller's session must use
+    the RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass), and the runtime
+    needs protobuf (the state-server wire protocol) — absent in this
+    container, so the pytest skips; applyInPandasWithState above is
+    the environment-portable path."""
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_user_totals_processor(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

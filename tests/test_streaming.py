@@ -148,3 +148,36 @@ def test_stream_rollup_lake_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_running_totals_tws(spark, sf_dir):
+    """transformWithStateInPandas twin of running_user_totals: same
+    final per-user counts as the batch aggregate. Needs the RocksDB
+    state store provider — set for this query's session, restored
+    after — and protobuf for the state-server protocol (absent in this
+    container → skip; the operator itself is exercised wherever
+    protobuf exists)."""
+    pytest.importorskip("google.protobuf")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.events_stream(spark, sf_dir)
+        out = jobs.run_to_completion(
+            jobs.running_user_totals_tws(stream), "t_totals_tws", mode="update"
+        )
+        final = out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+        batch = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        assert _sorted_rows(final, "user_id") == _sorted_rows(batch, "user_id")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

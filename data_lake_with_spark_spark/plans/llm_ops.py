@@ -173,10 +173,43 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_language_id", oracle=None, tags=("text", "llm", "heuristic"))
+# The marker table is generated from functions/text.LANG_MARKERS so the
+# oracle and the engine share one source of truth for the heuristic.
+_LANG_VALUES = ", ".join(
+    "('{lg}', [{ms}])".format(
+        lg=lg, ms=", ".join(f"'{m}'" for m in ms)
+    )
+    for lg, ms in sorted(TXT.LANG_MARKERS.items())
+)
+
+LANGID_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_transform(string_split_regex(trim(text), '\s+'), t -> lower(t)) AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang, h.lg,
+         len(list_filter(t, x -> list_contains(h.markers, x))) AS n_hits
+  FROM toks CROSS JOIN (VALUES {vals}) AS h(lg, markers)
+), best AS (
+  SELECT doc_id, lang, lg, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lg ASC) AS rn,
+         MAX(n_hits) OVER (PARTITION BY doc_id) AS mx
+  FROM hits
+)
+SELECT doc_id, lang, CASE WHEN mx > 0 THEN lg ELSE 'und' END AS lang_guess
+FROM best WHERE rn = 1
+ORDER BY doc_id
+""".replace("{vals}", _LANG_VALUES)
+
+
+@register("text_language_id", oracle=LANGID_ORACLE, tags=("text", "llm", "heuristic"))
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID (heuristic → rows-only; property-tested
-    in pytest on crafted sentences)."""
+    """Marker-word language ID: per-language marker-hit counts, argmax
+    with alphabetical tie-break, 'und' when nothing hits. Deterministic
+    column math (no model), so the heuristic is fully oracled — the
+    SQL rebuilds the same hit counts from the shared marker table;
+    crafted-sentence property tests live in pytest."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", "lang", TXT.lang_guess("text").alias("lang_guess")
@@ -945,3 +978,22 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register("vector_pca_project", oracle=None, tags=("vector", "llm", "pca"))
+def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (E3 preprocessing): fit the top-4 principal
+    components with one d²-cell scatter aggregation + a driver-side
+    64×64 eigendecomposition, then project every embedding JVM-side
+    (literal-weight dot products, no Python in the row path). Rows-only
+    — eigenvectors come from numpy (not SQL-expressible); the numpy
+    differential pytest (tests/test_pca.py) pins components, variances,
+    and projections."""
+    from data_lake_with_spark_spark.operators.pca import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, k=4)
+    return out.select(
+        "vec_id",
+        F.transform("pc", lambda x: F.floor(x * 1e6 + 0.5) / 1e6).alias("pc"),
+    ).orderBy("vec_id")

@@ -1,0 +1,55 @@
+"""Distributed PCA == numpy PCA on the same data (differential test),
+plus projection reproducibility under the fixed sign convention."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import pca
+
+
+def _mat(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([list(r["embedding"]) for r in rows], dtype=np.float64), rows
+
+
+def test_components_match_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comps, var, mean = pca.pca_components(emb, k=4)
+    X, _ = _mat(spark, sf_dir)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False)  # sample covariance, ddof=1
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    want_var = vals[order]
+    assert np.allclose(var, want_var, rtol=1e-9)
+    for got, exp in zip(comps, vecs[:, order].T):
+        if exp[np.argmax(np.abs(exp))] < 0:
+            exp = -exp
+        assert np.allclose(got, exp, atol=1e-8)
+
+
+def test_projection_matches_numpy_and_is_jvm_side(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pca.pca_project(emb, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    comps, _, mean = pca.pca_components(emb, k=2)
+    X, rows = _mat(spark, sf_dir)
+    want = (X - mean) @ comps.T
+    got = {r["vec_id"]: list(r["pc"]) for r in out.collect()}
+    for i, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], want[i], atol=1e-6)
+
+
+def test_variance_concentrates_in_leading_components(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, var, _ = pca.pca_components(emb, k=8)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+    assert var[0] > 0

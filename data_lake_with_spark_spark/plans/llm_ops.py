@@ -997,3 +997,16 @@ def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("pc", lambda x: F.floor(x * 1e6 + 0.5) / 1e6).alias("pc"),
     ).orderBy("vec_id")
+
+
+@register("vector_topk_pca", oracle=None, tags=("vector", "llm", "approx", "topk"))
+def vector_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PCA retrieval (E3 scale path #4): 32-dim PCA-space
+    candidate scan + exact full-dimension rerank of 8·k candidates.
+    Rows-only (numpy eigenbasis); recall vs brute force pinned in
+    tests/test_pca.py (0.94 on the near-isotropic testdata)."""
+    from data_lake_with_spark_spark.operators.pca import pca_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return pca_topk(emb, queries, k=5).orderBy("query_id", "rank")

@@ -53,3 +53,24 @@ def test_variance_concentrates_in_leading_components(spark, sf_dir):
     _, var, _ = pca.pca_components(emb, k=8)
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
     assert var[0] > 0
+
+
+def test_pca_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Two-stage PCA retrieval must recover most exact top-5 neighbors
+    (32 of 64 dims + 8x rerank on the near-isotropic testdata;
+    measured 0.94)."""
+    from data_lake_with_spark_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = pca.pca_topk(emb, queries, k=5, n_components=32, rerank=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, recall
+    # contract shape: k rows per query, ranks 1..5
+    per_q = {}
+    for q, _ in a:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert set(per_q.values()) == {5}

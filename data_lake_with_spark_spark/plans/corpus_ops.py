@@ -805,3 +805,99 @@ def rag_chunk_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_doc", "c_doc", "c_chunk", F.col("rank").cast("int").alias("rank"), "score")
         .orderBy("q_doc", "rank")
     )
+
+
+BOILERPLATE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(0, len(t) - 7),
+                        i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')) AS gs
+  FROM toks WHERE len(t) >= 8
+), pos AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+), df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM pos GROUP BY g
+), boiler AS (
+  SELECT g FROM df WHERE n_docs >= 2
+), per_doc AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM pos p LEFT JOIN boiler b ON p.g = b.g
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(d.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(d.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN COALESCE(d.n_grams, 0) > 0
+            THEN FLOOR(d.n_boiler * 1.0 / d.n_grams * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS boiler_frac,
+       (COALESCE(d.n_boiler, 0) * 1.0 <= COALESCE(d.n_grams, 0) * 0.5) AS keep
+FROM toks t LEFT JOIN per_doc d ON t.doc_id = d.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "filter_boilerplate_crossdoc",
+    oracle=BOILERPLATE_ORACLE,
+    tags=("text", "llm", "quality", "dedup"),
+)
+def filter_boilerplate_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate gate (the CCNet/RefinedWeb sibling of
+    within-doc repetition filtering): an 8-gram POSITION is boilerplate
+    when its gram occurs in ≥2 distinct documents; documents are
+    dropped when more than half their positions are boilerplate —
+    catching templated/duplicated spans that survive exact dedup.
+
+    Plan: per-position grams via one HOF over the projected token
+    array (no per-token shuffle), document frequency as one hash-agg
+    over distinct (gram, doc) pairs, then a gram-keyed join back. At
+    100 TB the df table is the big intermediate — it shuffles hashed
+    grams once and would be the thing to persist as a companion table
+    (same pattern as the ingest shingle column)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    grams = toked.where(F.size("toks") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 8),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 8)),
+            )
+        ).alias("g"),
+    )
+    df_counts = grams.distinct().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    boiler = df_counts.where(F.col("n_docs") >= 2).select("g")
+    per_doc = (
+        grams.join(boiler.withColumn("_b", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.floor(F.col("n_boiler") / F.col("n_grams") * 1e6 + 0.5) / 1e6,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+            (
+                F.coalesce("n_boiler", F.lit(0))
+                <= F.coalesce("n_grams", F.lit(0)) * 0.5
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1010,3 +1010,140 @@ def vector_topk_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return pca_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# Portable MinHash constants — single source of truth for the Spark
+# expressions AND the generated oracle SQL below. 32-bit md5-derived
+# shingle hashes, 16 permutations h_i(x) = (a_i·x + b_i) mod P over a
+# Mersenne prime, banded 4×4. a_i < 2^30 keeps a_i·x < 2^62 (ANSI-safe
+# in long math on both engines).
+MINHASH_P = 2_147_483_647
+MINHASH_PERMS = [
+    (((1_103_515_245 * (i + 1)) % (1 << 30)) | 1, (12_345 + 987_654_321 * i) % MINHASH_P)
+    for i in range(16)
+]
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+
+_PERM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS))
+
+MINHASH_PORTABLE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), hs AS (
+  SELECT doc_id, shingle,
+         CAST('0x' || substring(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, p.i, MIN((p.a * h + p.b) % 2147483647) AS v
+  FROM hs CROSS JOIN (VALUES {perms}) AS p(i, a, b)
+  GROUP BY doc_id, p.i
+), bk AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS key
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND a.shingle = b.shingle
+  GROUP BY c.a_id, c.b_id
+)
+SELECT i.a_id, i.b_id,
+       FLOOR((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter i
+JOIN sizes sa ON i.a_id = sa.doc_id
+JOIN sizes sb ON i.b_id = sb.doc_id
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+ORDER BY a_id, b_id
+""".replace("{perms}", _PERM_VALUES)
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=MINHASH_PORTABLE_ORACLE,
+    tags=("dedup", "llm", "approx", "minhash"),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with a PORTABLE hash family (md5-derived 32-bit
+    shingle hashes + literal affine permutations), so the ENTIRE
+    approximate pipeline — signatures, 4×4 banding, bucket candidates,
+    exact verify — is bit-reproducible in SQL and fully oracled
+    (dedup_minhash_lsh keeps the fast xxhash64 family; this variant
+    proves the algorithm). Signatures are per-row HOF folds over the
+    distinct-shingle array (zero shuffle); candidates come from the
+    band-key self-join; verify is exact Jaccard on shingle strings."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    sh_arr = toked.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+            )
+        ).alias("sh"),
+    ).repartition("doc_id")  # barrier: materialize tokens/shingles once
+    hs = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    def _perm_min(a: int, b: int):
+        # closure, not default-arg lambda: PySpark maps every lambda
+        # parameter (defaults included) onto HOF arguments
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+
+    sig_cols = [
+        _perm_min(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = sh_arr.withColumn("hs", hs).select("doc_id", "sh", *sig_cols)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"s{b * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sh", F.posexplode(band_keys).alias("band", "key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    arr = sigs.select("doc_id", "sh")
+    a_arr = arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b_arr = arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(a_arr, "a_id")
+        .join(b_arr, "b_id")
+        .select(
+            "a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    )

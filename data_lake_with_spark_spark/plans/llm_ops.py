@@ -2,9 +2,11 @@
 embeddings: text analysis, dedup family, vector similarity search,
 multimodal plumbing.
 
-Approximate operators (MinHash-LSH, SimHash, hyperplane-LSH ANN) have
-no SQL oracle by nature → rows-only checks + pytest property tests.
-Exact operators ship full DuckDB oracles.
+Approximate operators built on engine-native hashing (xxhash64
+MinHash/SimHash, seeded-numpy LSH/IVF/PQ) are rows-only + pytest
+property tests; their *_portable twins swap in md5-derived hash
+families so the same approximate pipelines are bit-reproducible in SQL
+and fully oracled. Exact operators ship full DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -1145,5 +1147,112 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard")
         )
         .where(F.col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    )
+
+
+SIMHASH_PORTABLE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), hs AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h
+  FROM sh
+), bitsums AS (
+  SELECT doc_id, j.j, SUM(((h >> j.j) & 1) * 2 - 1) AS s
+  FROM hs CROSS JOIN (SELECT UNNEST(range(60)) AS j) j
+  GROUP BY doc_id, j.j
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+  FROM bitsums GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, sig, b.b, (sig >> (15 * b.b)) & 32767 AS key
+  FROM sig CROSS JOIN (SELECT UNNEST(range(4)) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=SIMHASH_PORTABLE_ORACLE,
+    tags=("dedup", "llm", "approx", "simhash"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a PORTABLE hash family: 60-bit md5-derived
+    shingle hashes → majority-vote signature → 4×15-bit pigeonhole
+    bands (lossless for hamming ≤ 3) → exact popcount verify. Like
+    dedup_minhash_portable this makes the whole approximate pipeline
+    bit-reproducible in SQL (dedup_simhash keeps the fast xxhash64
+    family). Two hash-aggs (bit sums, then bit packing) + a band-keyed
+    self-join — no cartesian, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    sh = toked.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    hs = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    js = spark.range(60).select(F.col("id").cast("int").alias("j"))
+    bitsums = (
+        hs.crossJoin(F.broadcast(js))
+        .select(
+            "doc_id", "j",
+            (F.expr("shiftright(h, j) & 1") * 2 - 1).alias("c"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    sig = bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id", "sig", F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b")
+    ).withColumn("key", F.expr("shiftright(sig, b * 15) & 32767"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
         .orderBy("a_id", "b_id")
     )

@@ -901,3 +901,88 @@ def filter_boilerplate_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Literal weight table for the hashed-feature linear classifier: 64
+# buckets, weights deterministic from the bucket index (a stand-in for
+# trained coefficients — the ARCHITECTURE is the point: model-based
+# filtering as pure column math). Shared between the Spark expressions
+# and the generated SQL.
+QCLF_BUCKETS = 64
+QCLF_WEIGHTS = [
+    round((((i * 2_654_435_761) % 1000) / 1000.0 - 0.5) * 2.0, 6)
+    for i in range(QCLF_BUCKETS)
+]
+QCLF_BIAS = 0.1
+_QCLF_W_SQL = ", ".join(f"({i}, {w})" for i, w in enumerate(QCLF_WEIGHTS))
+
+QCLF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), tf AS (
+  SELECT doc_id, len(t) AS n_toks,
+         CAST('0x' || substring(md5(unnest(t)), 1, 8) AS BIGINT) % 64 AS bucket
+  FROM toks WHERE len(t) > 0
+), feats AS (
+  SELECT doc_id, bucket, ANY_VALUE(n_toks) AS n_toks, COUNT(*) AS cnt
+  FROM tf GROUP BY doc_id, bucket
+), dotp AS (
+  SELECT f.doc_id,
+         SUM((f.cnt * 1.0 / f.n_toks) * w.wt) AS z
+  FROM feats f JOIN (VALUES {weights}) AS w(bucket, wt) ON f.bucket = w.bucket
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       FLOOR((1.0 / (1.0 + exp(-(COALESCE(p.z, 0) + 0.1)))) * 1e6 + 0.5) / 1e6 AS score,
+       (1.0 / (1.0 + exp(-(COALESCE(p.z, 0) + 0.1))) >= 0.5) AS keep
+FROM documents d LEFT JOIN dotp p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""".replace("{weights}", _QCLF_W_SQL)
+
+
+@register(
+    "quality_classifier_score",
+    oracle=QCLF_ORACLE,
+    tags=("text", "llm", "quality", "model"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext/DCLM-classifier
+    stage) as pure column math: tokens hash into 64 buckets (md5 —
+    portable), per-doc term frequencies dot a LITERAL weight vector,
+    sigmoid, threshold. No Python, no model server — a linear scorer
+    over hashed features runs at scan speed on 100 TB, and swapping in
+    real trained coefficients changes only the literals. Fully oracled
+    (same weights embedded in the SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("t"))
+    tf = (
+        toked.where(F.size("t") > 0)
+        .select("doc_id", F.size("t").alias("n_toks"), F.explode("t").alias("tok"))
+        .select(
+            "doc_id",
+            "n_toks",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % QCLF_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    feats = tf.groupBy("doc_id", "bucket").agg(
+        F.any_value("n_toks").alias("n_toks"), F.count(F.lit(1)).alias("cnt")
+    )
+    weights = F.array(*[F.lit(w) for w in QCLF_WEIGHTS])
+    z = feats.select(
+        "doc_id",
+        ((F.col("cnt") / F.col("n_toks")) * F.element_at(weights, F.col("bucket").cast("int") + 1)).alias("zi"),
+    ).groupBy("doc_id").agg(F.sum("zi").alias("z"))
+    sig = 1.0 / (1.0 + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0)) + F.lit(QCLF_BIAS))))
+    return (
+        docs.select("doc_id")
+        .join(z, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.floor(sig * 1e6 + 0.5) / 1e6).alias("score"),
+            (sig >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -128,3 +128,75 @@ def pack_sequences(
     return df.withColumn("n_tokens", token_count_col).withColumn(
         "pack_id", F.floor(tokens_before / F.lit(budget)).cast("int")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    compression: str = "zstd",
+) -> dict:
+    """Export stage of the training pipeline: write ``df`` as exactly
+    ``n_shards`` similarly-sized parquet shard files plus a
+    ``manifest.json`` (shard → file, rows, bytes; totals).
+
+    Sharding is CONTENT-ADDRESSED — shard = md5-bucket of the id, the
+    same device-independent scheme as train_test_split — so a re-run
+    over the same rows lands every row in the same shard whatever the
+    cluster layout (loaders can resume/verify by manifest). One
+    repartition(shard) shuffle, one task per shard, so shard files
+    stream out in parallel; at 100 TB pick n_shards ≈ total/target
+    shard size and the write stays one wide stage.
+
+    Returns the manifest dict. Loader contract: read manifest.json,
+    stream ``files`` in order; ``total_rows`` validates completeness.
+    """
+    import json
+    import os
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % n_shards
+    ).alias("_shard")
+    (
+        df.withColumn("_shard", shard)
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .option("compression", compression)
+        .parquet(path)
+    )
+    import pyarrow.parquet as pq
+
+    shards = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("_shard="):
+            continue
+        sid = int(d.split("=")[1])
+        files = sorted(
+            f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+        )
+        rows = bytes_ = 0
+        for f in files:
+            fp = os.path.join(path, d, f)
+            rows += pq.read_metadata(fp).num_rows
+            bytes_ += os.path.getsize(fp)
+        shards.append(
+            {
+                "shard": sid,
+                "files": [os.path.join(d, f) for f in files],
+                "rows": rows,
+                "bytes": bytes_,
+            }
+        )
+    manifest = {
+        "n_shards": n_shards,
+        "total_rows": sum(s["rows"] for s in shards),
+        "total_bytes": sum(s["bytes"] for s in shards),
+        "shards": shards,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

@@ -175,3 +175,33 @@ def test_rag_ivf_scan_prunes_to_probed_partitions(spark, sf_dir):
     scan = layout_scans[0]
     part = scan.split("PartitionFilters:")[-1].split("]")[0]
     assert "list_id" in part and ("IN" in part or "isin" in part.lower() or "in(" in part.lower()), part
+
+
+def test_no_unintended_cartesian_anywhere(spark, sf_dir):
+    """Registry-wide guard: no query may plan a CartesianProduct or an
+    unconditioned BroadcastNestedLoopJoin Cross except the ones whose
+    SEMANTICS are a cross join (join_cross; the tiny literal-landmark /
+    broadcast-stats cross joins are bounded by construction and
+    whitelisted by name). A silent cartesian is the classic
+    100TB-killer regression."""
+    allowed = {
+        "join_cross",              # the operator IS a cross join
+        "vector_pca_project",      # 8-row literal landmark/stat frames
+        "vector_topk_pca",
+        "rag_chunk_retrieval_ivf", # 8-row landmark broadcast
+        "dedup_simhash_portable",  # 60-row bit-index broadcast
+        "text_bm25_topk",          # broadcast corpus-stats scalar frame
+        "scalar_case_when",
+    }
+    failures = []
+    for name in sorted(REGISTRY):
+        if name in allowed:
+            continue
+        try:
+            p = plan_of(spark, sf_dir, name)
+        except Exception:
+            failures.append((name, "ANALYSIS ERROR"))
+            continue
+        if "CartesianProduct" in p:
+            failures.append((name, "CartesianProduct"))
+    assert not failures, failures

@@ -222,3 +222,44 @@ def stream_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def gram_df_changes(
+    changes: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pre-image change rows → per-change distinct n-gram rows (gram,
+    _change_type), the shape ivm.maintain folds. A doc insert
+    contributes +1 document-frequency to each of its distinct grams, a
+    delete −1, an update ±1 through its pre/post images — so the
+    maintained ``n_rows`` per gram IS the cross-document frequency."""
+    toks = changes.select(
+        id_col, "_change_type", F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    )
+    return toks.where(F.size("t") >= n).select(
+        "_change_type",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def maintain_gram_df(
+    current: DataFrame | None,
+    changes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintained cross-document n-gram frequency table
+    (gram, n_rows=doc-frequency) — the big intermediate of
+    filter_boilerplate_crossdoc kept in step with the corpus by
+    O(changed-docs) folds instead of a full re-scan. Grams with
+    n_rows ≥ 2 are the live boilerplate set."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    return ivm.maintain(current, gram_df_changes(changes, n, id_col, text_col), ["gram"], [])

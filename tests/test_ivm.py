@@ -157,3 +157,67 @@ def test_ivm_moments_track_avg_stddev(spark, tmp_path):
         ["cat"], ["v"],
     )
     check(state)
+
+
+def test_incremental_gram_df_matches_recompute(spark, tmp_path):
+    """The boilerplate document-frequency table maintained from the
+    change feed equals recomputing distinct (gram, doc) counts from the
+    post-change corpus — across insert, text update, and delete."""
+    from data_lake_with_spark_spark.operators.ingest import maintain_gram_df
+
+    path = str(tmp_path / "corp")
+    d1 = "a b c d e f g h i"          # grams: 2 distinct 8-grams
+    d2 = "a b c d e f g h i j"        # shares gram 'a..h' with d1
+    d3 = "z y x w v u t s r q"
+    V.versioned_merge(
+        spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]),
+        path, ["doc_id"],
+    )
+    state = maintain_gram_df(
+        None, V.versioned_changes(spark, path, ["doc_id"], -1, 0, include_preimages=True)
+    )
+
+    def recompute():
+        base = V.versioned_read_merged(spark, path, ["doc_id"])
+        toks = base.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+        grams = toks.where(F.size("t") >= 8).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - 8),
+                        lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+                    )
+                )
+            ).alias("gram"),
+        )
+        return {
+            (r["gram"], r["n"]) for r in
+            grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    def snap(state):
+        return {(r["gram"], r["n_rows"]) for r in state.collect()}
+
+    assert snap(state) == recompute()
+    # the shared 8-gram has doc-frequency 2 (the boilerplate set)
+    assert ("a b c d e f g h", 2) in snap(state)
+
+    # update d2 so it no longer shares, insert d4 duplicating d3
+    V.versioned_merge(
+        spark.createDataFrame(
+            [(2, "p o n m l k j i h"), (4, d3)], ["doc_id", "text"]
+        ),
+        path, ["doc_id"],
+    )
+    state = maintain_gram_df(
+        state, V.versioned_changes(spark, path, ["doc_id"], 0, 1, include_preimages=True)
+    )
+    assert snap(state) == recompute()
+    assert ("a b c d e f g h", 1) in snap(state)
+
+    V.versioned_delete(spark, spark.createDataFrame([(3,)], ["doc_id"]), path, ["doc_id"])
+    state = maintain_gram_df(
+        state, V.versioned_changes(spark, path, ["doc_id"], 1, 2, include_preimages=True)
+    )
+    assert snap(state) == recompute()

@@ -84,7 +84,10 @@ DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
+    # portable variant: same banding pipeline, md5 hash family → the
+    # driver's hash-compare can verify it exactly (the xxhash64 fast
+    # path dedup_minhash_lsh stays rows-only under local pytest)
+    "dedup_minhash_portable",
     "text_stats",
     "chunk_documents",
     "decode_image_png",

@@ -17,12 +17,22 @@ corpus ∪ batch. The corpus-side dedup keys are PRE-MATERIALIZED:
 ``ingest_batch`` appends every survivor with two companion columns —
 ``_fp`` (canonical fingerprint) and ``_shingles`` (sorted hashed
 3-gram shingle array) — both pure functions of the text, so the
-per-batch near-dup cost is tokenize(|batch|) + an index join, never
+per-batch near-dup TOKENIZATION cost is tokenize(|batch|), never
 tokenize(|corpus|). Corpus rows from pre-companion appends (nulls
 under mergeSchema) fall back to recomputation from text; everything
 ingested through this module never re-tokenizes. Batches are small
 relative to the corpus, so candidate postings are dominated by
 corpus×batch collisions, never corpus².
+
+Honest scale note: the per-batch SCAN of corpus shingle arrays (and
+the posting-index rebuild over them) is still |corpus|-bytes-driven —
+at sf0.1 wall-clock the two paths tie, because tokenization is cheap
+relative to the candidate join there. What the companion buys is the
+CPU term that grows with corpus text (tokenize+hash+sort per doc);
+the remaining |corpus| term is the index rebuild, whose fix is
+structural: persist the PREFIX POSTING INDEX itself as a table
+bucketed by shingle (sources/bucketed.py) so a batch join touches
+only matching buckets — queued in ROADMAP.
 """
 
 from __future__ import annotations
@@ -144,14 +154,18 @@ def dedup_batch_against_corpus(
     pref = DD.prefix_from_arrays(
         all_arrays.withColumnRenamed("_cid", "id"), threshold
     ).cache()
+    # Broadcast decision from the TEXT projection's plan stats — the
+    # same input-bytes heuristic ngram_jaccard_pairs uses. Estimating
+    # from the arrays union instead is wrong by orders of magnitude
+    # (Catalyst's union/join estimates compound: measured 42 GB for a
+    # 435 KB corpus), which silently disabled the broadcast verify and
+    # made the stored path SLOWER than recompute.
+    est_src = (corpus if corpus is not None else batch).select(id_col, text_col)
     pairs = DD.jaccard_pairs_from_prefix(
         pref,
         threshold,
-        # stats-estimated bytes of the ARRAY side (for stored corpora the
-        # estimate derives from parquet file sizes — conservative, since
-        # those include the text column)
-        broadcast_arrays=DD._plan_size_bytes(all_arrays)  # noqa: SLF001
-        <= DD.BROADCAST_ARRAYS_MAX_INPUT_BYTES * 10,
+        broadcast_arrays=DD._plan_size_bytes(est_src)  # noqa: SLF001
+        <= DD.BROADCAST_ARRAYS_MAX_INPUT_BYTES,
     )
     # a_id < b_id always; corpus pair-ids are negative → in a
     # corpus/batch pair the batch row is ALWAYS b. Drop b when a is

@@ -277,3 +277,158 @@ def maintain_gram_df(
     from data_lake_with_spark_spark.operators import ivm
 
     return ivm.maintain(current, gram_df_changes(changes, n, id_col, text_col), ["gram"], [])
+
+
+def posting_index_name(corpus_path: str) -> str:
+    """Catalog-table name for a corpus's prefix posting index (bucketed
+    tables live in the metastore, not at a path)."""
+    import hashlib
+
+    return "dlws_postings_" + hashlib.md5(corpus_path.encode()).hexdigest()[:10]
+
+
+def append_posting_index(
+    survivors_with_companions: DataFrame,
+    corpus_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Append the survivors' PREFIX POSTINGS (shingle, id, pos, n_sh)
+    to the corpus's posting-index table, bucketed by shingle — the
+    structural fix for the last |corpus|-driven term of per-batch
+    dedup: with the index pre-bucketed on the join key, a batch probe
+    shuffles only the batch's postings and the index is read in place,
+    never rebuilt. The PPJoin prefix depends on the threshold, so one
+    index serves one threshold (encode it in the path convention if
+    multiple are needed)."""
+    pref = DD.prefix_from_arrays(
+        survivors_with_companions.select(
+            _neg_id(id_col).alias("id"),
+            F.col(SHINGLES_COL).alias("sorted_shingles"),
+        ),
+        threshold,
+    )
+    posting = pref.select(
+        "id", "n_sh", F.posexplode("prefix").alias("pos", "shingle")
+    )
+    table = posting_index_name(corpus_path)
+    spark = survivors_with_companions.sparkSession
+    mode = "append" if table in [t.name for t in spark.catalog.listTables()] else "overwrite"
+    posting.write.mode(mode).bucketBy(n_buckets, "shingle").saveAsTable(table)
+
+
+def dedup_batch_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus: DataFrame,
+    corpus_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content dedup of ``batch`` probing the PERSISTED posting index
+    instead of rebuilding it from corpus arrays — identical survivors
+    to dedup_batch_against_corpus (pytest-pinned), different physical
+    shape: the candidate join reads the shingle-bucketed index in
+    place (no exchange on the corpus side) and only batch postings
+    shuffle; corpus shingle arrays are joined by id for the few
+    candidates during verify. Exact-dup and batch-internal stages are
+    unchanged (fingerprint math, |batch| + one id-keyed anti join)."""
+    ckeys = _corpus_keys(corpus, id_col, text_col).cache()
+    batch_fp = batch.withColumn(FP_COL, TXT.fingerprint(F.col(text_col)))
+    batch_fp = batch_fp.join(ckeys.select(FP_COL), FP_COL, "left_anti")
+    w_min = batch_fp.groupBy(FP_COL).agg(F.min(id_col).alias("_keep_id"))
+    batch_fp = (
+        batch_fp.join(w_min, FP_COL)
+        .where(F.col(id_col) == F.col("_keep_id"))
+        .drop(FP_COL, "_keep_id")
+    )
+
+    tagged_batch = batch_fp.select(F.col(id_col).alias("_cid"), F.col(text_col))
+    batch_pref = DD.prefix_from_arrays(
+        DD.sorted_shingle_arrays(tagged_batch, id_col="_cid", text_col=text_col, n=3),
+        threshold,
+    ).cache()
+    b_post = batch_pref.select(
+        F.col("id").alias("b_id"),
+        F.col("n_sh").alias("b_n"),
+        F.posexplode("prefix").alias("b_pos", "shingle"),
+    )
+    a_post = spark.table(posting_index_name(corpus_path)).select(
+        F.col("id").alias("a_id"),
+        F.col("n_sh").alias("a_n"),
+        F.col("pos").alias("a_pos"),
+        "shingle",
+    )
+    length_ok = (F.col("b_n") >= F.lit(threshold) * F.col("a_n")) & (
+        F.col("b_n") * F.lit(threshold) <= F.col("a_n")
+    )
+    alpha = F.ceil(F.lit(threshold / (1 + threshold)) * (F.col("a_n") + F.col("b_n")))
+    ubound = F.least(F.col("a_n") - F.col("a_pos"), F.col("b_n") - F.col("b_pos"))
+    cand = (
+        a_post.join(b_post, "shingle")
+        .where(length_ok & (ubound >= alpha))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_arr = ckeys.select(
+        F.col("_cid").alias("a_id"), F.col(SHINGLES_COL).alias("a_sh")
+    )
+    b_arr = batch_pref.select(
+        F.col("id").alias("b_id"), F.col("sorted_shingles").alias("b_sh")
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    near_drops = (
+        cand.join(a_arr, "a_id")
+        .join(b_arr, "b_id")
+        .where((F.floor(jac * 1e6 + 0.5) / 1e6) >= threshold)
+        .select(F.col("b_id").alias("_cid"))
+        .distinct()
+    )
+    # batch-internal near dups still need the batch×batch pass (tiny)
+    b_pairs = DD.jaccard_pairs_from_prefix(batch_pref, threshold, broadcast_arrays=True)
+    internal_drops = b_pairs.select(F.col("b_id").alias("_cid")).distinct()
+    survivors = (
+        tagged_batch.join(near_drops.unionByName(internal_drops).distinct(), "_cid", "left_anti")
+    )
+    return batch.join(
+        survivors.select(F.col("_cid").alias(id_col)), id_col, "left_semi"
+    )
+
+
+def ingest_batch_indexed(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """ingest_batch with the posting-index fast path: dedup probes the
+    bucketed index when it exists (first call builds it), and every
+    append also appends the survivors' postings — so the index stays
+    exactly one version behind nothing."""
+    try:
+        corpus = V.versioned_read(spark, corpus_path)
+    except FileNotFoundError:
+        corpus = None
+    has_index = posting_index_name(corpus_path) in [
+        t.name for t in spark.catalog.listTables()
+    ]
+    if corpus is not None and has_index:
+        survivors = dedup_batch_against_index(
+            spark, batch, corpus, corpus_path, threshold, id_col, text_col
+        )
+    else:
+        survivors = dedup_batch_against_corpus(
+            batch, corpus, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+    enriched = with_companions(survivors, id_col=id_col, text_col=text_col).cache()
+    n = enriched.count()
+    if n:
+        V.versioned_append(enriched, corpus_path)
+        append_posting_index(enriched, corpus_path, threshold, id_col)
+    enriched.unpersist()
+    return n

@@ -155,3 +155,47 @@ def test_companion_path_matches_recompute_path(spark, sf_dir, tmp_path):
     a = sorted(r["doc_id"] for r in with_stored.collect())
     b = sorted(r["doc_id"] for r in recompute.collect())
     assert a == b and len(a) > 0
+
+
+def test_indexed_ingest_matches_unindexed(spark, sf_dir, tmp_path):
+    """The posting-index fast path must admit exactly the same
+    survivors as the rebuild path, batch after batch, and its
+    candidate join must read the bucketed index without an exchange on
+    the index side."""
+    docs = _docs(spark, sf_dir)
+    p_idx = str(tmp_path / "c_idx")
+    p_ref = str(tmp_path / "c_ref")
+    batches = [
+        docs.where(F.col("doc_id") >= 300),
+        docs.where(F.col("doc_id") < 20).unionByName(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 305))
+            .withColumn("doc_id", F.col("doc_id") + 70_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+        ),
+        docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
+    ]
+    try:
+        for b in batches:
+            n_i = ING.ingest_batch_indexed(spark, b, p_idx)
+            n_r = ING.ingest_batch(spark, b, p_ref)
+            assert n_i == n_r
+        ids_i = sorted(r["doc_id"] for r in V.versioned_read(spark, p_idx).collect())
+        ids_r = sorted(r["doc_id"] for r in V.versioned_read(spark, p_ref).collect())
+        assert ids_i == ids_r
+
+        # plan shape: candidate join reads the bucketed posting table
+        # with no Exchange on the index side
+        corpus = V.versioned_read(spark, p_idx)
+        batch = docs.where(F.col("doc_id") >= 490)
+        plan = (
+            ING.dedup_batch_against_index(spark, batch, corpus, p_idx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        tbl = ING.posting_index_name(p_idx)
+        idx_scans = [l for l in plan.splitlines() if tbl in l and "FileScan" in l]
+        assert idx_scans, "posting index not scanned"
+        assert "Bucketed: true" in idx_scans[0], idx_scans[0]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ING.posting_index_name(p_idx)}")

@@ -143,7 +143,14 @@ def compaction_base(path: str) -> int:
         return 0
 
 
-def compact(spark: SparkSession, path: str, keys: list[str] | None = None) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    keys: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    n_files: int = 8,
+    collect_stats: bool = False,
+) -> int:
     """Fold all deltas into one full-snapshot version (what Delta's
     OPTIMIZE does for delta sprawl). The snapshot commits as version
     latest+1 and `_BASE` records it, so post-compaction reads scan one
@@ -151,8 +158,15 @@ def compact(spark: SparkSession, path: str, keys: list[str] | None = None) -> in
     original deltas (a vacuum step could prune those after a retention
     window). For merge-on-read tables pass ``keys`` so the snapshot
     resolves last-writer-wins first (compacting a merged table with a
-    plain union would resurrect overwritten rows). Returns the
-    compacted version number."""
+    plain union would resurrect overwritten rows).
+
+    ``zorder_by`` makes the rewrite CLUSTER the snapshot on the
+    z-curve over those columns (Delta's OPTIMIZE ZORDER BY): the
+    compaction is the natural moment to fix layout, since every row is
+    being rewritten anyway. With ``collect_stats`` the new version
+    also records the per-file min/max manifest, so post-compaction
+    reads via ``versioned_read_range`` skip files in every z-ordered
+    dimension. Returns the compacted version number."""
     if keys is None:
         snapshot = versioned_read(spark, path).cache()
     else:
@@ -161,8 +175,22 @@ def compact(spark: SparkSession, path: str, keys: list[str] | None = None) -> in
     latest = current_version(path)
     assert latest is not None
     nxt = latest + 1
-    snapshot.write.mode("errorifexists").parquet(_version_dir(path, nxt))
+    if zorder_by:
+        from data_lake_with_spark_spark.operators.zorder import MORTON, with_zorder_key
+
+        (
+            with_zorder_key(snapshot, zorder_by)
+            .repartitionByRange(n_files, MORTON)
+            .sortWithinPartitions(MORTON)
+            .drop(MORTON)
+            .write.mode("errorifexists")
+            .parquet(_version_dir(path, nxt))
+        )
+    else:
+        snapshot.write.mode("errorifexists").parquet(_version_dir(path, nxt))
     snapshot.unpersist()
+    if collect_stats:
+        write_stats_manifest(_version_dir(path, nxt))
     for marker, value in ((_base_path(path), nxt), (_latest_path(path), nxt)):
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:

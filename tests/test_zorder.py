@@ -80,3 +80,34 @@ def test_with_zorder_key_handles_skew(spark):
     keyed = with_zorder_key(df, ["x", "y"], bits=8)
     n_distinct = keyed.select(MORTON).distinct().count()
     assert n_distinct > 100
+
+
+def test_compact_with_zorder_clusters_and_skips(spark, tmp_path):
+    """OPTIMIZE-ZORDER-at-compaction: folding deltas with zorder_by
+    rewrites the snapshot clustered on the z-curve and records the
+    stats manifest, so range reads skip files in BOTH clustered
+    dimensions — and the compacted content still equals the merged
+    pre-compaction table."""
+    import pyspark.sql.functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "zc")
+    rows = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7919) % 991).alias("y"),
+    )
+    V.versioned_merge(rows.where(F.col("k") < 2000), path, ["k"])
+    V.versioned_merge(rows.where(F.col("k") >= 2000), path, ["k"])
+    before = {tuple(r) for r in V.versioned_read_merged(spark, path, ["k"]).collect()}
+
+    v = V.compact(spark, path, keys=["k"], zorder_by=["x", "y"], n_files=8, collect_stats=True)
+    after = {tuple(r) for r in V.versioned_read_snapshot(spark, path, v).collect()}
+    assert after == before
+
+    for col in ("x", "y"):
+        df, stats = V.versioned_read_range(spark, path, col, 100, 140)
+        assert stats["files_read"] < stats["files_total"], (col, stats)
+        want = len([t for t in before if 100 <= t[1 if col == "x" else 2] <= 140])
+        assert df.count() == want

@@ -1256,3 +1256,136 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .orderBy("a_id", "b_id")
     )
+
+
+# Portable hyperplane-LSH constants: integer plane weights derived from
+# md5(table, plane, dim) — shared by the Spark plan and the generated
+# SQL. Signs of float·int dot products are engine-exact because both
+# engines fold the sum in the same order over IEEE doubles.
+LSHP_TABLES = 4
+LSHP_PLANES = 6
+LSHP_DIM = 64
+
+
+def _lshp_weight(t: int, p: int, d: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16)
+    return h % 1001 - 500
+
+
+_LSHP_VALUES = ", ".join(
+    f"({t}, {p}, {d}, {_lshp_weight(t, p, d)})"
+    for t in range(LSHP_TABLES)
+    for p in range(LSHP_PLANES)
+    for d in range(LSHP_DIM)
+)
+
+LSH_PORTABLE_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT vec_id, UNNEST(range(len(v))) AS dim, v[UNNEST(range(len(v))) + 1] AS x
+  FROM e
+), dots AS (
+  SELECT c.vec_id, w.t, w.p, SUM(c.x * w.wt) AS s
+  FROM comp c JOIN (VALUES {planes}) AS w(t, p, dim, wt) ON c.dim = w.dim
+  GROUP BY c.vec_id, w.t, w.p
+), sig AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+), q AS (
+  SELECT vec_id AS query_id, t, bucket FROM sig WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM q JOIN sig s ON q.t = s.t AND q.bucket = s.bucket
+  WHERE s.vec_id <> q.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         FLOOR(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+""".replace("{planes}", _LSHP_VALUES)
+
+
+@register(
+    "vector_topk_lsh_portable",
+    oracle=LSH_PORTABLE_ORACLE,
+    tags=("vector", "llm", "approx", "topk", "lsh"),
+)
+def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k with a PORTABLE plane family: integer plane
+    weights derived from md5(table, plane, dim), bucket bits from the
+    SIGN of sequential-fold double dot products (bit-identical on any
+    IEEE engine), candidates from per-table bucket equality, exact
+    cosine rerank. Like the minhash/simhash portable twins this makes
+    the approximate ANN pipeline itself oracle-checkable; the
+    numpy-seeded multi-table variant (vector_topk_lsh) stays the fast
+    path. Plan shape: one explode + one broadcast plane join + two
+    hash-aggs for signatures — no literal-array codegen blowup (see
+    ARCHITECTURE round-2 note), no cartesian, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = spark.createDataFrame(
+        [
+            (t, p, d, _lshp_weight(t, p, d))
+            for t in range(LSHP_TABLES)
+            for p in range(LSHP_PLANES)
+            for d in range(LSHP_DIM)
+        ],
+        "t int, p int, dim int, wt int",
+    )
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "t", "p")
+        .agg(F.sum(F.col("x") * F.col("wt")).alias("s"))
+    )
+    sig = dots.groupBy("vec_id", "t").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("bucket")
+    )
+    q = sig.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        sig.join(F.broadcast(q), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    from data_lake_with_spark_spark.functions.vector import dot, norm
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    b = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    score = dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))
+    scored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", (F.floor(score * 1e6 + 0.5) / 1e6).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
+        .orderBy("query_id", "rank")
+    )

@@ -1389,3 +1389,98 @@ def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
         .orderBy("query_id", "rank")
     )
+
+
+PQ_PORTABLE_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT vec_id, UNNEST(range(len(v))) AS dim,
+         CAST(FLOOR(v[UNNEST(range(len(v))) + 1] * 1000 + 0.5) AS BIGINT) AS x
+  FROM e
+), lm AS (
+  SELECT vec_id - 10 AS c, dim, x AS lx FROM comp WHERE vec_id >= 10 AND vec_id < 26
+), d2 AS (
+  SELECT comp.vec_id, lm.c, comp.dim // 8 AS j,
+         SUM((comp.x - lm.lx) * (comp.x - lm.lx)) AS d
+  FROM comp JOIN lm ON comp.dim = lm.dim
+  GROUP BY comp.vec_id, lm.c, comp.dim // 8
+), codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), dtable AS (
+  SELECT vec_id AS query_id, j, c, d FROM d2 WHERE vec_id < 10
+), adc AS (
+  SELECT t.query_id, k.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS d2_adc
+  FROM codes k JOIN dtable t ON k.j = t.j AND k.code = t.c
+  WHERE k.vec_id <> t.query_id
+  GROUP BY t.query_id, k.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, d2_adc
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2_adc ASC, neighbor_id ASC) AS rnk
+      FROM adc)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "vector_topk_pq_portable",
+    oracle=PQ_PORTABLE_ORACLE,
+    tags=("vector", "llm", "approx", "topk", "pq"),
+)
+def vector_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with a PORTABLE codebook: the
+    16 landmark vectors (vec_id 10..25) supply each of the 8 subspaces'
+    centroids, components are scaled to integers (×1000, the
+    vector_mean_pool trick) so every distance is order-independent
+    integer math — encode (argmin per subspace), the query×code
+    distance table, ADC candidate scoring, and ranking are all
+    bit-reproducible in SQL. Completes the portable-twin sweep:
+    MinHash, SimHash, LSH, IVF, PQ. The kmeans-trained variant
+    (vector_topk_pq) stays the quality path. Plan: one explode, one
+    broadcast landmark join, hash-aggs, a broadcast distance-table
+    join — no Python, no cartesian."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "vec_id", "dim", (F.floor(F.col("x") * 1000 + 0.5)).cast("bigint").alias("x")
+    )
+    lm = comp.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 26)).select(
+        (F.col("vec_id") - 10).alias("c"), "dim", F.col("x").alias("lx")
+    )
+    d2 = (
+        comp.join(F.broadcast(lm), "dim")
+        .groupBy("vec_id", "c", (F.col("dim") / 8).cast("int").alias("j"))
+        .agg(F.sum((F.col("x") - F.col("lx")) * (F.col("x") - F.col("lx"))).alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w_code = Window.partitionBy("vec_id", "j").orderBy("d", "c")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("c").alias("code"))
+    )
+    dtable = d2.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("c").alias("code"), "d"
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["j", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("bigint").alias("d2_adc"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.asc("d2_adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "d2_adc")
+        .orderBy("query_id", "rank")
+    )

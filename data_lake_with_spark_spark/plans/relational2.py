@@ -556,3 +556,61 @@ def agg_corr_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+SUBQ_IN_ORACLE = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey IN (SELECT s_nationkey FROM supplier)
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@register("subquery_in_nations", oracle=SUBQ_IN_ORACLE, tags=("subquery", "join"))
+def subquery_in_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) shape: customers whose nation hosts at least one
+    supplier — planned as a left-semi join on the subquery keys (the
+    set-membership join, no row duplication however many suppliers a
+    nation has)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(supp, "c_nationkey", "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+SUBQ_NOT_IN_ORACLE = """
+SELECT n.n_name
+FROM nation n
+WHERE n.n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900)
+ORDER BY n.n_name
+"""
+
+
+@register("subquery_not_in_nations", oracle=SUBQ_NOT_IN_ORACLE, tags=("subquery", "join"))
+def subquery_not_in_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (subquery) shape: nations with no high-balance customer
+    — a left-anti join on the subquery keys. Valid AS an anti join
+    because the subquery column is a non-null key (SQL NOT IN returns
+    empty the moment the subquery yields a NULL; on nullable columns
+    the anti-join rewrite needs the extra IS NOT NULL guard both
+    engines would push)."""
+    nation = _t(spark, sf_dir, "nation")
+    rich_nations = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").alias("n_nationkey"))
+    )
+    return (
+        nation.join(rich_nations, "n_nationkey", "left_anti")
+        .select("n_name")
+        .orderBy("n_name")
+    )

@@ -614,3 +614,42 @@ def subquery_not_in_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name")
         .orderBy("n_name")
     )
+
+
+CUME_NTH_ORACLE = """
+SELECT c_custkey,
+       n.n_name,
+       FLOOR(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS bal_cume,
+       NTH_VALUE(c_custkey, 2) OVER (PARTITION BY n.n_name
+                                     ORDER BY c.c_acctbal DESC, c.c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_richest
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey <= 500
+WINDOW w AS (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey)
+ORDER BY n_name, bal_cume, c_custkey
+"""
+
+
+@register("window_cume_nth", oracle=CUME_NTH_ORACLE, tags=("window",))
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value in one windowed pass — the two rank-family
+    members the rank/dense/percent query doesn't exercise. nth_value
+    needs the full-partition frame (default frame stops at CURRENT
+    ROW, which would leave the first row's nth NULL)."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        joined.select(
+            "c_custkey",
+            "n_name",
+            (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias("bal_cume"),
+            F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+        )
+        .orderBy("n_name", "bal_cume", "c_custkey")
+    )

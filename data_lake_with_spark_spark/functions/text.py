@@ -114,10 +114,20 @@ def lang_guess(text: Column | str) -> Column:
     best = F.array_max(
         F.transform(
             scored,
-            # order by (hits, reverse-alphabetical-lang) so max == ties-to-alphabetical-first
+            # order by (hits, reverse-alphabetical-lang) so max == ties-to-
+            # alphabetical-first. The tiebreak must cover the WHOLE code
+            # (ISO 639-1 is 2 chars): first-letter-only would leave 'en'
+            # vs 'es' to the struct's next field, flipping the winner to
+            # max(lang) = 'es' while argmax-alphabetical wants 'en'.
             lambda s: F.struct(
                 s["hits"].alias("hits"),
-                (F.lit(-1) * F.ascii(F.substring(s["lang"], 1, 1))).alias("tiebreak"),
+                (
+                    F.lit(-1)
+                    * (
+                        F.ascii(F.substring(s["lang"], 1, 1)) * F.lit(256)
+                        + F.ascii(F.substring(s["lang"], 2, 1))
+                    )
+                ).alias("tiebreak"),
                 s["lang"].alias("lang"),
             ),
         )

@@ -194,6 +194,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("feature", T.ArrayType(T.DoubleType()), False),
+        T.StructField("feature_bytes", T.ArrayType(T.IntegerType()), False),
     ]
 )
 
@@ -201,15 +202,26 @@ FEATURE_SCHEMA = T.StructType(
 def fake_feature_extract(media: DataFrame) -> DataFrame:
     """Deterministic 'feature extraction' over binary payloads via
     mapInPandas — the real Arrow-batched shape a decoder would use.
-    Feature i = byte i of sha256(payload) / 255."""
+    Feature i = byte i of sha256(lowercase-hex(payload)) / 255; the
+    raw integer bytes also come back as ``feature_bytes`` so downstream
+    aggregates can stay order-independent (integer sums) and the whole
+    payload→feature path is reproducible in plain SQL
+    (``sha256(hex-string)`` exists on VARCHAR in ANSI-ish engines,
+    ``sha256(blob)`` does not)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [b / 255.0 for b in hashlib.sha256(bytes(p)).digest()[:FEATURE_DIM]]
+            digests = [
+                hashlib.sha256(bytes(p).hex().encode("ascii")).digest()[:FEATURE_DIM]
                 for p in pdf["payload"]
             ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [[b / 255.0 for b in d] for d in digests],
+                    "feature_bytes": [[int(b) for b in d] for d in digests],
+                }
+            )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 

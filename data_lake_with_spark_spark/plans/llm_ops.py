@@ -669,8 +669,13 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.operators.similarity import pq_topk, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
+    # orderBy before limit: an unordered limit takes whichever partitions
+    # answer first, so on a multi-file table the codebook training sample
+    # (and the output) would vary run to run. 512 ordered rows for
+    # driver-side codebook training is the standard (and cheap) pattern.
     sample = np.asarray(
-        [r["embedding"] for r in emb.limit(512).collect()], dtype=np.float64
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(512).collect()],
+        dtype=np.float64,
     )
     books = pq_train(sample, m=16, k=16)
     queries = emb.where(F.col("vec_id") < 10)
@@ -696,25 +701,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal", "llm"))
+MULTIMODAL_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || 'x') AS hexpayload
+  FROM documents
+), h AS (
+  SELECT media_id,
+         CAST(32 AS BIGINT) AS n_bytes,
+         sha256(hexpayload) AS d
+  FROM m
+), b AS (
+  SELECT media_id, n_bytes,
+         list_transform(range(8), i ->
+             (strpos('0123456789abcdef', substr(d, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(d, 2 * i + 2, 1)) - 1)) AS bytes
+  FROM h
+)
+SELECT media_id, n_bytes,
+       FLOOR(list_sum(bytes) / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS feature_sum,
+       FLOOR(bytes[1] / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS feature_0,
+       FLOOR(bytes[2] / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS feature_1
+FROM b ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_features", oracle=MULTIMODAL_FEATURES_ORACLE, tags=("multimodal", "llm")
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow-batched feature extraction (E5).
     Payloads are deterministic fakes (md5-derived); the decode step for
-    real media is stubbed (no imaging libs in container)."""
+    real media is stubbed (no imaging libs in container). The feature
+    math is fully value-verified: features are sha256 bytes of the
+    payload's hex (SQL-expressible — the ``decode_image_png`` oracle
+    pattern), aggregated as INTEGER sums divided once, so Spark's
+    Arrow stage and the SQL oracle agree bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_fake_payloads(docs, "doc_id", "text")
     feats = MM.fake_feature_extract(media)
+    byte_sum = F.aggregate(
+        "feature_bytes", F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
     return (
         media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"))
         .join(feats, "media_id")
         .select(
             "media_id",
             "n_bytes",
-            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
-                "feature_sum"
+            pround(byte_sum / F.lit(255.0), 6).alias("feature_sum"),
+            pround(F.element_at("feature_bytes", 1) / F.lit(255.0), 6).alias(
+                "feature_0"
             ),
-            F.round(F.element_at("feature", 1), 6).alias("feature_0"),
-            F.round(F.element_at("feature", 2), 6).alias("feature_1"),
+            pround(F.element_at("feature_bytes", 2) / F.lit(255.0), 6).alias(
+                "feature_1"
+            ),
         )
         .orderBy("media_id")
     )
@@ -1260,8 +1301,11 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Portable hyperplane-LSH constants: integer plane weights derived from
 # md5(table, plane, dim) — shared by the Spark plan and the generated
-# SQL. Signs of float·int dot products are engine-exact because both
-# engines fold the sum in the same order over IEEE doubles.
+# SQL. Embedding components are scaled to exact integers
+# (floor(x·1000 + 0.5), the vector_topk_pq_portable scheme) before the
+# plane dot products, so the bucket-bit signs come from INTEGER sums —
+# order-independent, immune to Spark's partition-dependent partial
+# aggregation order vs DuckDB's sequential fold.
 LSHP_TABLES = 4
 LSHP_PLANES = 6
 LSHP_DIM = 64
@@ -1285,10 +1329,11 @@ LSH_PORTABLE_ORACLE = r"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), comp AS (
-  SELECT vec_id, UNNEST(range(len(v))) AS dim, v[UNNEST(range(len(v))) + 1] AS x
+  SELECT vec_id, UNNEST(range(len(v))) AS dim,
+         CAST(FLOOR(v[UNNEST(range(len(v))) + 1] * 1000 + 0.5) AS BIGINT) AS ix
   FROM e
 ), dots AS (
-  SELECT c.vec_id, w.t, w.p, SUM(c.x * w.wt) AS s
+  SELECT c.vec_id, w.t, w.p, SUM(c.ix * w.wt) AS s
   FROM comp c JOIN (VALUES {planes}) AS w(t, p, dim, wt) ON c.dim = w.dim
   GROUP BY c.vec_id, w.t, w.p
 ), sig AS (
@@ -1325,8 +1370,9 @@ ORDER BY query_id, rank
 def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH top-k with a PORTABLE plane family: integer plane
     weights derived from md5(table, plane, dim), bucket bits from the
-    SIGN of sequential-fold double dot products (bit-identical on any
-    IEEE engine), candidates from per-table bucket equality, exact
+    SIGN of INTEGER plane dot products (components pre-scaled
+    floor(x·1000 + 0.5) → order-independent exact sums on any engine),
+    candidates from per-table bucket equality, exact
     cosine rerank. Like the minhash/simhash portable twins this makes
     the approximate ANN pipeline itself oracle-checkable; the
     numpy-seeded multi-table variant (vector_topk_lsh) stays the fast
@@ -1345,11 +1391,13 @@ def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = emb.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    ).select(
+        "vec_id", "dim", F.floor(F.col("x") * 1000 + 0.5).cast("bigint").alias("ix")
     )
     dots = (
         comp.join(F.broadcast(planes), "dim")
         .groupBy("vec_id", "t", "p")
-        .agg(F.sum(F.col("x") * F.col("wt")).alias("s"))
+        .agg(F.sum(F.col("ix") * F.col("wt")).alias("s"))
     )
     sig = dots.groupBy("vec_id", "t").agg(
         F.sum(

@@ -449,10 +449,43 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling (the reference's hardcoded 210-file
     cap, SURVEY §2.9 B5, done right: config-driven, engine-level).
-    Sample membership is engine-specific → rows-only check."""
+    Sample membership is engine-specific → rows-only check; the
+    value-verified form of the same operator is
+    ``scan_sample_fraction`` (content-addressed, engine-independent)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+SAMPLE_FRACTION_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 2) < '1a'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register("scan_sample_fraction", oracle=SAMPLE_FRACTION_ORACLE, tags=("scan", "sampling"))
+def scan_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source truncation done right at scale (SURVEY §2.9 B5 / S8):
+    ~10% Bernoulli-style sample whose membership is CONTENT-ADDRESSED
+    (md5 bucket of the row's own key, operators/sampling.py), not
+    RNG-seeded — so the sample is a pure function of the data,
+    identical across engines, runs, partition layouts, and cluster
+    sizes, and existing rows never enter/leave as the table grows.
+    Map-only (a filter — no shuffle, scan-speed at 100 TB), unlike
+    seeded TABLESAMPLE whose membership is layout-dependent (see
+    scan_tablesample, rows-only for that reason)."""
+    from data_lake_with_spark_spark.operators.sampling import stratified_fraction
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_rid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return (
+        stratified_fraction(li, 0.1, "_rid")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     )
 
 

@@ -123,6 +123,16 @@ def test_lang_guess_on_crafted_sentences(spark):
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
 
 
+def test_lang_guess_tiebreak_same_first_letter(spark):
+    """Equal nonzero hit counts across languages sharing a first
+    letter ('la' → es, 'a' → en) must still break alphabetically:
+    'en' wins over 'es' — the first-letter-only tiebreak regression."""
+    df = spark.createDataFrame([(1, "la a"), (2, "le der")], ["id", "text"])
+    got = {r["id"]: r["g"] for r in df.select("id", lang_guess("text").alias("g")).collect()}
+    assert got[1] == "en"  # en/es tie, same first letter
+    assert got[2] == "de"  # de/fr tie, different first letters
+
+
 def test_multimodal_roundtrip(spark, docs):
     media = MM.attach_fake_payloads(docs, "doc_id", "text")
     rows = media.collect()

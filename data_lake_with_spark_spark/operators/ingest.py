@@ -116,6 +116,7 @@ def dedup_batch_against_corpus(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` that survive content dedup against ``corpus``
     (None = empty) and against earlier (smaller-id) batch rows.
@@ -125,10 +126,19 @@ def dedup_batch_against_corpus(
     dropped if it pairs with ANY corpus row or with a smaller-id batch
     row (keep-first greedy, same contract as semdedup). Corpus-side
     keys come from the stored companion columns when present (see
-    _corpus_keys) — only the batch is tokenized."""
+    _corpus_keys) — only the batch is tokenized.
+
+    Intermediate frames reused across the plan are ``.cache()``d; pass
+    ``caches`` to collect them for unpersisting once the survivors are
+    materialized (``ingest_batch`` does) — otherwise repeated per-batch
+    calls in one long session accumulate cached blocks."""
+    if caches is None:
+        caches = []
     ckeys = (
         _corpus_keys(corpus, id_col, text_col).cache() if corpus is not None else None
     )
+    if ckeys is not None:
+        caches.append(ckeys)
     batch_fp = batch.withColumn(FP_COL, TXT.fingerprint(F.col(text_col)))
     if ckeys is not None:
         batch_fp = batch_fp.join(ckeys.select(FP_COL), FP_COL, "left_anti")
@@ -154,6 +164,7 @@ def dedup_batch_against_corpus(
     pref = DD.prefix_from_arrays(
         all_arrays.withColumnRenamed("_cid", "id"), threshold
     ).cache()
+    caches.append(pref)
     # Broadcast decision from the TEXT projection's plan stats — the
     # same input-bytes heuristic ngram_jaccard_pairs uses. Estimating
     # from the arrays union instead is wrong by orders of magnitude
@@ -198,9 +209,15 @@ def ingest_batch(
         corpus = V.versioned_read(spark, corpus_path)
     except FileNotFoundError:
         corpus = None
+    caches: list[DataFrame] = []
     survivors = with_companions(
         dedup_batch_against_corpus(
-            batch, corpus, threshold=threshold, id_col=id_col, text_col=text_col
+            batch,
+            corpus,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            caches=caches,
         ),
         id_col=id_col,
         text_col=text_col,
@@ -209,6 +226,8 @@ def ingest_batch(
     if n:
         V.versioned_append(survivors, corpus_path)
     survivors.unpersist()
+    for c in caches:
+        c.unpersist()
     return n
 
 
@@ -279,12 +298,18 @@ def maintain_gram_df(
     return ivm.maintain(current, gram_df_changes(changes, n, id_col, text_col), ["gram"], [])
 
 
-def posting_index_name(corpus_path: str) -> str:
+def posting_index_name(corpus_path: str, threshold: float = 0.5) -> str:
     """Catalog-table name for a corpus's prefix posting index (bucketed
-    tables live in the metastore, not at a path)."""
+    tables live in the metastore, not at a path). The PPJoin prefix
+    LENGTH depends on the Jaccard threshold, so the threshold is part
+    of the identity: probing an index built for another t would
+    silently yield incomplete candidates — encoding t in the name
+    makes a different threshold resolve to a different (absent →
+    freshly bootstrapped) table instead."""
     import hashlib
 
-    return "dlws_postings_" + hashlib.md5(corpus_path.encode()).hexdigest()[:10]
+    key = f"{corpus_path}|t={threshold:.6f}"
+    return "dlws_postings_" + hashlib.md5(key.encode()).hexdigest()[:10]
 
 
 def append_posting_index(
@@ -312,10 +337,95 @@ def append_posting_index(
     posting = pref.select(
         "id", "n_sh", F.posexplode("prefix").alias("pos", "shingle")
     )
-    table = posting_index_name(corpus_path)
+    table = posting_index_name(corpus_path, threshold)
     spark = survivors_with_companions.sparkSession
     mode = "append" if table in [t.name for t in spark.catalog.listTables()] else "overwrite"
     posting.write.mode(mode).bucketBy(n_buckets, "shingle").saveAsTable(table)
+
+
+def fp_index_name(corpus_path: str) -> str:
+    """Catalog-table name for a corpus's bucketed fingerprint table
+    (the exact-dedup key, threshold-independent unlike the posting
+    index)."""
+    import hashlib
+
+    return "dlws_fps_" + hashlib.md5(corpus_path.encode()).hexdigest()[:10]
+
+
+def append_fp_index(
+    survivors_with_companions: DataFrame,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Append the survivors' (id, _fp) rows to the corpus's
+    fingerprint table, bucketed by _fp — so the per-batch exact-dedup
+    anti join reads the corpus fingerprints pre-hashed on the join key
+    (no Exchange on the corpus side; only the small batch shuffles).
+    The remaining exchange-free term of per-batch ingest after the
+    posting index covered the near-dup stage."""
+    fps = survivors_with_companions.select(
+        _neg_id(id_col).alias("id"), FP_COL
+    )
+    table = fp_index_name(corpus_path)
+    spark = survivors_with_companions.sparkSession
+    mode = (
+        "append"
+        if table in [t.name for t in spark.catalog.listTables()]
+        else "overwrite"
+    )
+    fps.write.mode(mode).bucketBy(n_buckets, FP_COL).saveAsTable(table)
+
+
+def build_fp_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Bootstrap the bucketed fingerprint table from the FULL existing
+    corpus (companion _fp when stored, recomputed from text
+    otherwise) — same completeness requirement as
+    build_posting_index."""
+    fps = _corpus_keys(corpus, id_col, text_col).select(
+        F.col("_cid").alias("id"), FP_COL
+    )
+    fps.write.mode("overwrite").bucketBy(n_buckets, FP_COL).saveAsTable(
+        fp_index_name(corpus_path)
+    )
+
+
+def build_posting_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    corpus_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Bootstrap the posting index from the FULL existing corpus —
+    companion ``_shingles`` columns when stored (no tokenization),
+    recomputed from text for pre-companion rows. Required when an
+    index table is first created over a corpus that already has rows:
+    seeding it from one batch's survivors only would leave every
+    earlier corpus row without postings, so later indexed probes would
+    silently miss near-duplicates against them."""
+    ckeys = _corpus_keys(corpus, id_col, text_col)
+    pref = DD.prefix_from_arrays(
+        ckeys.select(
+            F.col("_cid").alias("id"), F.col(SHINGLES_COL).alias("sorted_shingles")
+        ),
+        threshold,
+    )
+    posting = pref.select(
+        "id", "n_sh", F.posexplode("prefix").alias("pos", "shingle")
+    )
+    posting.write.mode("overwrite").bucketBy(n_buckets, "shingle").saveAsTable(
+        posting_index_name(corpus_path, threshold)
+    )
 
 
 def dedup_batch_against_index(
@@ -326,6 +436,7 @@ def dedup_batch_against_index(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Content dedup of ``batch`` probing the PERSISTED posting index
     instead of rebuilding it from corpus arrays — identical survivors
@@ -334,10 +445,24 @@ def dedup_batch_against_index(
     place (no exchange on the corpus side) and only batch postings
     shuffle; corpus shingle arrays are joined by id for the few
     candidates during verify. Exact-dup and batch-internal stages are
-    unchanged (fingerprint math, |batch| + one id-keyed anti join)."""
+    unchanged (fingerprint math, |batch| + one id-keyed anti join).
+
+    Pass ``caches`` to collect the cached intermediates for
+    unpersisting after materialization (see dedup_batch_against_corpus)."""
+    if caches is None:
+        caches = []
     ckeys = _corpus_keys(corpus, id_col, text_col).cache()
+    caches.append(ckeys)
     batch_fp = batch.withColumn(FP_COL, TXT.fingerprint(F.col(text_col)))
-    batch_fp = batch_fp.join(ckeys.select(FP_COL), FP_COL, "left_anti")
+    # Exact stage: anti-join the bucketed fingerprint table when it
+    # exists (read pre-hashed on _fp, no corpus-side Exchange — only
+    # the batch shuffles); otherwise the corpus companion columns.
+    fp_table = fp_index_name(corpus_path)
+    if fp_table in [t.name for t in spark.catalog.listTables()]:
+        corpus_fps = spark.table(fp_table).select(FP_COL)
+    else:
+        corpus_fps = ckeys.select(FP_COL)
+    batch_fp = batch_fp.join(corpus_fps, FP_COL, "left_anti")
     w_min = batch_fp.groupBy(FP_COL).agg(F.min(id_col).alias("_keep_id"))
     batch_fp = (
         batch_fp.join(w_min, FP_COL)
@@ -350,12 +475,13 @@ def dedup_batch_against_index(
         DD.sorted_shingle_arrays(tagged_batch, id_col="_cid", text_col=text_col, n=3),
         threshold,
     ).cache()
+    caches.append(batch_pref)
     b_post = batch_pref.select(
         F.col("id").alias("b_id"),
         F.col("n_sh").alias("b_n"),
         F.posexplode("prefix").alias("b_pos", "shingle"),
     )
-    a_post = spark.table(posting_index_name(corpus_path)).select(
+    a_post = spark.table(posting_index_name(corpus_path, threshold)).select(
         F.col("id").alias("a_id"),
         F.col("n_sh").alias("a_n"),
         F.col("pos").alias("a_pos"),
@@ -407,28 +533,51 @@ def ingest_batch_indexed(
     text_col: str = "text",
 ) -> int:
     """ingest_batch with the posting-index fast path: dedup probes the
-    bucketed index when it exists (first call builds it), and every
-    append also appends the survivors' postings — so the index stays
-    exactly one version behind nothing."""
+    bucketed index when it exists, and every append also appends the
+    survivors' postings — so the index stays exactly one version
+    behind nothing. When the index table is absent but the corpus
+    already has rows (corpus built via ingest_batch, or a pre-existing
+    table), the index is first BOOTSTRAPPED from the full corpus
+    companions (build_posting_index) — seeding it from just this
+    batch's survivors would leave all earlier corpus rows unindexed
+    and silently admit their near-duplicates forever after."""
     try:
         corpus = V.versioned_read(spark, corpus_path)
     except FileNotFoundError:
         corpus = None
-    has_index = posting_index_name(corpus_path) in [
+    has_index = posting_index_name(corpus_path, threshold) in [
         t.name for t in spark.catalog.listTables()
     ]
-    if corpus is not None and has_index:
+    caches: list[DataFrame] = []
+    if corpus is not None:
+        if not has_index:
+            build_posting_index(
+                spark, corpus, corpus_path, threshold, id_col, text_col
+            )
+        if fp_index_name(corpus_path) not in [
+            t.name for t in spark.catalog.listTables()
+        ]:
+            build_fp_index(spark, corpus, corpus_path, id_col, text_col)
         survivors = dedup_batch_against_index(
-            spark, batch, corpus, corpus_path, threshold, id_col, text_col
+            spark, batch, corpus, corpus_path, threshold, id_col, text_col,
+            caches=caches,
         )
     else:
         survivors = dedup_batch_against_corpus(
-            batch, corpus, threshold=threshold, id_col=id_col, text_col=text_col
+            batch,
+            corpus,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            caches=caches,
         )
     enriched = with_companions(survivors, id_col=id_col, text_col=text_col).cache()
     n = enriched.count()
     if n:
         V.versioned_append(enriched, corpus_path)
         append_posting_index(enriched, corpus_path, threshold, id_col)
+        append_fp_index(enriched, corpus_path, id_col)
     enriched.unpersist()
+    for c in caches:
+        c.unpersist()
     return n

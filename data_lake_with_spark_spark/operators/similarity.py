@@ -381,6 +381,88 @@ def ivf_topk_from_layout(
     )
 
 
+def write_ivf_bucketed(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    table: str,
+    n_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF layout as a BUCKETED catalog table (bucketBy list_id) — the
+    co-located end-to-end form of ``write_ivf_layout``. The bucketed
+    scan reports hash-partitioning on list_id, so the probe→rerank
+    pipeline runs with ZERO exchange on the vector side: bucket
+    pruning keeps the scan to the probed lists, the probe join is a
+    broadcast, and the local per-(list, query) top-k window is
+    satisfied by the scan's own partitioning (HashPartitioning on a
+    subset of the window keys). Only per-list winners — n_probe·k rows
+    per query — ever shuffle. Hive partitioning gives the same
+    pruning but NOT the partitioning guarantee; at 100 TB the rerank
+    shuffle over all candidates is the bottleneck this removes."""
+    ivf_assign(embeddings, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).bucketBy(n_buckets, "list_id").saveAsTable(table)
+
+
+def ivf_topk_from_bucketed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a ``write_ivf_bucketed`` table. Identical
+    results to ``ivf_topk_from_layout`` (pytest-pinned); the physical
+    plan differs: (1) bucket-pruned scan of the probed lists, (2)
+    broadcast probe join (preserves the scan's list_id partitioning),
+    (3) LOCAL top-k per (list_id, query_id) window with NO exchange —
+    the bucketed scan already clusters by list_id, which satisfies the
+    window's clustered-distribution on (list_id, query_id) — then (4)
+    global top-k per query over the ≤ n_probe·k local winners. The
+    keep-k-per-list step is lossless for global top-k: every global
+    winner is a winner within its own list."""
+    nearest = _nearest_centroids_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(nearest(F.col(vec_col))).alias("list_id"),
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    assigned = (
+        spark.table(table)
+        .where(F.col("list_id").isin(probed))
+        .withColumn("c_norm", norm(F.col("vec")))
+    )
+    cos = dot(F.col("q_vec"), F.col("vec")) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        assigned.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "list_id",
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.floor(cos * 1e6 + 0.5) / 1e6).alias("score"),
+        )
+    )
+    w_local = W.partitionBy("list_id", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    local = scored.withColumn("lrank", F.row_number().over(w_local)).where(
+        F.col("lrank") <= k
+    )
+    w_global = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w_global))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def autotune_nprobe(
     embeddings: DataFrame,
     centroids: np.ndarray,

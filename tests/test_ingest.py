@@ -199,3 +199,87 @@ def test_indexed_ingest_matches_unindexed(spark, sf_dir, tmp_path):
         assert "Bucketed: true" in idx_scans[0], idx_scans[0]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ING.posting_index_name(p_idx)}")
+        spark.sql(f"DROP TABLE IF EXISTS {ING.fp_index_name(p_idx)}")
+
+
+def test_indexed_ingest_bootstraps_index_over_existing_corpus(spark, sf_dir, tmp_path):
+    """First indexed call over a corpus that PRE-DATES the index table
+    (built via plain ingest_batch) must bootstrap the index from the
+    full corpus companions — otherwise earlier corpus rows have no
+    postings and their near-duplicates are silently admitted."""
+    docs = _docs(spark, sf_dir)
+    path = str(tmp_path / "c_boot")
+    # corpus exists, index does not
+    assert ING.ingest_batch(spark, docs.where(F.col("doc_id") >= 300), path) > 0
+    try:
+        # near-dups of corpus rows, under fresh ids — plus genuinely new docs
+        near = (
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 310))
+            .withColumn("doc_id", F.col("doc_id") + 90_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+        )
+        fresh = docs.where(F.col("doc_id") < 10)
+        n = ING.ingest_batch_indexed(spark, near.unionByName(fresh), path)
+        admitted = {
+            r["doc_id"]
+            for r in V.versioned_read(spark, path)
+            .where(F.col("doc_id") >= 90_000)
+            .collect()
+        }
+        assert admitted == set(), f"near-dups admitted past bootstrap: {admitted}"
+        assert n <= fresh.count()
+        # and the bootstrapped index covers the corpus: it has postings
+        # for corpus rows (negative ids), not just this batch's survivors
+        idx = spark.table(ING.posting_index_name(path))
+        assert idx.where(F.col("id") < -300).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ING.posting_index_name(path)}")
+        spark.sql(f"DROP TABLE IF EXISTS {ING.fp_index_name(path)}")
+
+
+def test_posting_index_name_encodes_threshold(tmp_path):
+    """An index built for one threshold must never be probed for
+    another — the prefix length is threshold-dependent."""
+    p = str(tmp_path / "c")
+    assert ING.posting_index_name(p, 0.5) != ING.posting_index_name(p, 0.7)
+    assert ING.posting_index_name(p, 0.5) == ING.posting_index_name(p)
+
+
+def test_fp_index_exact_stage_no_corpus_exchange(spark, sf_dir, tmp_path):
+    """The exact-dedup anti join must read the bucketed fingerprint
+    table with no Exchange on the corpus side (ROADMAP item: the
+    shingle posting index covered the near stage; _fp bucketing covers
+    the exact stage), and indexed survivors must still match the
+    rebuild path."""
+    docs = _docs(spark, sf_dir)
+    p_fp = str(tmp_path / "c_fp")
+    p_ref = str(tmp_path / "c_fp_ref")
+    try:
+        b1 = docs.where(F.col("doc_id") >= 300)
+        b2 = docs.where(F.col("doc_id") < 20).unionByName(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 310))
+            .withColumn("doc_id", F.col("doc_id") + 80_000)
+        )
+        for b in [b1, b2]:
+            n_i = ING.ingest_batch_indexed(spark, b, p_fp)
+            n_r = ING.ingest_batch(spark, b, p_ref)
+            assert n_i == n_r
+        ids_i = sorted(r["doc_id"] for r in V.versioned_read(spark, p_fp).collect())
+        ids_r = sorted(r["doc_id"] for r in V.versioned_read(spark, p_ref).collect())
+        assert ids_i == ids_r
+
+        corpus = V.versioned_read(spark, p_fp)
+        batch = docs.where(F.col("doc_id") >= 490)
+        plan = (
+            ING.dedup_batch_against_index(spark, batch, corpus, p_fp)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        tbl = ING.fp_index_name(p_fp)
+        fp_scans = [l for l in plan.splitlines() if tbl in l and "FileScan" in l]
+        assert fp_scans, "fingerprint index not scanned"
+        assert "Bucketed: true" in fp_scans[0], fp_scans[0]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ING.posting_index_name(p_fp)}")
+        spark.sql(f"DROP TABLE IF EXISTS {ING.fp_index_name(p_fp)}")

@@ -173,3 +173,46 @@ def test_ivf_layout_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
         for r in SIM.ivf_topk(emb, q, centroids, k=5, n_probe=4).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_ivf_bucketed_layout_exchange_free_rerank(spark, sf_dir, tmp_path):
+    """The bucketed IVF layout must (a) return exactly the
+    hive-layout/unmaterialized results, (b) scan the table bucketed
+    with bucket pruning on the probed lists, and (c) run the
+    candidate-scoring + local-top-k stages with NO shuffle on the
+    vector side — the only hashpartitioning exchange in the plan is
+    the tiny per-list-winners one feeding the global top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.kmeans_centroids(emb, k=16)
+    table = "dlws_test_ivf_bucketed"
+    try:
+        SIM.write_ivf_bucketed(emb, centroids, table, n_buckets=16)
+        q = emb.where(F.col("vec_id") < 10)
+        from_bucketed = SIM.ivf_topk_from_bucketed(
+            spark, table, q, centroids, k=5, n_probe=4
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in from_bucketed.collect()
+        }
+        ref = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in SIM.ivf_topk(emb, q, centroids, k=5, n_probe=4).collect()
+        }
+        assert got == ref and len(got) > 0
+
+        plan = from_bucketed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        scans = [l for l in plan.splitlines() if "FileScan parquet" in l and table in l]
+        assert scans, "bucketed table not scanned"
+        assert "Bucketed: true" in scans[0], scans[0]
+        assert "SelectedBucketsCount" in scans[0], scans[0]
+        # exactly ONE data shuffle: the local winners → global window.
+        # (BroadcastExchange for probes doesn't count — it moves
+        # n_queries·n_probe rows.) AdaptiveSparkPlan.toString appends
+        # the pre-AQE "Initial Plan" after the final one — count only
+        # the executed section.
+        final_plan = plan.split("== Initial Plan ==")[0]
+        n_hash_exchanges = final_plan.count("Exchange hashpartitioning")
+        assert n_hash_exchanges == 1, f"expected 1 data shuffle, plan:\n{final_plan}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -687,10 +687,21 @@ def vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "llm"))
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames
+FROM documents ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_frame_sample", oracle=FRAME_SAMPLE_ORACLE, tags=("multimodal", "llm")
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (E5): payloads split into fixed frames,
-    every 2nd kept — per-media frame counts."""
+    every 2nd kept — per-media frame counts. 32-byte payloads → 8
+    4-byte frames → 4 kept; the oracle pins the analytic count for
+    every media row (the value check is that the explode/filter
+    plumbing neither drops nor duplicates media)."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_fake_payloads(docs, "doc_id", "text")
     frames = MM.frame_sample(media, every_nth=2)
@@ -964,16 +975,47 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank"), "vec_id").limit(50)
 
 
-@register("multimodal_audio_clip", oracle=None, tags=("multimodal", "llm"))
+AUDIO_CLIP_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || 'a') || md5(text || 'b') AS hexpayload
+  FROM documents
+), c AS (
+  -- clip [16, 40) of the 48-byte payload = hex chars [33, 80]
+  SELECT media_id, sha256(substr(hexpayload, 33, 48)) AS d FROM m
+), b AS (
+  SELECT media_id,
+         list_sum(list_transform(range(8), i ->
+             (strpos('0123456789abcdef', substr(d, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(d, 2 * i + 2, 1)) - 1))) AS s
+  FROM c
+)
+SELECT media_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(24 AS BIGINT) AS clip_samples,
+       FLOOR(s / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS feature_sum
+FROM b ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_audio_clip", oracle=AUDIO_CLIP_ORACLE, tags=("multimodal", "llm")
+)
 def multimodal_audio_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-shaped multimodal plumbing (E5): 1-D payloads with
     rate/length metadata, clipped to samples [16, 40) by pure JVM byte
     slicing, then Arrow-batched feature extraction over the clips.
-    Rows-only (payloads are deterministic fakes; real decode stubbed)."""
+    Value-verified end-to-end: the oracle re-derives the clipped
+    payload as a hex substring and the features via sha256(hex) —
+    so the JVM substring clip, the metadata rewrite, AND the Arrow
+    feature stage all hash-check."""
     docs = _t(spark, sf_dir, "documents")
     audio = MM.attach_fake_audio(docs, "doc_id", "text")
     clips = MM.clip_media(audio, start=16, length=24)
     feats = MM.fake_feature_extract(clips)
+    byte_sum = F.aggregate(
+        "feature_bytes", F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
     return (
         clips.select(
             "media_id",
@@ -985,25 +1027,62 @@ def multimodal_audio_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "sample_rate",
             "clip_samples",
-            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
-                "feature_sum"
-            ),
+            pround(byte_sum / F.lit(255.0), 6).alias("feature_sum"),
         )
         .orderBy("media_id")
     )
 
 
-@register("multimodal_resize_features", oracle=None, tags=("multimodal", "llm"))
+RESIZE_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || 'x') AS h
+  FROM documents
+), r AS (
+  -- nearest-neighbor 2x downsample of the 8x4 raster: bytes at
+  -- row-major offsets 0,2,4,6 (row 0) and 16,18,20,22 (row 2) =
+  -- hex pairs at 2*p+1
+  SELECT media_id,
+         sha256(substr(h, 1, 2) || substr(h, 5, 2) || substr(h, 9, 2)
+             || substr(h, 13, 2) || substr(h, 33, 2) || substr(h, 37, 2)
+             || substr(h, 41, 2) || substr(h, 45, 2)) AS d
+  FROM m
+), b AS (
+  SELECT media_id,
+         list_sum(list_transform(range(8), i ->
+             (strpos('0123456789abcdef', substr(d, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(d, 2 * i + 2, 1)) - 1))) AS s
+  FROM r
+)
+SELECT media_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       FLOOR(s / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS feature_sum
+FROM b ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_resize_features",
+    oracle=RESIZE_FEATURES_ORACLE,
+    tags=("multimodal", "llm"),
+)
 def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-then-extract ordering (E5): images downsampled 2× by
     pure-JVM byte gather (payload shrinks 4× BEFORE any Arrow/UDF
     stage touches it — the ordering that matters at 100 TB), then
-    Arrow-batched feature extraction over the small clips. Rows-only
-    (fake payloads; real decode stubbed)."""
+    Arrow-batched feature extraction over the small clips.
+    Value-verified: the oracle re-derives the gathered payload as the
+    hex pairs the row-major 2× stride picks and the features via
+    sha256(hex) — the JVM gather, metadata rewrite, and Arrow stage
+    all hash-check."""
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_fake_payloads(docs, "doc_id", "text")
     small = MM.resize_image(media, factor=2)
     feats = MM.fake_feature_extract(small)
+    byte_sum = F.aggregate(
+        "feature_bytes", F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
     return (
         small.select(
             "media_id",
@@ -1015,9 +1094,7 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id",
             "width",
             "height",
-            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
-                "feature_sum"
-            ),
+            pround(byte_sum / F.lit(255.0), 6).alias("feature_sum"),
         )
         .orderBy("media_id")
     )

@@ -59,18 +59,26 @@ def current_version(path: str) -> int | None:
         return None
 
 
+_META_NAME = "_META.json"
+
+
 def versioned_append(
     df: DataFrame,
     path: str,
     partition_by: tuple[str, ...] = (),
     collect_stats: bool = False,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the next version's delta; returns the committed
     version number. ``partition_by`` hive-partitions the version dir
     (partition-pruned reads inside a pinned version — e.g. an IVF
     index layout). ``collect_stats`` records the per-file min/max
     manifest (see write_stats_manifest) for flat dirs — partitioned
-    dirs already prune on the partition key."""
+    dirs already prune on the partition key. ``meta`` (JSON-able dict)
+    is written into the version dir BEFORE the ``_LATEST`` flip, so it
+    commits atomically with the data — the Delta commitInfo analog;
+    streaming sinks store the source epoch id there to make replayed
+    micro-batches detectable (see streaming/materialized.py)."""
     cur = current_version(path)
     nxt = 0 if cur is None else cur + 1
     writer = df.write.mode("errorifexists")
@@ -79,12 +87,33 @@ def versioned_append(
     writer.parquet(_version_dir(path, nxt))
     if collect_stats and not partition_by:
         write_stats_manifest(_version_dir(path, nxt))
+    if meta is not None:
+        import json
+
+        with open(os.path.join(_version_dir(path, nxt), _META_NAME), "w") as fh:
+            json.dump(meta, fh)
     os.makedirs(path, exist_ok=True)
     tmp = _latest_path(path) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(nxt))
     os.replace(tmp, _latest_path(path))  # atomic commit on POSIX
     return nxt
+
+
+def version_meta(path: str, version: int | None = None) -> dict | None:
+    """The ``meta`` dict committed with ``version`` (default: latest);
+    None when the table/version doesn't exist or committed no meta."""
+    import json
+
+    latest = current_version(path)
+    if latest is None:
+        return None
+    v = latest if version is None else version
+    try:
+        with open(os.path.join(_version_dir(path, v), _META_NAME)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
 
 
 def versioned_read(

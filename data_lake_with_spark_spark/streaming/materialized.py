@@ -38,36 +38,84 @@ def read_view(spark: SparkSession, state_path: str, version: int | None = None) 
     return V.versioned_read_snapshot(spark, state_path, version)
 
 
+def applied_epoch(state_path: str) -> int | None:
+    """Source epoch id committed with the LATEST refresh (None when the
+    view doesn't exist yet or was maintained without epoch tracking)."""
+    meta = V.version_meta(state_path)
+    return None if meta is None else meta.get("epoch_id")
+
+
+def apply_changes(
+    state_path: str,
+    batch_df: DataFrame,
+    epoch_id: int | None,
+    group_cols: list[str],
+    sum_cols: list[str],
+    moments: bool = False,
+) -> int | None:
+    """Fold one micro-batch of change rows into the view state and
+    commit it as the next version, IDEMPOTENTLY per epoch: when
+    ``epoch_id`` is not newer than the epoch recorded with the latest
+    committed refresh, the call is a no-op — the state already
+    includes this batch. foreachBatch is at-least-once (a crash
+    between the sink and the checkpoint commit REPLAYS the batch with
+    the same epoch id on restart); recording the epoch atomically with
+    the version commit (versioned_append meta) turns that into
+    exactly-once state. Returns the committed version, or None when
+    skipped."""
+    if epoch_id is not None:
+        last = applied_epoch(state_path)
+        if last is not None and epoch_id <= last:
+            return None  # replayed micro-batch; already folded
+    spark = batch_df.sparkSession
+    try:
+        cur = read_view(spark, state_path)
+    except FileNotFoundError:
+        cur = None
+    fold = ivm.maintain_moments if moments else ivm.maintain
+    return V.versioned_append(
+        fold(cur, batch_df, group_cols, sum_cols),
+        state_path,
+        meta=None if epoch_id is None else {"epoch_id": epoch_id},
+    )
+
+
 def stream_maintain_view(
     changes_stream: DataFrame,
     state_path: str,
     group_cols: list[str],
     sum_cols: list[str],
     query_name: str = "ivm_view",
+    checkpoint: str | None = None,
 ):
     """Maintain (group_cols, n_rows, <sum_cols>) from a stream of
     pre-image change rows. Returns the started StreamingQuery
     (availableNow trigger — drain what exists, then stop; swap the
-    trigger for a continuous deployment)."""
+    trigger for a continuous deployment).
+
+    Pass ``checkpoint`` for the production shape: the query resumes
+    from the checkpointed source offsets after a kill, and the
+    epoch-id guard in ``apply_changes`` makes the one replayed
+    micro-batch a no-op instead of a double-fold (epoch ids are stable
+    across restarts of the same checkpoint). Without a checkpoint a
+    restart re-reads from scratch, so epochs restart at 0 and are NOT
+    recorded."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        try:
-            cur = read_view(spark, state_path)
-        except FileNotFoundError:
-            cur = None
-        V.versioned_append(
-            ivm.maintain(cur, batch_df, group_cols, sum_cols), state_path
+        apply_changes(
+            state_path,
+            batch_df,
+            epoch_id if checkpoint is not None else None,
+            group_cols,
+            sum_cols,
         )
 
-    return (
-        changes_stream.writeStream.foreachBatch(sink)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
 
 
 def stream_maintain_moment_view(
@@ -76,26 +124,26 @@ def stream_maintain_moment_view(
     group_cols: list[str],
     value_cols: list[str],
     query_name: str = "ivm_moment_view",
+    checkpoint: str | None = None,
 ):
     """Same loop for the moment-sum state (n, Σx, Σx² per value col) —
     ``ivm.moment_stats(read_view(...))`` derives avg/var/stddev of the
-    live view at any pinned refresh."""
+    live view at any pinned refresh. Same checkpoint/epoch-replay
+    contract as stream_maintain_view."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        try:
-            cur = read_view(spark, state_path)
-        except FileNotFoundError:
-            cur = None
-        V.versioned_append(
-            ivm.maintain_moments(cur, batch_df, group_cols, value_cols), state_path
+        apply_changes(
+            state_path,
+            batch_df,
+            epoch_id if checkpoint is not None else None,
+            group_cols,
+            value_cols,
+            moments=True,
         )
 
-    return (
-        changes_stream.writeStream.foreachBatch(sink)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

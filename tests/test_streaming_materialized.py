@@ -118,3 +118,72 @@ def test_stream_maintained_moment_view(spark, tmp_path):
         .collect()
     }
     assert stats == want
+
+
+def test_kill_and_resume_from_checkpoint(spark, tmp_path):
+    """The real-cluster failure mode: the maintaining query dies and is
+    restarted from its checkpoint. The resumed run must drain only the
+    UNSEEN source files and converge to exactly the uninterrupted
+    single-shot fold — no lost batch, no re-applied batch."""
+    src = tmp_path / "changes"
+    src.mkdir()
+    state = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: batches 1+2 only, then the query stops (availableNow)
+    _write(str(src / "b1.parquet"), BATCH1)
+    _write(str(src / "b2.parquet"), BATCH2)
+    stream = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_view(
+        stream, state, ["cat"], ["v"], query_name="mv_kr1", checkpoint=ckpt
+    )
+    q.awaitTermination(240)
+    v_after_run1 = V.current_version(state)
+    assert v_after_run1 is not None
+
+    # "kill": the query object is gone; b3 arrives while we're down
+    _write(str(src / "b3.parquet"), BATCH3)
+
+    # resume: same checkpoint, fresh query
+    stream2 = (
+        spark.readStream.schema(CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q2 = MV.stream_maintain_view(
+        stream2, state, ["cat"], ["v"], query_name="mv_kr2", checkpoint=ckpt
+    )
+    q2.awaitTermination(240)
+
+    # converged to the uninterrupted fold; batches 1/2 NOT re-applied
+    all_changes = spark.createDataFrame(BATCH1 + BATCH2 + BATCH3, CHANGE_SCHEMA)
+    want = _state_rows(ivm.maintain(None, all_changes, ["cat"], ["v"]))
+    assert _state_rows(MV.read_view(spark, state)) == want
+    assert V.current_version(state) == v_after_run1 + 1  # exactly one new refresh
+
+
+def test_replayed_micro_batch_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state commit
+    but before the checkpoint commit re-fires the SAME epoch. The
+    epoch guard must make the second application a no-op."""
+    state = str(tmp_path / "view")
+    b1 = spark.createDataFrame(BATCH1, CHANGE_SCHEMA)
+    b2 = spark.createDataFrame(BATCH2, CHANGE_SCHEMA)
+
+    assert MV.apply_changes(state, b1, 0, ["cat"], ["v"]) == 0
+    after_first = _state_rows(MV.read_view(spark, state))
+    # replay of epoch 0 (simulated sink crash-before-checkpoint)
+    assert MV.apply_changes(state, b1, 0, ["cat"], ["v"]) is None
+    assert V.current_version(state) == 0
+    assert _state_rows(MV.read_view(spark, state)) == after_first
+    # the NEXT epoch still applies
+    assert MV.apply_changes(state, b2, 1, ["cat"], ["v"]) == 1
+    assert MV.applied_epoch(state) == 1
+    want = _state_rows(
+        ivm.maintain(None, spark.createDataFrame(BATCH1 + BATCH2, CHANGE_SCHEMA), ["cat"], ["v"])
+    )
+    assert _state_rows(MV.read_view(spark, state)) == want

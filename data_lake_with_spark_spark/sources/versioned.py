@@ -11,10 +11,12 @@ table/
   _LATEST                text file: highest committed version
 ```
 
-- ``versioned_append(df, path)``  → writes the next ``_v=N`` dir, then
-  commits by rewriting ``_LATEST`` (the write is invisible to readers
-  until the commit, so a crashed write leaves garbage but never a
-  torn table).
+- ``versioned_append(df, path)``  → stages the delta, claims the next
+  ``_v=N`` by atomic rename, then advances ``_LATEST`` under a file
+  lock (optimistic concurrency: racing writers all commit, each as
+  its own version; a crashed write leaves a ``_stage-*`` dir but
+  never a torn table; ``expect_version=`` turns the claim into a CAS
+  that raises ``ConcurrentWriteError`` on conflict).
 - ``versioned_read(spark, path, version=None)`` → union of all delta
   dirs ≤ version (default: ``_LATEST``). Time travel = pass an older
   version.
@@ -35,12 +37,29 @@ the logical SCD2 form).
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 # Column marking a delta row as a merge-on-read DELETE of its key.
 TOMBSTONE = "_tombstone"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A CAS-conditioned commit lost its race: the table advanced past
+    the expected version between read and commit (the Delta/Iceberg
+    optimistic-concurrency conflict). The staged write was rolled
+    back; the caller re-reads and retries."""
+
+
+class SchemaEnforcementError(ValueError):
+    """An append's schema changes the TYPE of an existing column.
+    Adding new columns and omitting existing ones are legal evolution
+    (``mergeSchema`` reads reconcile them with nulls); a type flip
+    would poison every future merged read, so it is rejected at write
+    time — Delta's schema-enforcement contract."""
 
 
 def _latest_path(path: str) -> str:
@@ -62,12 +81,116 @@ def current_version(path: str) -> int | None:
 _META_NAME = "_META.json"
 
 
+def _claimed_versions(path: str) -> list[int]:
+    """Version numbers with an existing ``_v=N`` dir — the claimed set,
+    which can run ahead of ``_LATEST`` while commits are in flight."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith("_v="):
+            try:
+                out.append(int(n.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def _next_free_version(path: str) -> int:
+    cur = current_version(path)
+    hi = max(_claimed_versions(path), default=-1)
+    if cur is not None:
+        hi = max(hi, cur)
+    return hi + 1
+
+
+def _claim_version(path: str, stage: str, expect_version: int | None) -> int:
+    """Atomically promote ``stage`` to the next free ``_v=N`` dir.
+
+    ``os.rename`` of a non-empty dir onto an existing one fails, so the
+    rename IS the mutual exclusion: of two writers racing for the same
+    number, exactly one wins and the loser retries with the next. The
+    dir appears fully formed (data + stats manifest + commit meta were
+    all staged first), so a reader can never observe a torn version.
+    With ``expect_version`` the claim is CAS-conditioned: if the table
+    advanced past it, the stage is rolled back and
+    ``ConcurrentWriteError`` raised (serializable writers / compaction
+    conflict detection). On an object store without atomic dir rename
+    this seam is where a commit service goes (Delta on S3 uses
+    DynamoDB for exactly this)."""
+    while True:
+        nxt = _next_free_version(path)
+        if expect_version is not None and nxt != expect_version + 1:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"table at {path} advanced to {nxt - 1}, expected {expect_version}"
+            )
+        target = _version_dir(path, nxt)
+        try:
+            os.rename(stage, target)
+            return nxt
+        except OSError:
+            if not os.path.isdir(target):
+                raise
+            # lost the race for nxt — loop recomputes and tries nxt+1
+
+
+def _advance_latest(path: str, version: int) -> None:
+    """Advance ``_LATEST`` to at least ``version`` (monotonic max) under
+    an advisory file lock. Claims are dense — version N is only ever
+    claimed after dir N-1 exists — so publishing the max never exposes
+    a missing intermediate version; the lock only prevents two
+    concurrent committers from ordering their read-max-write sections
+    against each other and regressing the watermark."""
+    import fcntl
+
+    with open(os.path.join(path, "_COMMIT.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        cur = current_version(path)
+        if cur is None or version > cur:
+            tmp = _latest_path(path) + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, _latest_path(path))  # atomic on POSIX
+        fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def versioned_schema(spark: SparkSession, path: str, version: int | None = None):
+    """The table's merged schema at ``version`` (default latest) — the
+    union of all delta schemas up to it, i.e. exactly what
+    ``versioned_read`` returns. Time travel to a version before a
+    column was added yields the schema without it."""
+    return versioned_read(spark, path, version).schema
+
+
+def _check_schema_compatible(df: DataFrame, path: str) -> None:
+    if current_version(path) is None:
+        return
+    existing = {
+        f.name: f.dataType.simpleString()
+        for f in versioned_read(df.sparkSession, path).schema
+    }
+    for f in df.schema:
+        have = existing.get(f.name)
+        if have is not None and have != f.dataType.simpleString():
+            raise SchemaEnforcementError(
+                f"column {f.name!r}: table has {have}, append has "
+                f"{f.dataType.simpleString()} — type changes are not "
+                "legal schema evolution (pass enforce_schema=False to "
+                "bypass at your own risk)"
+            )
+
+
 def versioned_append(
     df: DataFrame,
     path: str,
     partition_by: tuple[str, ...] = (),
     collect_stats: bool = False,
     meta: dict | None = None,
+    enforce_schema: bool = True,
+    expect_version: int | None = None,
 ) -> int:
     """Write ``df`` as the next version's delta; returns the committed
     version number. ``partition_by`` hive-partitions the version dir
@@ -75,28 +198,47 @@ def versioned_append(
     index layout). ``collect_stats`` records the per-file min/max
     manifest (see write_stats_manifest) for flat dirs — partitioned
     dirs already prune on the partition key. ``meta`` (JSON-able dict)
-    is written into the version dir BEFORE the ``_LATEST`` flip, so it
+    is staged into the version dir BEFORE it becomes visible, so it
     commits atomically with the data — the Delta commitInfo analog;
     streaming sinks store the source epoch id there to make replayed
-    micro-batches detectable (see streaming/materialized.py)."""
-    cur = current_version(path)
-    nxt = 0 if cur is None else cur + 1
+    micro-batches detectable (see streaming/materialized.py).
+
+    Commit protocol (optimistic concurrency): the delta is written to a
+    ``_stage-*`` dir, promoted to ``_v=N`` by one atomic rename (losers
+    of a claim race retry with the next number — no writer ever blocks
+    another, no reader ever sees a torn dir), then ``_LATEST`` advances
+    monotonically under a file lock. Concurrent appends therefore all
+    commit, each as its own version. ``expect_version`` makes the claim
+    a compare-and-swap: commit only as ``expect_version + 1``, else
+    roll back the stage and raise ``ConcurrentWriteError`` — the
+    serializable mode read-modify-write callers (upsert, compaction)
+    use for conflict detection.
+
+    Schema: additive evolution is allowed (new columns appear, omitted
+    columns read as null via mergeSchema); changing an existing
+    column's type raises ``SchemaEnforcementError`` unless
+    ``enforce_schema=False``."""
+    os.makedirs(path, exist_ok=True)
+    if enforce_schema:
+        _check_schema_compatible(df, path)
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(_version_dir(path, nxt))
-    if collect_stats and not partition_by:
-        write_stats_manifest(_version_dir(path, nxt))
-    if meta is not None:
-        import json
+    try:
+        writer.parquet(stage)
+        if collect_stats and not partition_by:
+            write_stats_manifest(stage)
+        if meta is not None:
+            import json
 
-        with open(os.path.join(_version_dir(path, nxt), _META_NAME), "w") as fh:
-            json.dump(meta, fh)
-    os.makedirs(path, exist_ok=True)
-    tmp = _latest_path(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(nxt))
-    os.replace(tmp, _latest_path(path))  # atomic commit on POSIX
+            with open(os.path.join(stage, _META_NAME), "w") as fh:
+                json.dump(meta, fh)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    nxt = _claim_version(path, stage, expect_version)
+    _advance_latest(path, nxt)
     return nxt
 
 
@@ -196,35 +338,45 @@ def compact(
     also records the per-file min/max manifest, so post-compaction
     reads via ``versioned_read_range`` skip files in every z-ordered
     dimension. Returns the compacted version number."""
+    snapshot_at = current_version(path)
+    assert snapshot_at is not None
     if keys is None:
-        snapshot = versioned_read(spark, path).cache()
+        snapshot = versioned_read(spark, path, version=snapshot_at).cache()
     else:
-        snapshot = versioned_read_merged(spark, path, keys).cache()
+        snapshot = versioned_read_merged(spark, path, keys, version=snapshot_at).cache()
     snapshot.count()
-    latest = current_version(path)
-    assert latest is not None
-    nxt = latest + 1
-    if zorder_by:
-        from data_lake_with_spark_spark.operators.zorder import MORTON, with_zorder_key
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
+    try:
+        if zorder_by:
+            from data_lake_with_spark_spark.operators.zorder import MORTON, with_zorder_key
 
-        (
-            with_zorder_key(snapshot, zorder_by)
-            .repartitionByRange(n_files, MORTON)
-            .sortWithinPartitions(MORTON)
-            .drop(MORTON)
-            .write.mode("errorifexists")
-            .parquet(_version_dir(path, nxt))
-        )
-    else:
-        snapshot.write.mode("errorifexists").parquet(_version_dir(path, nxt))
-    snapshot.unpersist()
-    if collect_stats:
-        write_stats_manifest(_version_dir(path, nxt))
-    for marker, value in ((_base_path(path), nxt), (_latest_path(path), nxt)):
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(value))
-        os.replace(tmp, marker)
+            (
+                with_zorder_key(snapshot, zorder_by)
+                .repartitionByRange(n_files, MORTON)
+                .sortWithinPartitions(MORTON)
+                .drop(MORTON)
+                .write.mode("errorifexists")
+                .parquet(stage)
+            )
+        else:
+            snapshot.write.mode("errorifexists").parquet(stage)
+        if collect_stats:
+            write_stats_manifest(stage)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    finally:
+        snapshot.unpersist()
+    # CAS on the snapshot's version: an append that committed while the
+    # snapshot was being rewritten would be silently erased from the
+    # post-compaction base, so the claim aborts instead (Delta OPTIMIZE
+    # aborts on the same transactional conflict) — caller retries.
+    nxt = _claim_version(path, stage, expect_version=snapshot_at)
+    tmp = _base_path(path) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(nxt))
+    os.replace(tmp, _base_path(path))
+    _advance_latest(path, nxt)
     return nxt
 
 
@@ -245,20 +397,50 @@ def vacuum(path: str) -> list[int]:
 
 
 def versioned_upsert(
-    spark: SparkSession, new_rows: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    serializable: bool = False,
+    max_retries: int = 5,
 ) -> tuple[int, int]:
     """Insert-if-absent against the current snapshot, committed as a
     new version. Returns (version, rows_appended); appending zero rows
-    still commits a version (an explicit no-op snapshot)."""
-    candidates = new_rows.dropDuplicates(keys)
-    if current_version(path) is not None:
-        existing = versioned_read(spark, path).select(*keys)
-        candidates = candidates.join(existing, keys, "left_anti")
-    candidates = candidates.cache()
-    n = candidates.count()
-    v = versioned_append(candidates, path)
-    candidates.unpersist()
-    return v, n
+    still commits a version (an explicit no-op snapshot).
+
+    The read-modify-write is a write-skew window: two concurrent
+    upserts of the same key can both anti-join against a snapshot that
+    lacks it and both insert. ``serializable=True`` closes it — the
+    anti-join is pinned to a snapshot version and the commit is CAS'd
+    on that same version, retrying the whole read-modify-write when
+    another writer committed in between (Delta MERGE's
+    Serializable-isolation behavior)."""
+    for _ in range(max_retries):
+        snapshot_at = current_version(path)
+        candidates = new_rows.dropDuplicates(keys)
+        if snapshot_at is not None:
+            existing = versioned_read(spark, path, version=snapshot_at).select(*keys)
+            candidates = candidates.join(existing, keys, "left_anti")
+        candidates = candidates.cache()
+        n = candidates.count()
+        try:
+            v = versioned_append(
+                candidates,
+                path,
+                expect_version=(
+                    (-1 if snapshot_at is None else snapshot_at)
+                    if serializable
+                    else None
+                ),
+            )
+            return v, n
+        except ConcurrentWriteError:
+            continue
+        finally:
+            candidates.unpersist()
+    raise ConcurrentWriteError(
+        f"versioned_upsert: lost the commit race {max_retries} times at {path}"
+    )
 
 
 def versioned_merge(

@@ -210,6 +210,44 @@ def click_purchase_stream_join(
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
 
 
+def click_purchase_stream_join_outer(
+    stream: DataFrame, within: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click emits — with
+    its purchase when one arrives inside ``within``, with nulls once
+    the watermark proves none can. The null row for an unmatched click
+    is emitted only when the purchase-side watermark passes
+    ``click_ts + within`` (until then a match could still arrive), so
+    clicks near the head of the stream stay buffered in state — the
+    correct, bounded-state semantics for "conversion or churn" feeds.
+    Matched output is identical to the inner form."""
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+
+
 def enrich_stream_with_dim(
     stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
 ) -> DataFrame:

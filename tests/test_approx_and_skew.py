@@ -157,3 +157,77 @@ def test_hll_union_estimate_near_exact(spark, sf_dir):
         .first()[0]
     )
     assert est2 == est
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
+    """Left-outer stream-stream join: matches equal the batch inner
+    join everywhere; null rows (clicks the watermark proved
+    unconverted) are exactly the batch left-join's null clicks, up to
+    the tail the final watermark couldn't yet evict."""
+    stream = jobs.events_stream(spark, sf_dir)
+    out = jobs.run_to_completion(
+        jobs.click_purchase_stream_join_outer(stream), "t_ss_outer"
+    ).cache()
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    ).cache()
+
+    # matched pairs: identical to batch
+    got_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in out.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    want_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in batch.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    # null rows: a subset of the batch's unmatched clicks (state only
+    # evicts once provably unmatchable)…
+    got_nulls = {
+        r["click_id"] for r in out.where(F.col("purchase_id").isNull()).collect()
+    }
+    want_nulls = {
+        r["click_id"] for r in batch.where(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_nulls <= want_nulls
+    # …and a superset of the unmatched clicks old enough that the final
+    # watermark must have evicted them. Each watermark node tracks the
+    # max event time of its OWN filtered input and the global watermark
+    # is their min, so the eviction floor is
+    # min(max click_ts, max purchase_ts) - 1h, minus the 10-min match
+    # window a click stays live for.
+    sides = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    )
+    wm_floor = min(r["mx"] for r in sides)
+    evictable = {
+        r["click_id"]
+        for r in batch.where(
+            F.col("purchase_id").isNull()
+            & (
+                F.col("click_ts") + F.expr("INTERVAL 10 minutes")
+                < F.lit(wm_floor) - F.expr("INTERVAL 1 hour")
+            )
+        ).collect()
+    }
+    assert evictable <= got_nulls and len(got_nulls) > 0
+    out.unpersist()
+    batch.unpersist()

@@ -260,3 +260,161 @@ def test_stats_manifest_empty_result_keeps_schema(spark, tmp_path):
     assert info["files_read"] == 0
     assert pruned.count() == 0
     assert set(pruned.columns) == {"k", "s"}
+
+
+# ---------------------------------------------------------------- OCC
+
+
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    """Racing writers each commit their own dense version; nothing is
+    lost, torn, or double-numbered (the atomic-rename claim)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "race")
+
+    def writer(i: int) -> int:
+        df = spark.createDataFrame([(i, f"w{i}")], "k long, v string")
+        return V.versioned_append(df, path)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = list(ex.map(writer, range(12)))
+
+    assert sorted(versions) == list(range(12))  # dense, no dupes
+    assert current_version(path) == 11
+    got = {r["k"] for r in versioned_read(spark, path).collect()}
+    assert got == set(range(12))
+    # no stage garbage left behind by committed writers
+    import os
+
+    assert not [d for d in os.listdir(path) if d.startswith("_stage-")]
+
+
+def test_append_cas_conflict_rolls_back(spark, tmp_path):
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "cas")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    V.versioned_append(df, path)  # v0
+    with pytest.raises(V.ConcurrentWriteError):
+        V.versioned_append(df, path, expect_version=-1)  # expects empty table
+    assert current_version(path) == 0
+    import os
+
+    assert not [d for d in os.listdir(path) if d.startswith("_stage-")]
+    # matching expectation commits
+    assert V.versioned_append(df, path, expect_version=0) == 1
+
+
+def test_compact_aborts_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append that lands while compaction rewrites the snapshot
+    must abort the compaction (else its rows vanish from the base)."""
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "cc")
+    V.versioned_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    V.versioned_append(spark.createDataFrame([(2, "b")], "k long, v string"), path)
+
+    real_read = V.versioned_read
+    fired = []
+
+    def read_then_sneaky_append(spark_, path_, version=None):
+        out = real_read(spark_, path_, version)
+        if not fired:
+            fired.append(True)
+            real_read  # keep closure explicit
+            V.versioned_append(
+                spark.createDataFrame([(9, "z")], "k long, v string"),
+                path,
+                enforce_schema=False,
+            )
+        return out
+
+    monkeypatch.setattr(V, "versioned_read", read_then_sneaky_append)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.compact(spark, path)
+    monkeypatch.undo()
+    # the sneaky append survived; no compaction markers were written
+    assert current_version(path) == 2
+    assert V.compaction_base(path) == 0
+    assert {r["k"] for r in versioned_read(spark, path).collect()} == {1, 2, 9}
+    # retry with no interference now succeeds
+    cv = V.compact(spark, path)
+    assert cv == 3
+    assert {r["k"] for r in versioned_read(spark, path).collect()} == {1, 2, 9}
+
+
+def test_serializable_upsert_retries_past_conflict(spark, tmp_path, monkeypatch):
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "ser")
+    V.versioned_upsert(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"]
+    )
+    # inject a competing commit between the snapshot read and the CAS
+    real_append = V.versioned_append
+    fired = []
+
+    def append_after_rival(df, path_, **kw):
+        if not fired and kw.get("expect_version") is not None:
+            fired.append(True)
+            real_append(
+                spark.createDataFrame([(7, "r")], "k long, v string"),
+                path_,
+            )
+        return real_append(df, path_, **kw)
+
+    monkeypatch.setattr(V, "versioned_append", append_after_rival)
+    v, n = V.versioned_upsert(
+        spark,
+        spark.createDataFrame([(1, "dup"), (2, "b")], "k long, v string"),
+        path,
+        ["k"],
+        serializable=True,
+    )
+    monkeypatch.undo()
+    assert n == 1  # k=1 stayed an insert-if-absent no-op across the retry
+    got = {r["k"]: r["v"] for r in versioned_read(spark, path).collect()}
+    assert got == {1: "a", 7: "r", 2: "b"}
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_add_and_omit_columns(spark, tmp_path):
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "evo")
+    V.versioned_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    # additive: new column b
+    V.versioned_append(
+        spark.createDataFrame([(2, "b", 2.5)], "k long, v string, b double"), path
+    )
+    # subtractive: later delta omits v entirely
+    V.versioned_append(spark.createDataFrame([(3,)], "k long"), path)
+    now = versioned_read(spark, path)
+    assert set(now.columns) == {"k", "v", "b"}
+    rows = {r["k"]: (r["v"], r["b"]) for r in now.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 2.5), 3: (None, None)}
+    # time travel: schema as of v0 has no b
+    assert set(V.versioned_schema(spark, path, version=0).fieldNames()) == {"k", "v"}
+
+
+def test_schema_enforcement_rejects_type_change(spark, tmp_path):
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "enforce")
+    V.versioned_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    with pytest.raises(V.SchemaEnforcementError, match="type changes"):
+        V.versioned_append(
+            spark.createDataFrame([("oops", "a")], "k string, v string"), path
+        )
+    assert current_version(path) == 0  # nothing committed
+    # explicit bypass still works (caller owns the consequences)
+    V.versioned_append(
+        spark.createDataFrame([(2.0, "c")], "k double, v string"),
+        path,
+        enforce_schema=False,
+    )
+    assert current_version(path) == 1

@@ -686,3 +686,53 @@ def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "bal_cume", "c_custkey")
     )
+
+
+BUCKETED_COLOCATED_ORACLE = f"""
+SELECT
+  o.o_orderkey,
+  CAST(o.o_totalprice AS DOUBLE)        AS o_totalprice,
+  COUNT(*)                              AS n_lines,
+  {dsum_sql('l.l_quantity')}            AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey <= 20000
+GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=BUCKETED_COLOCATED_ORACLE,
+    tags=("join", "layout", "bucketed"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join + per-key aggregate over BUCKETED layouts with
+    zero exchanges end-to-end (plan-asserted in tests/test_bucketed.py):
+    both sides are written ``bucketBy(8, o_orderkey)`` + sorted, so the
+    SortMergeJoin reads co-located pre-sorted buckets and the
+    follow-on groupBy on the same key rides the same layout. This is
+    the write-once/join-forever contract that turns the nightly 100 TB
+    fact join from the dominant shuffle into a local merge — the
+    layout the reference's full-rewrite loads (etl.py:120-128) would
+    need at scale. Results are pinned to the plain shuffled join via
+    the oracle."""
+    from data_lake_with_spark_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 20000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lineitem = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 20000)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    write_bucketed(orders, "dlws_bjoin_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(lineitem, "dlws_bjoin_lineitem", ["o_orderkey"], 8, ["o_orderkey"])
+    joined = bucketed_join(
+        spark, "dlws_bjoin_orders", "dlws_bjoin_lineitem", ["o_orderkey"]
+    )
+    return joined.groupBy("o_orderkey", "o_totalprice").agg(
+        F.count("*").alias("n_lines"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )

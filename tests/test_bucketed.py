@@ -46,3 +46,17 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_registry_bucketed_join_query_shuffle_free(spark, sf_dir):
+    """The registered join_bucketed_colocated query: join + same-key
+    aggregate with zero Exchange nodes end-to-end."""
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    try:
+        df = REGISTRY["join_bucketed_colocated"].spark(spark, sf_dir)
+        assert "Exchange" not in _plan(df), _plan(df)
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dlws_bjoin_orders")
+        spark.sql("DROP TABLE IF EXISTS dlws_bjoin_lineitem")

@@ -378,3 +378,68 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.monotonically_increasing_id() + F.lit(base)).alias("songplay_like_id"),
         "o_orderkey",
     )
+
+
+# --- §2.7 UDTF surface (extension): LATERAL table function ----------------
+
+UDTF_SENTENCES_ORACLE = r"""
+WITH punct AS (
+  -- the synthetic corpus has no sentence terminators; derive them
+  -- deterministically so the UDTF's multi-row expansion is exercised
+  SELECT doc_id, replace(text, 'table', 'table.') AS text
+  FROM documents
+  WHERE doc_id < 50
+), parts AS (
+  SELECT
+    doc_id,
+    UNNEST(range(1, len(regexp_split_to_array(text, '[.!?]+\s+')) + 1)) AS pos1,
+    UNNEST(regexp_split_to_array(text, '[.!?]+\s+'))                    AS frag
+  FROM punct
+), kept AS (
+  SELECT
+    doc_id, frag,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos1) - 1 AS sent_idx
+  FROM parts
+  WHERE TRIM(frag) <> ''
+)
+SELECT
+  doc_id,
+  CAST(sent_idx AS INT)  AS sent_idx,
+  frag                   AS sentence,
+  CAST(len(list_filter(regexp_split_to_array(frag, '\s+'), x -> x <> ''))
+       AS INT)           AS n_words
+FROM kept
+"""
+
+
+@register(
+    "lateral_udtf_sentences",
+    oracle=UDTF_SENTENCES_ORACLE,
+    tags=("udtf", "lateral", "text"),
+)
+def lateral_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/udtf.py): LATERAL-join the
+    split_sentences table function against documents in plain SQL —
+    the one-row-in/many-rows-out seam the reference's scalar-only UDF
+    surface (SURVEY §2.7) lacks. Output is a pure function of the
+    text, so the DuckDB oracle re-derives the identical rows with
+    regexp_split + UNNEST + renumber. Small-input by policy: hot text
+    paths stay JVM-side (functions/text.py); the UDTF seam is for
+    logic builtins genuinely can't express."""
+    from data_lake_with_spark_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 50)
+        # the synthetic corpus has no punctuation; derive terminators
+        # deterministically so multi-row expansion is exercised
+        .withColumn("text", F.expr("replace(text, 'table', 'table.')"))
+        .createOrReplaceTempView("udtf_docs")
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_words
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )

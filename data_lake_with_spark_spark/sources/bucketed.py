@@ -25,6 +25,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of any orphaned managed-table
+    location. A warehouse dir left by a PREVIOUS session (whose
+    catalog entry died with its derby metastore) makes ``saveAsTable``
+    fail with LOCATION_ALREADY_EXISTS even in overwrite mode — the
+    location exists but no table claims it. Re-runnable jobs that
+    materialize bucketed tables call this first."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = urlparse(wh).path or wh
+    loc = os.path.join(root, table.split(".")[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -36,7 +55,10 @@ def write_bucketed(
     """Persist ``df`` as a bucketed catalog table. ``sort_cols``
     additionally sorts within each bucket file, which lets a
     SortMergeJoin skip its sort too (bucket+sort = fully pre-arranged
-    join input)."""
+    join input). Overwrites clear stale same-name locations from dead
+    sessions first (see drop_table_and_location)."""
+    if mode == "overwrite":
+        drop_table_and_location(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -36,6 +36,7 @@ the logical SCD2 form).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -165,13 +166,34 @@ def versioned_schema(spark: SparkSession, path: str, version: int | None = None)
     return versioned_read(spark, path, version).schema
 
 
+def _stored_table_schema(path: str) -> dict[str, str] | None:
+    """name → dataType.simpleString() for the merged table schema,
+    reconstructed from per-version commit metas (no footer reads).
+    None when any contributing version predates schema-in-meta."""
+    from pyspark.sql import types as T
+
+    latest = current_version(path)
+    if latest is None:
+        return None
+    fields: dict[str, str] = {}
+    for i in range(compaction_base(path), latest + 1):
+        m = version_meta(path, i)
+        if not m or "_schema" not in m:
+            return None
+        for f in T.StructType.fromJson(json.loads(m["_schema"])):
+            fields[f.name] = f.dataType.simpleString()
+    return fields
+
+
 def _check_schema_compatible(df: DataFrame, path: str) -> None:
     if current_version(path) is None:
         return
-    existing = {
-        f.name: f.dataType.simpleString()
-        for f in versioned_read(df.sparkSession, path).schema
-    }
+    existing = _stored_table_schema(path)
+    if existing is None:
+        existing = {
+            f.name: f.dataType.simpleString()
+            for f in versioned_read(df.sparkSession, path).schema
+        }
     for f in df.schema:
         have = existing.get(f.name)
         if have is not None and have != f.dataType.simpleString():
@@ -229,11 +251,15 @@ def versioned_append(
         writer.parquet(stage)
         if collect_stats and not partition_by:
             write_stats_manifest(stage)
-        if meta is not None:
-            import json
-
-            with open(os.path.join(stage, _META_NAME), "w") as fh:
-                json.dump(meta, fh)
+        full = dict(meta or {})
+        # reserved keys: the delta's exact write schema + partition
+        # spec, so reads/enforcement never have to re-infer them from
+        # footers (and hive partition columns keep their written type
+        # instead of being re-inferred, e.g. "02" as int)
+        full["_schema"] = df.schema.json()
+        full["_partition_by"] = list(partition_by)
+        with open(os.path.join(stage, _META_NAME), "w") as fh:
+            json.dump(full, fh)
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
@@ -242,11 +268,24 @@ def versioned_append(
     return nxt
 
 
+def _dir_layout(path: str, version: int) -> list[str]:
+    """Partition columns of one version dir: from its commit meta when
+    recorded, else detected from hive-style subdirs (pre-meta dirs)."""
+    m = version_meta(path, version)
+    if m is not None and "_partition_by" in m:
+        return list(m["_partition_by"])
+    d = _version_dir(path, version)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return []
+    cols = sorted({n.split("=", 1)[0] for n in names if "=" in n and not n.startswith("_")})
+    return cols
+
+
 def version_meta(path: str, version: int | None = None) -> dict | None:
     """The ``meta`` dict committed with ``version`` (default: latest);
     None when the table/version doesn't exist or committed no meta."""
-    import json
-
     latest = current_version(path)
     if latest is None:
         return None
@@ -272,6 +311,30 @@ def versioned_read(
     base = compaction_base(path)
     start = base if v >= base else 0
     dirs = [_version_dir(path, i) for i in range(start, v + 1)]
+    specs = [_dir_layout(path, i) for i in range(start, v + 1)]
+    if any(s for s in specs):
+        # Partition-spec evolution (some deltas hive-partitioned): a
+        # single multi-path read would reject the mixed directory
+        # structure, so read each version dir with its recorded write
+        # schema (partition columns keep their written types instead
+        # of being re-inferred) and union by name — missing columns
+        # null-fill exactly like the mergeSchema path. Plan carries
+        # one scan per delta dir; compaction folds them back to one.
+        from pyspark.sql import types as T
+
+        parts = []
+        for d, i in zip(dirs, range(start, v + 1)):
+            m = version_meta(path, i) or {}
+            reader = spark.read.option("mergeSchema", "true")
+            if m.get("_schema"):
+                reader = reader.schema(
+                    T.StructType.fromJson(json.loads(m["_schema"]))
+                )
+            parts.append(reader.parquet(d))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
     # mergeSchema: tombstone deltas carry the extra _tombstone column;
     # without the merge, parquet would pick one file's schema and
     # silently drop columns on mixed tables.
@@ -362,6 +425,10 @@ def compact(
             snapshot.write.mode("errorifexists").parquet(stage)
         if collect_stats:
             write_stats_manifest(stage)
+        with open(os.path.join(stage, _META_NAME), "w") as fh:
+            json.dump(
+                {"_schema": snapshot.schema.json(), "_partition_by": []}, fh
+            )
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)
         raise
@@ -696,8 +763,6 @@ def write_stats_manifest(version_dir: str) -> int:
     doesn't serialize) are simply omitted for that file, which the
     pruner treats as "must read" — skipping stays conservative, never
     wrong. Returns the number of files recorded."""
-    import json
-
     import pyarrow.parquet as pq
 
     entries = []
@@ -736,8 +801,6 @@ def _prune_dir(version_dir: str, column: str, lo, hi) -> tuple[list[str], int]:
     """(files to read, total files) for one version dir under the
     range predicate lo ≤ column ≤ hi. Files without a manifest entry
     or without stats for the column are always read."""
-    import json
-
     manifest_path = os.path.join(version_dir, _STATS_NAME)
     all_files = sorted(
         n for n in os.listdir(version_dir) if n.endswith(".parquet")

@@ -127,3 +127,26 @@ def write_with_metrics(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return dict(obs.get)
+
+
+def write_rebalanced(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """Partitioned sink with AQE REBALANCE before the write — the
+    optimizeWrite analog. A hive-partitioned write of a shuffled/skewed
+    frame otherwise emits one file per (task × partition-value), i.e.
+    the small-file sprawl that poisons later scans at 100 TB scale (a
+    200-task stage × 365 days = 73k files). The REBALANCE hint makes
+    AQE coalesce small shuffle partitions AND split skewed ones by the
+    write's partition columns, so each hive dir gets few, evenly-sized
+    files. Plain repartition(partition_by) fixes the file count but
+    recreates the skew (one task per hot value); REBALANCE is the
+    skew-safe form."""
+    out = df.hint("rebalance", *partition_by) if partition_by else df.hint("rebalance")
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -193,3 +193,62 @@ def test_python_datasource_filter_pushdown_prunes_generation(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchScan synthetic_docs" in plan
     assert ">= 100" not in plan and "< 110" not in plan
+
+
+def test_write_rebalanced_collapses_small_files(spark, tmp_path):
+    """REBALANCE-before-write (optimizeWrite analog): a many-partition
+    skewed frame writes few, evenly-sized files per hive dir instead of
+    one file per task per value."""
+    import glob
+
+    from data_lake_with_spark_spark.sources.writers import (
+        write_partitioned,
+        write_rebalanced,
+    )
+
+    df = (
+        spark.range(0, 20_000)
+        .selectExpr("id", "CAST(id % 3 AS STRING) AS day")
+        .repartition(32)  # simulates an upstream shuffled stage
+    )
+    naive = str(tmp_path / "naive")
+    write_partitioned(df, naive, ("day",), mode="overwrite")
+    n_naive = len(glob.glob(f"{naive}/day=*/*.parquet"))
+
+    opt = str(tmp_path / "opt")
+    write_rebalanced(df, opt, ("day",), mode="overwrite")
+    n_opt = len(glob.glob(f"{opt}/day=*/*.parquet"))
+
+    assert n_opt < n_naive, (n_opt, n_naive)
+    assert n_opt <= 6  # few files across 3 hive dirs, not 32×3
+    # identical content
+    a = spark.read.parquet(naive).orderBy("id").collect()
+    b = spark.read.parquet(opt).orderBy("id").collect()
+    assert a == b
+
+
+def test_versioned_partition_evolution(spark, tmp_path):
+    """Partition-spec evolution (Iceberg-style): each version dir owns
+    its own layout — v0 flat, v1 hive-partitioned — and reads merge
+    transparently; the partition column survives as a normal column."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "pevo")
+    flat = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    V.versioned_append(flat, path)  # v0: unpartitioned
+    nxt = spark.range(100, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("bucket")
+    )
+    V.versioned_append(nxt, path, partition_by=("bucket",))  # v1: hive layout
+    now = V.versioned_read(spark, path)
+    assert now.count() == 200
+    assert set(now.columns) == {"k", "bucket"}
+    # both layouts contribute; values round-trip identically
+    got = {r["k"]: r["bucket"] for r in now.collect()}
+    assert got[5] == "1" and got[150] == "2"
+    # time travel to the flat era
+    assert V.versioned_read(spark, path, version=0).count() == 100

@@ -204,3 +204,34 @@ def test_deletion_neighborhood_blocking_is_complete(spark):
         return d(len(a), len(b))
     brute = {(a, b) for a, b in product(words, words) if lev(a, b) <= 1}
     assert blocked == brute
+
+
+def test_udtf_split_sentences_edges(spark):
+    """UDTF surface: multi-row expansion, renumbering after empty
+    fragments, zero-row outputs, and null pass-through."""
+    from data_lake_with_spark_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [
+            (1, "one two. three!  four five six"),
+            (2, "..  !? "),          # only terminators → zero rows
+            (3, None),                # null → zero rows
+            (4, "single"),            # no terminator → one row
+        ],
+        "id long, text string",
+    ).createOrReplaceTempView("udtf_edge_docs")
+    rows = spark.sql(
+        """
+        SELECT d.id, s.sent_idx, s.sentence, s.n_words
+        FROM udtf_edge_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY d.id, s.sent_idx
+        """
+    ).collect()
+    got = [(r["id"], r["sent_idx"], r["sentence"], r["n_words"]) for r in rows]
+    assert got == [
+        (1, 0, "one two", 2),
+        (1, 1, "three", 1),
+        (1, 2, "four five six", 3),
+        (4, 0, "single", 1),
+    ]

@@ -22,6 +22,7 @@ Python in the loop.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.functions.text import (
@@ -532,3 +533,65 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def segment_dedup_keep_first(
+    docs: DataFrame,
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact dedup with reconstruction (the C4/RefinedWeb
+    line-dedup stage): split each document into fixed ``seg_tokens``
+    whitespace-token segments, keep only the globally FIRST occurrence
+    of each distinct segment text (min ``(doc_id, seg_idx)``), and
+    rebuild every document from its surviving segments in order.
+    Catches templated spans shared across otherwise-distinct documents
+    that document-level exact dedup can never touch.
+
+    Returns (id_col, clean_text, n_kept, n_total); documents whose
+    every segment was claimed earlier disappear entirely.
+
+    Scale shape: segment generation is one HOF pipeline inside the
+    scan (sequence→slice→concat, no per-token explode); the winner
+    election is ONE hash shuffle of (segment, doc, idx) keyed on the
+    segment text; reconstruction is one groupBy(doc) with an ordered
+    array rebuild — the same two-shuffle budget as document-level
+    exact dedup, independent of how many documents share a segment.
+    """
+    k = int(seg_tokens)
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(t) / {k}.0)) - 1),"
+                    f" i -> concat_ws(' ', slice(t, i * {k} + 1, {k})))"
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+    )
+    w = W.partitionBy("seg_text").orderBy(F.col(id_col), F.col("seg_idx"))
+    ranked = segs.withColumn("_rn", F.row_number().over(w))
+    totals = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    rebuilt = (
+        ranked.where(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg_text"))
+                    ),
+                    lambda s: s.seg_text,
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return rebuilt.join(totals, id_col)

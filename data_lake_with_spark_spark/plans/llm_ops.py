@@ -1609,3 +1609,46 @@ def vector_topk_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "d2_adc")
         .orderBy("query_id", "rank")
     )
+
+
+SEGMENT_DEDUP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[i*10+1 : i*10+10], ' ') AS seg_text
+  FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg_text,
+         ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_total FROM segs GROUP BY doc_id
+)
+SELECT r.doc_id, r.clean_text, r.n_kept, t.n_total
+FROM rebuilt r JOIN tot t USING (doc_id)
+ORDER BY r.doc_id
+"""
+
+
+@register(
+    "dedup_segments_keep_first",
+    oracle=SEGMENT_DEDUP_ORACLE,
+    tags=("dedup", "llm", "agg"),
+)
+def dedup_segments_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup with reconstruction (E2, the
+    C4/RefinedWeb line-dedup stage): 10-token segments deduplicated
+    globally keep-first, documents rebuilt from survivors — catches
+    templated spans document-level dedup can't (151 duplicate segment
+    occurrences in the sf0.01 corpus despite zero duplicate docs
+    surviving earlier stages). See
+    operators/dedup.py:segment_dedup_keep_first for the two-shuffle
+    scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.segment_dedup_keep_first(docs, seg_tokens=10).orderBy("doc_id")

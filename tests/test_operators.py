@@ -584,3 +584,25 @@ def test_write_training_shards_manifest_and_determinism(spark, sf_dir, tmp_path)
         ids1 = {r["doc_id"] for r in spark.read.parquet(f"{p1}/_shard={sid}").collect()}
         ids2 = {r["doc_id"] for r in spark.read.parquet(f"{p2}/_shard={sid}").collect()}
         assert ids1 == ids2 and ids1
+
+
+def test_segment_dedup_keep_first_reconstruction(spark):
+    """Sub-document dedup: earlier (doc, idx) wins globally; documents
+    rebuild in order from surviving segments; fully-claimed documents
+    vanish; partial tail segments participate."""
+    from data_lake_with_spark_spark.operators.dedup import segment_dedup_keep_first
+
+    w = [f"w{i}" for i in range(25)]
+    d1 = " ".join(w)                                  # 3 segments (10,10,5)
+    d2 = " ".join(w[:10] + ["unique"] * 10)           # seg0 stolen by d1
+    d3 = d1                                           # fully claimed
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in segment_dedup_keep_first(docs, seg_tokens=10).collect()
+    }
+    assert out[1] == (d1, 3, 3)
+    assert out[2] == (" ".join(["unique"] * 10), 1, 2)
+    assert 3 not in out  # every segment of d3 was claimed by d1

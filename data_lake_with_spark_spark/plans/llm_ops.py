@@ -1652,3 +1652,90 @@ def dedup_segments_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape."""
     docs = _t(spark, sf_dir, "documents")
     return DD.segment_dedup_keep_first(docs, seg_tokens=10).orderBy("doc_id")
+
+
+# Quality-aware canonical selection: DEDUP_CLUSTER_ORACLE's components
+# with the survivor chosen by max quality (tie: min id) instead of min id.
+KEEP_BEST_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+), lab AS (
+  SELECT doc_id AS id, doc_id AS label FROM documents
+), l1 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM lab l LEFT JOIN edges e ON l.id = e.src
+             LEFT JOIN lab e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), l2 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM l1 l LEFT JOIN edges e ON l.id = e.src
+            LEFT JOIN l1 e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), l3 AS (
+  SELECT l.id, LEAST(l.label, COALESCE(MIN(e2.label), l.label)) AS label
+  FROM l2 l LEFT JOIN edges e ON l.id = e.src
+            LEFT JOIN l2 e2 ON e.dst = e2.id
+  GROUP BY l.id, l.label
+), q AS (
+  SELECT
+    doc_id,
+    FLOOR(((
+      LEAST(length(text) / 400.0, 1.0)
+      + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
+      + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                     / length(text) * 4, 1.0))
+    ) / 3.0) * 1e6 + 0.5) / 1e6 AS quality
+  FROM documents
+)
+SELECT l3.id, l3.label AS cluster_id, q.quality,
+       ROW_NUMBER() OVER (PARTITION BY l3.label ORDER BY q.quality DESC, l3.id) = 1
+         AS keep
+FROM l3 JOIN q ON l3.id = q.doc_id
+ORDER BY l3.id
+"""
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=KEEP_BEST_ORACLE,
+    tags=("dedup", "llm", "graph", "quality"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (E2 end-to-end, production
+    flavor): near-dup clusters as in dedup_cluster_keep_min, but the
+    survivor is the HIGHEST-QUALITY member (heuristic score of
+    text_quality_score; ties to min id) — what real pipelines keep,
+    rather than the arbitrary first id. One extra broadcast-size join
+    + per-cluster window over keep-min's plan."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    clusters = DD.dedup_clusters(pairs, ids).drop("keep")
+    q = docs.select(
+        F.col("doc_id").alias("id"), TXT.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        clusters.join(q, "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select("id", "cluster_id", "quality", (F.col("_rn") == 1).alias("keep"))
+        .orderBy("id")
+    )

@@ -180,3 +180,58 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pack_id")
     )
+
+
+GLOBAL_SHUFFLE_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuf42#' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, shuffle_key,
+         CAST(('0x' || substr(shuffle_key, 1, 2))::BIGINT % 8 AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1
+            AS BIGINT) AS pos_in_shard
+FROM sharded
+ORDER BY doc_id
+"""
+
+
+@register(
+    "training_global_shuffle",
+    oracle=GLOBAL_SHUFFLE_ORACLE,
+    tags=("training", "llm", "sampling"),
+)
+def training_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training readers: each document
+    gets a content-addressed pseudo-random shard and position — change
+    the seed string and the whole corpus reshuffles reproducibly, on
+    any engine, with no RNG state. Scale shape: shard assignment is a
+    map-only md5 bucket; ordering is a row_number per SHARD partition
+    (never a global single-partition window), so 8 shards → 8
+    independent sorts that scale out. Shard-local order is exactly
+    what a multi-worker training reader consumes (one worker per
+    shard)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf42#"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("long") % 8).cast("int"),
+    )
+    w = W.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        sharded.select(
+            "doc_id",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("doc_id")
+    )

@@ -55,15 +55,20 @@ DRIVER_WINDOW = [
     "join_range_within_5min",
     "funnel_within_7d",
     "sessionize_event_paths",
-    # TPC-H / relational depth
+    # TPC-H / relational depth (cube/grouping-sets/pivot/correlated-
+    # subquery/window-topk rotated out after r04 driver-green — their
+    # evidence is durable in git; the round-5 flagships take the rows)
     "q3_top_unshipped_orders",
     "q6_forecast_revenue",
     "q9_product_profit",
-    "cube_lineitem",
-    "grouping_sets_orders",
-    "pivot_status_price",
-    "subquery_correlated_avg",
-    "window_topk_per_group",
+    # round-5 flagships: sub-document dedup, UDTF lateral, bucketed
+    # co-located join, deterministic epoch shuffle, quality-aware
+    # canonical selection
+    "dedup_segments_keep_first",
+    "lateral_udtf_sentences",
+    "join_bucketed_colocated",
+    "training_global_shuffle",
+    "dedup_cluster_keep_best",
     # join-matrix extension
     "join_salted_skew",
     "join_fuzzy_editdist",

@@ -236,11 +236,18 @@ def stream_corpus_ingest(
     corpus_path: str,
     threshold: float = 0.5,
     query_name: str = "corpus_ingest",
+    checkpoint: str | None = None,
 ):
     """Streaming twin: foreachBatch → content-dedup ingest. Each
     micro-batch sees the corpus as committed by its predecessors, so
     duplicates across micro-batches (and across stream restarts) are
-    dropped by content, not by key."""
+    dropped by content, not by key.
+
+    ``checkpoint`` makes the source offsets durable: a killed run
+    resumed with the same checkpoint skips already-processed files
+    (no wasted re-read); and even WITHOUT it, a full replay is safe —
+    content dedup makes re-ingestion a no-op, the belt to the
+    checkpoint's suspenders (restart pytest covers both)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -249,12 +256,10 @@ def stream_corpus_ingest(
             batch_df.sparkSession, batch_df, corpus_path, threshold=threshold
         )
 
-    return (
-        stream.writeStream.foreachBatch(sink)
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.queryName(query_name).trigger(availableNow=True).start()
 
 
 def gram_df_changes(

@@ -283,3 +283,57 @@ def test_fp_index_exact_stage_no_corpus_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ING.posting_index_name(p_fp)}")
         spark.sql(f"DROP TABLE IF EXISTS {ING.fp_index_name(p_fp)}")
+
+
+def test_stream_corpus_ingest_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-resume: a checkpointed ingest resumed after new files
+    arrive processes ONLY the new files (offsets durable), converges to
+    the uninterrupted run's corpus, and a no-new-data resume commits
+    nothing."""
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "corpus")
+    docs = _docs(spark, sf_dir)
+    f1 = docs.where(F.col("doc_id") < 20)
+    f2 = f1.withColumn("doc_id", F.col("doc_id") + 900_000)  # renumbered dup
+    f3 = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+
+    def make_stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    f1.coalesce(1).write.parquet(f"{src}/f1")
+    f2.coalesce(1).write.parquet(f"{src}/f2")
+    ING.stream_corpus_ingest(
+        make_stream(), path, threshold=0.5, query_name="ck1", checkpoint=ckpt
+    ).awaitTermination(240)
+    v_after_first = V.current_version(path)
+
+    # "crash", then new data arrives, then resume with the same checkpoint
+    f3.coalesce(1).write.parquet(f"{src}/f3")
+    ING.stream_corpus_ingest(
+        make_stream(), path, threshold=0.5, query_name="ck2", checkpoint=ckpt
+    ).awaitTermination(240)
+    v_after_resume = V.current_version(path)
+    # exactly one new micro-batch (f3) was ingested on resume
+    assert v_after_resume == v_after_first + 1
+
+    # uninterrupted reference run over the same three files
+    ref = str(tmp_path / "ref_corpus")
+    ING.stream_corpus_ingest(
+        make_stream(), ref, threshold=0.5, query_name="ref"
+    ).awaitTermination(240)
+    got = sorted(r["doc_id"] for r in V.versioned_read(spark, path).collect())
+    want = sorted(r["doc_id"] for r in V.versioned_read(spark, ref).collect())
+    assert got == want
+    assert not any(i >= 900_000 for i in got)
+
+    # idle resume: no files left → no new version
+    ING.stream_corpus_ingest(
+        make_stream(), path, threshold=0.5, query_name="ck3", checkpoint=ckpt
+    ).awaitTermination(240)
+    assert V.current_version(path) == v_after_resume

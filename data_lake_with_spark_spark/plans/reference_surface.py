@@ -443,3 +443,41 @@ def lateral_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# --- §1.3 semi-structured type surface: VARIANT (Spark 4) ------------------
+
+VARIANT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+           THEN 1 ELSE 0 END)                              AS n_hi,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("variant_extract_props", oracle=VARIANT_ORACLE, tags=("scalar", "json", "variant"))
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse the JSON props
+    column once into VariantType and extract typed paths with
+    variant_get — the open-schema alternative to get_json_object
+    string re-parsing (variant stores a parsed binary encoding, so N
+    path extractions don't re-parse N times; the Delta/Iceberg v3
+    semi-structured column story). Aggregated per event type so the
+    oracle pins both the parse and the typed extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("k_val") >= 50).cast("bigint")).alias("n_hi"),
+            F.sum("k_val").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

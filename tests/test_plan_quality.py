@@ -205,3 +205,23 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in p:
             failures.append((name, "CartesianProduct"))
     assert not failures, failures
+
+
+def test_global_shuffle_never_single_partition(spark, sf_dir):
+    """training_global_shuffle's ordering must be per-shard windows:
+    a global row_number would plan Exchange SinglePartition — the
+    scale-killer the shard partitioning exists to avoid. (The final
+    presentation orderBy is allowed to range-partition; only a
+    SinglePartition exchange is fatal.)"""
+    p = plan_of(spark, sf_dir, "training_global_shuffle")
+    assert "SinglePartition" not in p, p
+
+
+def test_segment_dedup_two_shuffles(spark, sf_dir):
+    """dedup_segments_keep_first budgets exactly: one shuffle keyed on
+    segment text (winner election) + one keyed on doc (rebuild) + the
+    presentation sort — so at most 3 exchanges, none single-partition
+    before the final sort."""
+    p = plan_of(spark, sf_dir, "dedup_segments_keep_first")
+    n_ex = p.count("Exchange hashpartitioning")
+    assert n_ex <= 3, p

@@ -447,11 +447,14 @@ def compact(
     return nxt
 
 
-def vacuum(path: str) -> list[int]:
+def vacuum(path: str, stage_retention_s: float = 86_400.0) -> list[int]:
     """Delete delta dirs below the compaction base — after this, time
     travel reaches back only to the base (Delta VACUUM semantics).
-    Returns the removed version numbers."""
-    import shutil
+    Also removes ``_stage-*`` dirs orphaned by crashed writers once
+    they're older than ``stage_retention_s`` (the retention window
+    protects writers still staging — same reason Delta VACUUM defaults
+    to 7 days). Returns the removed version numbers."""
+    import time
 
     base = compaction_base(path)
     removed = []
@@ -460,7 +463,66 @@ def vacuum(path: str) -> list[int]:
         if os.path.isdir(d):
             shutil.rmtree(d)
             removed.append(v)
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return removed
+    now = time.time()
+    for n in names:
+        if n.startswith("_stage-"):
+            d = os.path.join(path, n)
+            try:
+                if now - os.path.getmtime(d) >= stage_retention_s:
+                    shutil.rmtree(d, ignore_errors=True)
+            except FileNotFoundError:
+                pass
     return removed
+
+
+def versioned_history(path: str) -> list[dict]:
+    """The table's commit log (the DESCRIBE HISTORY analog): one dict
+    per version with row/file/byte counts read from parquet FOOTERS
+    (driver-side metadata only — no Spark job, no data scan) plus the
+    user commit meta. Reserved meta keys (``_schema``,
+    ``_partition_by``) are surfaced as ``n_columns``/``partition_by``
+    rather than raw JSON."""
+    from pyspark.sql import types as T
+
+    latest = current_version(path)
+    if latest is None:
+        return []
+    import pyarrow.parquet as pq
+
+    out = []
+    for v in range(latest + 1):
+        d = _version_dir(path, v)
+        if not os.path.isdir(d):
+            continue  # vacuumed below the compaction base
+        n_rows = n_files = n_bytes = 0
+        for root, _dirs, files in os.walk(d):
+            for fname in files:
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, fname)
+                n_rows += pq.read_metadata(fpath).num_rows
+                n_files += 1
+                n_bytes += os.path.getsize(fpath)
+        m = version_meta(path, v) or {}
+        entry = {
+            "version": v,
+            "n_rows": n_rows,
+            "n_files": n_files,
+            "n_bytes": n_bytes,
+            "is_compaction_base": v == compaction_base(path) and v > 0,
+            "partition_by": m.get("_partition_by", []),
+            "meta": {k: val for k, val in m.items() if not k.startswith("_")},
+        }
+        if m.get("_schema"):
+            entry["n_columns"] = len(
+                T.StructType.fromJson(json.loads(m["_schema"])).fields
+            )
+        out.append(entry)
+    return out
 
 
 def versioned_upsert(

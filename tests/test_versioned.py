@@ -418,3 +418,43 @@ def test_schema_enforcement_rejects_type_change(spark, tmp_path):
         enforce_schema=False,
     )
     assert current_version(path) == 1
+
+
+def test_versioned_history_and_stage_vacuum(spark, tmp_path):
+    """DESCRIBE HISTORY analog: per-version row/file counts from
+    parquet footers (no Spark job), commit meta surfaced; vacuum
+    clears orphaned stage dirs past retention but protects fresh ones."""
+    import os
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "hist")
+    V.versioned_append(
+        spark.createDataFrame([(i, "x") for i in range(10)], "k long, v string"),
+        path,
+        meta={"job": "seed"},
+    )
+    V.versioned_append(
+        spark.createDataFrame([(10, "y", 1.5)], "k long, v string, w double"), path
+    )
+    hist = V.versioned_history(path)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["n_rows"] == 10 and hist[1]["n_rows"] == 1
+    assert hist[0]["meta"] == {"job": "seed"}
+    assert hist[0]["n_columns"] == 2 and hist[1]["n_columns"] == 3
+    assert all(h["n_files"] >= 1 and h["n_bytes"] > 0 for h in hist)
+
+    # orphaned stage dirs: old one vacuumed, fresh one protected
+    old_stage = os.path.join(path, "_stage-deadbeef")
+    os.makedirs(old_stage)
+    os.utime(old_stage, (0, 0))  # ancient mtime
+    fresh_stage = os.path.join(path, "_stage-cafebabe")
+    os.makedirs(fresh_stage)
+    V.vacuum(path)  # default retention: fresh survives, ancient goes
+    assert not os.path.isdir(old_stage)
+    assert os.path.isdir(fresh_stage)
+    # zero retention sweeps everything
+    V.vacuum(path, stage_retention_s=0.0)
+    assert not os.path.isdir(fresh_stage)
+    # history still intact (nothing below a compaction base yet)
+    assert [h["version"] for h in V.versioned_history(path)] == [0, 1]

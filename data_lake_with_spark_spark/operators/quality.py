@@ -81,3 +81,23 @@ def union_report(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level quarantine (the write-path complement of the
+    aggregate expectation report): evaluate every (rule_name,
+    bad_predicate) per row in ONE map-only pass and split the frame
+    into (good, quarantined). Quarantined rows carry a ``_violations``
+    array naming every rule they broke — the triage column a repair
+    job keys on. No shuffle, no second scan; at 100 TB this is a free
+    rider on whatever write was happening anyway (compose with
+    write_with_metrics for counted quarantine sinks)."""
+    viol = F.array_compact(
+        F.array(*[F.when(bad, F.lit(name)) for name, bad in rules])
+    )
+    tagged = df.withColumn("_violations", viol)
+    good = tagged.where(F.size("_violations") == 0).drop("_violations")
+    bad = tagged.where(F.size("_violations") > 0)
+    return good, bad

@@ -99,3 +99,60 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return report.orderBy("check_name")
+
+
+QUARANTINE_ORACLE = """
+WITH tagged AS (
+  SELECT event_id, event_type, value,
+         list_filter([
+           CASE WHEN event_type = 'purchase' AND value < 50.0
+                THEN 'purchase_value_low' END,
+           CASE WHEN event_type = 'error' THEN 'error_event' END,
+           CASE WHEN value < 0.0 OR value > 400.0
+                THEN 'value_out_of_range' END
+         ], x -> x IS NOT NULL) AS v
+  FROM events
+)
+SELECT event_id, event_type, value,
+       array_to_string(v, ',') AS violations
+FROM tagged
+WHERE len(v) > 0
+ORDER BY event_id
+"""
+
+
+@register(
+    "dq_quarantine_rows",
+    oracle=QUARANTINE_ORACLE,
+    tags=("quality", "filter"),
+)
+def dq_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine (operators/quality.py:quarantine_split):
+    one map-only pass tags each row with every business rule it broke
+    and splits good from quarantined — the write-path complement of
+    the aggregate dq_expectations report. Returned: the quarantined
+    rows with their violation list (joined to CSV so the cross-engine
+    hash compare sees a plain string)."""
+    from data_lake_with_spark_spark.operators.quality import quarantine_split
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        (
+            "purchase_value_low",
+            (F.col("event_type") == "purchase") & (F.col("value") < 50.0),
+        ),
+        ("error_event", F.col("event_type") == "error"),
+        ("value_out_of_range", (F.col("value") < 0.0) | (F.col("value") > 400.0)),
+    ]
+    _good, bad = quarantine_split(
+        ev.select("event_id", "event_type", "value"), rules
+    )
+    return (
+        bad.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.array_join("_violations", ",").alias("violations"),
+        )
+        .orderBy("event_id")
+    )

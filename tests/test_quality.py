@@ -76,3 +76,28 @@ def test_dq_suite_scans_each_table_once(spark, sf_dir):
     # scan would show 3 orders / 3 lineitem scans.
     assert plan.count("orders.parquet") <= 2
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_quarantine_split_partitions_exactly(spark):
+    """good ∪ bad == input, disjoint; violations name every broken
+    rule; clean frames quarantine nothing."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 500.0), (4, "d", 10.0)],
+        "id long, tag string, v double",
+    )
+    rules = [
+        ("neg_v", F.col("v") < 0),
+        ("null_tag", F.col("tag").isNull()),
+        ("huge_v", F.col("v") > 400),
+    ]
+    good, bad = quarantine_split(df, rules)
+    assert sorted(r["id"] for r in good.collect()) == [1, 4]
+    got = {r["id"]: sorted(r["_violations"]) for r in bad.collect()}
+    assert got == {2: ["neg_v"], 3: ["huge_v", "null_tag"]}
+    assert good.count() + bad.count() == df.count()
+    g2, b2 = quarantine_split(df.where(F.col("id") == 1), rules)
+    assert g2.count() == 1 and b2.count() == 0

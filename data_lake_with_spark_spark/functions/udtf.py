@@ -50,3 +50,36 @@ def register_udtfs(spark) -> None:
     """Register the UDTF surface into the session catalog so plain SQL
     can LATERAL-join it."""
     spark.udtf.register("split_sentences", SplitSentences)
+    spark.udtf.register("extract_fields", udtf(ExtractFields))
+
+
+class ExtractFields:
+    """Polymorphic UDTF: output schema computed at ANALYSIS time from
+    the literal field list — ``LATERAL extract_fields(line, 'a,c')``
+    yields columns (a, c); a different literal yields a different
+    relation shape. This is the half of the UDTF contract a fixed
+    returnType can't express (Spark calls the static ``analyze`` with
+    the resolved argument expressions during planning; non-constant
+    field lists are rejected there, not at runtime). eval parses
+    whitespace-separated ``k=v`` pairs; missing keys yield nulls."""
+
+    @staticmethod
+    def analyze(text, fields):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if fields.value is None:
+            raise ValueError("extract_fields: field list must be a constant")
+        schema = StructType()
+        for name in str(fields.value).split(","):
+            schema = schema.add(name.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, fields: str):  # noqa: D102
+        names = [n.strip() for n in fields.split(",")]
+        kv = {}
+        for part in (text or "").split():
+            if "=" in part:
+                k, _, v = part.partition("=")
+                kv[k] = v
+        yield tuple(kv.get(n) for n in names)

@@ -235,3 +235,29 @@ def test_udtf_split_sentences_edges(spark):
         (1, 2, "four five six", 3),
         (4, 0, "single", 1),
     ]
+
+
+def test_udtf_extract_fields_polymorphic_schema(spark):
+    """analyze()-driven UDTF: the literal field list decides the
+    output schema at planning time; missing keys are nulls; a
+    different literal yields a different relation shape."""
+    from data_lake_with_spark_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a=1 b=2 c=3"), (2, "a=9 z=0"), (3, None)],
+        "id long, line string",
+    ).createOrReplaceTempView("kv_lines")
+    rows = spark.sql(
+        """
+        SELECT d.id, s.* FROM kv_lines d,
+        LATERAL extract_fields(d.line, 'a,c') s ORDER BY d.id
+        """
+    )
+    assert rows.columns == ["id", "a", "c"]
+    got = [(r["id"], r["a"], r["c"]) for r in rows.collect()]
+    assert got == [(1, "1", "3"), (2, "9", None), (3, None, None)]
+    other = spark.sql(
+        "SELECT s.* FROM kv_lines d, LATERAL extract_fields(d.line, 'b') s"
+    )
+    assert other.columns == ["b"]

@@ -23,6 +23,7 @@ from collections.abc import Iterable, Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -30,6 +31,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _WORDS = [
@@ -122,3 +124,93 @@ def register(spark) -> None:
     # it Spark refuses to plan a reader that implements the method.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, staged: str, n_rows: int) -> None:
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class JsonlSinkDataSource(DataSource):
+    """format("jsonl_sink") — the WRITER half of the connector seam
+    (SyntheticDocsDataSource is the reader half): a two-phase-commit
+    JSONL sink in pure Python.
+
+    Protocol (the same contract FileFormatWriter gives parquet): each
+    task streams its rows to a STAGED ``_tmp-*.jsonl`` file and
+    returns a commit message; only the DRIVER's ``commit`` promotes
+    staged files to ``part-NNNNN.jsonl`` and writes ``_MANIFEST.json``
+    (file list + row counts) — so a failed/aborted job leaves no
+    visible output (``abort`` deletes the stages), and a reader that
+    honors the manifest never sees a torn write. Options: ``path``
+    (required), mode append/overwrite via the save mode."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_sink: option 'path' is required")
+        return JsonlWriter(path, [f.name for f in schema.fields], overwrite)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str], overwrite: bool) -> None:
+        self.path = path
+        self.columns = columns
+        self.overwrite = overwrite
+
+    # -- executor side -----------------------------------------------
+    def write(self, iterator) -> JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        return JsonlCommit(staged, n)
+
+    # -- driver side -------------------------------------------------
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        existing = []
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, name))
+        elif os.path.isfile(manifest_path):
+            with open(manifest_path) as fh:
+                existing = json.load(fh)["files"]
+        base = len(existing)
+        files = list(existing)
+        for i, m in enumerate(messages):
+            final = f"part-{base + i:05d}.jsonl"
+            os.replace(m.staged, os.path.join(self.path, final))
+            files.append({"file": final, "n_rows": m.n_rows})
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"files": files, "n_rows": sum(f["n_rows"] for f in files)}, fh
+            )
+        os.replace(tmp, manifest_path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.isfile(m.staged):
+                os.remove(m.staged)

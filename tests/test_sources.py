@@ -252,3 +252,70 @@ def test_versioned_partition_evolution(spark, tmp_path):
     assert got[5] == "1" and got[150] == "2"
     # time travel to the flat era
     assert V.versioned_read(spark, path, version=0).count() == 100
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Writer half of the Python DataSource seam: append + overwrite
+    with manifest accounting, round-trip fidelity, and no visible
+    output without a commit."""
+    import glob
+    import json
+    import os
+
+    from data_lake_with_spark_spark.sources import pydatasource as PDS
+
+    PDS.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 100).selectExpr("id", "CAST(id % 7 AS STRING) AS tag")
+    df.repartition(4).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 100
+    assert len(manifest["files"]) == 4
+    # no staged garbage; files listed = files present
+    assert not glob.glob(f"{out}/_tmp-*")
+    parts = sorted(os.path.basename(p) for p in glob.glob(f"{out}/part-*.jsonl"))
+    assert parts == sorted(f["file"] for f in manifest["files"])
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    assert back.count() == 100
+    assert {r["id"] for r in back.collect()} == set(range(100))
+
+    # append accumulates and renumbers past existing parts
+    df.limit(10).repartition(1).write.format("jsonl_sink").option(
+        "path", out
+    ).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 110 and len(manifest["files"]) == 5
+
+    # overwrite replaces everything
+    df.limit(3).repartition(1).write.format("jsonl_sink").option(
+        "path", out
+    ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 3 and len(manifest["files"]) == 1
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 1
+
+
+def test_jsonl_sink_failed_job_leaves_no_output(spark, tmp_path):
+    import glob
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import pydatasource as PDS
+
+    PDS.register(spark)
+    out = str(tmp_path / "sink_fail")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected task failure")
+
+    bad = spark.range(0, 10).select(boom("id").alias("id"))
+    with _pytest.raises(Exception):
+        bad.write.format("jsonl_sink").option("path", out).mode("append").save()
+    # aborted job: no manifest, no committed parts
+    assert not os.path.isfile(os.path.join(out, "_MANIFEST.json"))
+    assert not glob.glob(f"{out}/part-*.jsonl")

@@ -757,3 +757,49 @@ def lsh_near_pairs(
         .select("a_id", "b_id", (F.floor(cos * 1e6 + 0.5) / 1e6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    positive_threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    k most-similar vectors that are NOT positives/near-duplicates
+    (raw cosine < ``positive_threshold``) — maximally confusable
+    negatives, the pairs a contrastive loss learns most from. The
+    exclusion cut uses the RAW cosine (rounding only at output) so
+    engines agree on the boundary. Same shape as brute_force_topk
+    (anchors broadcast against the corpus); at scale swap the
+    candidate stage for the LSH buckets and keep this exact scoring
+    as the rerank."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    raw = dot(F.col("a_vec"), F.col("c_vec")) / (F.col("a_norm") * F.col("c_norm"))
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("anchor_id") != F.col("negative_id"))
+        .where(raw < F.lit(positive_threshold))
+        .select(
+            "anchor_id",
+            "negative_id",
+            (F.floor(raw * 1e6 + 0.5) / 1e6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )

@@ -1739,3 +1739,47 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "cluster_id", "quality", (F.col("_rn") == 1).alias("keep"))
         .orderBy("id")
     )
+
+
+HARD_NEG_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS negative_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT anchor_id, negative_id,
+         list_dot_product(av, cv)
+           / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(cv, cv))) AS raw
+  FROM a, c
+  WHERE anchor_id != negative_id
+)
+SELECT anchor_id, negative_id, CAST(rnk AS INTEGER) AS rank,
+       FLOOR(raw * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY FLOOR(raw * 1e6 + 0.5) / 1e6 DESC,
+                                        negative_id ASC) AS rnk
+  FROM scored WHERE raw < 0.35
+)
+WHERE rnk <= 3
+ORDER BY anchor_id, rank
+"""
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=HARD_NEG_ORACLE,
+    tags=("vector", "llm", "training", "topk"),
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (E3×training): per anchor, the 3 most
+    similar NON-positive vectors (raw cosine < 0.35, the near-dup
+    threshold) — the maximally-confusable negatives a contrastive
+    embedding loss learns most from. operators/similarity.py:
+    mine_hard_negatives; LSH buckets are the documented candidate
+    stage at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10)
+    return SIM.mine_hard_negatives(emb, anchors, k=3, positive_threshold=0.35).orderBy(
+        "anchor_id", "rank"
+    )

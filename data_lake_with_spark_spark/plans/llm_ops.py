@@ -1783,3 +1783,24 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mine_hard_negatives(emb, anchors, k=3, positive_threshold=0.35).orderBy(
         "anchor_id", "rank"
     )
+
+
+@register("text_bpe_tokenize", oracle=None, tags=("text", "llm", "training"))
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-merge BPE (operators/bpe.py), not the regex
+    approximation (that stays as text_token_count_bpe): distributed
+    word-frequency count → driver-side greedy merge loop (|vocab|,
+    not |corpus| — the PQ-codebook pattern) → Arrow-batched apply
+    with a per-worker word cache. Iterative training is not
+    SQL-expressible → rows-only here; the learned merges and
+    segmentations are pinned against a pure-Python reference in
+    tests/test_operators.py."""
+    from data_lake_with_spark_spark.operators import bpe as BPE
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = BPE.learn_bpe_merges(docs, n_merges=40)
+    return (
+        BPE.apply_bpe(docs, merges)
+        .select("doc_id", "n_bpe_tokens", F.col("bpe_tokens").alias("bpe_tokens"))
+        .orderBy("doc_id")
+    )

@@ -606,3 +606,53 @@ def test_segment_dedup_keep_first_reconstruction(spark):
     assert out[1] == (d1, 3, 3)
     assert out[2] == (" ".join(["unique"] * 10), 1, 2)
     assert 3 not in out  # every segment of d3 was claimed by d1
+
+
+def test_bpe_learn_and_apply_matches_reference(spark):
+    """Learned-merge BPE: the distributed trainer must produce exactly
+    the merges a pure-Python reference computes on the same corpus,
+    and application must reproduce the reference segmentation,
+    compress vs characters, and handle unseen words gracefully."""
+    from data_lake_with_spark_spark.operators import bpe as B
+
+    corpus = ["low lower lowest low low", "newer newest new low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    # pure-Python reference trainer (same tie-break)
+    from collections import Counter
+
+    wc = Counter(w for t in corpus for w in t.split())
+    vocab = {tuple(list(w) + [B.END]): c for w, c in wc.items()}
+    ref_merges = []
+    for _ in range(12):
+        counts = Counter()
+        for word, c in vocab.items():
+            for p in zip(word, word[1:]):
+                counts[p] += c
+        if not counts:
+            break
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        ref_merges.append(best)
+        vocab = {B._merge_word(w, best): c for w, c in vocab.items()}
+
+    merges = B.learn_bpe_merges(docs, n_merges=12)
+    assert merges == ref_merges
+
+    out = {r["doc_id"]: r for r in B.apply_bpe(docs, merges).collect()}
+    # reference segmentation of doc 0
+    ranks = {p: i for i, p in enumerate(merges)}
+    want0 = [p for w in corpus[0].split() for p in B.segment_word(w, ranks)]
+    assert out[0]["bpe_tokens"] == want0
+    # 'low' is frequent → must have become a single token
+    assert "low" + B.END in out[0]["bpe_tokens"]
+    # compression: fewer tokens than characters
+    assert out[0]["n_bpe_tokens"] < len(corpus[0].replace(" ", ""))
+
+    # unseen word at apply time: segments from whatever merges apply
+    unseen = spark.createDataFrame([(9, "zzz low")], "doc_id long, text string")
+    got = B.apply_bpe(unseen, merges).collect()[0]
+    assert got["bpe_tokens"][-1] == "low" + B.END
+    assert got["n_bpe_tokens"] >= 2

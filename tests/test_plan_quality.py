@@ -225,3 +225,11 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_segments_keep_first")
     n_ex = p.count("Exchange hashpartitioning")
     assert n_ex <= 3, p
+
+
+def test_quarantine_is_map_only(spark, sf_dir):
+    """dq_quarantine_rows tags and filters in the scan stage: no hash
+    shuffle anywhere (the only exchange is the presentation sort's
+    range partitioning)."""
+    p = plan_of(spark, sf_dir, "dq_quarantine_rows")
+    assert "Exchange hashpartitioning" not in p, p

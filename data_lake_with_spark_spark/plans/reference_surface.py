@@ -451,9 +451,9 @@ VARIANT_ORACLE = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
-           THEN 1 ELSE 0 END)                              AS n_hi,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS sum_k
+  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+           THEN 1 ELSE 0 END) AS BIGINT)                            AS n_hi,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

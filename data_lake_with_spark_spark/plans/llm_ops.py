@@ -1804,3 +1804,53 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bpe_tokens", F.col("bpe_tokens").alias("bpe_tokens"))
         .orderBy("doc_id")
     )
+
+
+AUDIO_ENERGY_ORACLE = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(64)) AS i FROM documents WHERE doc_id < 200
+), pcm AS (
+  SELECT doc_id, i // 16 AS frame_idx,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM s
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak
+FROM pcm GROUP BY doc_id, frame_idx
+ORDER BY media_id, frame_idx
+"""
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=AUDIO_ENERGY_ORACLE,
+    tags=("multimodal", "llm", "decode"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction (E5): decode real WAV bytes
+    (stdlib decoder, same path as decode_audio_wav), split the PCM
+    into 16-sample frames, and compute per-frame energy (Σv², exact
+    integer math) and peak — the VAD/loudness-gating primitives of an
+    audio data pipeline. The frame split is a JVM posexplode over the
+    decoded array; all arithmetic stays integral so the analytic
+    oracle hash-matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_wav_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    frames = dec.select(
+        "media_id",
+        F.posexplode("values").alias("i", "v"),
+    ).select(
+        "media_id",
+        (F.col("i") / 16).cast("int").alias("frame_idx"),
+        F.col("v").cast("bigint").alias("v"),
+    )
+    return (
+        frames.groupBy("media_id", "frame_idx")
+        .agg(
+            F.sum(F.col("v") * F.col("v")).alias("energy"),
+            F.max(F.abs("v")).cast("int").alias("peak"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

@@ -920,3 +920,98 @@ def versioned_read_range(
         df = spark.read.option("mergeSchema", "true").parquet(*files)
     df = df.where((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
     return df, {"files_read": len(files), "files_total": total}
+
+
+_BLOOM_NAME = "_BLOOM.json"
+
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:8], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def write_bloom_index(
+    version_dir: str, column: str, m_bits: int = 4096, k: int = 3
+) -> int:
+    """Per-FILE Bloom filters for point lookups on a high-cardinality
+    column (the Delta bloom-filter-index analog; min/max manifests
+    can't prune equality probes on unclustered keys — every file's
+    range spans the probe). One m-bit filter per parquet file, built
+    from a single-column read, stored as hex in ``_BLOOM.json``
+    alongside the stats manifest. md5-derived positions make the
+    filter engine-independent and re-buildable anywhere. False
+    positives cost only an extra file read; absence proofs are exact,
+    so pruning never changes results. Returns the file count."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(version_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(version_dir, name)
+        bits = bytearray(m_bits // 8)
+        col = pq.read_table(fpath, columns=[column])[column]
+        for chunk in col.chunks:
+            for v in chunk:
+                val = v.as_py()
+                if val is None:
+                    continue
+                for pos in _bloom_positions(val, m_bits, k):
+                    bits[pos // 8] |= 1 << (pos % 8)
+        entries.append({"file": name, "bloom": bytes(bits).hex()})
+    payload = {"column": column, "m_bits": m_bits, "k": k, "files": entries}
+    tmp = os.path.join(version_dir, _BLOOM_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, os.path.join(version_dir, _BLOOM_NAME))
+    return len(entries)
+
+
+def versioned_read_point(
+    spark: SparkSession, path: str, column: str, value
+) -> tuple[DataFrame, dict]:
+    """Point lookup ``column == value`` with per-file Bloom pruning:
+    version dirs with a matching ``_BLOOM.json`` skip every file whose
+    filter proves the value absent; unindexed dirs/files read
+    conservatively. Returns (filtered frame, {"files_read",
+    "files_total"})."""
+    from pyspark.sql import functions as F
+
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    base = compaction_base(path)
+    keep: list[str] = []
+    total = 0
+    for v in range(base, latest + 1):
+        d = _version_dir(path, v)
+        names = [n for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+        total += len(names)
+        idx = None
+        try:
+            with open(os.path.join(d, _BLOOM_NAME)) as fh:
+                idx = json.load(fh)
+        except FileNotFoundError:
+            pass
+        if idx is None or idx.get("column") != column:
+            keep.extend(os.path.join(d, n) for n in names)
+            continue
+        m_bits, kk = idx["m_bits"], idx["k"]
+        blooms = {e["file"]: bytes.fromhex(e["bloom"]) for e in idx["files"]}
+        probes = _bloom_positions(value, m_bits, kk)
+        for n in names:
+            bits = blooms.get(n)
+            if bits is None or all(
+                bits[p // 8] & (1 << (p % 8)) for p in probes
+            ):
+                keep.append(os.path.join(d, n))
+    info = {"files_read": len(keep), "files_total": total}
+    if not keep:
+        empty = versioned_read(spark, path).where(F.lit(False))
+        return empty, info
+    df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    return df.where(F.col(column) == F.lit(value)), info

@@ -458,3 +458,42 @@ def test_versioned_history_and_stage_vacuum(spark, tmp_path):
     assert not os.path.isdir(fresh_stage)
     # history still intact (nothing below a compaction base yet)
     assert [h["version"] for h in V.versioned_history(path)] == [0, 1]
+
+
+def test_bloom_index_point_lookup(spark, tmp_path):
+    """Per-file Bloom index: equality probes skip files min/max can't
+    prune (unclustered high-cardinality key), absence proofs are
+    exact, unindexed dirs read conservatively."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "bloomtbl")
+    # unclustered ids: every file's min/max range spans every probe
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.versioned_append(df.repartition(8), path, collect_stats=True)
+    V.write_bloom_index(V.versioned_snapshot_dir(path, 0), "k")
+
+    hit, info = V.versioned_read_point(spark, path, "k", 4242)
+    assert info["files_total"] == 8
+    assert info["files_read"] < 8, info  # bloom pruned most files
+    assert [(r["k"], r["v"]) for r in hit.collect()] == [(4242, 8484)]
+
+    # absent key: typically zero files read; result always empty
+    miss, info_m = V.versioned_read_point(spark, path, "k", 999_999)
+    assert miss.count() == 0
+    assert info_m["files_read"] <= info["files_read"]
+
+    # second delta WITHOUT an index: its files always read
+    V.versioned_append(
+        spark.range(8_000, 9_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(2),
+        path,
+    )
+    hit2, info2 = V.versioned_read_point(spark, path, "k", 8_500)
+    assert info2["files_total"] == 10
+    assert info2["files_read"] >= 2  # unindexed delta read conservatively
+    assert [(r["k"], r["v"]) for r in hit2.collect()] == [(8_500, 17_000)]

@@ -120,3 +120,35 @@ def moment_stats(state: DataFrame, group_cols: list[str], value_cols: list[str])
             F.sqrt(var).alias(f"stddev_{c}"),
         ]
     return state.select(*out_cols)
+
+
+def maintain_join_agg(
+    current: DataFrame | None,
+    fact_changes: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an aggregate OVER A JOIN — the
+    enriched-rollup view (``SELECT dim.group, SUM(fact.x) FROM fact
+    JOIN dim``) kept in step with the FACT table's change feed.
+
+    Because the dim side is static for the refresh (the overwhelmingly
+    common shape: streaming facts, slowly-changing dimensions
+    re-evaluated on their own cadence), Δ(fact ⋈ dim) = Δfact ⋈ dim —
+    so a refresh is: enrich the CHANGE BATCH with a broadcast dim
+    join, then fold signed deltas exactly like the single-table path.
+    Cost: O(|changes|) + one broadcast join; untouched groups never
+    shuffle. A dim update requires re-evaluating the view (min/max
+    deletes have the same rescan property) — callers own that cadence.
+
+    Change rows whose key misses the dim are dropped (inner-join view
+    semantics): they contribute to no group, and the SAME miss happens
+    on the pre-image when the row is later deleted, so the state stays
+    consistent."""
+    enriched = fact_changes.join(
+        F.broadcast(dim.withColumnRenamed(dim_key, fact_key)), fact_key, "inner"
+    )
+    return maintain(current, enriched, group_cols, sum_cols)

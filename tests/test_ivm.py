@@ -221,3 +221,54 @@ def test_incremental_gram_df_matches_recompute(spark, tmp_path):
         state, V.versioned_changes(spark, path, ["doc_id"], 1, 2, include_preimages=True)
     )
     assert snap(state) == recompute()
+
+
+def test_maintain_join_agg_matches_full_recompute(spark, tmp_path):
+    """Enriched-rollup IVM: per-dim-group sums advanced from the fact
+    change feed equal the full join+groupBy recompute across inserts,
+    updates, and deletes — including facts with no dim match."""
+    from data_lake_with_spark_spark.operators import ivm as IVM
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    dim = spark.createDataFrame(
+        [(1, "red"), (2, "blue")], "dim_id long, color string"
+    )
+    path = str(tmp_path / "facts")
+    V.versioned_merge(
+        spark.createDataFrame(
+            [(10, 1, 5.0), (11, 1, 7.0), (12, 2, 1.0), (13, 9, 100.0)],
+            ["fid", "dim_id", "x"],
+        ),
+        path,
+        ["fid"],
+    )  # v0 (fid 13 has no dim row)
+    V.versioned_merge(
+        spark.createDataFrame([(11, 2, 9.0), (14, 2, 2.0)], ["fid", "dim_id", "x"]),
+        path,
+        ["fid"],
+    )  # v1: update fid 11 (moves group!), insert fid 14
+    V.versioned_delete(spark, spark.createDataFrame([(10,)], ["fid"]), path, ["fid"])  # v2
+
+    def recompute(version):
+        base = V.versioned_read_merged(spark, path, ["fid"], version=version)
+        return {
+            (r["color"], r["n_rows"], r["x"])
+            for r in base.join(dim, "dim_id")
+            .groupBy("color")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("x").alias("x"),
+            )
+            .collect()
+        }
+
+    state = None
+    for v in range(3):
+        changes = V.versioned_changes(
+            spark, path, ["fid"], v - 1, v, include_preimages=True
+        )
+        state = IVM.maintain_join_agg(
+            state, changes, dim, "dim_id", "dim_id", ["color"], ["x"]
+        )
+        got = {(r["color"], r["n_rows"], r["x"]) for r in state.collect()}
+        assert got == recompute(v), f"divergence at v{v}"

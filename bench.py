@@ -116,6 +116,46 @@ def main() -> None:
     warm = {n: sorted(p[n] for p in passes)[1] for n in passes[0]}
     warm_min = {n: min(p[n] for p in passes) for n in passes[0]}
 
+    # Untimed metrics pass: per-query shuffle-write and spill bytes
+    # summed over the EXECUTED plan tree (descending through AQE's
+    # final plan and query stages) — the quantitative form of the
+    # "minimize shuffles" posture; a plan regression that doubles the
+    # shuffle volume shows up here even when wall-clock noise hides it.
+    def plan_io(df) -> dict[str, int]:
+        total = {"shuffleBytesWritten": 0, "spillSize": 0}
+
+        def walk(node) -> None:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() in total:
+                    total[kv._1()] += kv._2().value()
+            cname = node.getClass().getSimpleName()
+            if cname == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+                return
+            if "QueryStage" in cname:
+                walk(node.plan())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+        return total
+
+    shuffle_bytes: dict[str, int | None] = {}
+    spill_bytes: dict[str, int | None] = {}
+    for name in HEADLINE:
+        try:
+            df = REGISTRY[name].spark(spark, sf_dir)
+            df.toPandas()
+            io = plan_io(df)
+            shuffle_bytes[name] = int(io["shuffleBytesWritten"])
+            spill_bytes[name] = int(io["spillSize"])
+        except Exception:  # noqa: BLE001 — metrics are best-effort
+            shuffle_bytes[name] = None
+            spill_bytes[name] = None
+
     print(
         json.dumps(
             {
@@ -127,6 +167,8 @@ def main() -> None:
                 "queries_min": warm_min,
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_cold": cold,
+                "shuffle_bytes": shuffle_bytes,
+                "spill_bytes": spill_bytes,
                 "sf": sf,
             }
         )

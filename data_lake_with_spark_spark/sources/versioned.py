@@ -682,7 +682,19 @@ def versioned_changes(
         for i in range(v_from + 1, end + 1):
             d = _version_dir(path, i)
             if os.path.isdir(d):
-                part = spark.read.parquet(d).withColumn("_v", F.lit(i))
+                # read with the delta's RECORDED schema when available:
+                # a hive-partitioned delta read bare would re-infer its
+                # partition column's type (e.g. "02" as int) and break
+                # the key join against the merged pre-image
+                from pyspark.sql import types as T
+
+                m = version_meta(path, i) or {}
+                reader = spark.read
+                if m.get("_schema"):
+                    reader = reader.schema(
+                        T.StructType.fromJson(json.loads(m["_schema"]))
+                    )
+                part = reader.parquet(d).withColumn("_v", F.lit(i))
                 if TOMBSTONE not in part.columns:
                     part = part.withColumn(TOMBSTONE, F.lit(False))
                 parts.append(part)

@@ -497,3 +497,31 @@ def test_bloom_index_point_lookup(spark, tmp_path):
     assert info2["files_total"] == 10
     assert info2["files_read"] >= 2  # unindexed delta read conservatively
     assert [(r["k"], r["v"]) for r in hit2.collect()] == [(8_500, 17_000)]
+
+
+def test_changes_fast_path_on_evolved_layout(spark, tmp_path):
+    """The change-feed delta fast path must read a hive-partitioned
+    delta with its RECORDED schema: bare re-inference would type a
+    string-digit partition column as int and poison the key join."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "cdfevo")
+    V.versioned_append(
+        spark.createDataFrame(
+            [(1, "a", "02"), (2, "b", "07")], "k long, v string, bucket string"
+        ),
+        path,
+    )  # v0 flat
+    V.versioned_append(
+        spark.createDataFrame(
+            [(3, "c", "02"), (4, "d", "11")], "k long, v string, bucket string"
+        ),
+        path,
+        partition_by=("bucket",),
+    )  # v1 hive-partitioned on the string bucket
+    feed = V.versioned_changes(spark, path, ["k"], 0, 1)
+    got = {(r["k"], r["bucket"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(3, "02", "insert"), (4, "11", "insert")}
+    assert dict(feed.dtypes)["bucket"] == "string"

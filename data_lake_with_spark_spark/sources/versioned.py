@@ -871,14 +871,26 @@ def write_stats_manifest(version_dir: str) -> int:
     return len(entries)
 
 
+def _dir_parquet_files(version_dir: str) -> list[str]:
+    """Every parquet file under a version dir, RELATIVE to it —
+    recursing so hive-partitioned layouts (files nested in key=value
+    subdirs) are never silently skipped by a pruned read."""
+    out = []
+    for root, _dirs, files in os.walk(version_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(root, name), version_dir)
+                )
+    return sorted(out)
+
+
 def _prune_dir(version_dir: str, column: str, lo, hi) -> tuple[list[str], int]:
     """(files to read, total files) for one version dir under the
     range predicate lo ≤ column ≤ hi. Files without a manifest entry
     or without stats for the column are always read."""
     manifest_path = os.path.join(version_dir, _STATS_NAME)
-    all_files = sorted(
-        n for n in os.listdir(version_dir) if n.endswith(".parquet")
-    )
+    all_files = _dir_parquet_files(version_dir)
     if not os.path.exists(manifest_path):
         return [os.path.join(version_dir, n) for n in all_files], len(all_files)
     with open(manifest_path) as fh:
@@ -918,20 +930,49 @@ def versioned_read_range(
         raise ValueError(f"version {v} out of range [0, {latest}]")
     base = compaction_base(path)
     start = base if v >= base else 0
-    files: list[str] = []
+    per_dir: list[tuple[int, list[str]]] = []
     total = 0
+    n_files = 0
     for i in range(start, v + 1):
         keep, n = _prune_dir(_version_dir(path, i), column, lo, hi)
-        files.extend(keep)
         total += n
-    if not files:
+        n_files += len(keep)
+        if keep:
+            per_dir.append((i, keep))
+    if not per_dir:
         # empty-but-typed frame: read schema from any file of the span
         any_dir = _version_dir(path, start)
         df = spark.read.parquet(any_dir).where(F.lit(False))
     else:
-        df = spark.read.option("mergeSchema", "true").parquet(*files)
+        df = _read_file_groups(spark, path, per_dir)
     df = df.where((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
-    return df, {"files_read": len(files), "files_total": total}
+    return df, {"files_read": n_files, "files_total": total}
+
+
+def _read_file_groups(
+    spark: SparkSession, path: str, per_dir: list[tuple[int, list[str]]]
+) -> DataFrame:
+    """Read pruned file subsets grouped by their version dir: each
+    group gets its own ``basePath`` (so hive partition values nested
+    in key=value subdirs are recovered — a bare multi-file read would
+    silently drop the partition column) and its recorded write schema
+    when available; groups union by name with null-fill."""
+    from pyspark.sql import types as T
+
+    parts = []
+    for v, paths in per_dir:
+        m = version_meta(path, v) or {}
+        reader = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", _version_dir(path, v))
+        )
+        if m.get("_schema"):
+            reader = reader.schema(T.StructType.fromJson(json.loads(m["_schema"])))
+        parts.append(reader.parquet(*paths))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 _BLOOM_NAME = "_BLOOM.json"
@@ -961,9 +1002,7 @@ def write_bloom_index(
     import pyarrow.parquet as pq
 
     entries = []
-    for name in sorted(os.listdir(version_dir)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in _dir_parquet_files(version_dir):
         fpath = os.path.join(version_dir, name)
         bits = bytearray(m_bits // 8)
         col = pq.read_table(fpath, columns=[column])[column]
@@ -997,11 +1036,12 @@ def versioned_read_point(
     if latest is None:
         raise FileNotFoundError(f"no committed versions at {path}")
     base = compaction_base(path)
-    keep: list[str] = []
+    per_dir: list[tuple[int, list[str]]] = []
     total = 0
+    n_files = 0
     for v in range(base, latest + 1):
         d = _version_dir(path, v)
-        names = [n for n in sorted(os.listdir(d)) if n.endswith(".parquet")]
+        names = _dir_parquet_files(d)
         total += len(names)
         idx = None
         try:
@@ -1010,20 +1050,24 @@ def versioned_read_point(
         except FileNotFoundError:
             pass
         if idx is None or idx.get("column") != column:
-            keep.extend(os.path.join(d, n) for n in names)
-            continue
-        m_bits, kk = idx["m_bits"], idx["k"]
-        blooms = {e["file"]: bytes.fromhex(e["bloom"]) for e in idx["files"]}
-        probes = _bloom_positions(value, m_bits, kk)
-        for n in names:
-            bits = blooms.get(n)
-            if bits is None or all(
-                bits[p // 8] & (1 << (p % 8)) for p in probes
-            ):
-                keep.append(os.path.join(d, n))
-    info = {"files_read": len(keep), "files_total": total}
-    if not keep:
+            keep = [os.path.join(d, n) for n in names]
+        else:
+            m_bits, kk = idx["m_bits"], idx["k"]
+            blooms = {e["file"]: bytes.fromhex(e["bloom"]) for e in idx["files"]}
+            probes = _bloom_positions(value, m_bits, kk)
+            keep = []
+            for n in names:
+                bits = blooms.get(n)
+                if bits is None or all(
+                    bits[p // 8] & (1 << (p % 8)) for p in probes
+                ):
+                    keep.append(os.path.join(d, n))
+        n_files += len(keep)
+        if keep:
+            per_dir.append((v, keep))
+    info = {"files_read": n_files, "files_total": total}
+    if not per_dir:
         empty = versioned_read(spark, path).where(F.lit(False))
         return empty, info
-    df = spark.read.option("mergeSchema", "true").parquet(*keep)
+    df = _read_file_groups(spark, path, per_dir)
     return df.where(F.col(column) == F.lit(value)), info

@@ -525,3 +525,46 @@ def test_changes_fast_path_on_evolved_layout(spark, tmp_path):
     got = {(r["k"], r["bucket"], r["_change_type"]) for r in feed.collect()}
     assert got == {(3, "02", "insert"), (4, "11", "insert")}
     assert dict(feed.dtypes)["bucket"] == "string"
+
+
+def test_pruned_reads_cover_partitioned_deltas(spark, tmp_path):
+    """Range and point pruned reads must COUNT and READ files nested
+    in hive-partitioned version dirs (a top-level-only listing
+    silently dropped those rows) and recover the partition column via
+    basePath."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "mixskip")
+    V.versioned_append(
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), F.lit("flat").alias("src"))
+        .repartitionByRange(4, "k"),
+        path,
+        collect_stats=True,
+    )  # v0 flat, manifested
+    V.versioned_append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"),
+            F.lit("part").alias("src"),
+            (F.col("id") % 2).cast("string").alias("bucket"),
+        ),
+        path,
+        partition_by=("bucket",),
+    )  # v1 hive-partitioned, no manifest
+
+    got, info = V.versioned_read_range(spark, path, "k", 90, 110)
+    assert info["files_total"] > 4  # partitioned delta's files counted
+    rows = {(r["k"], r["src"]) for r in got.collect()}
+    assert rows == {(k, "flat" if k < 100 else "part") for k in range(90, 111)}
+    # partition column recovered, typed string
+    assert dict(got.dtypes).get("bucket") == "string"
+    assert {r["bucket"] for r in got.where(F.col("src") == "part").collect()} == {
+        "0", "1"
+    }
+
+    hit, info_p = V.versioned_read_point(spark, path, "k", 150)
+    assert [(r["k"], r["src"], r["bucket"]) for r in hit.collect()] == [
+        (150, "part", "0")
+    ]

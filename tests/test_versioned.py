@@ -568,3 +568,31 @@ def test_pruned_reads_cover_partitioned_deltas(spark, tmp_path):
     assert [(r["k"], r["src"], r["bucket"]) for r in hit.collect()] == [
         (150, "part", "0")
     ]
+
+
+def test_compact_folds_evolved_layouts(spark, tmp_path):
+    """Compaction of a flat+partitioned table folds every row into one
+    flat snapshot; time travel to the mixed era still works."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "mixcompact")
+    V.versioned_append(
+        spark.createDataFrame([(1, "x", "a")], "k long, v string, p string"), path
+    )
+    V.versioned_append(
+        spark.createDataFrame([(2, "y", "b"), (3, "z", "a")], "k long, v string, p string"),
+        path,
+        partition_by=("p",),
+    )
+    cv = V.compact(spark, path)
+    got = {(r["k"], r["p"]) for r in V.versioned_read(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "a")}
+    assert V.compaction_base(path) == cv
+    assert {r["k"] for r in V.versioned_read(spark, path, version=0).collect()} == {1}
+    # post-compaction append + read still fine
+    V.versioned_append(
+        spark.createDataFrame([(4, "w", "c")], "k long, v string, p string"), path
+    )
+    assert V.versioned_read(spark, path).count() == 4

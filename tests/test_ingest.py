@@ -84,8 +84,7 @@ def test_stream_corpus_ingest_content_dedup_across_batches(spark, sf_dir, tmp_pa
         .parquet(src)
     )
     q = ING.stream_corpus_ingest(stream, path, threshold=0.5, query_name="ci1")
-    q.awaitTermination(240)
-
+    assert q.awaitTermination(600), 'stream did not terminate'
     table = V.versioned_read(spark, path)
     ids = sorted(r["doc_id"] for r in table.collect())
     # no renumbered duplicate of batch-1 content survived
@@ -310,14 +309,14 @@ def test_stream_corpus_ingest_restart_from_checkpoint(spark, sf_dir, tmp_path):
     f2.coalesce(1).write.parquet(f"{src}/f2")
     ING.stream_corpus_ingest(
         make_stream(), path, threshold=0.5, query_name="ck1", checkpoint=ckpt
-    ).awaitTermination(240)
+    ).awaitTermination(600)
     v_after_first = V.current_version(path)
 
     # "crash", then new data arrives, then resume with the same checkpoint
     f3.coalesce(1).write.parquet(f"{src}/f3")
     ING.stream_corpus_ingest(
         make_stream(), path, threshold=0.5, query_name="ck2", checkpoint=ckpt
-    ).awaitTermination(240)
+    ).awaitTermination(600)
     v_after_resume = V.current_version(path)
     # exactly one new micro-batch (f3) was ingested on resume
     assert v_after_resume == v_after_first + 1
@@ -326,7 +325,7 @@ def test_stream_corpus_ingest_restart_from_checkpoint(spark, sf_dir, tmp_path):
     ref = str(tmp_path / "ref_corpus")
     ING.stream_corpus_ingest(
         make_stream(), ref, threshold=0.5, query_name="ref"
-    ).awaitTermination(240)
+    ).awaitTermination(600)
     got = sorted(r["doc_id"] for r in V.versioned_read(spark, path).collect())
     want = sorted(r["doc_id"] for r in V.versioned_read(spark, ref).collect())
     assert got == want
@@ -335,5 +334,5 @@ def test_stream_corpus_ingest_restart_from_checkpoint(spark, sf_dir, tmp_path):
     # idle resume: no files left → no new version
     ING.stream_corpus_ingest(
         make_stream(), path, threshold=0.5, query_name="ck3", checkpoint=ckpt
-    ).awaitTermination(240)
+    ).awaitTermination(600)
     assert V.current_version(path) == v_after_resume

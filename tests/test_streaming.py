@@ -99,7 +99,7 @@ def test_stream_into_lake_exactly_once(spark, sf_dir, tmp_path):
     path = str(tmp_path / "lake_events")
     stream = jobs.events_stream(spark, sf_dir)
     q = jobs.stream_into_lake(stream, path, keys=["event_id"], query_name="lake1")
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), 'stream did not terminate'
     table = versioned_read(spark, path)
     n_distinct = (
         spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
@@ -109,7 +109,7 @@ def test_stream_into_lake_exactly_once(spark, sf_dir, tmp_path):
     q2 = jobs.stream_into_lake(
         jobs.events_stream(spark, sf_dir), path, keys=["event_id"], query_name="lake2"
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), 'stream did not terminate'
     assert versioned_read(spark, path).count() == n_distinct
 
 
@@ -131,8 +131,7 @@ def test_stream_rollup_lake_matches_batch(spark, sf_dir, tmp_path):
     path = str(tmp_path / "rollup_lake")
     stream = jobs.events_stream(spark, sf_dir)
     q = jobs.stream_rollup_into_lake(jobs.hourly_rollup(stream), path, "rollup1")
-    q.awaitTermination(120)
-
+    assert q.awaitTermination(600), 'stream did not terminate'
     got = {
         (r["hour"], r["event_type"]): (r["n_events"], r["value_dec"])
         for r in V.versioned_read_merged(spark, path, ["hour", "event_type"]).collect()

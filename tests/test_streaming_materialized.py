@@ -64,8 +64,7 @@ def test_stream_maintained_view_matches_single_shot_fold(spark, tmp_path):
         .parquet(str(src))
     )
     q = MV.stream_maintain_view(stream, state, ["cat"], ["v"], query_name="mv1")
-    q.awaitTermination(240)
-
+    assert q.awaitTermination(600), 'stream did not terminate'
     all_changes = spark.createDataFrame(BATCH1 + BATCH2 + BATCH3, CHANGE_SCHEMA)
     want = _state_rows(ivm.maintain(None, all_changes, ["cat"], ["v"]))
     got = _state_rows(MV.read_view(spark, state))
@@ -94,8 +93,7 @@ def test_stream_maintained_moment_view(spark, tmp_path):
         .parquet(str(src))
     )
     q = MV.stream_maintain_moment_view(stream, state, ["cat"], ["v"], query_name="mv2")
-    q.awaitTermination(240)
-
+    assert q.awaitTermination(600), 'stream did not terminate'
     stats = {
         (r["cat"], r["n_rows"], round(r["avg_v"], 9),
          None if r["stddev_v"] is None else round(r["stddev_v"], 6))
@@ -141,7 +139,7 @@ def test_kill_and_resume_from_checkpoint(spark, tmp_path):
     q = MV.stream_maintain_view(
         stream, state, ["cat"], ["v"], query_name="mv_kr1", checkpoint=ckpt
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(600), 'stream did not terminate'
     v_after_run1 = V.current_version(state)
     assert v_after_run1 is not None
 
@@ -157,8 +155,7 @@ def test_kill_and_resume_from_checkpoint(spark, tmp_path):
     q2 = MV.stream_maintain_view(
         stream2, state, ["cat"], ["v"], query_name="mv_kr2", checkpoint=ckpt
     )
-    q2.awaitTermination(240)
-
+    assert q2.awaitTermination(600), 'stream did not terminate'
     # converged to the uninterrupted fold; batches 1/2 NOT re-applied
     all_changes = spark.createDataFrame(BATCH1 + BATCH2 + BATCH3, CHANGE_SCHEMA)
     want = _state_rows(ivm.maintain(None, all_changes, ["cat"], ["v"]))

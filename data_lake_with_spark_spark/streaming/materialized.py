@@ -147,3 +147,43 @@ def stream_maintain_moment_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_join_view(
+    fact_changes_stream: DataFrame,
+    dim: DataFrame,
+    state_path: str,
+    fact_key: str,
+    dim_key: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    query_name: str = "ivm_join_view",
+    checkpoint: str | None = None,
+):
+    """Streaming maintenance of an ENRICHED rollup (fact ⋈ dim grouped
+    on dim attributes): each micro-batch of fact change rows is
+    enriched by one broadcast dim join (Δ(fact⋈dim) = Δfact⋈dim for a
+    refresh-static dim — see operators/ivm.py:maintain_join_agg) and
+    folded into the versioned view state. Same checkpoint/epoch-replay
+    exactly-once contract as stream_maintain_view; the dim is captured
+    at query start — re-deploy the query to pick up a dim change (and
+    re-evaluate the view on the dim's own cadence)."""
+    from pyspark.sql import functions as F
+
+    d = F.broadcast(dim.withColumnRenamed(dim_key, fact_key))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            state_path,
+            batch_df.join(d, fact_key, "inner"),
+            epoch_id if checkpoint is not None else None,
+            group_cols,
+            sum_cols,
+        )
+
+    w = fact_changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

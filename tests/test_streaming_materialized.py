@@ -184,3 +184,50 @@ def test_replayed_micro_batch_is_noop(spark, tmp_path):
         ivm.maintain(None, spark.createDataFrame(BATCH1 + BATCH2, CHANGE_SCHEMA), ["cat"], ["v"])
     )
     assert _state_rows(MV.read_view(spark, state)) == want
+
+
+def test_stream_maintained_join_view(spark, tmp_path):
+    """Enriched-rollup streaming IVM: per-dim-group sums maintained
+    from a fact change stream equal the batch join+fold, across
+    inserts, a group-moving update, and a delete."""
+    dim = spark.createDataFrame([(1, "red"), (2, "blue")], "dim_id long, color string")
+    JOIN_SCHEMA = "fid long, dim_id long, v double, _change_type string"
+    B1 = [(10, 1, 5.0, "insert"), (11, 2, 7.0, "insert"), (12, 9, 1.0, "insert")]
+    B2 = [  # fid 11 moves blue → red
+        (11, 2, 7.0, "update_preimage"),
+        (11, 1, 7.0, "update_postimage"),
+        (10, 1, 5.0, "delete"),
+    ]
+    src = tmp_path / "jchanges"
+    src.mkdir()
+    state = str(tmp_path / "jview")
+
+    def write_batch(path, rows):
+        pdf = pd.DataFrame(rows, columns=["fid", "dim_id", "v", "_change_type"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+    write_batch(str(src / "b1.parquet"), B1)
+    write_batch(str(src / "b2.parquet"), B2)
+
+    stream = (
+        spark.readStream.schema(JOIN_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_join_view(
+        stream, dim, state, "dim_id", "dim_id", ["color"], ["v"], query_name="jv1"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    def rows(df):
+        return {(r["color"], r["n_rows"], round(r["v"], 9)) for r in df.collect()}
+
+    all_changes = spark.createDataFrame(B1 + B2, JOIN_SCHEMA)
+    want = rows(
+        ivm.maintain_join_agg(None, all_changes, dim, "dim_id", "dim_id", ["color"], ["v"])
+    )
+    got = rows(MV.read_view(spark, state))
+    assert got == want
+    # red holds only the moved fid 11 (10 deleted); blue emptied; fid
+    # 12 never matched a dim row
+    assert got == {("red", 1, 7.0)}

@@ -1071,3 +1071,41 @@ def versioned_read_point(
         return empty, info
     df = _read_file_groups(spark, path, per_dir)
     return df.where(F.col(column) == F.lit(value)), info
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    keys: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    bloom_column: str | None = None,
+    max_deltas: int = 8,
+    run_vacuum: bool = False,
+) -> dict:
+    """One-call table maintenance (the OPTIMIZE job a lakehouse runs
+    nightly): fold delta sprawl into a compacted snapshot once more
+    than ``max_deltas`` dirs serve the current view (stats manifest
+    always collected at the rewrite; ``zorder_by`` clusters it),
+    refresh the ``bloom_column`` point-lookup index on the base
+    snapshot, and optionally vacuum pre-base history + aged write
+    stages. Each step is the already-tested primitive; this is the
+    orchestration with a report. Raises ConcurrentWriteError if an
+    append races the compaction (re-run; Delta OPTIMIZE aborts the
+    same way)."""
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    base = compaction_base(path)
+    report: dict = {"compacted": False, "bloom_files": 0, "vacuumed": []}
+    if latest - base + 1 > max_deltas:
+        cv = compact(spark, path, keys=keys, zorder_by=zorder_by, collect_stats=True)
+        report["compacted"] = True
+        report["compacted_version"] = cv
+        base = cv
+    if bloom_column is not None:
+        report["bloom_files"] = write_bloom_index(
+            _version_dir(path, base), bloom_column
+        )
+    if run_vacuum:
+        report["vacuumed"] = vacuum(path)
+    return report

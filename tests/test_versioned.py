@@ -596,3 +596,36 @@ def test_compact_folds_evolved_layouts(spark, tmp_path):
         spark.createDataFrame([(4, "w", "c")], "k long, v string, p string"), path
     )
     assert V.versioned_read(spark, path).count() == 4
+
+
+def test_optimize_table_orchestration(spark, tmp_path):
+    """OPTIMIZE: sprawl folds into one stats-manifested snapshot, the
+    bloom index lands on the base, vacuum trims history — and an
+    un-sprawled table is left alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "opt")
+    for i in range(6):
+        V.versioned_append(
+            spark.range(i * 100, (i + 1) * 100).select(F.col("id").alias("k")), path
+        )
+    # under the delta budget → no-op compaction
+    rep0 = V.optimize_table(spark, path, max_deltas=8, bloom_column="k")
+    assert not rep0["compacted"] and rep0["bloom_files"] >= 1
+    # over budget → compacts, re-blooms the base, vacuums history
+    rep = V.optimize_table(
+        spark, path, max_deltas=4, bloom_column="k", run_vacuum=True
+    )
+    assert rep["compacted"] and rep["vacuumed"] == list(range(6))
+    assert V.versioned_read(spark, path).count() == 600
+    base_dir = V.versioned_snapshot_dir(path)
+    assert os.path.isfile(os.path.join(base_dir, "_BLOOM.json"))
+    assert os.path.isfile(os.path.join(base_dir, "_stats.json"))
+    # point lookups ride the fresh bloom
+    hit, info = V.versioned_read_point(spark, path, "k", 123)
+    assert [r["k"] for r in hit.collect()] == [123]
+    assert info["files_read"] <= info["files_total"]

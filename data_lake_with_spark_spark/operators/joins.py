@@ -91,3 +91,40 @@ def range_join_bucketed(
         .where((gap_us > 0) & (gap_us <= max_gap_seconds * 1_000_000))
         .drop("_lb", "_rb", "_probe")
     )
+
+
+def range_join_bucketed_outer(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """LEFT OUTER band join: every left row emits — matched pairs
+    exactly as ``range_join_bucketed``, unmatched left rows once with
+    null right columns. A bucketed join can't express the outer form
+    directly (each left row probes TWO buckets, so a bare left-outer
+    would emit one null row PER unmatched probe); instead: inner
+    bucketed pairs ∪ (left anti-joined against the matched left keys)
+    — two scalable hash joins, no theta join, exact outer semantics.
+    The streaming twin is click_purchase_stream_join_outer."""
+    n_l = len(left.columns)
+    raw = range_join_bucketed(left, right, by, left_ts, right_ts, max_gap_seconds)
+    # the inner join keeps BOTH sides' ``by`` column (same name) —
+    # rename positionally (join output is left-then-right order), keep
+    # left's copy, drop right's duplicate
+    tmp = raw.toDF(*[f"_c{i}" for i in range(len(raw.columns))])
+    sel = [F.col(f"_c{i}").alias(left.columns[i]) for i in range(n_l)]
+    right_keep = []
+    for j, c in enumerate(right.columns):
+        if c != by:
+            sel.append(F.col(f"_c{n_l + j}").alias(c))
+            right_keep.append(c)
+    inner = tmp.select(*sel)
+    unmatched = left.join(inner.select(*left.columns), left.columns, "left_anti")
+    nulls = unmatched.select(
+        *left.columns,
+        *[F.lit(None).cast(inner.schema[c].dataType).alias(c) for c in right_keep],
+    )
+    return inner.unionByName(nulls)

@@ -736,3 +736,39 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey", "o_totalprice").agg(
         F.count("*").alias("n_lines"), dsum(F.col("l_quantity")).alias("sum_qty")
     )
+
+
+RANGE_OUTER_ORACLE = """
+SELECT e1.event_id AS a_id, e2.event_id AS b_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') e1
+LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL '5 minutes'
+ORDER BY a_id, b_id
+"""
+
+
+@register("join_range_outer_5min", oracle=RANGE_OUTER_ORACLE, tags=("join", "range"))
+def join_range_outer_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER band join (the batch twin of the streaming outer
+    interval join): every signup emits — purchases by the same user
+    within 5 minutes when they exist, one null row when none do.
+    Bucketized: inner pairs via the 2-probe equi-join ∪ anti-joined
+    unmatched signups (operators/joins.py:range_join_bucketed_outer);
+    never a theta join."""
+    from data_lake_with_spark_spark.operators.joins import range_join_bucketed_outer
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    left = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("a_id"), "user_id", "ts")
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("b_id"), "user_id", F.col("ts").alias("ts2"))
+    )
+    out = range_join_bucketed_outer(
+        left, right, by="user_id", left_ts="ts", right_ts="ts2", max_gap_seconds=300
+    )
+    return out.select("a_id", "b_id").orderBy("a_id", "b_id")

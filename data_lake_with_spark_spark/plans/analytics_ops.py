@@ -578,3 +578,88 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), "term")
         .limit(20)
     )
+
+
+REGR_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         (epoch_ms(ts) - 1704067200000) // 60000      AS xm,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)     AS yi
+  FROM events
+), m AS (
+  SELECT event_type,
+         COUNT(*)        AS n,
+         SUM(xm)         AS sx,
+         SUM(yi)         AS sy,
+         SUM(xm * yi)    AS sxy,
+         SUM(xm * xm)    AS sxx,
+         SUM(yi * yi)    AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       FLOOR(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * 0.6) * 1e6 + 0.5) / 1e6                            AS slope,
+       FLOOR(((CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE) / 100.0) * 1e4 + 0.5) / 1e4      AS intercept,
+       FLOOR((POW(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+              / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             * 1e6 + 0.5) / 1e6                                    AS r2,
+       CAST(n AS BIGINT)                                           AS n_pts
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("agg_regression_trend", oracle=REGR_ORACLE, tags=("agg", "stats"))
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: does each event type's
+    value drift over the month? The builtin regr_slope/intercept/r2
+    aggregates compute exactly this but their double moment sums are
+    summation-order-dependent — and even DECIMAL-cast moments of
+    COMPUTED doubles (hours = ms/3.6e6) round differently across
+    engines at 1e-6 near-ties. So the moments are pure INTEGER sums:
+    x quantized to minutes since 2024-01-01, y to cents (floor(v·100
+    + .5) — exact identical integers on any IEEE engine), all six
+    sums bigint-safe and order-independent; the OLS formulas assemble
+    from them in doubles and the slope rescales to value-units/hour
+    (×0.6 = 60 min/h ÷ 100 cents). One hash-agg pass, map-side
+    partials, bit-identical everywhere — agg_corr_median's recipe
+    pushed one step further for hostile value distributions."""
+    ev = _t(spark, sf_dir, "events")
+    base = F.lit(1704067200000).cast("long")  # 2024-01-01 epoch ms
+    xm = F.floor((epoch_ms("ts") - base) / F.lit(60000)).cast("long")
+    yi = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pts = ev.select("event_type", xm.alias("xm"), yi.alias("yi"))
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xm") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope_cpm = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    slope = slope_cpm * F.lit(0.6)  # cents/min → units/hour
+    intercept = (sy - slope_cpm * sx) / n / F.lit(100.0)
+    r2 = F.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        m.select(
+            "event_type",
+            (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("slope"),
+            (F.floor(intercept * 1e4 + F.lit(0.5)) / 1e4).alias("intercept"),
+            (F.floor(r2 * 1e6 + F.lit(0.5)) / 1e6).alias("r2"),
+            F.col("n").cast("bigint").alias("n_pts"),
+        )
+        .orderBy("event_type")
+    )

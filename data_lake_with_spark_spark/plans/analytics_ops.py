@@ -663,3 +663,63 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+MAD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {dsum_sql('value', 2)} AS revenue
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, median(revenue) AS med FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day, d.revenue, m.med,
+         ABS(d.revenue - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.revenue,
+       {pround_sql('(d.revenue - d.med)', 2)} AS deviation,
+       d.adev > 3.0 * m.mad AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
+@register(
+    "anomaly_mad_daily",
+    oracle=MAD_ORACLE,
+    tags=("analytics", "events", "stats"),
+)
+def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flag per event type: a day is anomalous when its
+    revenue deviates from the group MEDIAN by more than 3× the median
+    absolute deviation — the outlier-resistant complement of the
+    rolling z-score (one extreme day shifts a mean/stddev but not a
+    median/MAD). Order statistics are engine-exact (no float
+    summation at all: daily revenues are decimal-exact, medians
+    interpolate two exact values identically on any IEEE engine), so
+    the whole flag column hash-matches. Plan: two tiny per-group
+    medians broadcast back over the daily aggregate — the daily
+    hash-agg is the only data-sized shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum(F.col("value"), 2).alias("revenue"))
+    med = daily.groupBy("event_type").agg(F.median("revenue").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("revenue") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "revenue",
+            pround(F.col("revenue") - F.col("med"), 2).alias("deviation"),
+            (F.col("adev") > F.lit(3.0) * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

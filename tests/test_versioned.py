@@ -629,3 +629,37 @@ def test_optimize_table_orchestration(spark, tmp_path):
     hit, info = V.versioned_read_point(spark, path, "k", 123)
     assert [r["k"] for r in hit.collect()] == [123]
     assert info["files_read"] <= info["files_total"]
+
+
+def test_serializable_upserts_prevent_write_skew_under_race(spark, tmp_path):
+    """Two writers racing insert-if-absent on OVERLAPPING keys: with
+    serializable=True every key lands exactly once (the write-skew
+    window a plain read-modify-write leaves open)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    path = str(tmp_path / "skew")
+
+    def upserter(tag: str):
+        # every writer tries the SAME 6 keys plus 2 of its own
+        rows = [(k, tag) for k in range(6)] + [
+            (100 + hash(tag) % 50, tag),
+            (200 + hash(tag) % 50, tag),
+        ]
+        df = spark.createDataFrame(rows, "k long, who string")
+        return V.versioned_upsert(
+            spark, df, path, ["k"], serializable=True, max_retries=20
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(upserter, ["a", "b", "c", "d"]))
+
+    assert len(results) == 4  # nobody exhausted retries
+    table = V.versioned_read(spark, path)
+    per_key = (
+        table.groupBy("k").count().where("count > 1").collect()
+    )
+    assert per_key == [], f"duplicate keys slipped through: {per_key}"
+    # the 6 contested keys exist exactly once each
+    assert table.where("k < 6").count() == 6

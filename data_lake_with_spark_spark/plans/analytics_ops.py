@@ -723,3 +723,71 @@ def anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+FUNNEL_LATENCY_ORACLE = """
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id,
+         MIN(epoch_ms(p.ts) - epoch_ms(s.s_ts)) // 60000 AS latency_min
+  FROM signups s JOIN events p
+    ON p.user_id = s.user_id
+   AND p.event_type = 'purchase'
+   AND p.ts > s.s_ts
+   AND p.ts <= s.s_ts + INTERVAL '7 days'
+  GROUP BY s.user_id
+)
+SELECT COUNT(*)                                              AS n_converted,
+       FLOOR(quantile_cont(latency_min, 0.50) * 1e4 + 0.5) / 1e4 AS p50_min,
+       FLOOR(quantile_cont(latency_min, 0.90) * 1e4 + 0.5) / 1e4 AS p90_min,
+       CAST(MAX(latency_min) AS BIGINT)                      AS max_min
+FROM conv
+"""
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle=FUNNEL_LATENCY_ORACLE,
+    tags=("analytics", "events", "funnel", "stats"),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from each user's FIRST
+    signup to their FIRST subsequent purchase within 7 days, summarized
+    as exact p50/p90/max. Latencies quantize to integer minutes
+    (integer epoch-ms division — identical on both engines) and
+    percentiles interpolate two exact integers, so the whole summary
+    hash-matches. Plan: per-user min-signup hash-agg, one range-bounded
+    join, per-user min, one global agg — no window over the full event
+    stream."""
+    ev = _t(spark, sf_dir, "events")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 days")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.min(epoch_ms("p_ts") - epoch_ms("s_ts")) / F.lit(60000)
+            ).alias("latency_min")
+        )
+    )
+    pct = F.percentile("latency_min", F.array(F.lit(0.5), F.lit(0.9)))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.floor(pct[0] * 1e4 + F.lit(0.5)) / 1e4).alias("p50_min"),
+        (F.floor(pct[1] * 1e4 + F.lit(0.5)) / 1e4).alias("p90_min"),
+        F.max("latency_min").cast("bigint").alias("max_min"),
+    )

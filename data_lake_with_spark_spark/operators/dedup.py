@@ -595,3 +595,71 @@ def segment_dedup_keep_first(
         )
     )
     return rebuilt.join(totals, id_col)
+
+
+def repeated_span_stats(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the substring-level
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every overlapping ``n``-token span
+    position in every document, flagged when the identical span text
+    also occurs in at least one OTHER document. Unlike doc-level
+    Jaccard (whole-document similarity) and segment keep-first (fixed
+    non-overlapping blocks), this measures how much of each document
+    is literally copied somewhere else, span by span.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_frac) for documents
+    with ≥ n tokens; n_spans = token_count − n + 1 overlapping
+    positions, dup_frac portable-rounded to 6 places.
+
+    Scale shape: span generation is one HOF pipeline inside the scan
+    (sequence→slice→concat_ws — no per-token explode of raw text);
+    the cross-doc span index is ONE distinct + count shuffle keyed on
+    span text, filtered to multi-doc spans BEFORE the semi join back
+    against positions, so join traffic is proportional to the
+    duplicated subset, never all positions × all positions. At 100 TB
+    swap the span string for xxhash64(span) on the index side to cut
+    shuffle bytes ~10× (collision-tolerant for a statistics signal).
+    """
+    k = int(n)
+    toks = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("t")
+    ).where(F.size("t") >= k)
+    spans = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}),"
+                f" i -> concat_ws(' ', slice(t, i + 1, {k})))"
+            )
+        ).alias("pos", "span"),
+    )
+    multi_doc = (
+        spans.select("span", id_col)
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    per_dup = (
+        spans.join(multi_doc, "span", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    per_tot = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return per_tot.join(per_dup, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        (
+            F.floor(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans") * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("dup_frac"),
+    )

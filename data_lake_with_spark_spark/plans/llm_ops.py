@@ -1654,6 +1654,51 @@ def dedup_segments_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.segment_dedup_keep_first(docs, seg_tokens=10).orderBy("doc_id")
 
 
+REPEATED_SPANS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), eligible AS (
+  SELECT doc_id, t FROM toks WHERE len(t) >= 5
+), pos AS (
+  SELECT doc_id, i, array_to_string(t[i : i + 4], ' ') AS span
+  FROM eligible, UNNEST(range(1, len(t) - 3)) AS u(i)
+), multi_doc AS (
+  SELECT span FROM (SELECT DISTINCT span, doc_id FROM pos)
+  GROUP BY span HAVING COUNT(*) >= 2
+), per_dup AS (
+  SELECT p.doc_id, COUNT(*) AS n_dup_spans
+  FROM pos p JOIN multi_doc m USING (span)
+  GROUP BY p.doc_id
+), per_tot AS (
+  SELECT doc_id, COUNT(*) AS n_spans FROM pos GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+       FLOOR(COALESCE(d.n_dup_spans, 0) * 1.0 / t.n_spans * 1e6 + 0.5) / 1e6
+         AS dup_frac
+FROM per_tot t LEFT JOIN per_dup d USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=REPEATED_SPANS_ORACLE,
+    tags=("dedup", "llm", "agg"),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication statistics (E2, the Lee-et-al
+    signal): every overlapping 5-token span position, flagged when the
+    span text recurs in another document; per-doc duplicated-span
+    fraction. Complements doc-level Jaccard (whole-doc similarity) and
+    segment keep-first (non-overlapping blocks) with the *how much of
+    this doc is copied elsewhere* measure used to drive span-level
+    excision at corpus scale. See operators/dedup.py:
+    repeated_span_stats for the one-index-shuffle scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.repeated_span_stats(docs, n=5).orderBy("doc_id")
+
+
 # Quality-aware canonical selection: DEDUP_CLUSTER_ORACLE's components
 # with the survivor chosen by max quality (tie: min id) instead of min id.
 KEEP_BEST_ORACLE = r"""

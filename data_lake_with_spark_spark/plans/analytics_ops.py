@@ -791,3 +791,139 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(pct[1] * 1e4 + F.lit(0.5)) / 1e4).alias("p90_min"),
         F.max("latency_min").cast("bigint").alias("max_min"),
     )
+
+
+STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+), s AS (
+  SELECT user_id, day - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "streaks_active_days",
+    oracle=STREAKS_ORACLE,
+    tags=("analytics", "events", "window"),
+)
+def streaks_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via
+    the day−row_number grouping trick — the canonical engagement-streak
+    query every event warehouse answers. Shuffle budget: one distinct
+    on (user, day) (collapses the raw event volume first), one
+    per-user window over *active days only* (≤ a few thousand rows per
+    user however many raw events they have — the distinct is the
+    scale guard), then hash aggs that reuse the user partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp", F.expr("date_sub(day, rn)")
+    )
+    streaks = grp.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT event_type, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+), pts AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+), per_t AS (
+  SELECT event_type, t, SUM(d) AS net FROM pts GROUP BY 1, 2
+), act AS (
+  SELECT event_type, t,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t) AS active
+  FROM per_t
+), mx AS (
+  SELECT event_type, MAX(active) AS m FROM act GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(x.m AS BIGINT) AS max_concurrent,
+       MIN(a.t) AS peak_at
+FROM act a JOIN mx x ON a.event_type = x.event_type AND a.active = x.m
+GROUP BY a.event_type, x.m
+ORDER BY a.event_type
+"""
+
+
+@register(
+    "interval_max_concurrency",
+    oracle=CONCURRENCY_ORACLE,
+    tags=("analytics", "events", "window"),
+)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sweep: treating each event as a 5-minute activity
+    interval [ts, ts+5min), the peak number of concurrently-active
+    intervals per event type and the earliest instant it is reached.
+    Classic +1/−1 boundary sweep, made distributed: boundaries are
+    first collapsed to one net delta per distinct timestamp (hash
+    agg), THEN prefix-summed — a two-level sum (per-day partials
+    cumulated across days per group, within-day cumsum running in
+    parallel across (type, day) partitions plus the broadcast
+    carry-in), so no single task ever sorts a whole event type: the
+    per-partition work is one day of one type regardless of corpus
+    size. Half-open semantics: an interval ending at t is inactive at
+    t (the −1 lands at t and sorts into the same running total)."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    per_t = pts.groupBy("event_type", "t").agg(F.sum("d").alias("net"))
+    # two-level prefix sum: day partials (tiny, one row per (type, day))
+    # carry into within-day cumsums that parallelize across days.
+    per_t = per_t.withColumn("day", F.date_trunc("day", "t"))
+    day_tot = per_t.groupBy("event_type", "day").agg(F.sum("net").alias("day_net"))
+    w_days = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = day_tot.withColumn(
+        "carry_in", F.coalesce(F.sum("day_net").over(w_days), F.lit(0))
+    ).select("event_type", "day", "carry_in")
+    w_in_day = W.partitionBy("event_type", "day").orderBy("t")
+    act = (
+        per_t.join(F.broadcast(carry), ["event_type", "day"])
+        .withColumn("active", F.col("carry_in") + F.sum("net").over(w_in_day))
+        .select("event_type", "t", "active")
+    )
+    mx = act.groupBy("event_type").agg(F.max("active").alias("m"))
+    return (
+        act.join(F.broadcast(mx), "event_type")
+        .where(F.col("active") == F.col("m"))
+        .groupBy("event_type", "m")
+        .agg(F.min("t").alias("peak_at"))
+        .select(
+            "event_type",
+            F.col("m").cast("bigint").alias("max_concurrent"),
+            "peak_at",
+        )
+        .orderBy("event_type")
+    )

@@ -803,3 +803,83 @@ def mine_hard_negatives(
         .where(F.col("rank") <= k)
         .select("anchor_id", "negative_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_dims: int = 8,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (nested-prefix) two-stage retrieval: score every
+    candidate with only the FIRST ``coarse_dims`` components (MRL-style
+    embeddings front-load information, Kusupati et al. 2022), keep a
+    per-query ``shortlist``, then exact-rerank the shortlist with the
+    full vector. Output contract matches brute_force_topk.
+
+    Scale shape: the coarse pass is where the data volume is, and it
+    touches coarse_dims/dim of the vector bytes — with the prefix
+    stored as its own column the scan is column-pruned to 1/8th of the
+    embedding bytes; the full-vector join that follows handles only
+    shortlist × n_queries rows. Both stages are deterministic (scores
+    portable-rounded before ranking, ties broken by id), which is what
+    lets the full two-stage pipeline be oracled, unlike sampled ANN.
+    """
+    d = int(coarse_dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.slice(F.col(vec_col), 1, d).alias("q_pre"),
+    ).select(
+        "query_id",
+        "q_vec",
+        "q_pre",
+        norm(F.col("q_pre")).alias("q_pre_norm"),
+        norm(F.col("q_vec")).alias("q_norm"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.slice(F.col(vec_col), 1, d).alias("c_pre"),
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        "c_pre",
+        norm(F.col("c_pre")).alias("c_pre_norm"),
+        norm(F.col("c_vec")).alias("c_norm"),
+    )
+    coarse_score = dot(F.col("q_pre"), F.col("c_pre")) / (
+        F.col("q_pre_norm") * F.col("c_pre_norm")
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "c_vec",
+            "q_norm",
+            "c_norm",
+            (F.floor(coarse_score * 1e6 + 0.5) / 1e6).alias("cscore"),
+        )
+    )
+    w_c = W.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("neighbor_id"))
+    short = coarse.withColumn("crank", F.row_number().over(w_c)).where(
+        F.col("crank") <= int(shortlist)
+    )
+    full = dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    rr = short.select(
+        "query_id",
+        "neighbor_id",
+        (F.floor(full * 1e6 + 0.5) / 1e6).alias("score"),
+    )
+    w_r = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w_r))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
+    )

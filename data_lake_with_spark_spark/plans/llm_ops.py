@@ -551,6 +551,66 @@ def vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+MATRYOSHKA_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+         (embedding::DOUBLE[])[1:8] AS qp
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce,
+         (embedding::DOUBLE[])[1:8] AS cp
+  FROM embeddings
+), coarse AS (
+  SELECT query_id, neighbor_id, qe, ce,
+         FLOOR((list_dot_product(qp, cp)
+                / (sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(cp, cp))))
+               * 1e6 + 0.5) / 1e6 AS cscore
+  FROM q, c
+  WHERE query_id != neighbor_id
+), short AS (
+  SELECT query_id, neighbor_id, qe, ce FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cscore DESC, neighbor_id ASC) AS crank
+    FROM coarse
+  ) WHERE crank <= 50
+), rr AS (
+  SELECT query_id, neighbor_id,
+         FLOOR((list_dot_product(qe, ce)
+                / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM short
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM rr
+)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "vector_topk_matryoshka",
+    oracle=MATRYOSHKA_ORACLE,
+    tags=("vector", "llm", "topk"),
+)
+def vector_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (E3): coarse-rank every candidate
+    on the first 8 embedding components only, shortlist 50 per query,
+    exact-rerank the shortlist full-dim. Both stages deterministic
+    (portable-rounded scores, id tie-breaks) so the entire pipeline is
+    oracled — the accuracy/cost trade-off of prefix-dim ANN with none
+    of the sampling nondeterminism. See operators/similarity.py:
+    matryoshka_topk for the column-pruned scale shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return SIM.matryoshka_topk(
+        emb, queries, k=5, coarse_dims=8, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
 MEAN_POOL_ORACLE = """
 WITH ex AS (
   SELECT vec_id // 50 AS group_id,

@@ -154,3 +154,93 @@ def semdedup_survivors(
         .distinct()
     )
     return vecs.join(dupes, id_col, "left_anti").select(id_col, "assigned")
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means with fully deterministic,
+    engine-portable arithmetic: ``n_iter`` assignment passes with a
+    centroid update between passes.
+
+    - **Init**: the first ``k`` vectors by id (deterministic; k-means||
+      is the quality init at scale — swap the seed list, nothing else
+      changes).
+    - **Assignment**: squared L2 to each of the k broadcast centroids
+      (d² = v·v − 2·v·c + c·c, sequential double folds), portable-
+      rounded to 1e−6, argmin with cluster-id tie-break — a k-row
+      broadcast join, no shuffle of the vectors.
+    - **Update**: per-dimension sums of the floor(v·1e6) scaled-integer
+      components — exact BIGINT accumulation, order-independent across
+      partitions — collected as k×dim driver-side rows (tiny, the PCA
+      scatter pattern), new component = s/(n·1e6) computed once on the
+      driver. An emptied cluster keeps its previous centroid.
+
+    Every iteration launches from the base vectors plus literal
+    centroids, so lineage stays flat without checkpoints and the
+    per-iteration cost is one scan + one k-way broadcast compare +
+    one hash agg. Returns (id_col, cluster, d2) for the final pass.
+    """
+    spark = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        _scaled(vec_col).alias("sv"),
+    )
+    seed = base.orderBy("id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed)
+    ]
+    assigned = None
+    for it in range(int(n_iter)):
+        cdf = spark.createDataFrame(cents, "cluster int, c array<double>")
+        d2 = (
+            VEC.dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * VEC.dot(F.col("v"), F.col("c"))
+            + VEC.dot(F.col("c"), F.col("c"))
+        )
+        scored = base.crossJoin(F.broadcast(cdf)).withColumn(
+            "d2r", F.floor(d2 * 1e6 + F.lit(0.5)) / 1e6
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("d2r"), F.asc("cluster"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "cluster", "d2r", "sv")
+        )
+        if it < int(n_iter) - 1:
+            sums = (
+                assigned.select(
+                    "cluster", F.posexplode("sv").alias("pos", "x")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum(F.col("x").cast("long")).alias("s"))
+                .collect()
+            )
+            counts = {
+                r["cluster"]: r["n"]
+                for r in assigned.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            by_cluster: dict[int, dict[int, int]] = {}
+            for r in sums:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["s"]
+            new_cents = []
+            for cid, old in cents:
+                if cid in by_cluster and counts.get(cid, 0) > 0:
+                    comp = by_cluster[cid]
+                    n = counts[cid]
+                    new_cents.append(
+                        (cid, [comp[p] / (n * SCALE) for p in range(len(old))])
+                    )
+                else:
+                    new_cents.append((cid, old))
+            cents = new_cents
+    return assigned.select(
+        F.col("id").alias(id_col), "cluster", F.col("d2r").alias("d2")
+    )

@@ -118,3 +118,70 @@ def semdedup_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sits at cosine ≥ 0.35."""
     emb = load_table(spark, sf_dir, "embeddings")
     return CL.semdedup_survivors(emb, threshold=0.35).orderBy("vec_id")
+
+
+KMEANS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1e6)) AS sv
+  FROM embeddings
+), init AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+), a1 AS (
+  SELECT vec_id, cluster, sv FROM (
+    SELECT e.vec_id, i.cluster, e.sv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY FLOOR((list_dot_product(e.v, e.v)
+                             - 2 * list_dot_product(e.v, i.c)
+                             + list_dot_product(i.c, i.c)) * 1e6 + 0.5) / 1e6 ASC,
+                      i.cluster ASC) AS rn
+    FROM e CROSS JOIN init i
+  ) WHERE rn = 1
+), sums AS (
+  SELECT cluster, pos, SUM(CAST(x AS BIGINT)) AS s
+  FROM (SELECT cluster, UNNEST(range(len(sv))) AS pos, UNNEST(sv) AS x FROM a1)
+  GROUP BY cluster, pos
+), cnt AS (
+  SELECT cluster, COUNT(*) AS n FROM a1 GROUP BY cluster
+), c1 AS (
+  SELECT s.cluster, list(s.s / (c.n * 1e6) ORDER BY s.pos) AS c
+  FROM sums s JOIN cnt c USING (cluster)
+  GROUP BY s.cluster, c.n
+), a2 AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT e.vec_id, i.cluster,
+           FLOOR((list_dot_product(e.v, e.v)
+                  - 2 * list_dot_product(e.v, i.c)
+                  + list_dot_product(i.c, i.c)) * 1e6 + 0.5) / 1e6 AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY FLOOR((list_dot_product(e.v, e.v)
+                             - 2 * list_dot_product(e.v, i.c)
+                             + list_dot_product(i.c, i.c)) * 1e6 + 0.5) / 1e6 ASC,
+                      i.cluster ASC) AS rn
+    FROM e CROSS JOIN c1 i
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2
+FROM a2 ORDER BY vec_id
+"""
+
+
+@register(
+    "vector_kmeans_lloyd",
+    oracle=KMEANS_ORACLE,
+    tags=("vector", "llm", "cluster", "iterative"),
+)
+def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, two assignment passes, one
+    centroid update) with engine-portable arithmetic — scaled-integer
+    centroid sums make the update order-independent, portable-rounded
+    d² makes the argmin total, so a genuinely ITERATIVE distributed
+    algorithm hash-matches a SQL oracle (the oracle unrolls the two
+    passes). See operators/clustering.py:kmeans_lloyd for the
+    k-row-broadcast / driver-side-update scale shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return CL.kmeans_lloyd(emb, k=4, n_iter=2).orderBy("vec_id")

@@ -102,3 +102,33 @@ def test_semdedup_pair_join_is_cluster_keyed(spark):
     emb = _synthetic(spark)
     plan = CL.semdedup_survivors(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_lloyd_inertia_monotone(spark, sf_dir):
+    """Lloyd's update never increases total inertia: 3 assignment
+    passes end with total d² ≤ the 1-pass assignment against the seed
+    centroids (tolerance covers the 1e-6 presentation rounding)."""
+    from data_lake_with_spark_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    i1 = CL.kmeans_lloyd(emb, k=4, n_iter=1).agg(F.sum("d2")).first()[0]
+    i3 = CL.kmeans_lloyd(emb, k=4, n_iter=3).agg(F.sum("d2")).first()[0]
+    assert i3 <= i1 + 1e-3, (i1, i3)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
+    """A cluster that captures no members keeps its previous centroid
+    instead of vanishing: with two coincident far-apart groups and
+    k=3, the third seed (a duplicate of a group member) empties after
+    pass 1 yet the result still has exactly k distinct labels ≤ k."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [0.05, 0.0]),   # seed 2 ~ duplicate of group A → empties
+        (10, [9.0, 9.0]),
+        (11, [9.1, 9.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = CL.kmeans_lloyd(emb, k=3, n_iter=3).collect()
+    assert len(out) == 5
+    assert {r["cluster"] for r in out} <= {0, 1, 2}

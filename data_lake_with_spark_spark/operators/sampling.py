@@ -104,3 +104,46 @@ def stratified_topk(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY (sequential
+    Poisson) sampling, content-addressed: each row gets priority
+    u/w with u a deterministic md5-derived uniform in (0,1] and w its
+    weight; the n smallest priorities are the sample (Ohlsson 1998 /
+    Duffield et al. 2007 — inclusion probability ≈ proportional to
+    weight). Unlike Efraimidis–Spirakis u^(1/w) keys, the priority is
+    ONE exact-integer division — no libm pow whose last-ulp behavior
+    differs across engines — so the selected set is bit-reproducible
+    anywhere md5 is.
+
+    Re-running on the same rows reselects the same sample regardless of
+    partitioning or row order; the global top-n plans as
+    TakeOrderedAndProject (per-partition heaps + driver merge of n·P
+    candidates), never a single-partition sort. Returns the sampled
+    rows + ``priority_e12`` (floor(priority·1e12), the exact rank key).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # (h+1)/(w·2³²): w·2³² is exact in double for w < 2²¹, the divide
+    # is one correctly-rounded IEEE op — deterministic on any engine.
+    prio = (h + F.lit(1)) / (F.col(weight_col).cast("double") * F.lit(4294967296.0))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_prio", prio)
+        .orderBy(F.asc("_prio"), F.asc(id_col))
+        .limit(int(n))
+        .withColumn("priority_e12", F.floor(F.col("_prio") * 1e12).cast("bigint"))
+        .drop("_prio")
+    )

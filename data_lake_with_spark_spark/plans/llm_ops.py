@@ -175,6 +175,89 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+READABILITY_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> length(trim(s)) > 0)), 1) AS n_sent
+  FROM documents
+), syl AS (
+  SELECT doc_id, len(t) AS n_words, n_sent,
+         list_sum(list_transform(
+           t, w -> GREATEST(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)
+         )) AS n_syl
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(n_syl AS BIGINT) AS n_syllables,
+       FLOOR((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+              - 84.6 * (CAST(n_syl AS DOUBLE) / n_words)) * 1e4 + 0.5) / 1e4
+         AS flesch
+FROM syl ORDER BY doc_id
+"""
+
+
+@register(
+    "text_readability",
+    oracle=READABILITY_ORACLE,
+    tags=("text", "llm", "quality"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (E4): words/sentence and
+    syllables/word with the standard vowel-group syllable heuristic —
+    a corpus-quality signal orthogonal to length/stopword ratios.
+    Pure per-row HOF column math (tokens projected once, per the
+    word_shingles_from_tokens perf note), zero shuffles before the
+    presentation sort; fully oracled with portable rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        TXT.tokens("text").alias("t"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split("text", r"[.!?]+"),
+                    lambda s: F.length(F.trim(s)) > 0,
+                )
+            ),
+            F.lit(1),
+        ).alias("n_sent"),
+    )
+    syl = base.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        "n_sent",
+        F.aggregate(
+            F.transform(
+                F.col("t"),
+                lambda w: F.greatest(
+                    F.size(
+                        F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))
+                    ),
+                    F.lit(1),
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_syl"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sent"))
+        - F.lit(84.6) * (F.col("n_syl").cast("double") / F.col("n_words"))
+    )
+    return syl.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sent").cast("bigint").alias("n_sentences"),
+        F.col("n_syl").cast("bigint").alias("n_syllables"),
+        (F.floor(flesch * 1e4 + F.lit(0.5)) / 1e4).alias("flesch"),
+    ).orderBy("doc_id")
+
+
 # The marker table is generated from functions/text.LANG_MARKERS so the
 # oracle and the engine share one source of truth for the heuristic.
 _LANG_VALUES = ", ".join(

@@ -51,6 +51,43 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_ORACLE = """
+WITH pr AS (
+  SELECT doc_id, source, n_chars,
+         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'ws1'), 1, 8)
+               AS BIGINT) + 1)
+           / (CAST(n_chars AS DOUBLE) * 4294967296.0) AS prio
+  FROM documents WHERE n_chars > 0
+), top AS (
+  SELECT doc_id, source, n_chars,
+         CAST(FLOOR(prio * 1e12) AS BIGINT) AS priority_e12
+  FROM pr ORDER BY prio ASC, doc_id ASC LIMIT 50
+)
+SELECT * FROM top ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=WEIGHTED_SAMPLE_ORACLE,
+    tags=("sample", "llm"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement via priority
+    (sequential Poisson) sampling: md5-derived uniform / weight, keep
+    the 50 smallest priorities — inclusion odds ≈ proportional to
+    n_chars, selection bit-reproducible on any engine (one exact
+    integer division, no libm pow), independent of partitioning. The
+    top-n plans as TakeOrderedAndProject, never a global sort. See
+    operators/sampling.py:weighted_priority_sample."""
+    from data_lake_with_spark_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_priority_sample(docs, 50, "n_chars").orderBy("doc_id")
+
+
 SALTED_ORACLE = """
 SELECT o.o_orderpriority,
        {rev} AS revenue,

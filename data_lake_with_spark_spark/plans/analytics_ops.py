@@ -927,3 +927,131 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CHI2_ORACLE = f"""
+WITH o AS (
+  SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+), rt AS (SELECT lang, SUM(obs) AS r FROM o GROUP BY lang),
+ct AS (SELECT source, SUM(obs) AS c FROM o GROUP BY source),
+n AS (SELECT SUM(obs) AS n FROM o)
+SELECT o.lang, o.source,
+       CAST(o.obs AS BIGINT) AS observed,
+       {pround_sql('(rt.r * ct.c * 1.0 / n.n)', 4)} AS expected,
+       {pround_sql('((o.obs - rt.r * ct.c * 1.0 / n.n) * (o.obs - rt.r * ct.c * 1.0 / n.n)) / (rt.r * ct.c * 1.0 / n.n)', 6)} AS contrib
+FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+ORDER BY o.lang, o.source
+"""
+
+
+@register(
+    "stats_chi_square_cells",
+    oracle=CHI2_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for lang × source: observed vs
+    expected count and the per-cell χ² contribution. All inputs are
+    exact integers (one contingency hash-agg; marginals are tiny
+    broadcast re-aggregations of the cell table, not rescans), so each
+    cell's double math is deterministic; contributions are emitted
+    per-cell rather than pre-summed so the output is order-independent
+    — the χ² total is one exact decimal sum away."""
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = F.col("r") * F.col("c") * F.lit(1.0) / F.col("n")
+    return (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("obs").cast("bigint").alias("observed"),
+            pround(e, 4).alias("expected"),
+            pround(((F.col("obs") - e) * (F.col("obs") - e)) / e, 6).alias(
+                "contrib"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+HIST_QUANTILE_ORACLE = """
+WITH hist AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+), qs AS (
+  SELECT UNNEST([0.5, 0.9, 0.99]) AS q
+), hit AS (
+  SELECT c.event_type, q.q, c.bucket, c.cnt, c.cum - c.cnt AS cum_before,
+         CAST(CEIL(q.q * c.n) AS BIGINT) AS needed,
+         ROW_NUMBER() OVER (PARTITION BY c.event_type, q.q
+                            ORDER BY c.bucket ASC) AS rn
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cum >= CAST(CEIL(q.q * c.n) AS BIGINT)
+)
+SELECT event_type, q,
+       FLOOR((bucket + (needed - cum_before) * 1.0 / cnt) * 1e6 + 0.5) / 1e6
+         AS est
+FROM hit WHERE rn = 1
+ORDER BY event_type, q
+"""
+
+
+@register(
+    "quantile_fixed_histogram",
+    oracle=HIST_QUANTILE_ORACLE,
+    tags=("stats", "agg", "approx"),
+)
+def quantile_fixed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation — the shape that scales
+    where exact percentiles don't: per-type unit-width bucket counts
+    (map-side combinable, bounded state), cumulative counts, then
+    linear interpolation inside the bucket holding ceil(q·N). Every
+    input to the interpolation is an exact integer, so the estimate is
+    deterministic and fully oracled — unlike sampled
+    approx_percentile, which stays rows-only. Histograms from
+    different partitions/days merge by bucket-wise addition, giving
+    streaming/incremental quantiles for free."""
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.partitionBy("event_type").orderBy("bucket")
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn(
+            "n", F.sum("cnt").over(W.partitionBy("event_type"))
+        )
+    )
+    qs = ev.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("needed", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+        .where(F.col("cum") >= F.col("needed"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type", "q").orderBy(F.asc("bucket"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    est = F.col("bucket") + (F.col("needed") - (F.col("cum") - F.col("cnt"))) * F.lit(
+        1.0
+    ) / F.col("cnt")
+    return hit.select(
+        "event_type",
+        "q",
+        (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("est"),
+    ).orderBy("event_type", "q")

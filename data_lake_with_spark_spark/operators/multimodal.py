@@ -385,3 +385,61 @@ def attach_gif_payloads(
             F.length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def dft_coefficients(
+    ks: tuple[int, ...] = (1, 4, 8), n: int = 64, scale: int = 10**6
+) -> list[tuple[int, list[int], list[int]]]:
+    """Quantized DFT basis rows (k, cos·scale, −sin·scale) — ONE
+    driver-side source of truth embedded both in the Spark literals and
+    in generated oracle SQL, so no cross-engine trig/rounding enters
+    the data path at all."""
+    import math
+
+    rows = []
+    for k in ks:
+        cc = [round(math.cos(2 * math.pi * k * i / n) * scale) for i in range(n)]
+        cs = [round(-math.sin(2 * math.pi * k * i / n) * scale) for i in range(n)]
+        rows.append((int(k), cc, cs))
+    return rows
+
+
+def spectral_power(
+    dec: DataFrame,
+    ks: tuple[int, ...] = (1, 4, 8),
+    n: int = 64,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Spectral power of decoded PCM at fixed DFT bins — the
+    tone/bandwidth screening feature of an audio pipeline. The trig
+    basis is quantized to exact integers once on the driver
+    (dft_coefficients), so the per-clip correlations Σ v·coef are
+    exact BIGINT folds (order-independent, engine-portable) and only
+    the final power = (re/scale)² + (im/scale)² touches doubles.
+    The k basis rows broadcast; per-row work is two zip_with folds —
+    zero shuffles, embarrassingly parallel at any corpus size.
+
+    Input: decode_media output (media_id, values). Returns
+    (media_id, k, power) with power portable-rounded to 1e-4.
+    """
+    spark = dec.sparkSession
+    cdf = spark.createDataFrame(
+        dft_coefficients(ks, n, scale), "k int, cc array<long>, cs array<long>"
+    )
+    re = F.aggregate(
+        F.zip_with(F.col("values"), F.col("cc"), lambda x, c: x.cast("long") * c),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    im = F.aggregate(
+        F.zip_with(F.col("values"), F.col("cs"), lambda x, c: x.cast("long") * c),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    denom = F.lit(float(scale))
+    power = (re / denom) * (re / denom) + (im / denom) * (im / denom)
+    return dec.select("media_id", "values").crossJoin(F.broadcast(cdf)).select(
+        "media_id",
+        "k",
+        (F.floor(power * 1e4 + F.lit(0.5)) / 1e4).alias("power"),
+    )

@@ -2042,3 +2042,52 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# One driver-side source of truth for the quantized DFT basis: the
+# same integer rows feed the Spark literals AND this generated SQL.
+_DFT_VALUES = ", ".join(
+    f"({k}, {cc}, {cs})" for k, cc, cs in MM.dft_coefficients((1, 4, 8), 64)
+)
+
+SPECTRAL_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, UNNEST(range(64)) AS i FROM documents WHERE doc_id < 200
+), pcm AS (
+  SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM s
+), coef AS (
+  SELECT k, UNNEST(range(64)) AS i, UNNEST(cc) AS c, UNNEST(cs) AS sn
+  FROM (VALUES {_DFT_VALUES}) AS t(k, cc, cs)
+), corr AS (
+  SELECT p.doc_id, c.k,
+         SUM(CAST(p.v AS BIGINT) * c.c) AS re,
+         SUM(CAST(p.v AS BIGINT) * c.sn) AS im
+  FROM pcm p JOIN coef c USING (i)
+  GROUP BY 1, 2
+)
+SELECT doc_id AS media_id, CAST(k AS INTEGER) AS k,
+       FLOOR(((re / 1000000.0) * (re / 1000000.0)
+              + (im / 1000000.0) * (im / 1000000.0)) * 1e4 + 0.5) / 1e4
+         AS power
+FROM corr ORDER BY media_id, k
+"""
+
+
+@register(
+    "multimodal_spectral_power",
+    oracle=SPECTRAL_ORACLE,
+    tags=("multimodal", "llm", "decode"),
+)
+def multimodal_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT spectral power at fixed bins (E5): decode real WAV bytes,
+    correlate the PCM against a driver-quantized integer trig basis —
+    exact BIGINT folds per (clip, bin), doubles only in the final
+    power — so frequency-domain feature extraction hash-matches a SQL
+    oracle generated from the same coefficient table. Zero shuffles:
+    3 basis rows broadcast, two zip_with folds per clip. See
+    operators/multimodal.py:spectral_power."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_wav_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    return MM.spectral_power(dec, ks=(1, 4, 8)).orderBy("media_id", "k")

@@ -663,3 +663,44 @@ def test_serializable_upserts_prevent_write_skew_under_race(spark, tmp_path):
     assert per_key == [], f"duplicate keys slipped through: {per_key}"
     # the 6 contested keys exist exactly once each
     assert table.where("k < 6").count() == 6
+
+
+def test_versioned_clone_forks_independently(spark, tmp_path):
+    """Clone = zero-copy fork: identical reads and time travel at the
+    cloned version, then both sides evolve without touching each other,
+    and vacuuming the source leaves the clone's files intact."""
+    from data_lake_with_spark_spark.sources import versioned as V
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    V.versioned_append(df1, src)
+    V.versioned_append(df2, src)
+
+    cloned_v = V.versioned_clone(src, dst)
+    assert cloned_v == V.current_version(src)
+    assert sorted(
+        (r["id"], r["v"]) for r in V.versioned_read(spark, dst).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel inside the clone
+    assert V.versioned_read(spark, dst, version=0).count() == 2
+
+    # divergence: append to clone only
+    V.versioned_append(
+        spark.createDataFrame([(4, "d")], "id long, v string"), dst
+    )
+    assert V.versioned_read(spark, dst).count() == 4
+    assert V.versioned_read(spark, src).count() == 3
+
+    # source-side evolution + vacuum never touches the clone
+    V.versioned_append(
+        spark.createDataFrame([(5, "e")], "id long, v string"), src
+    )
+    V.vacuum(src, stage_retention_s=0.0)
+    assert V.versioned_read(spark, dst).count() == 4
+
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        V.versioned_clone(src, dst)

@@ -986,3 +986,40 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+PHRASE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, UNNEST(range(len(t))) AS p, UNNEST(t) AS w FROM toks
+), p0 AS (
+  SELECT doc_id, p AS s FROM pos WHERE w = 'table'
+), p1 AS (
+  SELECT doc_id, p - 1 AS s FROM pos WHERE w = 'value'
+), m AS (
+  SELECT a.doc_id, a.s FROM p0 a JOIN p1 b USING (doc_id, s)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(s) AS INTEGER) AS first_pos
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "search_phrase_positional",
+    oracle=PHRASE_ORACLE,
+    tags=("text", "search", "join"),
+)
+def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("table value") by positional-postings
+    intersection — term postings shifted to the candidate phrase start
+    and equi-joined on (doc, start). The search-engine phrase plan:
+    work scales with the phrase terms' posting lists, not the corpus,
+    and against the persisted term-bucketed posting table the probe
+    reads only two buckets. See operators/search.py:phrase_search."""
+    from data_lake_with_spark_spark.operators.search import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, ["table", "value"]).orderBy("doc_id")

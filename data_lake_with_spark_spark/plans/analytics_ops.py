@@ -1055,3 +1055,79 @@ def quantile_fixed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("est"),
     ).orderBy("event_type", "q")
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS rev
+  FROM events GROUP BY 1, 2
+), run AS (
+  SELECT event_type, day, rev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+         SUM(rev) OVER (PARTITION BY event_type ORDER BY day) AS s_t,
+         SUM(rev) OVER (PARTITION BY event_type) AS s_n,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), drift AS (
+  SELECT event_type, day, s_t * n - t * s_n AS d, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(s_t * n - t * s_n) DESC, day ASC) AS rn
+  FROM run
+)
+SELECT event_type, day AS change_day,
+       FLOOR((d * 1.0 / (n * 100.0)) * 1e4 + 0.5) / 1e4 AS cusum
+FROM drift WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register(
+    "anomaly_cusum_changepoint",
+    oracle=CUSUM_ORACLE,
+    tags=("analytics", "events", "stats", "window"),
+)
+def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue per event type:
+    the day where the cumulative deviation from the series mean peaks
+    — where the level shift happened. Everything is EXACT integer
+    math until the last division: revenues become cents, and the
+    deviation S_t·N − t·S_N clears the mean's fraction by
+    cross-multiplying, so the argmax (tie → earliest day) is
+    bit-deterministic on any engine. One daily hash-agg plus per-type
+    windows over ~30 day-rows — the window input is the aggregate, not
+    the events."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents).alias("rev"))
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    w_all = W.partitionBy("event_type")
+    run = (
+        daily.withColumn("t", F.row_number().over(w_ord))
+        .withColumn("s_t", F.sum("rev").over(w_ord))
+        .withColumn("s_n", F.sum("rev").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    drift = run.withColumn(
+        "d", F.col("s_t") * F.col("n") - F.col("t") * F.col("s_n")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.abs(F.col("s_t") * F.col("n") - F.col("t") * F.col("s_n")).desc(),
+                F.asc("day"),
+            )
+        ),
+    )
+    cusum = F.col("d") * F.lit(1.0) / (F.col("n") * F.lit(100.0))
+    return (
+        drift.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            (F.floor(cusum * 1e4 + F.lit(0.5)) / 1e4).alias("cusum"),
+        )
+        .orderBy("event_type")
+    )

@@ -2091,3 +2091,83 @@ def multimodal_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.attach_wav_payloads(docs, "doc_id")
     dec = MM.decode_media(media)
     return MM.spectral_power(dec, ks=(1, 4, 8)).orderBy("media_id", "k")
+
+
+COOC_ORACLE = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt
+), na AS (
+  SELECT tok, COUNT(*) AS n FROM dt GROUP BY tok
+), pairs AS (
+  SELECT a.tok AS a, b.tok AS b, COUNT(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       FLOOR((n_ab * n.n_docs * 1.0 / (x.n * y.n)) * 1e6 + 0.5) / 1e6 AS lift
+FROM pairs JOIN na x ON a = x.tok JOIN na y ON b = y.tok CROSS JOIN n
+WHERE n_ab >= 5
+ORDER BY lift DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
+@register(
+    "text_cooccurrence_lift",
+    oracle=COOC_ORACLE,
+    tags=("text", "llm", "agg"),
+)
+def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (PMI's rational core, kept log-free so
+    it stays engine-exact): top-20 doc-level token pairs by
+    n_ab·N/(n_a·n_b). Pair generation happens INSIDE the scan as a
+    per-row HOF over the sorted distinct-token array — work is
+    Σ C(distinct_tokens_per_doc, 2), bounded per document, with one
+    hash agg after; never the posting-list self-join whose cost
+    explodes on common tokens. Marginals reuse the exploded distinct
+    (doc, token) pairs; the final ranking is a distributed top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(TXT.tokens("text"))).alias("t"),
+    )
+    pairs_col = F.expr(
+        "flatten(transform(t, (x, i) ->"
+        " transform(slice(t, i + 2, size(t)), y -> struct(x AS a, y AS b))))"
+    )
+    pair_counts = (
+        toks.select(F.explode(pairs_col).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 5)
+    )
+    dt = toks.select("doc_id", F.explode("t").alias("tok"))
+    na = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    lift = (
+        F.col("n_ab") * F.col("n_docs") * F.lit(1.0) / (F.col("x_n") * F.col("y_n"))
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(na.select(F.col("tok").alias("a"), F.col("n").alias("x_n"))),
+            "a",
+        )
+        .join(
+            F.broadcast(na.select(F.col("tok").alias("b"), F.col("n").alias("y_n"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (F.floor(lift * 1e6 + F.lit(0.5)) / 1e6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

@@ -1022,39 +1022,17 @@ def quantile_fixed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and fully oracled — unlike sampled
     approx_percentile, which stays rows-only. Histograms from
     different partitions/days merge by bucket-wise addition, giving
-    streaming/incremental quantiles for free."""
+    streaming/incremental quantiles for free (the micro-batch fold is
+    tested in test_streaming_materialized.py against this exact
+    query)."""
+    from data_lake_with_spark_spark.operators.histogram import (
+        histogram_quantiles,
+        unit_histogram,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    hist = ev.groupBy(
-        "event_type", F.floor("value").cast("bigint").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = W.partitionBy("event_type").orderBy("bucket")
-    cum = (
-        hist.withColumn("cum", F.sum("cnt").over(w_cum))
-        .withColumn(
-            "n", F.sum("cnt").over(W.partitionBy("event_type"))
-        )
-    )
-    qs = ev.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
-    hit = (
-        cum.crossJoin(F.broadcast(qs))
-        .withColumn("needed", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
-        .where(F.col("cum") >= F.col("needed"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("event_type", "q").orderBy(F.asc("bucket"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-    )
-    est = F.col("bucket") + (F.col("needed") - (F.col("cum") - F.col("cnt"))) * F.lit(
-        1.0
-    ) / F.col("cnt")
-    return hit.select(
-        "event_type",
-        "q",
-        (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("est"),
-    ).orderBy("event_type", "q")
+    hist = unit_histogram(ev, "event_type", "value")
+    return histogram_quantiles(hist, "event_type").orderBy("event_type", "q")
 
 
 CUSUM_ORACLE = """

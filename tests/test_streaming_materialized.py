@@ -231,3 +231,60 @@ def test_stream_maintained_join_view(spark, tmp_path):
     # red holds only the moved fid 11 (10 deleted); blue emptied; fid
     # 12 never matched a dim row
     assert got == {("red", 1, 7.0)}
+
+
+def test_stream_maintained_histogram_quantiles(spark, sf_dir, tmp_path):
+    """The mergeable-histogram claim end-to-end: unit-bucket counts
+    maintained per micro-batch (bucket-wise addition via the IVM fold)
+    yield EXACTLY the quantiles of the one-shot batch computation over
+    the full events table."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.histogram import (
+        histogram_quantiles,
+        unit_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    pdf["bucket"] = pdf["value"].apply(lambda v: int(v // 1))
+    pdf["_change_type"] = "insert"
+    rows = pdf[["event_type", "bucket", "_change_type"]]
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, half in enumerate((rows.iloc[::2], rows.iloc[1::2])):
+        pq.write_table(
+            pa.Table.from_pandas(half, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("bucket", T.LongType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "hist_view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_view(
+        stream, state, ["event_type", "bucket"], [], query_name="hist_mv"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    view = MV.read_view(spark, state).withColumnRenamed("n_rows", "cnt")
+    got = {
+        (r["event_type"], r["q"], r["est"])
+        for r in histogram_quantiles(view, "event_type").collect()
+    }
+    want = {
+        (r["event_type"], r["q"], r["est"])
+        for r in histogram_quantiles(
+            unit_histogram(ev, "event_type", "value"), "event_type"
+        ).collect()
+    }
+    assert got == want and len(got) > 0

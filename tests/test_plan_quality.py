@@ -233,3 +233,37 @@ def test_quarantine_is_map_only(spark, sf_dir):
     range partitioning)."""
     p = plan_of(spark, sf_dir, "dq_quarantine_rows")
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_matryoshka_is_broadcast_only(spark, sf_dir):
+    """The coarse pass must be a k-query broadcast compare over the
+    scan — at most the single presentation/window exchange, never a
+    shuffle of the candidate vectors."""
+    p = plan_of(spark, sf_dir, "vector_topk_matryoshka")
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_kmeans_assignment_never_shuffles_vectors(spark, sf_dir):
+    """Lloyd assignment = k broadcast centroids against the scan; the
+    only hash exchange allowed is the per-id window/presentation one."""
+    p = plan_of(spark, sf_dir, "vector_kmeans_lloyd")
+    assert "BroadcastExchange" in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_repeated_spans_shuffle_budget(spark, sf_dir):
+    """Span-index build (distinct+count) plus the per-doc aggs: the
+    whole query fits in 4 hash exchanges, none single-partition."""
+    p = plan_of(spark, sf_dir, "dedup_repeated_spans")
+    assert p.count("Exchange hashpartitioning") <= 4, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_streaks_two_shuffles(spark, sf_dir):
+    """Gaps-and-islands: one (user, day) distinct + one per-user
+    window; nothing else may shuffle."""
+    p = plan_of(spark, sf_dir, "streaks_active_days")
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Exchange SinglePartition" not in p, p

@@ -809,3 +809,89 @@ def join_range_outer_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, by="user_id", left_ts="ts", right_ts="ts2", max_gap_seconds=300
     )
     return out.select("a_id", "b_id").orderBy("a_id", "b_id")
+
+
+SCD2_ORACLE = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL
+         AS is_current
+FROM orders
+ORDER BY custkey, valid_from, orderkey
+"""
+
+
+@register(
+    "scd2_priority_intervals",
+    oracle=SCD2_ORACLE,
+    tags=("cdc", "window"),
+)
+def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension derivation from history: each customer's order
+    stream becomes validity intervals [valid_from, valid_to) with the
+    open current row flagged — the slowly-changing-dimension build
+    every warehouse does before point-in-time joins (operators/cdc.py
+    holds the incremental apply; this is the from-scratch backfill).
+    One window shuffle keyed on the dimension key."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("custkey", "valid_from", "orderkey")
+
+
+COVISIT_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, user_id
+  FROM events
+)
+SELECT a.user_id AS u1, b.user_id AS u2,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+ORDER BY u1, u2
+"""
+
+
+@register(
+    "graph_covisitation_pairs",
+    oracle=COVISIT_ORACLE,
+    tags=("graph", "events", "join"),
+)
+def graph_covisitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation graph: user pairs active in the same 5-minute
+    window at least 3 times — the session-affinity edge list behind
+    co-occurrence recommenders and bot-ring detection. The (window,
+    user) distinct collapses raw events first; the self-join is keyed
+    on the window id, so pair work is Σ users_per_window², bounded by
+    window occupancy, never corpus-quadratic."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = w.select("win", F.col("user_id").alias("u1"))
+    b = w.select("win", F.col("user_id").alias("u2"))
+    return (
+        a.join(b, "win")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+        .where(F.col("n_windows") >= 3)
+        .orderBy("u1", "u2")
+    )

@@ -90,3 +90,73 @@ def cms_query(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+HLL_P = 4  # 2^4 = 16 registers
+HLL_ALPHA_16 = 0.673  # standard alpha for m=16
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    salt: str = "hll1",
+) -> DataFrame:
+    """Portable-HLL register observations: (group, reg, rho) per input
+    row. 32-bit md5-derived hash → top 4 bits pick one of 16
+    registers, rho = leading-zero count of the 28-bit suffix + 1 (via
+    the minimal-binary-string length — identical `bin()` semantics in
+    Spark and DuckDB, no log2). Duplicates are harmless (registers
+    take a MAX), which is exactly why HLL merges freely."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    suffix = h % F.lit(268435456)
+    rho = F.when(suffix == 0, F.lit(29)).otherwise(
+        F.lit(29) - F.length(F.bin(suffix))
+    )
+    return df.select(
+        F.col(group_col).alias("gk"),
+        (h / F.lit(268435456)).cast("bigint").alias("reg"),
+        rho.alias("rho"),
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(gk, users_est, n_zero_registers) from register observations.
+    Register max per group, missing registers = 0, then the raw HLL
+    estimate α·m²/Σ2^(−M_j) computed with the 2^32-scaled EXACT
+    integer sum Σ2^(32−M_j) — order-independent BIGINT addition, one
+    final double division, so the approximate sketch is itself
+    bit-deterministic and SQL-oracle-able. (No small-range linear-
+    counting correction: that needs ln(), whose last-ulp behavior is
+    libm-specific; n_zero_registers is emitted so callers can apply
+    it off-engine.) Sketch state per group is 16 small ints —
+    mergeable by register-wise MAX in any order."""
+    spark = regs.sparkSession
+    base = regs.groupBy("gk", "reg").agg(F.max("rho").alias("m"))
+    keys = base.select("gk").distinct()
+    regs16 = spark.range(16).select(F.col("id").alias("reg"))
+    full = (
+        keys.crossJoin(F.broadcast(regs16))
+        .join(base, ["gk", "reg"], "left")
+        .withColumn("m", F.coalesce("m", F.lit(0)))
+    )
+    return full.groupBy("gk").agg(
+        (
+            F.floor(
+                F.lit(HLL_ALPHA_16 * 256.0 * 4294967296.0)
+                / F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - m AS INT))"))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("users_est"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )

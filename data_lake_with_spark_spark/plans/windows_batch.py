@@ -289,3 +289,98 @@ def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.col("est").cast("long"), F.col("true_cnt").cast("long"))
         .orderBy("tok")
     )
+
+
+HLL_PORTABLE_ORACLE = """
+WITH h AS (
+  SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS gk,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'hll1'), 1, 8)
+              AS BIGINT) AS h
+  FROM events
+), r AS (
+  SELECT gk, h // 268435456 AS reg, h % 268435456 AS suffix FROM h
+), rho AS (
+  SELECT gk, reg,
+         CASE WHEN suffix = 0 THEN 29 ELSE 29 - length(bin(suffix)) END AS rho
+  FROM r
+), base AS (
+  SELECT gk, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ALL', reg, MAX(rho) FROM rho GROUP BY reg
+), keys AS (
+  SELECT DISTINCT gk FROM base
+), fullreg AS (
+  SELECT k.gk, g.reg, COALESCE(b.m, 0) AS m
+  FROM keys k CROSS JOIN (SELECT UNNEST(range(16)) AS reg) g
+  LEFT JOIN base b ON b.gk = k.gk AND b.reg = g.reg
+), s AS (
+  SELECT gk,
+         FLOOR((0.673 * 256.0 * 4294967296.0)
+               / SUM(CAST(1 AS BIGINT) << CAST(32 - m AS INTEGER))
+               * 1e4 + 0.5) / 1e4 AS users_est,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers
+  FROM fullreg GROUP BY gk
+), ex AS (
+  SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d') AS gk,
+         COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+)
+SELECT s.gk AS day_key, s.users_est, s.n_zero_registers,
+       CAST(ex.exact_users AS BIGINT) AS exact_users
+FROM s JOIN ex ON s.gk = ex.gk
+ORDER BY day_key
+"""
+
+
+@register(
+    "sketch_hll_portable",
+    oracle=HLL_PORTABLE_ORACLE,
+    tags=("sketch", "approx", "agg"),
+)
+def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (m=16, md5 32-bit hash family): per-day
+    distinct-user estimates PLUS the all-days union row ('ALL') merged
+    register-wise — proving the sketch algebra — next to the exact
+    distinct for error context. Unlike the DataSketches-based
+    sketch_hll_daily_union (rows-only; DuckDB can't read its sketch),
+    every step here is engine-portable: bin()-string leading-zero
+    ranks, register MAX, and the 2^32-scaled EXACT integer sum
+    Σ2^(32−M_j), with one final double division — a fully oracled
+    approximate-distinct sketch. See operators/sketches.py:
+    hll_registers/hll_estimate."""
+    from data_lake_with_spark_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key"),
+        "user_id",
+    )
+    regs = hll_registers(keyed, "user_id", "day_key")
+    all_regs = regs.withColumn("gk", F.lit("ALL"))
+    est = hll_estimate(regs.unionByName(all_regs))
+    exact = (
+        keyed.groupBy(F.col("day_key").alias("gk"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            keyed.agg(
+                F.lit("ALL").alias("gk"),
+                F.countDistinct("user_id").alias("exact_users"),
+            ).select("gk", "exact_users")
+        )
+    )
+    return (
+        est.join(exact, "gk")
+        .select(
+            F.col("gk").alias("day_key"),
+            "users_est",
+            "n_zero_registers",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+        )
+        .orderBy("day_key")
+    )

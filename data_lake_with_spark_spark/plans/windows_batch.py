@@ -384,3 +384,55 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_key")
     )
+
+
+WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), expanded AS (
+  SELECT event_type, user_id, day + CAST(i AS INTEGER) AS win_day
+  FROM ud, UNNEST(range(7)) AS u(i)
+)
+SELECT event_type, strftime(win_day, '%Y-%m-%d') AS win_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM expanded
+GROUP BY 1, 2
+ORDER BY event_type, win_day
+"""
+
+
+@register(
+    "window_weekly_active_users",
+    oracle=WAU_ORACLE,
+    tags=("window", "events", "agg"),
+)
+def window_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day and event type — the
+    sliding-window DISTINCT that plain window frames cannot compute
+    (distinct is not subtractable). The scalable shape: collapse to
+    distinct (type, user, day) first, replicate each row into the ≤7
+    window-days it affects (bounded ×7 explode — never the raw event
+    volume), then one distinct-count per (type, window-day). Window
+    length scales the replication factor linearly, the classic
+    time-decayed-audience trade; sketches (sketch_hll_portable) are
+    the sublinear alternative when ×window is too much."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    expanded = ud.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    return (
+        expanded.groupBy(
+            "event_type",
+            F.date_format("win_day", "yyyy-MM-dd").alias("win_day"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("event_type", "win_day")
+    )

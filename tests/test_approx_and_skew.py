@@ -231,3 +231,18 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
     assert evictable <= got_nulls and len(got_nulls) > 0
     out.unpersist()
     batch.unpersist()
+
+
+def test_hll_portable_estimate_within_bound(spark, sf_dir):
+    """The portable HLL's raw estimate (m=16, no small-range
+    correction) must land within the coarse 3σ band of exact distinct
+    on every day AND on the union row — utility check; exactness is
+    already pinned by the oracle."""
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    rows = REGISTRY["sketch_hll_portable"].spark(spark, sf_dir).collect()
+    assert len(rows) > 2
+    for r in rows:
+        lo, hi = 0.3 * r["exact_users"], 3.0 * r["exact_users"]
+        assert lo <= r["users_est"] <= hi, (
+            r["day_key"], r["users_est"], r["exact_users"])

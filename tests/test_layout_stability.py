@@ -1,0 +1,48 @@
+"""Layout independence: queries whose docstrings claim partition-/
+order-independent determinism must return IDENTICAL rows when the
+input tables are rewritten as multi-file, differently-ordered parquet
+— the failure mode VERDICT r04 flagged for PQ codebook training
+(single-file testdata can mask run-dependence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import TABLES, table_path
+from data_lake_with_spark_spark.plans import REGISTRY
+
+CLAIMANTS = [
+    "sample_weighted_priority",   # content-addressed priorities
+    "vector_kmeans_lloyd",        # scaled-integer centroid sums
+    "vector_topk_matryoshka",     # rounded two-stage ranking
+    "dedup_repeated_spans",       # span-index counts
+    "quantile_fixed_histogram",   # exact-integer interpolation
+    "sketch_hll_portable",        # register MAX algebra
+    "training_global_shuffle",    # content-addressed epoch shuffle
+]
+
+
+@pytest.fixture(scope="module")
+def shuffled_sf_dir(spark, sf_dir, tmp_path_factory):
+    """A copy of the testdata where every table is 5 files in a
+    scrambled row order (repartition by random-ish hash)."""
+    out = tmp_path_factory.mktemp("shuffled_sf")
+    for t in TABLES:
+        df = spark.read.parquet(table_path(sf_dir, t))
+        key = df.columns[0]
+        (
+            df.repartition(5, F.xxhash64(F.col(key).cast("string")))
+            .write.mode("overwrite")
+            .parquet(str(out / f"{t}.parquet"))
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", CLAIMANTS)
+def test_layout_independent(spark, sf_dir, shuffled_sf_dir, name):
+    a = sorted(map(tuple, REGISTRY[name].spark(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, REGISTRY[name].spark(spark, shuffled_sf_dir).collect())
+    )
+    assert a == b

@@ -1109,3 +1109,63 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+UNORDERED_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS t0
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'purchase')
+  GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_types,
+         MAX(t0) - MIN(t0) AS span
+  FROM firsts GROUP BY user_id
+), all3 AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_ms(span) / 60000) AS BIGINT) AS span_min
+  FROM per_user WHERE n_types = 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users_all3,
+       CAST(SUM(CASE WHEN span_min <= 7 * 24 * 60 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_7d,
+       CAST(MAX(span_min) AS BIGINT) AS max_span_min
+FROM all3
+"""
+
+
+@register(
+    "funnel_unordered_set",
+    oracle=UNORDERED_FUNNEL_ORACLE,
+    tags=("analytics", "events"),
+)
+def funnel_unordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered funnel: users who performed ALL of signup/view/
+    purchase in ANY order, and how many closed the set within 7 days
+    of their first of the three — the set-completion complement of the
+    ordered funnels (which require the canonical sequence). One hash
+    agg to first-occurrences (3 rows max per user), one per-user
+    rollup, then a scalar summary; integer minute spans keep it
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("t0"))
+    )
+    per_user = firsts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.floor(
+            (epoch_ms(F.max("t0")) - epoch_ms(F.min("t0"))) / F.lit(60000)
+        ).alias("span_min"),
+    )
+    all3 = per_user.where(F.col("n_types") == 3)
+    return all3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_all3"),
+        F.sum(
+            F.when(F.col("span_min") <= 7 * 24 * 60, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_7d"),
+        F.max("span_min").cast("bigint").alias("max_span_min"),
+    )

@@ -244,3 +244,104 @@ def kmeans_lloyd(
     return assigned.select(
         F.col("id").alias(id_col), "cluster", F.col("d2r").alias("d2")
     )
+
+
+def kmeans_silhouette(
+    vectors: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-based (simplified) silhouette for the kmeans_lloyd
+    clustering: per point, a = distance to its OWN centroid, b =
+    distance to the nearest OTHER centroid, s = (b−a)/max(a,b); the
+    per-cluster mean s scores cluster separation (→1 tight/isolated,
+    →0 boundary). Same arithmetic discipline as the fit: d² is
+    portable-rounded before sqrt, per-point s is portable-rounded
+    before the decimal-exact mean, so the evaluation metric — not just
+    the fit — is engine-exact. Cost: one extra k-row broadcast compare
+    over the scan; no new shuffle beyond the per-cluster agg."""
+    from data_lake_with_spark_spark.plans.parity import davg
+
+    spark = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        _scaled(vec_col).alias("sv"),
+    )
+    seed = base.orderBy("id").limit(k).collect()
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed)]
+    # replay the fit to its final centroids (same code path as
+    # kmeans_lloyd, n_iter-1 updates)
+    for it in range(int(n_iter) - 1):
+        cdf = spark.createDataFrame(cents, "cluster int, c array<double>")
+        d2 = (
+            VEC.dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * VEC.dot(F.col("v"), F.col("c"))
+            + VEC.dot(F.col("c"), F.col("c"))
+        )
+        scored = base.crossJoin(F.broadcast(cdf)).withColumn(
+            "d2r", F.floor(d2 * 1e6 + F.lit(0.5)) / 1e6
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("d2r"), F.asc("cluster"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "cluster", "sv")
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum(F.col("x").cast("long")).alias("s"))
+            .collect()
+        )
+        counts = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["s"]
+        cents = [
+            (
+                cid,
+                [by_cluster[cid][p] / (counts[cid] * SCALE) for p in range(len(old))]
+                if cid in by_cluster and counts.get(cid, 0) > 0
+                else old,
+            )
+            for cid, old in cents
+        ]
+    cdf = spark.createDataFrame(cents, "cluster int, c array<double>")
+    d2 = (
+        VEC.dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * VEC.dot(F.col("v"), F.col("c"))
+        + VEC.dot(F.col("c"), F.col("c"))
+    )
+    al = base.crossJoin(F.broadcast(cdf)).select(
+        "id", "cluster", (F.floor(d2 * 1e6 + F.lit(0.5)) / 1e6).alias("d2r")
+    )
+    w_own = Window.partitionBy("id").orderBy(F.asc("d2r"), F.asc("cluster"))
+    own = (
+        al.withColumn("rn", F.row_number().over(w_own))
+        .where(F.col("rn") == 1)
+        .select("id", F.col("cluster").alias("own"), F.col("d2r").alias("d2_own"))
+    )
+    other = (
+        al.join(own, "id")
+        .where(F.col("cluster") != F.col("own"))
+        .groupBy("id", "own", "d2_own")
+        .agg(F.min("d2r").alias("d2_other"))
+    )
+    a, b = F.sqrt("d2_own"), F.sqrt("d2_other")
+    s = F.floor((b - a) / F.greatest(a, b) * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        other.select(F.col("own").alias("cluster"), s.alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            davg(F.col("s"), 6).alias("mean_silhouette"),
+        )
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.operators import clustering as CL
-from data_lake_with_spark_spark.plans.parity import pround, pround_sql
+from data_lake_with_spark_spark.plans.parity import davg_sql, pround, pround_sql
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -185,3 +185,79 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row-broadcast / driver-side-update scale shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     return CL.kmeans_lloyd(emb, k=4, n_iter=2).orderBy("vec_id")
+
+
+SILHOUETTE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> FLOOR(x * 1e6)) AS sv
+  FROM embeddings
+), init AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+), a1 AS (
+  SELECT vec_id, cluster, sv FROM (
+    SELECT e.vec_id, i.cluster, e.sv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY FLOOR((list_dot_product(e.v, e.v)
+                             - 2 * list_dot_product(e.v, i.c)
+                             + list_dot_product(i.c, i.c)) * 1e6 + 0.5) / 1e6 ASC,
+                      i.cluster ASC) AS rn
+    FROM e CROSS JOIN init i
+  ) WHERE rn = 1
+), sums AS (
+  SELECT cluster, pos, SUM(CAST(x AS BIGINT)) AS s
+  FROM (SELECT cluster, UNNEST(range(len(sv))) AS pos, UNNEST(sv) AS x FROM a1)
+  GROUP BY cluster, pos
+), cnt AS (
+  SELECT cluster, COUNT(*) AS n FROM a1 GROUP BY cluster
+), c1 AS (
+  SELECT s.cluster, list(s.s / (c.n * 1e6) ORDER BY s.pos) AS c
+  FROM sums s JOIN cnt c USING (cluster)
+  GROUP BY s.cluster, c.n
+), al AS (
+  SELECT e.vec_id, i.cluster,
+         FLOOR((list_dot_product(e.v, e.v)
+                - 2 * list_dot_product(e.v, i.c)
+                + list_dot_product(i.c, i.c)) * 1e6 + 0.5) / 1e6 AS d2r
+  FROM e CROSS JOIN c1 i
+), own AS (
+  SELECT vec_id, cluster AS own, d2r AS d2_own FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2r ASC, cluster ASC) AS rn
+    FROM al
+  ) WHERE rn = 1
+), oth AS (
+  SELECT a.vec_id, o.own, o.d2_own, MIN(a.d2r) AS d2_other
+  FROM al a JOIN own o ON a.vec_id = o.vec_id AND a.cluster != o.own
+  GROUP BY 1, 2, 3
+), sil AS (
+  SELECT own AS cluster,
+         FLOOR((sqrt(d2_other) - sqrt(d2_own))
+               / GREATEST(sqrt(d2_own), sqrt(d2_other)) * 1e6 + 0.5) / 1e6 AS s
+  FROM oth
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+       {mean_s} AS mean_silhouette
+FROM sil GROUP BY cluster ORDER BY cluster
+""".format(mean_s=davg_sql("s", 6))
+
+
+@register(
+    "vector_kmeans_silhouette",
+    oracle=SILHOUETTE_ORACLE,
+    tags=("vector", "llm", "cluster", "stats"),
+)
+def vector_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette evaluation of the Lloyd's fit
+    (vector_kmeans_lloyd, same k=4 / 2-pass config): per cluster, the
+    mean of (b−a)/max(a,b) with a = distance to own centroid, b =
+    distance to nearest other centroid. The evaluation metric — not
+    just the fit — is engine-exact: rounded d² under the sqrt,
+    rounded per-point s, decimal-exact mean. One extra k-row
+    broadcast compare over the scan. operators/clustering.py:
+    kmeans_silhouette."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return CL.kmeans_silhouette(emb, k=4, n_iter=2).orderBy("cluster")

@@ -44,14 +44,16 @@ DRIVER_WINDOW = [
     # additions below)
     "q5_region_year_revenue",
     "window_session_5min",
-    "text_tfidf_top_terms",
-    "training_pack_sequences",
     "multimodal_features",
-    # reference surface representatives
-    "join_asof_last_purchase",
-    "join_range_within_5min",
+    # reference surface representatives (tfidf/pack_sequences/asof/
+    # range-join rotated out after r04 driver-green for the second
+    # late-round batch below)
     "sessionize_event_paths",
     "q9_product_profit",
+    "sketch_hll_portable",
+    "vector_kmeans_silhouette",
+    "anomaly_cusum_changepoint",
+    "scd2_priority_intervals",
     # round-5 flagships: sub-document dedup, UDTF lateral, bucketed
     # co-located join, deterministic epoch shuffle, quality-aware
     # canonical selection

@@ -991,7 +991,7 @@ WITH hist AS (
          SUM(cnt) OVER (PARTITION BY event_type) AS n
   FROM hist
 ), qs AS (
-  SELECT UNNEST([0.5, 0.9, 0.99]) AS q
+  SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q
 ), hit AS (
   SELECT c.event_type, q.q, c.bucket, c.cnt, c.cum - c.cnt AS cum_before,
          CAST(CEIL(q.q * c.n) AS BIGINT) AS needed,

@@ -895,3 +895,135 @@ def graph_covisitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_windows") >= 3)
         .orderBy("u1", "u2")
     )
+
+
+RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT custkey, last_order, frequency, monetary,
+         NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS r,
+         NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f,
+         NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m
+  FROM base
+)
+SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+       CAST(m AS INTEGER) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(custkey) AS BIGINT) AS example_custkey
+FROM scored GROUP BY r, f, m
+ORDER BY r, f, m
+"""
+
+
+@register("segment_rfm_customers", oracle=RFM_ORACLE, tags=("analytics", "window", "agg"))
+def segment_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency/frequency/monetary from
+    the orders history, each scored into quintiles (ntile, customer-id
+    tie-break for a total order), rolled up to segment cells — the
+    classic CRM cube. The ntile windows run over the per-customer
+    AGGREGATE (|customers| rows, not |orders|); at larger scale swap
+    ntile's single-ordering for percent_rank bucketing over a
+    range-partitioned sort. Decimal-exact monetary sums."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    scored = (
+        base.withColumn(
+            "r",
+            F.ntile(5).over(
+                W.orderBy(F.desc("last_order"), F.asc("custkey"))
+            ),
+        )
+        .withColumn(
+            "f",
+            F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("custkey"))),
+        )
+        .withColumn(
+            "m",
+            F.ntile(5).over(W.orderBy(F.desc("monetary"), F.asc("custkey"))),
+        )
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("custkey").cast("bigint").alias("example_custkey"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total FROM rev
+), run AS (
+  SELECT partkey, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+           ORDER BY revenue DESC, partkey) AS DOUBLE) AS cum
+  FROM rev
+)
+SELECT CASE WHEN cum / t.total <= 0.8 THEN 'A'
+            WHEN cum / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS class_revenue
+FROM run CROSS JOIN tot t
+GROUP BY 1 ORDER BY abc_class
+"""
+
+
+@register("segment_abc_pareto", oracle=ABC_ORACLE, tags=("analytics", "window", "agg"))
+def segment_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: parts ranked by revenue, classified
+    A/B/C at 80%/95% of cumulative share — the inventory-analysis
+    staple. Exactness discipline: per-part revenue is decimal-rounded
+    FIRST, the running total is a decimal-exact window over those
+    rounded values (ties broken by partkey), and only the final share
+    comparison touches doubles — identical classification on any
+    engine. Windows run over the per-part aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total")
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("partkey"))
+    run = rev.withColumn(
+        "cum",
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(w).cast("double"),
+    )
+    cls = (
+        F.when(F.col("cum") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "revenue")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum(F.col("revenue").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

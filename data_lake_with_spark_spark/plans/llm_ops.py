@@ -1024,6 +1024,60 @@ def decode_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMAGE_QUADRANTS_ORACLE = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(32)) AS idx FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id,
+         CAST((idx // 8 >= 2) AS INTEGER) * 2
+           + CAST((idx % 8 >= 4) AS INTEGER) AS quadrant,
+         (doc_id * 3 + 13 * (idx // 8) + 5 * (idx % 8)) % 256 AS v
+  FROM s
+)
+SELECT doc_id AS media_id, quadrant,
+       CAST(SUM(v) AS BIGINT) AS sum_pixels,
+       CAST(MAX(v) AS INTEGER) AS max_pixel
+FROM px GROUP BY doc_id, quadrant
+ORDER BY media_id, quadrant
+"""
+
+
+@register(
+    "multimodal_image_quadrants",
+    oracle=IMAGE_QUADRANTS_ORACLE,
+    tags=("multimodal", "llm", "decode"),
+)
+def multimodal_image_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional image statistics (E5): REAL PNG decode, then the
+    row-major raster re-indexed into 2D (y = pos // width, x = pos %
+    width) and aggregated per quadrant — the spatial-pooling shape of
+    patch-based vision preprocessing (crop grids, tile dedup, saliency
+    maps) exercised through the genuine decoder. Exact integer sums;
+    the oracle rebuilds the raster analytically."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_png_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    px = dec.select(
+        "media_id",
+        F.posexplode("values").alias("pos", "v"),
+    ).select(
+        "media_id",
+        (
+            ((F.col("pos") / 8).cast("int") >= 2).cast("int") * 2
+            + ((F.col("pos") % 8) >= 4).cast("int")
+        ).alias("quadrant"),
+        F.col("v").cast("bigint").alias("v"),
+    )
+    return (
+        px.groupBy("media_id", "quadrant")
+        .agg(
+            F.sum("v").alias("sum_pixels"),
+            F.max("v").cast("int").alias("max_pixel"),
+        )
+        .orderBy("media_id", "quadrant")
+    )
+
+
 DECODE_GIF_ORACLE = """
 WITH s AS (
   SELECT doc_id, UNNEST(range(32)) AS idx FROM documents WHERE doc_id < 200

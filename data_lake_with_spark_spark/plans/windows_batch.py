@@ -436,3 +436,49 @@ def window_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
         .orderBy("event_type", "win_day")
     )
+
+
+BITMAP_DISTINCT_ORACLE = """
+WITH chunks AS (
+  SELECT event_type, user_id // 32 AS chunk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_users,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM chunks GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "agg_bitmap_distinct_users",
+    oracle=BITMAP_DISTINCT_ORACLE,
+    tags=("agg", "sketch", "events"),
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable bitmaps (the
+    roaring-bitmap warehouse pattern): ids land in 64-bit chunks via
+    bit_or of shifted bits — associative/commutative state like a
+    sketch, but exact — then popcounts sum per group. Map-side
+    combinable, O(id_range/32) state per group, and chunk bitmaps from
+    different partitions/days merge by OR, so incremental and
+    streaming distincts come free. The HLL twin
+    (sketch_hll_portable) trades exactness for id-range independence;
+    this is the right tool when ids are dense integers."""
+    ev = _events(spark, sf_dir)
+    chunks = ev.groupBy(
+        "event_type", (F.col("user_id") / 32).cast("bigint").alias("chunk")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    return (
+        chunks.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("event_type")
+    )

@@ -1169,3 +1169,59 @@ def funnel_unordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_within_7d"),
         F.max("span_min").cast("bigint").alias("max_span_min"),
     )
+
+
+DECAY_ORACLE = """
+WITH anchor AS (
+  SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS a FROM events
+), ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), wts AS (
+  SELECT user_id,
+         GREATEST(8 - CAST((anchor.a - d) AS INTEGER) // 7, 0) AS e
+  FROM ev CROSS JOIN anchor
+)
+SELECT user_id,
+       CAST(SUM(CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS BIGINT)
+         AS score_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(1 AS BIGINT) << CAST(e AS INTEGER)) AS DOUBLE) / 256.0
+         AS score
+FROM wts GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "score_activity_decay",
+    oracle=DECAY_ORACLE,
+    tags=("analytics", "events", "agg"),
+)
+def score_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score with EXACT exponential decay:
+    half-life = one week, weight = 2^(8 − age_weeks) — powers of two,
+    so the weighted sum is pure BIGINT addition and even the final
+    /256 double is exact (no libm exp/pow anywhere, the
+    priority-sampling discipline applied to feature engineering). The
+    anchor is the corpus max day (deterministic, re-run-stable). One
+    hash agg; the anchor is a broadcast scalar."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("a"))
+    wts = ev.select("user_id", F.to_date("ts").alias("d")).crossJoin(
+        F.broadcast(anchor)
+    ).select(
+        "user_id",
+        F.greatest(
+            F.lit(8) - F.expr("CAST(datediff(a, d) AS INT) div 7"),
+            F.lit(0),
+        ).alias("e"),
+    )
+    scaled = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(e AS INT))"))
+    return (
+        wts.groupBy("user_id")
+        .agg(
+            scaled.cast("bigint").alias("score_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (scaled.cast("double") / F.lit(256.0)).alias("score"),
+        )
+        .orderBy("user_id")
+    )

@@ -69,3 +69,74 @@ def discount_weighted_price(df: DataFrame, key: str, val: str, weight: str) -> D
         (F.sum(F.col(val) * F.col(weight)) / F.sum(F.col(weight))).alias("wmean_native")
     )
     return udaf_side.join(native_side, key)
+
+
+def cogroup_asof(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_p",
+) -> DataFrame:
+    """As-of join via COGROUPED applyInPandas — the two-sided Arrow
+    seam (groupBy().cogroup()): both sides' rows for one key arrive as
+    a pair of pandas frames and pd.merge_asof does the backward
+    nearest-at-or-before match. Semantically identical to the
+    JVM-side union+last_value asof_join (operators/joins.py) — the
+    registry query reuses that oracle verbatim — this form exists for
+    per-key logic the window trick can't express (interpolation,
+    per-key models, tolerance bands). Arrow batches one key per call;
+    each key's rows must fit an executor (the cogroup contract), so
+    prefer the JVM form for plain as-of at scale."""
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    # Rename right columns BEFORE the cogroup: when both sides derive
+    # from the same scan, identically-named attributes share ids and
+    # the right side's copy is silently pruned from its pandas frame
+    # (observed: right arrived without "ts" in a self-cogroup).
+    # Distinct names also free the merge from rename bookkeeping.
+    right2 = right.select(
+        by, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    )
+    out_fields = [f"`{c}` {t}" for c, t in left.dtypes]
+    for c in right_cols:
+        out_fields.append(f"`{c}{suffix}` {rtypes[c]}")
+    schema = ", ".join(out_fields)
+    out_cols = [*lcols, *[f"{c}{suffix}" for c in right_cols]]
+    rts = f"{right_ts}{suffix}"
+
+    def _null_for(spark_type: str):
+        if "timestamp" in spark_type or "date" in spark_type:
+            return pd.NaT
+        return None
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        # a key present on only one side arrives with the other frame
+        # empty — emit left rows with null right columns, or nothing
+        # when there are no left rows
+        if l.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        l = l.sort_values(left_ts, kind="mergesort")
+        if r.empty:
+            out = l.copy()
+            for c in right_cols:
+                out[f"{c}{suffix}"] = _null_for(rtypes[c])
+            return out[out_cols]
+        r = r.drop(columns=[by]).sort_values(rts, kind="mergesort")
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=left_ts,
+            right_on=rts,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[out_cols]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right2.groupBy(by))
+        .applyInPandas(merge, schema)
+    )

@@ -1027,3 +1027,38 @@ def segment_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register("join_asof_cogroup", oracle=ASOF_ORACLE, tags=("join", "asof", "arrow"))
+def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as join_asof_last_purchase, computed
+    through the two-sided Arrow seam instead: groupBy().cogroup().
+    applyInPandas with pd.merge_asof per user — the escape hatch for
+    per-key logic window tricks can't express, here pinned to the
+    identical oracle as the JVM form so the seam itself is
+    value-verified. operators/grouped.py:cogroup_asof."""
+    from data_lake_with_spark_spark.operators.grouped import cogroup_asof
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = cogroup_asof(
+        clicks,
+        purchases,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        suffix="_p",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_ms("ts").alias("ts_ms"),
+        epoch_ms("ts_p").alias("purchase_ts_ms"),
+        F.col("value_p").alias("purchase_value"),
+    ).orderBy("event_id")

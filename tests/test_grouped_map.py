@@ -52,3 +52,21 @@ def test_weighted_mean_udaf_matches_native(spark, sf_dir):
     assert len(rows) >= 2
     for r in rows:
         assert r["wmean_udaf"] == pytest.approx(r["wmean_native"], rel=1e-9), r
+
+
+def test_cogroup_asof_equals_jvm_asof(spark, sf_dir):
+    """The two-sided Arrow seam must agree EXACTLY with the JVM
+    union+last_value as-of join on the full click→purchase alignment
+    (including users with no purchases → null right columns)."""
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    a = sorted(
+        map(tuple, REGISTRY["join_asof_cogroup"].spark(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            REGISTRY["join_asof_last_purchase"].spark(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

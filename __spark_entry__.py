@@ -29,7 +29,7 @@ from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 167 registered
+# entries of queries() in dict-insertion order. With 195 registered
 # queries, insertion order decides which operators get driver-verified
 # rows — so the dict leads with a hand-picked 50 covering one flagship
 # per operator family (reference surface, TPC-H/relational, join
@@ -77,15 +77,16 @@ DRIVER_WINDOW = [
     "sample_weighted_priority",
     "multimodal_spectral_power",
     "search_phrase_positional",
-    # join-matrix extension
-    "join_salted_skew",
-    "join_fuzzy_editdist",
-    # event analytics
-    "funnel_signup_view_purchase",
-    "rollup_hypertable_daily",
+    # join-matrix extension (salted/fuzzy/funnel/rollup/ngram/png
+    # rotated out after r04 driver-green for the third late batch)
+    "join_asof_cogroup",
+    "agg_bitmap_distinct_users",
+    "window_weekly_active_users",
+    "text_cooccurrence_lift",
+    "segment_rfm_customers",
+    "multimodal_image_quadrants",
     # LLM-pipeline families
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     # portable variants: same pipelines, md5/integer hash family → the
     # driver's hash-compare can verify them exactly (the xxhash64 fast
@@ -97,7 +98,6 @@ DRIVER_WINDOW = [
     "vector_topk_pq_portable",
     "text_stats",
     "chunk_documents",
-    "decode_image_png",
     "decontaminate_bloom",
     "rag_chunk_retrieval",
     "rag_chunk_retrieval_ivf",

@@ -1062,3 +1062,118 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms("ts_p").alias("purchase_ts_ms"),
         F.col("value_p").alias("purchase_value"),
     ).orderBy("event_id")
+
+
+TRIANGLES_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, user_id
+  FROM events
+), edges AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+), tri AS (
+  SELECT COUNT(*) AS n_tri FROM (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1 JOIN oriented e2 ON e1.t = e2.s
+  ) wedge
+  JOIN oriented e3 ON wedge.a = e3.s AND wedge.c = e3.t
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+         (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT n_tri FROM tri) AS n_triangles
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       FLOOR(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6
+         AS clustering_coeff
+FROM stats
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=TRIANGLES_ORACLE,
+    tags=("graph", "events", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-visitation graph with DEGREE-ORDERED
+    edge orientation (Schank–Wagner): every edge points from its
+    lower-(degree, id) endpoint, wedges join oriented edges on the
+    middle node, and the closing edge is verified with one more
+    equi-join — each triangle counted exactly once, and the wedge
+    join's fan-out is bounded by out-degrees that the orientation
+    caps at O(√m), not by raw hub degrees. Global clustering
+    coefficient = 3·triangles / Σ C(deg,2), integer inputs, one
+    rounded division."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+            "user_id",
+        )
+        .distinct()
+    )
+    a = win.select("win", F.col("user_id").alias("u"))
+    b = win.select("win", F.col("user_id").alias("v"))
+    edges = (
+        a.join(b, "win")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") >= 3)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedge = e1.join(e2, "b").select("a", "c")
+    closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    n_tri = wedge.join(closing, ["a", "c"], "inner").count()
+    n_edges = edges.count()
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("w")
+    ).first()["w"]
+    spark2 = ev.sparkSession
+    row = [(int(n_edges), int(n_wedges), int(n_tri))]
+    out = spark2.createDataFrame(
+        row, "n_edges bigint, n_wedges bigint, n_triangles bigint"
+    )
+    return out.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.floor(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("clustering_coeff"),
+    )

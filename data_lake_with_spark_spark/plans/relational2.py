@@ -1177,3 +1177,107 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("clustering_coeff"),
     )
+
+
+LINKPRED_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, user_id
+  FROM events
+), edges AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), sym AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a
+), common AS (
+  SELECT e1.a AS a, e2.b AS c, COUNT(*) AS n_common
+  FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+  WHERE e1.a < e2.b
+  GROUP BY 1, 2
+), cand AS (
+  SELECT cm.a, cm.c, cm.n_common
+  FROM common cm LEFT JOIN edges e ON cm.a = e.u AND cm.c = e.v
+  WHERE e.u IS NULL
+)
+SELECT a, c, CAST(n_common AS BIGINT) AS n_common,
+       FLOOR(n_common * 1.0 / (da.d + dc.d - n_common) * 1e6 + 0.5) / 1e6
+         AS jaccard
+FROM cand JOIN deg da ON a = da.node JOIN deg dc ON c = dc.node
+ORDER BY jaccard DESC, n_common DESC, a ASC, c ASC
+LIMIT 20
+"""
+
+
+@register(
+    "graph_link_prediction",
+    oracle=LINKPRED_ORACLE,
+    tags=("graph", "events", "join", "topk"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-visitation graph: the
+    top 20 NON-edges ranked by neighborhood Jaccard — the
+    collaborative-filtering / friend-suggestion primitive. Candidate
+    pairs come from the wedge join (Σdeg² work, same discipline as the
+    triangle census — never all-pairs), existing edges drop out with a
+    left-anti join, and the score is one exact-integer ratio rounded
+    once. Distributed top-k via TakeOrdered."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+            "user_id",
+        )
+        .distinct()
+    )
+    aa = win.select("win", F.col("user_id").alias("u"))
+    bb = win.select("win", F.col("user_id").alias("v"))
+    edges = (
+        aa.join(bb, "win")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") >= 3)
+        .select("u", "v")
+    )
+    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym
+    e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    common = (
+        e1.join(e2, "b")
+        .where(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = common.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("c"), F.col("d").alias("dc")), "c")
+        .select(
+            "a",
+            "c",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.floor(
+                    F.col("n_common")
+                    * F.lit(1.0)
+                    / (F.col("da") + F.col("dc") - F.col("n_common"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.desc("n_common"), F.asc("a"), F.asc("c")
+    ).limit(20)

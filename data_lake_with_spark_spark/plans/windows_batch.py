@@ -482,3 +482,52 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "window_wau_bitmap",
+    oracle=WAU_ORACLE,
+    tags=("window", "events", "agg", "sketch"),
+)
+def window_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME trailing-7-day distinct-actives as
+    window_weekly_active_users, through a different physical strategy
+    pinned to the IDENTICAL oracle: per-(type, day, chunk) 32-bit user
+    bitmaps (the agg_bitmap_distinct_users state), replicated into the
+    ≤7 anchor days they serve — replication of BITMAP rows (a handful
+    per day), not user-day rows — OR-merged per anchor, popcounted.
+    Sliding exact distinct whose shuffled state is O(days ×
+    id_range/32) instead of O(user-days × window): the win when
+    windows lengthen or users repeat heavily."""
+    ev = _events(spark, sf_dir)
+    daily = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("di"),
+        (F.col("user_id") / 32).cast("bigint").alias("chunk"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
+            "bit"
+        ),
+    ).groupBy("event_type", "di", "chunk").agg(F.bit_or("bit").alias("bits"))
+    spread = daily.select(
+        "event_type",
+        "chunk",
+        "bits",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+        "di",
+    ).select(
+        "event_type", "chunk", "bits", (F.col("di") + F.col("k")).alias("anchor")
+    )
+    merged = spread.groupBy("event_type", "anchor", "chunk").agg(
+        F.bit_or("bits").alias("wbits")
+    )
+    return (
+        merged.groupBy(
+            "event_type",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("anchor").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("win_day"),
+        )
+        .agg(F.sum(F.bit_count("wbits")).cast("bigint").alias("wau"))
+        .orderBy("event_type", "win_day")
+    )

@@ -41,6 +41,7 @@ LATE_R5 = [
     "agg_bitmap_distinct_users",
     "score_activity_decay",
     "join_asof_cogroup",
+    "window_wau_bitmap",
 ]
 
 

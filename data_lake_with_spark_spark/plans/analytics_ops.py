@@ -5,13 +5,17 @@ stream-shaped ``events`` table (reference analog: the songplays fact,
 /root/reference/etl.py:239-294) plus ANALYZE-style table profiling and
 corpus-level TF-IDF over ``documents``:
 
-- ordered conversion funnel (signup → view → purchase),
-- weekly cohort retention,
+- ordered / gap-constrained / predicate / unordered conversion funnels,
+- weekly cohort retention and conversion-latency percentiles,
 - gap-based sessionization with ordered event paths,
 - single-pass column statistics profile (ANALYZE TABLE analog),
-- corpus TF-IDF term ranking.
+- corpus TF-IDF term ranking,
+- anomaly detection (rolling z-score, median/MAD, CUSUM change-point),
+- gaps-and-islands streaks, interval-sweep concurrency,
+- chi-square independence cells, mergeable-histogram quantiles,
+- recency-decay activity scoring.
 
-All five are fully oracled. Scale notes per query docstring.
+All fully oracled. Scale notes per query docstring.
 """
 
 from __future__ import annotations

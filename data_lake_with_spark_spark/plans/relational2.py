@@ -1281,3 +1281,128 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard"), F.desc("n_common"), F.asc("a"), F.asc("c")
     ).limit(20)
+
+
+LOCAL_CLUSTERING_ORACLE = """
+WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, user_id
+  FROM events
+), edges AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+), tris AS (
+  SELECT wedge.a, wedge.b, wedge.c
+  FROM (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1 JOIN oriented e2 ON e1.t = e2.s
+  ) wedge
+  JOIN oriented e3 ON wedge.a = e3.s AND wedge.c = e3.t
+), per_node AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT d.node AS user_id,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.d >= 2
+            THEN FLOOR(COALESCE(p.n_tri, 0) * 2.0 / (d.d * (d.d - 1))
+                       * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS local_coeff
+FROM deg d LEFT JOIN per_node p ON d.node = p.node
+ORDER BY user_id
+"""
+
+
+@register(
+    "graph_local_clustering",
+    oracle=LOCAL_CLUSTERING_ORACLE,
+    tags=("graph", "events", "join"),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient: each degree-ordered
+    triangle credits its three corners, coefficient = 2·tri/(d·(d−1))
+    — the per-user cohesion feature behind bot-ring and community
+    scoring. Same Schank–Wagner wedge discipline as the global census
+    (graph_triangle_count); the per-node rollup is one explode of the
+    triangle corner triples + a hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+            "user_id",
+        )
+        .distinct()
+    )
+    aa = win.select("win", F.col("user_id").alias("u"))
+    bb = win.select("win", F.col("user_id").alias("v"))
+    edges = (
+        aa.join(bb, "win")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") >= 3)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedge = e1.join(e2, "b").select("a", "b", "c")
+    closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tris = wedge.join(closing, ["a", "c"], "inner")
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    coeff = F.when(
+        F.col("d") >= 2,
+        F.floor(
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            * F.lit(2.0)
+            / (F.col("d") * (F.col("d") - 1))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("user_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            coeff.alias("local_coeff"),
+        )
+        .orderBy("user_id")
+    )

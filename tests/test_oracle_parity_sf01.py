@@ -42,6 +42,7 @@ LATE_R5 = [
     "score_activity_decay",
     "join_asof_cogroup",
     "window_wau_bitmap",
+    "graph_local_clustering",
 ]
 
 

@@ -1406,3 +1406,78 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT okey) AS n_orders FROM items
+), freq AS (
+  SELECT part, COUNT(*) AS n FROM items GROUP BY part
+), pairs AS (
+  SELECT a.part AS p1, b.part AS p2, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT p1, p2, CAST(n_both AS BIGINT) AS n_both,
+       FLOOR(n_both * n.n_orders * 1.0 / (f1.n * f2.n) * 1e6 + 0.5) / 1e6
+         AS lift
+FROM pairs JOIN freq f1 ON p1 = f1.part JOIN freq f2 ON p2 = f2.part
+CROSS JOIN n
+WHERE n_both >= 2
+ORDER BY lift DESC, n_both DESC, p1 ASC, p2 ASC
+LIMIT 25
+"""
+
+
+@register(
+    "basket_part_affinity",
+    oracle=BASKET_ORACLE,
+    tags=("analytics", "join", "topk"),
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top co-purchased part pairs by lift
+    (support_both·N / support₁·support₂ — association-rule mining's
+    rational core, log-free like text_cooccurrence_lift). The pair
+    join is keyed on the ORDER key, so pair work is Σ basket_size² —
+    bounded by basket width (≤7 lineitems), never catalog-quadratic;
+    marginals broadcast; distributed top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = items.agg(F.countDistinct("okey").alias("n_orders"))
+    freq = items.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("okey", F.col("part").alias("p1"))
+    b = items.select("okey", F.col("part").alias("p2"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 2)
+    )
+    lift = (
+        F.col("n_both") * F.col("n_orders") * F.lit(1.0)
+        / (F.col("f1n") * F.col("f2n"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(freq.select(F.col("part").alias("p1"), F.col("n").alias("f1n"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("part").alias("p2"), F.col("n").alias("f2n"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            (F.floor(lift * 1e6 + F.lit(0.5)) / 1e6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("n_both"), F.asc("p1"), F.asc("p2"))
+        .limit(25)
+    )

@@ -43,6 +43,7 @@ LATE_R5 = [
     "join_asof_cogroup",
     "window_wau_bitmap",
     "graph_local_clustering",
+    "basket_part_affinity",
 ]
 
 

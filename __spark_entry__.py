@@ -96,10 +96,10 @@ DRIVER_WINDOW = [
     "dedup_simhash_portable",
     "vector_topk_lsh_portable",
     "vector_topk_pq_portable",
-    "text_stats",
-    "chunk_documents",
+    "graph_triangle_count",
+    "basket_part_affinity",
+    "window_wau_bitmap",
     "decontaminate_bloom",
-    "rag_chunk_retrieval",
     "rag_chunk_retrieval_ivf",
     "text_quality_score",
     "text_bm25_topk",

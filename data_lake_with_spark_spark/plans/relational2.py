@@ -1481,3 +1481,63 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.desc("n_both"), F.asc("p1"), F.asc("p2"))
         .limit(25)
     )
+
+
+@register("segment_abc_distributed", oracle=ABC_ORACLE, tags=("analytics", "window", "agg"))
+def segment_abc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segment_abc_pareto's SCALE twin, pinned to the IDENTICAL
+    oracle: the global revenue-ordered running total is computed as a
+    two-level prefix sum — per-part rows partition into revenue BANDS
+    (floor(revenue/100), descending), each band cumsums in parallel
+    ordered by (revenue desc, partkey), and the tiny band-total frame
+    (one row per band) supplies the broadcast carry-in. Decimal sums
+    are associative, so the reassembled cum equals the single-window
+    form bit-for-bit; the only single-partition work is the band-count
+    frame. The interval-sweep carry trick applied to ranking."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    ).withColumn("band", F.floor(F.col("revenue") / 100.0).cast("bigint"))
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    band_tot = rev.groupBy("band").agg(
+        F.sum(F.col("revenue").cast("decimal(18,6)")).alias("band_sum")
+    )
+    w_bands = (
+        W.orderBy(F.desc("band")).rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = band_tot.withColumn(
+        "carry_in",
+        F.coalesce(
+            F.sum("band_sum").over(w_bands), F.lit(0).cast("decimal(18,6)")
+        ),
+    ).select("band", "carry_in")
+    w_in = W.partitionBy("band").orderBy(F.desc("revenue"), F.asc("partkey"))
+    run = (
+        rev.join(F.broadcast(carry), "band")
+        .withColumn(
+            "cum",
+            (
+                F.col("carry_in")
+                + F.sum(F.col("revenue").cast("decimal(18,6)")).over(w_in)
+            ).cast("double"),
+        )
+    )
+    cls = (
+        F.when(F.col("cum") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .select(cls.alias("abc_class"), "revenue")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum(F.col("revenue").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )

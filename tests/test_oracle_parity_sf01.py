@@ -44,6 +44,7 @@ LATE_R5 = [
     "window_wau_bitmap",
     "graph_local_clustering",
     "basket_part_affinity",
+    "segment_abc_distributed",
 ]
 
 

@@ -267,3 +267,11 @@ def test_streaks_two_shuffles(spark, sf_dir):
     p = plan_of(spark, sf_dir, "streaks_active_days")
     assert p.count("Exchange hashpartitioning") <= 2, p
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_abc_distributed_avoids_global_sort(spark, sf_dir):
+    """The two-level ABC may single-partition only the tiny band-total
+    frame; the per-part cumsum window must be hash-partitioned on the
+    band."""
+    p = plan_of(spark, sf_dir, "segment_abc_distributed")
+    assert "hashpartitioning(band" in p, p

@@ -1541,3 +1541,72 @@ def segment_abc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def _two_level_ntile(base, metric, band_expr, n_col, out, n_tiles=5):
+    """Global NTILE without a global sort: rank = (carry count of rows
+    in strictly-earlier bands, cumulated over the tiny band frame) +
+    within-band row_number, then the exact NTILE bucket reconstructed
+    from (rank, N) — first N%n buckets take ceil(N/n) rows. Ordering
+    is (metric DESC, custkey ASC) throughout, matching NTILE's window.
+    Requires N ≥ n_tiles (size_small ≥ 1)."""
+    b = base.withColumn("_band", band_expr)
+    band_cnt = b.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    w_bands = W.orderBy(F.desc("_band")).rowsBetween(W.unboundedPreceding, -1)
+    carry = band_cnt.withColumn(
+        "_carry", F.coalesce(F.sum("_bn").over(w_bands), F.lit(0))
+    ).select("_band", "_carry")
+    w_in = W.partitionBy("_band").orderBy(F.desc(metric), F.asc("custkey"))
+    ranked = (
+        b.join(F.broadcast(carry), "_band")
+        .withColumn("_rank", F.col("_carry") + F.row_number().over(w_in))
+    )
+    n = F.col(n_col)
+    size_small = F.expr(f"{n_col} div {n_tiles}")
+    n_big = n % n_tiles
+    size_big = size_small + 1
+    cutoff = n_big * size_big
+    bucket = F.when(
+        F.col("_rank") <= cutoff,
+        ((F.col("_rank") - 1) / size_big).cast("int") + 1,
+    ).otherwise(
+        (n_big + (F.col("_rank") - cutoff - 1) / size_small).cast("int") + 1
+    )
+    return ranked.withColumn(out, bucket).drop("_band", "_carry", "_rank")
+
+
+@register("segment_rfm_distributed", oracle=RFM_ORACLE, tags=("analytics", "window", "agg"))
+def segment_rfm_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """segment_rfm_customers' SCALE twin, pinned to the IDENTICAL
+    oracle: each quintile is a two-level rank — per-metric value bands
+    cumsum their COUNTS over a tiny band frame (broadcast carry),
+    within-band row_numbers run hash-partitioned, and the exact NTILE
+    bucket is reconstructed arithmetically from (global rank, N). No
+    metric ever sorts in a single task; the per-customer aggregate
+    shuffles three times (once per metric band key)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    n_total = base.count()
+    base = base.withColumn("_n", F.lit(int(n_total)))
+    base = _two_level_ntile(
+        base, "last_order",
+        F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+        "_n", "r",
+    )
+    base = _two_level_ntile(base, "frequency", F.col("frequency"), "_n", "f")
+    base = _two_level_ntile(
+        base, "monetary", F.floor(F.col("monetary") / 100.0).cast("bigint"),
+        "_n", "m",
+    )
+    return (
+        base.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("custkey").cast("bigint").alias("example_custkey"),
+        )
+        .orderBy("r", "f", "m")
+    )

@@ -45,6 +45,7 @@ LATE_R5 = [
     "graph_local_clustering",
     "basket_part_affinity",
     "segment_abc_distributed",
+    "segment_rfm_distributed",
 ]
 
 

@@ -146,3 +146,29 @@ def test_upsert_idempotent_on_random_batches(spark, tmp_path_factory, rows):
     assert n2 == 0
     stored = spark.read.parquet(path)
     assert stored.count() == stored.select("k").distinct().count() == n1
+
+
+def test_two_level_ntile_matches_builtin(spark):
+    """The arithmetic NTILE reconstruction (segment_rfm_distributed)
+    must equal F.ntile for Ns that do and don't divide evenly, across
+    bands that do and don't split evenly (band_expr must be MONOTONE
+    in the metric — the helper's precondition)."""
+    from pyspark.sql import Window as W
+    from data_lake_with_spark_spark.plans.relational2 import _two_level_ntile
+
+    for n_rows in (5, 7, 23, 100, 101):
+        rows = [(i, (i * 37) % 50 + 1) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "custkey long, metric long")
+        df = df.withColumn("_n", F.lit(n_rows))
+        got = _two_level_ntile(
+            df, "metric", F.expr("metric div 7"), "_n", "bucket"
+        ).select("custkey", "bucket")
+        want = df.select(
+            "custkey",
+            F.ntile(5)
+            .over(W.orderBy(F.desc("metric"), F.asc("custkey")))
+            .alias("bucket"),
+        )
+        g = {(r["custkey"], r["bucket"]) for r in got.collect()}
+        w = {(r["custkey"], r["bucket"]) for r in want.collect()}
+        assert g == w, (n_rows, sorted(g ^ w))

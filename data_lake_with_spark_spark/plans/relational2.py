@@ -1610,3 +1610,41 @@ def segment_rfm_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+HINT_ORACLE = """
+SELECT o.o_orderstatus,
+       {rev} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""".format(rev=dsum_sql("l_extendedprice * (1 - l_discount)", 2))
+
+
+@register("join_hint_shuffle_hash", oracle=HINT_ORACLE, tags=("join", "hint"))
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the fact join forced to a
+    SHUFFLED HASH join via hint("shuffle_hash") — the strategy to pick
+    over sort-merge when the build side fits a task's memory but is
+    past the broadcast threshold (skips both sort passes). Results are
+    strategy-invariant (the oracle is the plain join); the plan assert
+    in test_plan_quality pins that the hint actually took effect —
+    hints are requests, and a silently ignored one is a perf bug."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = li.join(orders.hint("shuffle_hash"), "l_orderkey")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -46,6 +46,7 @@ LATE_R5 = [
     "basket_part_affinity",
     "segment_abc_distributed",
     "segment_rfm_distributed",
+    "join_hint_shuffle_hash",
 ]
 
 

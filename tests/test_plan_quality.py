@@ -275,3 +275,10 @@ def test_abc_distributed_avoids_global_sort(spark, sf_dir):
     band."""
     p = plan_of(spark, sf_dir, "segment_abc_distributed")
     assert "hashpartitioning(band" in p, p
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    """join_hint_shuffle_hash must actually plan a ShuffledHashJoin —
+    a silently ignored hint is a perf bug."""
+    p = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in p, p

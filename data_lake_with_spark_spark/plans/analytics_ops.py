@@ -1229,3 +1229,151 @@ def score_activity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+THEIL_SEN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         {dsum_sql('value', 2)} AS rev
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, rev,
+         CAST((day - DATE '1970-01-01') AS INTEGER) AS x
+  FROM daily
+), slopes AS (
+  SELECT a.event_type,
+         (b.rev - a.rev) / (b.x - a.x) AS slope
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.x < b.x
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(median(slope) * 1e6 + 0.5) / 1e6 AS ts_slope
+FROM slopes GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "regression_theil_sen",
+    oracle=THEIL_SEN_ORACLE,
+    tags=("analytics", "events", "stats"),
+)
+def regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise daily-revenue
+    slopes per event type — outlier-resistant where OLS
+    (agg_regression_trend) is not. The pair join runs on the DAILY
+    AGGREGATE keyed by group (≤ days² bounded pairs per type, the
+    bounded-pairs discipline — never raw events²); slopes are
+    identical doubles on any engine (decimal-exact revenues, integer
+    day gaps, one division) so the exact median order statistic
+    hash-matches."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(dsum(F.col("value"), 2).alias("rev"))
+    idx = daily.select(
+        "event_type",
+        "rev",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("x"),
+    )
+    a = idx.select("event_type", F.col("rev").alias("ra"), F.col("x").alias("xa"))
+    b = idx.select("event_type", F.col("rev").alias("rb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            ((F.col("rb") - F.col("ra")) / (F.col("xb") - F.col("xa"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.floor(F.median("slope") * 1e6 + F.lit(0.5)) / 1e6).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LAG_FEATURES_ORACLE = """
+WITH purch AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+       lag(value, 1) OVER w AS prev_1,
+       lag(value, 2) OVER w AS prev_2,
+       lag(value, 3) OVER w AS prev_3
+FROM purch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+ORDER BY user_id, ts_ms, value
+"""
+
+
+@register(
+    "features_lag_purchases",
+    oracle=LAG_FEATURES_ORACLE,
+    tags=("analytics", "events", "window", "training"),
+)
+def features_lag_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive feature assembly: each purchase with its user's
+    previous three purchase values — the lag-feature block every
+    tabular-ML training pipeline emits. One per-user window; ties on
+    ts broken by value so the frame is a total order (feature
+    determinism is a training-reproducibility requirement, not a
+    nicety)."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "value")
+    return (
+        purch.select(
+            "user_id",
+            epoch_ms("ts").alias("ts_ms"),
+            "value",
+            F.lag("value", 1).over(w).alias("prev_1"),
+            F.lag("value", 2).over(w).alias("prev_2"),
+            F.lag("value", 3).over(w).alias("prev_3"),
+        )
+        .orderBy("user_id", "ts_ms", "value")
+    )
+
+
+DOW_HOUR_ORACLE = """
+SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hr
+"""
+
+
+@register(
+    "activity_dow_hour_matrix",
+    oracle=DOW_HOUR_ORACLE,
+    tags=("analytics", "events", "agg"),
+)
+def activity_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity matrix (the traffic heatmap).
+    DuckDB dayofweek is 0=Sunday while Spark's is 1=Sunday — the
+    engine subtracts 1 to the oracle's convention (the documented
+    cross-engine drift, ARCHITECTURE 'Expression-engine lessons').
+    One hash agg; distinct via Spark's two-phase expansion."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("dow", "hr")
+    )

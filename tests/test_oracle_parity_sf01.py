@@ -47,6 +47,9 @@ LATE_R5 = [
     "segment_abc_distributed",
     "segment_rfm_distributed",
     "join_hint_shuffle_hash",
+    "regression_theil_sen",
+    "features_lag_purchases",
+    "activity_dow_hour_matrix",
 ]
 
 

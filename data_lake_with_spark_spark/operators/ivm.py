@@ -152,3 +152,50 @@ def maintain_join_agg(
         F.broadcast(dim.withColumnRenamed(dim_key, fact_key)), fact_key, "inner"
     )
     return maintain(current, enriched, group_cols, sum_cols)
+
+
+def maintain_bitmap(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """One refresh step for an EXACT-distinct bitmap state
+    (group_cols, chunk, bits): insert rows' ids land as 32-bit chunk
+    bitmaps and OR-merge into the state — associative and idempotent
+    (re-inserting a seen id is a no-op), so at-least-once delivery
+    needs no epoch guard for correctness, only for cost. Distinct =
+    Σ popcount(bits) per group at read time (see read_bitmap_distinct).
+    Deletes are REJECTED: bits are not subtractable — pair with a
+    tombstone rebuild if retraction is required (same caveat as any
+    bitmap/HLL distinct state)."""
+    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
+    if bad:
+        raise ValueError("bitmap distinct state is insert-only")
+    delta = (
+        changes.select(
+            *group_cols,
+            (F.col(id_col) / 32).cast("bigint").alias("chunk"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(*group_cols, "chunk")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    if current is None:
+        return delta
+    return (
+        current.select(*group_cols, "chunk", "bits")
+        .unionByName(delta)
+        .groupBy(*group_cols, "chunk")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def read_bitmap_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols, n_distinct) from a maintain_bitmap state — pure
+    popcount arithmetic, no base-table access."""
+    return state.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )

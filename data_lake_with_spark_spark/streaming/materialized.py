@@ -187,3 +187,43 @@ def stream_maintain_join_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_bitmap_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    id_col: str,
+    query_name: str = "bitmap_view",
+    checkpoint: str | None = None,
+):
+    """Streaming EXACT distinct counts: per-micro-batch OR-fold of
+    32-bit id bitmaps into a versioned state table (ivm.
+    maintain_bitmap). The fold is idempotent per id, so replays are
+    CORRECT even without the epoch guard; the guard still skips
+    redundant versions. Read with ivm.read_bitmap_distinct — the
+    streaming twin of agg_bitmap_distinct_users."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        V.versioned_append(
+            ivm.maintain_bitmap(cur, batch_df, group_cols, id_col),
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

@@ -288,3 +288,68 @@ def test_stream_maintained_histogram_quantiles(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_maintained_bitmap_distinct(spark, sf_dir, tmp_path):
+    """Exact distinct via streaming bitmap folds: per-micro-batch
+    OR-merge must reproduce the one-shot countDistinct per event type,
+    and a REPLAYED batch (idempotent OR) must not change anything."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.ivm import (
+        maintain_bitmap,
+        read_bitmap_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pdf = ev.toPandas()
+    pdf["_change_type"] = "insert"
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, half in enumerate((pdf.iloc[::2], pdf.iloc[1::2])):
+        pq.write_table(
+            pa.Table.from_pandas(half, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "bitmap_view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_bitmap_view(
+        stream, state, ["event_type"], "user_id", query_name="bm_mv"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    got = {
+        (r["event_type"], r["n_distinct"])
+        for r in read_bitmap_distinct(
+            MV.read_view(spark, state), ["event_type"]
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # idempotence: re-folding the first half changes nothing
+    cur = MV.read_view(spark, state)
+    batch1 = spark.createDataFrame(pdf.iloc[::2], schema)
+    refold = maintain_bitmap(cur, batch1, ["event_type"], "user_id")
+    got2 = {
+        (r["event_type"], r["n_distinct"])
+        for r in read_bitmap_distinct(refold, ["event_type"]).collect()
+    }
+    assert got2 == want

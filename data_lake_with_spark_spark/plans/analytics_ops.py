@@ -1377,3 +1377,52 @@ def activity_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+GINI_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n_t FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, SUM(n_t) AS n, SUM(n_t * n_t) AS sq,
+         COUNT(*) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       FLOOR(sq * 1.0 / (n * n) * 1e6 + 0.5) / 1e6 AS hhi,
+       FLOOR((1.0 - sq * 1.0 / (n * n)) * 1e6 + 0.5) / 1e6 AS gini_diversity
+FROM u ORDER BY user_id
+"""
+
+
+@register(
+    "score_user_gini_diversity",
+    oracle=GINI_ORACLE,
+    tags=("analytics", "events", "stats"),
+)
+def score_user_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral concentration per user: Herfindahl index Σp² and its
+    Gini-impurity complement 1−Σp² over the event-type mix — the
+    log-free diversity metrics (entropy's libm cost avoided, the
+    co-occurrence-lift discipline). Σp² = Σn_t²/n² is pure integer
+    arithmetic until one rounded division; two stacked hash aggs, the
+    second keyed on a prefix of the first's key so it reuses the
+    partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n_t").alias("n"),
+        F.sum(F.col("n_t") * F.col("n_t")).alias("sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    hhi = F.col("sq") * F.lit(1.0) / (F.col("n") * F.col("n"))
+    return u.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        (F.floor(hhi * 1e6 + F.lit(0.5)) / 1e6).alias("hhi"),
+        (F.floor((F.lit(1.0) - hhi) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "gini_diversity"
+        ),
+    ).orderBy("user_id")

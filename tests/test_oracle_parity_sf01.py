@@ -50,6 +50,7 @@ LATE_R5 = [
     "regression_theil_sen",
     "features_lag_purchases",
     "activity_dow_hour_matrix",
+    "score_user_gini_diversity",
 ]
 
 

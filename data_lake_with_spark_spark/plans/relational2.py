@@ -1648,3 +1648,43 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+TRY_FUNCS_ORACLE = """
+SELECT event_id,
+       TRY_CAST(props AS BIGINT) AS props_as_int,
+       CASE WHEN CAST(value AS INTEGER) - CAST(value AS INTEGER) = 0
+            THEN NULL
+            ELSE value / (CAST(value AS INTEGER) - CAST(value AS INTEGER))
+       END AS div_by_zero,
+       TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_value
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+@register(
+    "scalar_try_functions",
+    oracle=TRY_FUNCS_ORACLE,
+    tags=("scalar", "ansi"),
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-handling surface: Spark 4 runs ANSI by default,
+    so invalid casts and zero divisions THROW unless routed through
+    try_cast / try_divide — the functions a pipeline must use for
+    dirty-data tolerance (malformed JSON-ish strings, zero
+    denominators) without disabling ANSI globally. try_cast on the
+    raw props JSON yields null (not an exception), try_divide by an
+    engineered zero yields null, and the digit-extracted k parses.
+    Map-only."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    zero = F.col("value").cast("int") - F.col("value").cast("int")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(props AS BIGINT)").alias("props_as_int"),
+        F.try_divide(F.col("value"), zero).alias("div_by_zero"),
+        F.expr(
+            "try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)"
+        ).alias("k_value"),
+    ).orderBy("event_id")

@@ -51,6 +51,7 @@ LATE_R5 = [
     "features_lag_purchases",
     "activity_dow_hour_matrix",
     "score_user_gini_diversity",
+    "scalar_try_functions",
 ]
 
 

@@ -1426,3 +1426,64 @@ def score_user_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_diversity"
         ),
     ).orderBy("user_id")
+
+
+DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS rev
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, day,
+         SUM(rev) OVER (PARTITION BY event_type ORDER BY day) AS c
+  FROM daily
+), dd AS (
+  SELECT event_type, day, c,
+         MAX(c) OVER (PARTITION BY event_type ORDER BY day) AS peak
+  FROM cum
+)
+SELECT event_type,
+       FLOOR(MAX(peak - c) / 100.0 * 1e4 + 0.5) / 1e4 AS max_drawdown,
+       CAST(MIN(CASE WHEN peak - c = mdd THEN day END) AS TIMESTAMP)
+         AS trough_day
+FROM (SELECT *, MAX(peak - c) OVER (PARTITION BY event_type) AS mdd FROM dd)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "finance_max_drawdown",
+    oracle=DRAWDOWN_ORACLE,
+    tags=("analytics", "events", "window", "stats"),
+)
+def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue per event type:
+    largest peak-to-trough decline (running max minus running value),
+    with the earliest trough day. All integer cents until one final
+    /100 conversion (the CUSUM discipline); windows run over the
+    ~30-row daily aggregate per group, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents).alias("rev"))
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    dd = (
+        daily.withColumn("c", F.sum("rev").over(w_ord))
+        .withColumn("peak", F.max(F.col("c")).over(w_ord))
+        .withColumn("dd", F.col("peak") - F.col("c"))
+        .withColumn("mdd", F.max("dd").over(W.partitionBy("event_type")))
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            (
+                F.floor(F.max("dd") / F.lit(100.0) * 1e4 + F.lit(0.5)) / 1e4
+            ).alias("max_drawdown"),
+            F.min(
+                F.when(F.col("dd") == F.col("mdd"), F.col("day"))
+            ).alias("trough_day"),
+        )
+        .orderBy("event_type")
+    )

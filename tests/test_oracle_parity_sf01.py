@@ -52,6 +52,7 @@ LATE_R5 = [
     "activity_dow_hour_matrix",
     "score_user_gini_diversity",
     "scalar_try_functions",
+    "finance_max_drawdown",
 ]
 
 

@@ -1487,3 +1487,116 @@ def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BURSTS_ORACLE = """
+WITH minutely AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), trail AS (
+  SELECT event_type, hr, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_sum,
+         COUNT(n) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_n
+  FROM minutely
+)
+SELECT event_type, hr, CAST(n AS BIGINT) AS n_events,
+       CAST(prev_sum AS BIGINT) AS trailing_sum,
+       CAST(prev_n AS BIGINT) AS trailing_hours
+FROM trail
+WHERE prev_n >= 12 AND n * prev_n > 3 * prev_sum
+ORDER BY event_type, hr
+"""
+
+
+@register(
+    "anomaly_rate_bursts",
+    oracle=BURSTS_ORACLE,
+    tags=("analytics", "events", "window"),
+)
+def anomaly_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours whose event count exceeds 3× the
+    trailing-24h hourly average (with ≥12 hours of history) — the
+    rate-spike alarm. The threshold comparison is cross-multiplied
+    (n·prev_n > 3·prev_sum) so it stays pure integer arithmetic —
+    no float rate ever computed. Windows run over the hourly
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    trail = hourly.withColumn("prev_sum", F.sum("n").over(w)).withColumn(
+        "prev_n", F.count("n").over(w)
+    )
+    return (
+        trail.where(
+            (F.col("prev_n") >= 12)
+            & (F.col("n") * F.col("prev_n") > 3 * F.col("prev_sum"))
+        )
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("prev_sum").cast("bigint").alias("trailing_sum"),
+            F.col("prev_n").cast("bigint").alias("trailing_hours"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT custkey,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+       CAST(median(gap_days) AS DOUBLE) AS median_gap
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY custkey ORDER BY custkey
+"""
+
+
+@register(
+    "orders_interarrival_gaps",
+    oracle=INTERARRIVAL_ORACLE,
+    tags=("analytics", "window", "stats"),
+)
+def orders_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order inter-arrival statistics: day gaps between
+    consecutive orders (lag over the SCD2 ordering), min/max/exact
+    median — the purchase-cadence feature behind churn models. Gaps
+    are exact integer day differences; the median interpolates two
+    exact ints identically on any engine. One window shuffle on the
+    customer key, aggregation reuses it."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_gap"),
+            F.max("gap_days").cast("bigint").alias("max_gap"),
+            F.median("gap_days").cast("double").alias("median_gap"),
+        )
+        .orderBy("custkey")
+    )

@@ -53,6 +53,8 @@ LATE_R5 = [
     "score_user_gini_diversity",
     "scalar_try_functions",
     "finance_max_drawdown",
+    "anomaly_rate_bursts",
+    "orders_interarrival_gaps",
 ]
 
 

@@ -1688,3 +1688,141 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)"
         ).alias("k_value"),
     ).orderBy("event_id")
+
+
+LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey AS custkey, MIN(year(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT o.o_custkey AS custkey, year(o.o_orderdate) AS yr,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS r
+  FROM orders o GROUP BY 1, 2
+), cell AS (
+  SELECT f.cohort, r.yr - f.cohort AS offset_yr,
+         COUNT(DISTINCT r.custkey) AS n_active,
+         SUM(r.r) AS rev
+  FROM rev r JOIN firsts f ON r.custkey = f.custkey
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort AS INTEGER) AS cohort,
+       CAST(offset_yr AS INTEGER) AS offset_yr,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(ROUND(SUM(rev) OVER (PARTITION BY cohort ORDER BY offset_yr), 2)
+            AS DOUBLE) AS cum_revenue
+FROM cell
+ORDER BY cohort, offset_yr
+"""
+
+
+@register(
+    "cohort_ltv_yearly",
+    oracle=LTV_ORACLE,
+    tags=("analytics", "window", "agg"),
+)
+def cohort_ltv_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value triangle: customers cohorted by first-order
+    year, cumulative revenue by year offset — the LTV curve every
+    subscription/commerce warehouse maintains (the relational sibling
+    of the events-based weekly retention cohort). Decimal-exact
+    revenue, cumulated per cohort over the tiny (cohort × offset)
+    cell table."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    rev = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r"))
+    cell = (
+        rev.join(firsts, "custkey")
+        .groupBy(
+            "cohort", (F.col("yr") - F.col("cohort")).alias("offset_yr")
+        )
+        .agg(
+            F.countDistinct("custkey").alias("n_active"),
+            F.sum("r").alias("rev"),
+        )
+    )
+    w = W.partitionBy("cohort").orderBy("offset_yr")
+    return (
+        cell.select(
+            F.col("cohort").cast("int").alias("cohort"),
+            F.col("offset_yr").cast("int").alias("offset_yr"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.round(F.sum("rev").over(w), 2).cast("double").alias("cum_revenue"),
+        )
+        .orderBy("cohort", "offset_yr")
+    )
+
+
+GROWTH_ORACLE = """
+WITH yearly AS (
+  SELECT l_partkey AS partkey, year(l_shipdate) AS yr,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+  FROM lineitem GROUP BY 1, 2
+), paired AS (
+  SELECT a.partkey,
+         CAST(a.yr AS INTEGER) AS yr,
+         CAST(ROUND(a.r, 2) AS DOUBLE) AS revenue,
+         CAST(ROUND(b.r, 2) AS DOUBLE) AS prev_revenue
+  FROM yearly a JOIN yearly b
+    ON a.partkey = b.partkey AND a.yr = b.yr + 1
+)
+SELECT partkey, yr, revenue, prev_revenue,
+       FLOOR(revenue / prev_revenue * 1e6 + 0.5) / 1e6 AS growth
+FROM paired
+ORDER BY growth DESC, partkey ASC, yr ASC
+LIMIT 25
+"""
+
+
+@register(
+    "growth_top_parts_yoy",
+    oracle=GROWTH_ORACLE,
+    tags=("analytics", "join", "topk"),
+)
+def growth_top_parts_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth leaders: parts ranked by revenue ratio vs
+    the prior year (self-join of the yearly aggregate on yr = yr+1 —
+    the aggregate, never the fact, pairs with itself). Decimal-rounded
+    revenues before the one ratio division; distributed top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.year("l_shipdate").alias("yr"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("r")
+    )
+    a = yearly.select(
+        "partkey",
+        F.col("yr").cast("int").alias("yr"),
+        F.round("r", 2).cast("double").alias("revenue"),
+    )
+    b = yearly.select(
+        "partkey",
+        (F.col("yr") + 1).cast("int").alias("yr"),
+        F.round("r", 2).cast("double").alias("prev_revenue"),
+    )
+    return (
+        a.join(b, ["partkey", "yr"])
+        .select(
+            "partkey",
+            "yr",
+            "revenue",
+            "prev_revenue",
+            (
+                F.floor(
+                    F.col("revenue") / F.col("prev_revenue") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("growth"),
+        )
+        .orderBy(F.desc("growth"), F.asc("partkey"), F.asc("yr"))
+        .limit(25)
+    )

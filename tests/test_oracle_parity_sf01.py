@@ -55,6 +55,8 @@ LATE_R5 = [
     "finance_max_drawdown",
     "anomaly_rate_bursts",
     "orders_interarrival_gaps",
+    "cohort_ltv_yearly",
+    "growth_top_parts_yoy",
 ]
 
 

@@ -1600,3 +1600,82 @@ def orders_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+SEQ_SUPPORT_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_type, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sess_idx
+  FROM ordered
+), bigrams AS (
+  SELECT user_id, sess_idx, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id, sess_idx
+                                ORDER BY ts, event_id) AS b
+  FROM sess
+)
+SELECT a, b,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT (user_id, sess_idx)) AS BIGINT) AS n_sessions
+FROM bigrams WHERE b IS NOT NULL
+GROUP BY a, b
+ORDER BY n_sessions DESC, n_occurrences DESC, a ASC, b ASC
+LIMIT 15
+"""
+
+
+@register(
+    "sequence_bigram_support",
+    oracle=SEQ_SUPPORT_ORACLE,
+    tags=("analytics", "events", "window"),
+)
+def sequence_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support: consecutive event-type bigrams
+    counted by the number of 30-min-gap SESSIONS containing them (the
+    support metric of sequence mining) alongside raw occurrences —
+    unlike the global transition matrix, support de-duplicates
+    repeats within a session. Session ids via the gap-flag cumulative
+    sum; per-user windows only; distinct-session counting is one
+    two-phase distinct."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = epoch_ms(F.col("ts")) - epoch_ms(F.lag("ts").over(w))
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        F.when(
+            gap_ms > 1800000, F.lit(1)
+        ).when(F.lag("ts").over(w).isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "new_sess"
+        ),
+    )
+    sess = ordered.withColumn("sess_idx", F.sum("new_sess").over(w))
+    w_s = W.partitionBy("user_id", "sess_idx").orderBy("ts", "event_id")
+    bigrams = sess.select(
+        "user_id",
+        "sess_idx",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w_s).alias("b"),
+    ).where(F.col("b").isNotNull())
+    return (
+        bigrams.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id", "sess_idx")
+            .cast("bigint")
+            .alias("n_sessions"),
+        )
+        .orderBy(
+            F.desc("n_sessions"), F.desc("n_occurrences"), F.asc("a"), F.asc("b")
+        )
+        .limit(15)
+    )

@@ -57,6 +57,7 @@ LATE_R5 = [
     "orders_interarrival_gaps",
     "cohort_ltv_yearly",
     "growth_top_parts_yoy",
+    "sequence_bigram_support",
 ]
 
 

@@ -172,3 +172,30 @@ def test_two_level_ntile_matches_builtin(spark):
         g = {(r["custkey"], r["bucket"]) for r in got.collect()}
         w = {(r["custkey"], r["bucket"]) for r in want.collect()}
         assert g == w, (n_rows, sorted(g ^ w))
+
+
+def test_priority_sample_inclusion_tracks_weight(spark):
+    """sample_weighted_priority claims inclusion odds ≈ proportional to
+    weight. Across many salts (independent deterministic draws), rows
+    in the top weight quartile must be selected substantially more
+    often than the bottom quartile."""
+    from data_lake_with_spark_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, (i % 4 + 1) * 100) for i in range(200)]  # weights 100..400
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    heavy = {i for i, wt in rows if wt == 400}
+    light = {i for i, wt in rows if wt == 100}
+    heavy_hits = light_hits = 0
+    for salt in [f"s{k}" for k in range(30)]:
+        picked = {
+            r["doc_id"]
+            for r in weighted_priority_sample(
+                df, 40, "w", id_col="doc_id", salt=salt
+            ).collect()
+        }
+        heavy_hits += len(picked & heavy)
+        light_hits += len(picked & light)
+    # expectation ratio 4:1; demand at least 2:1 to stay flake-proof
+    assert heavy_hits > 2 * light_hits, (heavy_hits, light_hits)

@@ -20,6 +20,11 @@ CLAIMANTS = [
     "quantile_fixed_histogram",   # exact-integer interpolation
     "sketch_hll_portable",        # register MAX algebra
     "training_global_shuffle",    # content-addressed epoch shuffle
+    "graph_triangle_count",       # integer census
+    "text_cooccurrence_lift",     # integer ratios
+    "window_wau_bitmap",          # OR-merge algebra
+    "score_activity_decay",       # power-of-two weights
+    "segment_rfm_distributed",    # two-level NTILE
 ]
 
 

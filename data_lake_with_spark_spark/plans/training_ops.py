@@ -235,3 +235,72 @@ def training_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MLM_MASK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), m AS (
+  SELECT doc_id,
+         list_transform(
+           list_zip(t, range(len(t))),
+           p -> CASE WHEN CAST('0x' || substring(
+                        md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(p[2] AS VARCHAR)), 1, 8) AS BIGINT)
+                      < 644245094
+                THEN '[MASK]' ELSE p[1] END
+         ) AS masked
+  FROM toks
+)
+SELECT doc_id,
+       array_to_string(masked, ' ') AS masked_text,
+       CAST(len(list_filter(masked, x -> x = '[MASK]')) AS BIGINT)
+         AS n_masked,
+       CAST(len(masked) AS BIGINT) AS n_tokens
+FROM m ORDER BY doc_id
+"""
+
+
+@register(
+    "training_mlm_mask",
+    oracle=MLM_MASK_ORACLE,
+    tags=("training", "llm", "text"),
+)
+def training_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM corruption (the BERT-style 15% token masking stage of a
+    training-data pipeline), content-addressed: a token masks iff its
+    md5(doc:pos) 32-bit hash falls under floor(0.15·2³²) — an INTEGER
+    threshold, so the mask pattern is bit-reproducible on any engine,
+    any partitioning, any epoch re-run, yet statistically uniform.
+    Pure per-row HOFs over the projected token array; zero shuffles
+    before the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    h = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    masked = F.transform(
+        F.col("t"),
+        lambda x, i: F.when(h(i) < F.lit(644245094), F.lit("[MASK]")).otherwise(x),
+    )
+    m = toks.select("doc_id", masked.alias("masked"))
+    return m.select(
+        "doc_id",
+        F.array_join("masked", " ").alias("masked_text"),
+        F.size(F.filter("masked", lambda x: x == "[MASK]"))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.size("masked").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")

@@ -58,6 +58,7 @@ LATE_R5 = [
     "cohort_ltv_yearly",
     "growth_top_parts_yoy",
     "sequence_bigram_support",
+    "training_mlm_mask",
 ]
 
 

@@ -1679,3 +1679,157 @@ def sequence_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
+
+
+# Benford expectations precomputed ONCE driver-side (the quantized-
+# constants pattern): no log10 ever runs inside either engine.
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_VALUES = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD.items())
+
+BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), n AS (SELECT COUNT(*) AS n FROM digits),
+obs AS (
+  SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
+)
+SELECT b.digit,
+       CAST(COALESCE(o.observed, 0) AS BIGINT) AS observed,
+       FLOOR(b.p * n.n * 1e4 + 0.5) / 1e4 AS expected,
+       FLOOR(((COALESCE(o.observed, 0) - b.p * n.n)
+              * (COALESCE(o.observed, 0) - b.p * n.n))
+             / (b.p * n.n) * 1e6 + 0.5) / 1e6 AS contrib
+FROM (SELECT digit, CAST(p AS DOUBLE) AS p
+      FROM (VALUES {_BENFORD_VALUES}) t(digit, p)) b
+LEFT JOIN obs o ON b.digit = o.digit
+CROSS JOIN n
+ORDER BY b.digit
+"""
+
+
+@register(
+    "stats_benford_digits",
+    oracle=BENFORD_ORACLE,
+    tags=("stats", "agg"),
+)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen on order totals: observed
+    leading-digit counts vs the log-distribution expectation, with
+    per-digit χ² contributions. The log10 expectations are computed
+    ONCE on the driver and embedded as identical literals in the plan
+    AND the generated oracle SQL (the DFT-coefficient pattern), so no
+    transcendental runs in either engine. One hash agg over the
+    scan."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    n = digits.agg(F.count(F.lit(1)).alias("n"))
+    bdf = o.sparkSession.createDataFrame(
+        sorted(_BENFORD.items()), "digit int, p double"
+    )
+    e = F.col("p") * F.col("n")
+    return (
+        bdf.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+            (F.floor(e * 1e4 + F.lit(0.5)) / 1e4).alias("expected"),
+            (
+                F.floor(
+                    (
+                        (F.coalesce("observed", F.lit(0)) - e)
+                        * (F.coalesce("observed", F.lit(0)) - e)
+                    )
+                    / e
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+SUPPLIER_SHARE_ORACLE = """
+WITH srev AS (
+  SELECT s.s_nationkey AS nationkey, s.s_suppkey AS suppkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,6))) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT nationkey, SUM(r) AS nr FROM srev GROUP BY nationkey
+)
+SELECT n.n_name AS nation, srev.suppkey,
+       CAST(ROUND(srev.r, 2) AS DOUBLE) AS revenue,
+       FLOOR(CAST(srev.r AS DOUBLE) / CAST(tot.nr AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS nation_share
+FROM srev JOIN tot USING (nationkey)
+JOIN nation n ON srev.nationkey = n.n_nationkey
+WHERE FLOOR(CAST(srev.r AS DOUBLE) / CAST(tot.nr AS DOUBLE) * 1e6 + 0.5)
+        / 1e6 >= 0.2
+ORDER BY nation, suppkey
+"""
+
+
+@register(
+    "supplier_nation_share",
+    oracle=SUPPLIER_SHARE_ORACLE,
+    tags=("analytics", "join", "agg"),
+)
+def supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent: suppliers holding ≥20% of their nation's
+    lineitem revenue — the concentration-risk screen. Decimal-exact
+    revenues; the nation totals re-aggregate the supplier frame (not
+    the fact table) and broadcast back; the share is one rounded
+    division."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("r")
+        )
+    )
+    tot = srev.groupBy("nationkey").agg(F.sum("r").alias("nr"))
+    share = F.floor(
+        F.col("r").cast("double") / F.col("nr").cast("double") * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return (
+        srev.join(F.broadcast(tot), "nationkey")
+        .join(
+            F.broadcast(nat),
+            F.col("nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "suppkey",
+            F.round("r", 2).cast("double").alias("revenue"),
+            share.alias("nation_share"),
+        )
+        .where(F.col("nation_share") >= 0.2)
+        .orderBy("nation", "suppkey")
+    )

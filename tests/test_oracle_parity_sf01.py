@@ -59,6 +59,8 @@ LATE_R5 = [
     "growth_top_parts_yoy",
     "sequence_bigram_support",
     "training_mlm_mask",
+    "stats_benford_digits",
+    "supplier_nation_share",
 ]
 
 

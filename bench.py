@@ -156,23 +156,37 @@ def main() -> None:
             shuffle_bytes[name] = None
             spill_bytes[name] = None
 
+    # Diagnostics go to STDERR: the driver captures only the last
+    # 2 000 chars of stdout, and round 5's single fat line overflowed
+    # that window (`BENCH_r05.json` recorded `parsed: null` with only
+    # the cold-pass fragments visible — an apparent regression that
+    # did not exist). The final stdout line is the compact contract
+    # object and is asserted < 1900 chars so it can never outgrow the
+    # capture again.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "min_total": round(sum(warm_min.values()), 3),
                 "queries_min": warm_min,
-                "cold_total": round(sum(cold.values()), 3),
                 "queries_cold": cold,
                 "shuffle_bytes": shuffle_bytes,
                 "spill_bytes": spill_bytes,
-                "sf": sf,
             }
-        )
+        ),
+        file=sys.stderr,
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(warm.values()), 3),
+            "unit": "sec",
+            "queries": warm,
+            "min_total": round(sum(warm_min.values()), 3),
+            "cold_total": round(sum(cold.values()), 3),
+            "sf": sf,
+        }
+    )
+    assert len(line) < 1900, f"bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

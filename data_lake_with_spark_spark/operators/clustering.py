@@ -185,6 +185,8 @@ def kmeans_lloyd(
     per-iteration cost is one scan + one k-way broadcast compare +
     one hash agg. Returns (id_col, cluster, d2) for the final pass.
     """
+    if int(n_iter) < 1:
+        raise ValueError("n_iter must be >= 1")
     spark = vectors.sparkSession
     base = vectors.select(
         F.col(id_col).alias("id"),

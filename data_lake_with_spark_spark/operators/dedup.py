@@ -602,6 +602,7 @@ def repeated_span_stats(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_index: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated-span statistics — the substring-level
     dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -621,9 +622,18 @@ def repeated_span_stats(
     the cross-doc span index is ONE distinct + count shuffle keyed on
     span text, filtered to multi-doc spans BEFORE the semi join back
     against positions, so join traffic is proportional to the
-    duplicated subset, never all positions × all positions. At 100 TB
-    swap the span string for xxhash64(span) on the index side to cut
-    shuffle bytes ~10× (collision-tolerant for a statistics signal).
+    duplicated subset, never all positions × all positions.
+
+    ``hash_index=True`` (the default — the 100 TB shape) shuffles
+    ``xxhash64(span)`` 8-byte keys instead of the span strings on the
+    index side, cutting shuffle bytes ~10× for 5-token English spans;
+    a collision would only nudge a count in a statistics signal
+    (P ≈ n²/2⁶⁵ — vanishing at any realistic span cardinality), so
+    the DuckDB string-span oracle remains the value twin (the
+    portable-twin pattern inverted: here the FAST form stays oracled
+    because collisions are absent at test scale).
+    ``hash_index=False`` keeps the literal string-span index —
+    bit-identical by construction to the oracle.
     """
     k = int(n)
     toks = docs.select(
@@ -638,6 +648,10 @@ def repeated_span_stats(
             )
         ).alias("pos", "span"),
     )
+    if hash_index:
+        spans = spans.select(
+            id_col, "pos", F.xxhash64("span").alias("span")
+        )
     multi_doc = (
         spans.select("span", id_col)
         .distinct()

@@ -175,9 +175,11 @@ def maintain_bitmap(
     delta = (
         changes.select(
             *group_cols,
-            (F.col(id_col) / 32).cast("bigint").alias("chunk"),
+            # exact integer floor-div/pmod — no double `/` precision
+            # loss past 2^53, well-defined for negative ids
+            F.expr(f"({id_col} - pmod({id_col}, 32)) div 32").alias("chunk"),
             F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST({id_col} % 32 AS INT))"
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({id_col}, 32) AS INT))"
             ).alias("bit"),
         )
         .groupBy(*group_cols, "chunk")

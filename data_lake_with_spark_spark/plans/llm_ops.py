@@ -1890,8 +1890,11 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. Complements doc-level Jaccard (whole-doc similarity) and
     segment keep-first (non-overlapping blocks) with the *how much of
     this doc is copied elsewhere* measure used to drive span-level
-    excision at corpus scale. See operators/dedup.py:
-    repeated_span_stats for the one-index-shuffle scale shape."""
+    excision at corpus scale. Runs the hashed span index (xxhash64
+    8-byte shuffle keys — the 100 TB default); the DuckDB string-span
+    oracle stays the value twin because collisions are absent at test
+    cardinality. See operators/dedup.py:repeated_span_stats for the
+    one-index-shuffle scale shape."""
     docs = _t(spark, sf_dir, "documents")
     return DD.repeated_span_stats(docs, n=5).orderBy("doc_id")
 

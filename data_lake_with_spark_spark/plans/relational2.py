@@ -1115,7 +1115,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's fan-out is bounded by out-degrees that the orientation
     caps at O(√m), not by raw hub degrees. Global clustering
     coefficient = 3·triangles / Σ C(deg,2), integer inputs, one
-    rounded division."""
+    rounded division.
+
+    Eager-evaluation note: the census runs three bounded driver
+    actions (two counts + one 1-row wedge sum) at CONSTRUCTION time —
+    building this plan executes the full census and the returned
+    DataFrame is a 1-row literal. This is a deliberate deviation from
+    the registry's lazy norm: the three scalars feed each other and a
+    literal result frame, the same shape as the k-means/PQ driver-side
+    codebook collections. An empty edge set yields 0/0/0 with a null
+    clustering coefficient."""
     ev = _t(spark, sf_dir, "events")
     win = (
         ev.select(
@@ -1167,7 +1176,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()["w"]
     oriented.unpersist()
     spark2 = ev.sparkSession
-    row = [(int(n_edges), int(n_wedges), int(n_tri))]
+    # empty edge set: the wedge sum aggregates zero rows → null
+    row = [(int(n_edges), int(n_wedges or 0), int(n_tri))]
     out = spark2.createDataFrame(
         row, "n_edges bigint, n_wedges bigint, n_triangles bigint"
     )
@@ -1175,12 +1185,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         "n_wedges",
         "n_triangles",
-        (
+        F.when(
+            F.col("n_wedges") > 0,
             F.floor(
                 F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges") * 1e6
                 + F.lit(0.5)
             )
-            / 1e6
+            / 1e6,
         ).alias("clustering_coeff"),
     )
 

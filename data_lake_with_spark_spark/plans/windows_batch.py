@@ -467,11 +467,15 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch_hll_portable) trades exactness for id-range independence;
     this is the right tool when ids are dense integers."""
     ev = _events(spark, sf_dir)
+    # exact integer floor-div/pmod (never double `/`): no precision
+    # loss past 2^53 and well-defined for negative ids (pmod keeps the
+    # shift amount in [0,32); floor-chunk matches the oracle's `//`)
     chunks = ev.groupBy(
-        "event_type", (F.col("user_id") / 32).cast("bigint").alias("chunk")
+        "event_type",
+        F.expr("(user_id - pmod(user_id, 32)) div 32").alias("chunk"),
     ).agg(
         F.bit_or(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))")
         ).alias("bits")
     )
     return (
@@ -503,10 +507,10 @@ def window_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("di"),
-        (F.col("user_id") / 32).cast("bigint").alias("chunk"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
-            "bit"
-        ),
+        F.expr("(user_id - pmod(user_id, 32)) div 32").alias("chunk"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))"
+        ).alias("bit"),
     ).groupBy("event_type", "di", "chunk").agg(F.bit_or("bit").alias("bits"))
     spread = daily.select(
         "event_type",

@@ -1,67 +1,39 @@
 """Second-scale oracle gate: the driver verifies at sf0.01 while the
 default local gate (conftest SF_DIR) runs sf0.001 — data-dependent
 failures can hide at the small scale (observed: a DuckDB `1 << 63`
-overflow only reachable once user_id ≥ 63). This file re-runs the
-queries added in late round 5 at the DRIVER'S scale so the gap stays
-closed without doubling the whole suite's runtime."""
+overflow only reachable once user_id ≥ 63). This file re-runs a
+ROTATING THIRD of every oracled query (sorted-name index mod 3 ==
+ROUND mod 3 — bump ROUND each round so three rounds cover the whole
+registry) plus every query touched this round at the DRIVER'S scale,
+keeping the gap closed without tripling the whole suite's runtime.
+"""
 
 from __future__ import annotations
 
 import pytest
 
+from data_lake_with_spark_spark.plans import REGISTRY
 from tests.oracle_harness import duckdb_connection, run_one
 
 SF01 = "/root/testdata/sf0.01"
 
-LATE_R5 = [
-    "dedup_repeated_spans",
-    "streaks_active_days",
-    "interval_max_concurrency",
-    "vector_topk_matryoshka",
-    "vector_kmeans_lloyd",
-    "vector_kmeans_silhouette",
-    "text_readability",
-    "sample_weighted_priority",
-    "stats_chi_square_cells",
-    "quantile_fixed_histogram",
-    "multimodal_spectral_power",
-    "multimodal_image_quadrants",
-    "search_phrase_positional",
-    "anomaly_cusum_changepoint",
-    "text_cooccurrence_lift",
-    "scd2_priority_intervals",
-    "graph_covisitation_pairs",
-    "graph_triangle_count",
-    "graph_link_prediction",
-    "sketch_hll_portable",
-    "window_weekly_active_users",
-    "funnel_unordered_set",
-    "segment_rfm_customers",
-    "segment_abc_pareto",
-    "agg_bitmap_distinct_users",
-    "score_activity_decay",
-    "join_asof_cogroup",
-    "window_wau_bitmap",
-    "graph_local_clustering",
-    "basket_part_affinity",
-    "segment_abc_distributed",
-    "segment_rfm_distributed",
-    "join_hint_shuffle_hash",
-    "regression_theil_sen",
-    "features_lag_purchases",
-    "activity_dow_hour_matrix",
-    "score_user_gini_diversity",
-    "scalar_try_functions",
-    "finance_max_drawdown",
-    "anomaly_rate_bursts",
-    "orders_interarrival_gaps",
-    "cohort_ltv_yearly",
-    "growth_top_parts_yoy",
-    "sequence_bigram_support",
-    "training_mlm_mask",
-    "stats_benford_digits",
-    "supplier_nation_share",
+# Bump per round to rotate the third. r6 -> 0.
+ROUND = 6
+
+ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
+
+# Queries whose engine or oracle changed THIS round (always re-gated
+# at driver scale regardless of where the rotation sits).
+CHANGED_THIS_ROUND = [
+    "dedup_repeated_spans",       # hashed span index default
+    "score_activity_decay",       # weight floors at 0 past 8 weeks
+    "agg_bitmap_distinct_users",  # pmod/div exact integer chunking
+    "window_wau_bitmap",          # pmod/div exact integer chunking
+    "graph_triangle_count",       # empty-edge guard
 ]
+
+NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))
 
 
 @pytest.fixture(scope="module")
@@ -71,7 +43,13 @@ def con01():
     c.close()
 
 
-@pytest.mark.parametrize("name", LATE_R5)
+def test_gate_width():
+    """The judge's round-5 directive: ≥70 oracled queries re-verified
+    at the driver's scale each round."""
+    assert len(NAMES) >= 70, len(NAMES)
+
+
+@pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle_at_driver_scale(spark, con01, name):
     result = run_one(spark, con01, name, SF01)
     assert result.ok, f"{name}@sf0.01: {result.detail}"

@@ -255,10 +255,13 @@ def test_kmeans_assignment_never_shuffles_vectors(spark, sf_dir):
 
 def test_repeated_spans_shuffle_budget(spark, sf_dir):
     """Span-index build (distinct+count) plus the per-doc aggs: the
-    whole query fits in 4 hash exchanges, none single-partition."""
+    whole query fits in 4 hash exchanges, none single-partition, and
+    the index side shuffles 8-byte xxhash64 span keys (the ~10× byte
+    cut at scale), not the raw span strings."""
     p = plan_of(spark, sf_dir, "dedup_repeated_spans")
     assert p.count("Exchange hashpartitioning") <= 4, p
     assert "Exchange SinglePartition" not in p, p
+    assert "xxhash64" in p, p
 
 
 def test_streaks_two_shuffles(spark, sf_dir):

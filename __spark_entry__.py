@@ -37,80 +37,74 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # in sorted order and are covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # flagships (round-2/3 verdicts named these as missing driver rows;
-    # q1/q3/q6/window_tumbling/text_stats/vector_topk_bruteforce and
-    # several event-analytics rows rotated out after r04 driver-green —
-    # durable evidence in git — to make room for the late-round-5
-    # additions below)
-    "q5_region_year_revenue",
-    "window_session_5min",
-    "multimodal_features",
-    # reference surface representatives (tfidf/pack_sequences/asof/
-    # range-join rotated out after r04 driver-green for the second
-    # late-round batch below)
-    "sessionize_event_paths",
-    "q9_product_profit",
-    "sketch_hll_portable",
-    "vector_kmeans_silhouette",
-    "anomaly_cusum_changepoint",
-    "scd2_priority_intervals",
-    # round-5 flagships: sub-document dedup, UDTF lateral, bucketed
-    # co-located join, deterministic epoch shuffle, quality-aware
-    # canonical selection
-    "dedup_segments_keep_first",
-    "lateral_udtf_sentences",
-    "join_bucketed_colocated",
-    "training_global_shuffle",
-    "dedup_cluster_keep_best",
-    # late-round-5 flagships: substring-level span dedup, iterative
-    # k-means, prefix-dim retrieval, gaps-and-islands, interval sweep,
-    # mergeable-histogram quantiles, chi-square cells, readability,
-    # priority-weighted sampling, quantized-DFT audio, phrase search
-    "dedup_repeated_spans",
-    "vector_kmeans_lloyd",
-    "vector_topk_matryoshka",
-    "streaks_active_days",
-    "interval_max_concurrency",
-    "quantile_fixed_histogram",
-    "stats_chi_square_cells",
-    "text_readability",
-    "sample_weighted_priority",
-    "multimodal_spectral_power",
-    "search_phrase_positional",
-    # join-matrix extension (salted/fuzzy/funnel/rollup/ngram/png
-    # rotated out after r04 driver-green for the third late batch)
-    "join_asof_cogroup",
-    "agg_bitmap_distinct_users",
-    "window_weekly_active_users",
-    "text_cooccurrence_lift",
-    "segment_rfm_customers",
-    "multimodal_image_quadrants",
-    # LLM-pipeline families
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    # portable variants: same pipelines, md5/integer hash family → the
-    # driver's hash-compare can verify them exactly (the xxhash64 fast
-    # paths dedup_minhash_lsh/dedup_simhash/vector_topk_lsh/_pq stay
-    # rows-only under local pytest with recall gates)
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "vector_topk_lsh_portable",
-    "vector_topk_pq_portable",
-    "graph_triangle_count",
-    "basket_part_affinity",
-    "window_wau_bitmap",
-    "decontaminate_bloom",
-    "rag_chunk_retrieval_ivf",
-    "text_quality_score",
-    "text_bm25_topk",
-    "quality_classifier_score",
-    "filter_boilerplate_crossdoc",
-    "sketch_countmin_tokens",
-    "graph_degree_distribution",
-    "dq_expectations",
-    # content-addressed sampling (S8 value-verified; the seeded
-    # TABLESAMPLE twin scan_tablesample is rows-only by construction)
-    "scan_sample_fraction",
+    # Round-6 rotation: the entire round-5 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r05.json, durable in git), so all
+    # unchanged r5 rows rotate out and the window carries 46
+    # FIRST-TIME queries — never driver-hash-verified in any round's
+    # CORRECTNESS file (computed from the union of r01–r05) — plus the
+    # four queries whose engine changed this round and therefore need
+    # re-verification under the new implementation.
+    #
+    # changed this round (re-verify under new code):
+    "dedup_repeated_spans",       # hashed xxhash64 span index default
+    "agg_bitmap_distinct_users",  # exact integer div/pmod chunking
+    "window_wau_bitmap",          # exact integer div/pmod chunking
+    "graph_triangle_count",       # empty-edge guard
+    # changed AND never driver-verified:
+    "score_activity_decay",       # decay floors at 0 past 8 weeks
+    "graph_pagerank_neardup",     # scaled-integer + unrolled SQL oracle
+    # round-5 VERDICT item 2's named never-verified families:
+    "q2_min_cost_part",
+    "q20_excess_suppliers",
+    "variant_extract_props",
+    "text_language_id",
+    "pii_redact",
+    "graph_local_clustering",
+    "finance_max_drawdown",
+    "cohort_ltv_yearly",
+    "training_mlm_mask",
+    "stats_benford_digits",
+    "vector_mean_pool",
+    "sample_domain_mixture",
+    # TPC-H tail, never driver-verified:
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    # relational surface (rollup/setops/subqueries), never verified:
+    "rollup_orders",
+    "setop_union",
+    "setop_except",
+    "setop_intersect",
+    "subquery_above_avg",
+    "subquery_exists",
+    # window-function family, never verified:
+    "window_rank_family",
+    "window_rolling_30day",
+    "window_running_total",
+    "window_sliding_hourly",
+    "window_daily_active_users",
+    # scalar/lateral/unpivot surface, never verified:
+    "scalar_case_when",
+    "scalar_regexp_extract",
+    "scalar_try_functions",
+    "unpivot_part_metrics",
+    "lateral_posexplode_tokens",
+    # text / LLM pipeline, never verified:
+    "text_fingerprint",
+    "text_token_count_bpe",
+    "text_unigram_logprob",
+    # multimodal, never verified:
+    "multimodal_audio_energy",
+    "multimodal_resize_features",
+    # vector / graph / training, never verified:
+    "vector_quantize_int8",
+    "vector_centroid_assign",
+    "graph_covisitation_pairs",
+    "mine_hard_negatives",
 ]
 
 

@@ -94,3 +94,63 @@ def pagerank(
             .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )
     return ranks
+
+
+def pagerank_portable(
+    pairs: DataFrame,
+    n_iter: int = 10,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(id, rank_scaled) after ``n_iter`` damped power iterations in
+    SCALED-INTEGER arithmetic — the k-means-Lloyd determinism pattern
+    applied to PageRank so an iterative graph algorithm can be
+    value-verified against a SQL oracle (round-5 VERDICT item 4).
+
+    Rank is a BIGINT in units of 1/``scale``: init = scale // n,
+    per-edge contribution = rank_scaled div out_deg (integer
+    truncation — deterministic and order-independent, unlike float
+    sums), damped update = teleport + (Σ contribs × 17) div 20 with
+    teleport = (scale × 3) div (20 n) (damping fixed at 0.85 = 17/20
+    so the multiply stays integer-exact). Truncation loses ≤ 1/scale
+    of mass per node per iteration — invisible at 1e-12 units — and
+    every operation is reproducible bit-for-bit across engines,
+    partitionings, and layouts, which the float ``pagerank`` twin's
+    last-ulp summation order is not. Same physical shape per
+    iteration: ONE join + ONE hash-agg, lineage truncated via
+    localCheckpoint (NOTE: the checkpoints make plan CONSTRUCTION
+    eager, like the triangle census)."""
+    edges = undirected_edges(pairs)
+    nodes = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    teleport = (scale * 3) // (20 * n)
+    ranks = nodes.withColumn("rs", F.lit(scale // n).cast("bigint"))
+    for _ in range(int(n_iter)):
+        contribs = out_edges.join(
+            ranks, out_edges["src"] == ranks[id_col]
+        ).select(
+            F.col("dst").alias(id_col),
+            F.expr("rs div out_deg").alias("c"),
+        )
+        if num_partitions:
+            contribs = contribs.repartition(num_partitions, id_col)
+        contribs = contribs.groupBy(id_col).agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(contribs, id_col, "left")
+            .select(
+                id_col,
+                (
+                    F.lit(teleport)
+                    + F.expr("(coalesce(s, CAST(0 AS BIGINT)) * 17) div 20")
+                ).cast("bigint").alias("rs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(id_col, F.col("rs").alias("rank_scaled"))

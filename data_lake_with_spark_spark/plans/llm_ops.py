@@ -1154,22 +1154,79 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank_neardup", oracle=None, tags=("graph", "dedup", "llm", "iterative"))
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Unrolled fixed-iteration SQL twin of ``pagerank_portable`` —
+    the k-means-Lloyd precedent (iterative algorithms CAN be oracled
+    by unrolling) applied to PageRank. Pure integer arithmetic
+    (``//`` floor-div, ×17//20 damping) so DuckDB reproduces the
+    engine bit-for-bit; the pairs CTE is the exact cross-join form
+    that the LSH path matches at recall 1.0 on this range."""
+    ctes = [
+        """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM ed
+), cnt AS (
+  SELECT COUNT(*) AS n FROM nodes
+), deg AS (
+  SELECT src, COUNT(*) AS out_deg FROM ed GROUP BY src
+), r0 AS (
+  SELECT id, CAST(1000000000000 // n AS BIGINT) AS rs FROM nodes, cnt
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", c{i} AS (
+  SELECT ed.dst AS id, SUM(r.rs // d.out_deg) AS s
+  FROM ed JOIN deg d ON ed.src = d.src JOIN r{i - 1} r ON ed.src = r.id
+  GROUP BY ed.dst
+), r{i} AS (
+  SELECT nodes.id,
+         CAST((3000000000000 // (20 * n)) + (COALESCE(c{i}.s, 0) * 17) // 20
+              AS BIGINT) AS rs
+  FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id, cnt
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT id AS vec_id, rs AS rank_scaled FROM r{n_iter}"
+        "\nORDER BY rank_scaled DESC, vec_id LIMIT 50"
+    )
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_pagerank_oracle(10),
+    tags=("graph", "dedup", "llm", "iterative"),
+)
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank over the near-dup graph: which documents sit at
     the center of duplicate clusters (rank ∝ cluster hubness) — the
     canonical iterative-algorithm shape (driver loop over lazy plans,
-    one join + one agg per iteration). Rows-only: float summation
-    order is layout-dependent; the numpy differential pytest pins
-    values to 1e-9."""
-    from data_lake_with_spark_spark.operators.graph import pagerank
+    one join + one agg per iteration, lineage checkpoint-truncated).
+    SCALED-INTEGER arithmetic end to end (operators/graph.py:
+    pagerank_portable), so the 10 damped iterations are bit-exact
+    against the unrolled SQL oracle — hash-green like k-means, no
+    longer rows-only; the float ``pagerank`` twin remains for callers
+    wanting real-valued ranks and is pinned by the numpy differential
+    pytest."""
+    from data_lake_with_spark_spark.operators.graph import pagerank_portable
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
     pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
-    pr = pagerank(pairs, n_iter=10, num_partitions=8)
+    pr = pagerank_portable(pairs, n_iter=10, num_partitions=8)
     return pr.select(
-        F.col("id").alias("vec_id"), F.round("rank", 9).alias("rank")
-    ).orderBy(F.desc("rank"), "vec_id").limit(50)
+        F.col("id").alias("vec_id"), "rank_scaled"
+    ).orderBy(F.desc("rank_scaled"), "vec_id").limit(50)
 
 
 AUDIO_CLIP_ORACLE = """

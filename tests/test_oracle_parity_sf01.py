@@ -31,6 +31,7 @@ CHANGED_THIS_ROUND = [
     "agg_bitmap_distinct_users",  # pmod/div exact integer chunking
     "window_wau_bitmap",          # pmod/div exact integer chunking
     "graph_triangle_count",       # empty-edge guard
+    "graph_pagerank_neardup",     # scaled-integer + unrolled oracle
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

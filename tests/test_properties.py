@@ -199,3 +199,145 @@ def test_priority_sample_inclusion_tracks_weight(spark):
         light_hits += len(picked & light)
     # expectation ratio 4:1; demand at least 2:1 to stay flake-proof
     assert heavy_hits > 2 * light_hits, (heavy_hits, light_hits)
+
+
+# --- GIF LZW adversarial fuzz (round-6 VERDICT item 7) -------------------
+# The LZW coder has three edge paths that random small rasters rarely
+# reach: the KwKwK first-use code (decoder sees code == len(table)),
+# the 12-bit width cap, and the clear-code table reset. Each gets a
+# deterministic adversarial raster plus a hypothesis sweep, always
+# round-tripped encode -> decode == original.
+
+
+def _gif_round_trip(raster: bytes, w: int, h: int) -> None:
+    from data_lake_with_spark_spark.operators.media_codecs import (
+        decode_gif_bytes,
+        encode_gif,
+    )
+
+    gw, gh, px = decode_gif_bytes(encode_gif(raster, w, h))
+    assert (gw, gh) == (w, h)
+    assert px == raster
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_gif_codec_round_trip_property(data):
+    w = data.draw(st.integers(1, 24))
+    h = data.draw(st.integers(1, 24))
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    _gif_round_trip(raster, w, h)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_gif_codec_run_heavy_property(data):
+    """Run-heavy rasters: repeated-byte runs make the encoder emit a
+    just-created code immediately, forcing the decoder's KwKwK branch
+    (code == len(table)) over and over."""
+    runs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 255), st.integers(1, 64)),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    raster = b"".join(bytes([v]) * n for v, n in runs)
+    w = len(raster)
+    _gif_round_trip(raster, w, 1)
+
+
+def test_gif_kwkwk_single_byte_run():
+    # aaaa...: the canonical cScScS KwKwK stream
+    _gif_round_trip(b"\x07" * 500, 25, 20)
+
+
+def test_gif_twelve_bit_cap_and_clear_reset():
+    """A long seeded-random raster drives the encoder table past
+    code 4095, forcing the mid-stream clear-code reset and the
+    decoder's width growth through every width 9..12."""
+    import random
+
+    rnd = random.Random(42)
+    raster = bytes(rnd.randrange(256) for _ in range(12_000))
+    _gif_round_trip(raster, 200, 60)
+
+
+def test_gif_alternating_pattern():
+    # abab...: grows two-symbol dictionary chains, hits KwKwK at the
+    # second occurrence boundary
+    _gif_round_trip(bytes([0, 1] * 300), 30, 20)
+
+
+def test_gif_width_boundary_exact():
+    """Rasters sized so the last code lands exactly on a width-growth
+    boundary (table size hitting 2^width as the stream ends)."""
+    for n in (253, 254, 255, 256, 509, 510, 511, 512):
+        _gif_round_trip(bytes(i % 251 for i in range(n)), n, 1)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_png_mixed_per_row_filters_property(data):
+    """Real PNG encoders pick a DIFFERENT filter per scanline; the
+    package encoder applies one globally, so the decoder's
+    filter-switching path (prev row defiltered under one type feeding
+    the next row's predictor under another) needs its own fuzz. Build
+    the IDAT by filtering row r with type r mod 5 and check the
+    decoder restores the raster."""
+    import struct
+    import zlib
+
+    from data_lake_with_spark_spark.operators.media_codecs import (
+        _PNG_SIG,
+        _chunk,
+        decode_png_bytes,
+    )
+
+    w = data.draw(st.integers(1, 10))
+    h = data.draw(st.integers(2, 10))
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+    stride = w * ch
+    raster = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=h * stride, max_size=h * stride)
+        )
+    )
+    rows = bytearray()
+    prev = bytearray(stride)
+    for r in range(h):
+        cur = bytearray(raster[r * stride : (r + 1) * stride])
+        ft = r % 5
+        filtered = bytearray(cur)
+        if ft == 1:
+            for x in range(stride - 1, ch - 1, -1):
+                filtered[x] = (cur[x] - cur[x - ch]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                filtered[x] = (cur[x] - prev[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                filtered[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filtered[x] = (cur[x] - pred) & 0xFF
+        rows += bytes([ft]) + filtered
+        prev = cur
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_bytes(png) == (w, h, ch, raster)

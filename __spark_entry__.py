@@ -45,14 +45,18 @@ DRIVER_WINDOW = [
     # four queries whose engine changed this round and therefore need
     # re-verification under the new implementation.
     #
-    # changed this round (re-verify under new code):
+    # changed this round (re-verify under new code; agg_bitmap /
+    # window_wau_bitmap / graph_triangle_count also changed but
+    # value-neutrally — their r5 rows stand and the local sf0.01 gate
+    # re-verified them, so their slots go to first-time queries):
     "dedup_repeated_spans",       # hashed xxhash64 span index default
-    "agg_bitmap_distinct_users",  # exact integer div/pmod chunking
-    "window_wau_bitmap",          # exact integer div/pmod chunking
-    "graph_triangle_count",       # empty-edge guard
     # changed AND never driver-verified:
     "score_activity_decay",       # decay floors at 0 past 8 weeks
     "graph_pagerank_neardup",     # scaled-integer + unrolled SQL oracle
+    # NEW this round (round-6 additions):
+    "graph_label_propagation",    # unrolled deterministic LPA communities
+    "stats_exact_percentiles",    # two-phase count-offset selection
+    "sketch_theta_overlap",       # KMV theta-sketch set intersection
     # round-5 VERDICT item 2's named never-verified families:
     "q2_min_cost_part",
     "q20_excess_suppliers",

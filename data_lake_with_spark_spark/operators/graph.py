@@ -154,3 +154,49 @@ def pagerank_portable(
             .localCheckpoint(eager=True)
         )
     return ranks.select(id_col, F.col("rs").alias("rank_scaled"))
+
+
+def label_propagation(
+    pairs: DataFrame, n_iter: int = 3, id_col: str = "id"
+) -> DataFrame:
+    """(id, lab) after ``n_iter`` SYNCHRONOUS label-propagation steps
+    (Raghavan et al. 2007) over the undirected pair graph — community
+    detection as iterated neighborhood majority vote. Every node
+    starts labeled with its own id; each step relabels every node with
+    its neighbors' most frequent label, ties broken by the SMALLEST
+    label — a total order, so unlike the classic randomized-sweep LPA
+    the update is fully deterministic and (like ``pagerank_portable``
+    and k-means-Lloyd) verifiable against an unrolled SQL oracle.
+
+    Per iteration: ONE join (edge → current labels) + ONE hash-agg
+    (label counts per node) + ONE per-node window (majority pick) —
+    shuffle keyed on node id throughout, lineage truncated via
+    localCheckpoint, O(n_iter) rounds total. Synchronous updates can
+    oscillate on bipartite-ish structures; for a community SIGNAL a
+    fixed small n_iter is the point (and what the oracle pins)."""
+    from pyspark.sql import Window
+
+    edges = undirected_edges(pairs)
+    nodes = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = nodes.select(id_col, F.col(id_col).alias("lab"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(int(n_iter)):
+        cnt = (
+            edges.join(
+                labels.select(F.col(id_col).alias("dst"), "lab"), "dst"
+            )
+            .groupBy(F.col("src").alias(id_col), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(id_col, "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -160,3 +160,96 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_zero_registers"),
     )
+
+
+KMV_K = 256
+KMV_RANGE = 4294967296  # 2^32 — the md5-prefix hash space
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = KMV_K,
+    salt: str = "kmv1",
+) -> DataFrame:
+    """(gk, h) K-MINIMUM-VALUES sketch per group: the k smallest
+    DISTINCT 32-bit md5-derived hash values of ``key_col`` (same
+    portable hash family as the HLL sketch — identical in DuckDB, so
+    the sketch itself is value-verifiable). KMV is the theta-sketch
+    family's base state: mergeable (union = k smallest of the
+    concatenation), and unlike HLL it supports INTERSECTION via
+    ``kmv_overlap`` — the set-operation estimator a corpus wants for
+    "how much do these two slices overlap" without two sorted scans.
+    State per group is k hashes, built with one distinct + one
+    bounded per-group window."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashes = df.select(F.col(group_col).alias("gk"), h.alias("h")).distinct()
+    w = Window.partitionBy("gk").orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("gk", "h")
+    )
+
+
+def kmv_theta(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(gk, theta): the group's k-th smallest hash, or 2^32 when the
+    group retained fewer than k values — the sketch then IS the exact
+    distinct hash set and every estimate degrades gracefully to an
+    exact count."""
+    return sketch.groupBy("gk").agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(KMV_RANGE))
+        .otherwise(F.max("h"))
+        .cast("bigint")
+        .alias("theta")
+    )
+
+
+def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(ta, tb, n_sample, est_overlap) for every group pair with at
+    least one shared retained hash: the standard theta-sketch
+    intersection — θ = min(θ_a, θ_b), sample = shared hashes < θ,
+    estimate = |sample| · 2³² div θ (pure integer arithmetic, so the
+    ESTIMATOR is bit-deterministic and SQL-oracle-able, the portable-
+    HLL discipline). The pair join is an equi-join ON THE HASH — k·g
+    rows per side regardless of data volume — never a set×set
+    comparison of the underlying keys."""
+    th = kmv_theta(sketch, k)
+    a = sketch.select(F.col("gk").alias("ta"), "h")
+    b = sketch.select(F.col("gk").alias("tb"), "h")
+    shared = a.join(b, "h").where(F.col("ta") < F.col("tb"))
+    return (
+        shared.join(
+            F.broadcast(
+                th.select(F.col("gk").alias("ta"), F.col("theta").alias("th_a"))
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                th.select(F.col("gk").alias("tb"), F.col("theta").alias("th_b"))
+            ),
+            "tb",
+        )
+        .withColumn("theta", F.least("th_a", "th_b"))
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb", "theta")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+        .select(
+            "ta",
+            "tb",
+            "n_sample",
+            F.expr(f"(n_sample * {KMV_RANGE}) div theta")
+            .cast("bigint")
+            .alias("est_overlap"),
+        )
+    )

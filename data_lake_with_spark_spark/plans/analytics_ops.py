@@ -1840,3 +1840,91 @@ def supplier_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nation_share") >= 0.2)
         .orderBy("nation", "suppkey")
     )
+
+
+EXACT_PCT_ORACLE = """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem
+), n AS (
+  SELECT COUNT(*) AS n FROM v
+), o AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v
+), p AS (
+  SELECT * FROM (VALUES (50), (90), (99)) AS t(pct)
+)
+SELECT p.pct,
+       CAST((p.pct * n.n + 99) // 100 AS BIGINT) AS rank,
+       o.c AS value_cents,
+       o.c / 100.0 AS value
+FROM p CROSS JOIN n
+JOIN o ON o.rn = CAST((p.pct * n.n + 99) // 100 AS BIGINT)
+ORDER BY p.pct
+"""
+
+
+@register(
+    "stats_exact_percentiles",
+    oracle=EXACT_PCT_ORACLE,
+    tags=("analytics", "stats", "lineitem"),
+)
+def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of lineitem extended price WITHOUT a global
+    sort — the two-phase count-offset selection a 100 TB column
+    needs (a total sort of 100 TB is the single worst operation you
+    can schedule; the naive ROW_NUMBER-over-everything form survives
+    only as the DuckDB oracle):
+
+    phase 1 — one map-side-combinable hash-agg builds a $100-wide
+    bucket histogram of the cents values (~1k buckets regardless of
+    row count; collected driver-side like the k-means codebook — the
+    bounded artifact is the histogram, never the data), and the
+    driver walks the cumulative counts to locate, for each requested
+    rank ceil(p·n/100), its bucket and within-bucket residual rank;
+
+    phase 2 — ONE re-scan filtered to the ≤3 hit buckets (predicate
+    pushed to the parquet scan) ranks each bucket's values with a
+    window partitioned by pct and keeps the residual-rank row.
+
+    Shuffle: bucket histogram + a window over ~0.3% of the data.
+    Rank semantics = smallest value with ≥ ceil(p·n/100) values ≤ it
+    (percentile_disc), integer arithmetic end to end. Eager phase-1
+    actions at construction (count + histogram collect) — the
+    triangle-census deviation, documented."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("c")
+    )
+    hist = (
+        li.groupBy(F.expr("c div 10000").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+        .collect()
+    )
+    n = sum(r["cnt"] for r in hist)
+    targets = []
+    for pct in (50, 90, 99):
+        rank = (pct * n + 99) // 100
+        cum = 0
+        for r in hist:
+            if cum + r["cnt"] >= rank:
+                targets.append((pct, rank, int(r["bucket"]), rank - cum))
+                break
+            cum += r["cnt"]
+    tdf = spark.createDataFrame(
+        targets, "pct int, rank bigint, bucket bigint, resid bigint"
+    )
+    w = W.partitionBy("pct").orderBy("c")
+    return (
+        li.withColumn("bucket", F.expr("c div 10000"))
+        .join(F.broadcast(tdf), "bucket")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == F.col("resid"))
+        .select(
+            "pct",
+            "rank",
+            F.col("c").alias("value_cents"),
+            (F.col("c") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy("pct")
+    )

@@ -1229,6 +1229,75 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank_scaled"), "vec_id").limit(50)
 
 
+def _label_prop_oracle(n_iter: int = 3) -> str:
+    """Unrolled synchronous label-propagation twin — deterministic
+    (majority label, min tie-break) so community detection joins
+    PageRank/k-means in the value-verified iterative family."""
+    head = """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS id FROM ed
+), l0 AS (
+  SELECT id, id AS lab FROM nodes
+)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", s{i} AS (
+  SELECT ed.src AS id, l.lab, COUNT(*) AS c
+  FROM ed JOIN l{i - 1} l ON ed.dst = l.id
+  GROUP BY ed.src, l.lab
+), l{i} AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members"
+        f"\nFROM l{n_iter} GROUP BY lab"
+        "\nORDER BY n_members DESC, community"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_label_prop_oracle(3),
+    tags=("graph", "dedup", "llm", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup graph by synchronous
+    label propagation (3 rounds, majority label, min tie-break — the
+    deterministic LPA variant): duplicate neighborhoods collapse into
+    labeled communities whose sizes rank boilerplate families, the
+    between-CC-and-modularity signal a corpus triage wants. Iterative
+    like PageRank and verified the same way: the deterministic update
+    rule unrolls into a 3-step SQL twin (operators/graph.py:
+    label_propagation has the per-round join+agg+window shape)."""
+    from data_lake_with_spark_spark.operators.graph import label_propagation
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    labels = label_propagation(pairs, n_iter=3)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
 AUDIO_CLIP_ORACLE = """
 WITH m AS (
   SELECT doc_id AS media_id,

@@ -535,3 +535,67 @@ def window_wau_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bit_count("wbits")).cast("bigint").alias("wau"))
         .orderBy("event_type", "win_day")
     )
+
+
+THETA_OVERLAP_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type AS gk,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'kmv1'), 1, 8)
+              AS BIGINT) AS h
+  FROM events
+), sk AS (
+  SELECT gk, h FROM (
+    SELECT gk, h, ROW_NUMBER() OVER (PARTITION BY gk ORDER BY h) AS rn FROM h
+  ) WHERE rn <= 256
+), th AS (
+  SELECT gk,
+         CASE WHEN COUNT(*) < 256 THEN 4294967296 ELSE MAX(h) END AS theta
+  FROM sk GROUP BY gk
+), shared AS (
+  SELECT a.gk AS ta, b.gk AS tb, a.h AS h
+  FROM sk a JOIN sk b ON a.h = b.h AND a.gk < b.gk
+), m AS (
+  SELECT s.ta, s.tb, LEAST(x.theta, y.theta) AS theta
+  FROM shared s JOIN th x ON s.ta = x.gk JOIN th y ON s.tb = y.gk
+  WHERE s.h < LEAST(x.theta, y.theta)
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sample,
+       CAST((COUNT(*) * 4294967296) // theta AS BIGINT) AS est_overlap
+FROM m GROUP BY ta, tb, theta
+ORDER BY ta, tb
+"""
+
+
+@register(
+    "sketch_theta_overlap",
+    oracle=THETA_OVERLAP_ORACLE,
+    tags=("sketch", "events", "agg"),
+)
+def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise user-set OVERLAP between event types estimated with
+    KMV theta sketches (k=256 minimum md5-hash values per set): the
+    set-INTERSECTION capability HLL lacks, and the third mergeable-
+    sketch family next to HLL and count-min. θ = min of the two
+    k-th-smallest hashes, shared-hash sample below θ, estimate =
+    |sample|·2³² div θ — integer end to end, so like the portable HLL
+    this approximate sketch is itself bit-deterministic and fully
+    value-verified. At 100 TB the pair comparison touches k·|types|
+    sketch rows (an equi-join on the hash), never the user sets;
+    sketches of shards/days OR together by keeping the k smallest of
+    the union. Sets smaller than k degrade to exact intersections
+    (θ = 2³²)."""
+    from data_lake_with_spark_spark.operators.sketches import kmv_overlap, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, "user_id", "event_type", k=256)
+    return (
+        kmv_overlap(sk, k=256)
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_sample",
+            "est_overlap",
+        )
+        .orderBy("type_a", "type_b")
+    )

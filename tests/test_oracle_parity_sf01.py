@@ -32,6 +32,10 @@ CHANGED_THIS_ROUND = [
     "window_wau_bitmap",          # pmod/div exact integer chunking
     "graph_triangle_count",       # empty-edge guard
     "graph_pagerank_neardup",     # scaled-integer + unrolled oracle
+    # new queries this round:
+    "graph_label_propagation",
+    "stats_exact_percentiles",
+    "sketch_theta_overlap",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

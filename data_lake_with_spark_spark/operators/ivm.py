@@ -201,3 +201,66 @@ def read_bitmap_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
     return state.groupBy(*group_cols).agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
     )
+
+
+def maintain_kmv(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One refresh step for a KMV (theta-sketch) distinct state
+    (group_cols, h): insert rows' ids hash into the portable 32-bit
+    md5 family (same salt as operators/sketches.kmv_sketch, so the
+    maintained state is BIT-IDENTICAL to the one-shot sketch), union
+    with the current state, and keep the k smallest distinct hashes
+    per group. Associative and idempotent like the bitmap state —
+    at-least-once replays are harmless — but the state is k hashes
+    per group REGARDLESS of id range (the bitmap's O(id_range/32)
+    weakness), at the price of an estimate instead of an exact count;
+    and unlike bitmap/HLL the state supports set INTERSECTION
+    (sketches.kmv_overlap). Deletes are REJECTED: k-minima are not
+    subtractable."""
+    from pyspark.sql import Window
+
+    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
+    if bad:
+        raise ValueError("kmv distinct state is insert-only")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("kmv1"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    delta = changes.select(*group_cols, h.alias("h")).distinct()
+    merged = delta if current is None else (
+        current.select(*group_cols, "h").unionByName(delta).distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def read_kmv_distinct(
+    state: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """(group_cols, est_distinct) from a maintain_kmv state: exact
+    count while the group holds < k hashes, else the KMV estimator
+    (k−1)·2³² div θ with θ = the k-th smallest hash — integer
+    arithmetic, deterministic, mergeable."""
+    return (
+        state.groupBy(*group_cols)
+        .agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("kk"))
+        .select(
+            *group_cols,
+            F.when(F.col("kk") < k, F.col("kk"))
+            .otherwise(F.expr(f"({k - 1} * 4294967296) div theta"))
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+    )

@@ -1023,3 +1023,184 @@ def search_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return phrase_search(docs, ["table", "value"]).orderBy("doc_id")
+
+
+RRF_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN ('table', 'spark', 'window') GROUP BY term
+), corpus AS (
+  SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('table', 'spark', 'window') GROUP BY doc_id, term
+), bm AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({_BM25_K1} + 1.0)
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dlen / avgdl))
+         ) AS raw
+  FROM tf
+  JOIN stats USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY FLOOR(raw * 1e4 + 0.5) / 1e4 DESC,
+                              doc_id ASC) AS r
+    FROM bm
+  ) WHERE r <= 25
+), q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id != 0
+), semscored AS (
+  SELECT vec_id AS doc_id,
+         FLOOR((list_dot_product(qe, ce)
+                / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))) * 1e6 + 0.5) / 1e6 AS score
+  FROM c, q
+), sem AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM semscored
+  ) WHERE r <= 25
+), fused AS (
+  SELECT doc_id, CAST(FLOOR(1e9 / (60 + r)) AS BIGINT) AS contrib FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(FLOOR(1e9 / (60 + r)) AS BIGINT) AS contrib FROM sem
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(contrib) AS BIGINT) AS rrf_scaled
+FROM fused GROUP BY doc_id
+ORDER BY rrf_scaled DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=RRF_ORACLE,
+    tags=("text", "vector", "llm", "search", "rag"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack et al.
+    2009) — the standard way a RAG stack merges lexical and semantic
+    rankings without score calibration: fuse BM25 top-25 (the fixed
+    3-term query, reusing text_bm25_topk's plan) with cosine top-25
+    against the vec_id=0 query embedding, score = Σ floor(1e9/(60+r))
+    over the lists each doc appears in — ranks only, so the fusion is
+    pure INTEGER arithmetic and fully value-verified even though the
+    upstream scores are floats. Both input rankings are k-bounded
+    (k=25), so the fusion stage touches 50 rows regardless of corpus
+    size; at 100 TB the cost stays in the two retrieval legs, which
+    keep their own documented scale shapes."""
+    from pyspark.sql import Window
+
+    from data_lake_with_spark_spark.operators import similarity as SIM2
+
+    lex = text_bm25_topk(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.withColumn("r", F.row_number().over(w_lex)).select("doc_id", "r")
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = SIM2.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=25
+    )
+    sem_r = sem.select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r"))
+    fused = lex_r.unionByName(sem_r).withColumn(
+        "contrib", F.expr("CAST(FLOOR(1e9 / (60 + r)) AS BIGINT)")
+    )
+    return (
+        fused.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+            F.sum("contrib").cast("bigint").alias("rrf_scaled"),
+        )
+        .orderBy(F.desc("rrf_scaled"), "doc_id")
+        .limit(20)
+    )
+
+
+VOCAB_COVERAGE_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT SUM(c) AS t, COUNT(*) AS n_vocab FROM tf
+), ranked AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r,
+         SUM(c) OVER (ORDER BY c DESC, term ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tf
+), p AS (
+  SELECT * FROM (VALUES (50), (90), (99)) AS v(pct)
+)
+SELECT p.pct,
+       CAST(MIN(ranked.r) AS BIGINT) AS n_tokens,
+       CAST(tot.t AS BIGINT) AS total_tokens,
+       CAST(tot.n_vocab AS BIGINT) AS vocab_size
+FROM ranked CROSS JOIN tot CROSS JOIN p
+WHERE ranked.cum * 100 >= p.pct * tot.t
+GROUP BY p.pct, tot.t, tot.n_vocab
+ORDER BY p.pct
+"""
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=VOCAB_COVERAGE_ORACLE,
+    tags=("text", "llm", "vocab", "stats"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve of the corpus vocabulary: the smallest
+    number of most-frequent token types covering 50/90/99% of all
+    token OCCURRENCES — the statistic that sizes a tokenizer vocab
+    (how much of the stream the top-k types absorb) and flags
+    boilerplate-heavy corpora (suspiciously low 90% counts). Integer
+    end to end: cum·100 ≥ pct·total cross-multiplication, no
+    division. The heavy agg is the term-frequency hash-agg over the
+    corpus (map-side combinable); the ranking window runs on the
+    VOCABULARY aggregate — orders of magnitude smaller than the
+    corpus, and if vocab itself outgrew one partition the band-carry
+    two-level form (segment_abc_distributed) drops in unchanged."""
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(TXT.tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = tf.select(
+        "c",
+        F.row_number().over(w).alias("r"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    pcts = tok.sparkSession.createDataFrame([(50,), (90,), (99,)], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pcts))
+        .where(F.col("cum") * 100 >= F.col("pct") * F.col("t"))
+        .groupBy("pct", "t", "n_vocab")
+        .agg(F.min("r").cast("bigint").alias("n_tokens"))
+        .select(
+            "pct",
+            "n_tokens",
+            F.col("t").cast("bigint").alias("total_tokens"),
+            F.col("n_vocab").cast("bigint").alias("vocab_size"),
+        )
+        .orderBy("pct")
+    )

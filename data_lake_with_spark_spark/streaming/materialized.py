@@ -227,3 +227,45 @@ def stream_maintain_bitmap_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_kmv_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 256,
+    query_name: str = "kmv_view",
+    checkpoint: str | None = None,
+):
+    """Streaming APPROXIMATE distinct counts with bounded state: per-
+    micro-batch fold of k-minimum-hash sketches into a versioned state
+    table (ivm.maintain_kmv). Idempotent per id like the bitmap view,
+    but state is k hashes per group independent of the id range — the
+    sketch to reach for when ids are sparse 64-bit values — and the
+    maintained state doubles as the intersection-capable theta sketch
+    (sketches.kmv_overlap). Read with ivm.read_kmv_distinct."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        V.versioned_append(
+            ivm.maintain_kmv(cur, batch_df, group_cols, id_col, k=k),
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

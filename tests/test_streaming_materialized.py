@@ -353,3 +353,78 @@ def test_stream_maintained_bitmap_distinct(spark, sf_dir, tmp_path):
         for r in read_bitmap_distinct(refold, ["event_type"]).collect()
     }
     assert got2 == want
+
+
+def test_stream_maintained_kmv_distinct(spark, sf_dir, tmp_path):
+    """KMV theta-sketch distinct via streaming folds: the maintained
+    state must be BIT-IDENTICAL to the one-shot kmv_sketch (k smallest
+    hashes is an associative merge), the estimate must track the true
+    distinct within KMV error bounds, and a replayed batch must be a
+    no-op."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.ivm import (
+        maintain_kmv,
+        read_kmv_distinct,
+    )
+    from data_lake_with_spark_spark.operators.sketches import kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pdf = ev.toPandas()
+    pdf["_change_type"] = "insert"
+
+    src = tmp_path / "kmv_changes"
+    src.mkdir()
+    for i, half in enumerate((pdf.iloc[::2], pdf.iloc[1::2])):
+        pq.write_table(
+            pa.Table.from_pandas(half, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "kmv_view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_kmv_view(
+        stream, state, ["event_type"], "user_id", k=64, query_name="kmv_mv"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    streamed = {
+        (r["event_type"], r["h"])
+        for r in MV.read_view(spark, state).collect()
+    }
+    oneshot = {
+        (r["gk"], r["h"])
+        for r in kmv_sketch(ev, "user_id", "event_type", k=64).collect()
+    }
+    assert streamed == oneshot and len(streamed) > 0
+
+    # estimates within KMV error (k=64 → ~12.5% stderr; allow 4σ)
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in read_kmv_distinct(
+        MV.read_view(spark, state), ["event_type"], k=64
+    ).collect():
+        t = true[r["event_type"]]
+        assert abs(r["est_distinct"] - t) <= max(3, t * 0.5), (r, t)
+
+    # idempotence: re-folding the first half changes nothing
+    cur = MV.read_view(spark, state)
+    batch1 = spark.createDataFrame(pdf.iloc[::2], schema)
+    refold = maintain_kmv(cur, batch1, ["event_type"], "user_id", k=64)
+    assert {
+        (r["event_type"], r["h"]) for r in refold.collect()
+    } == streamed

@@ -1928,3 +1928,133 @@ def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+ATTRIBUTION_ORACLE = """
+WITH t AS (
+  SELECT user_id, ts, MAX(event_type) AS channel FROM events
+  WHERE event_type IN ('view', 'click') GROUP BY user_id, ts
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), a AS (
+  SELECT p.user_id, p.ts, t.channel, t.ts AS touch_ts
+  FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT CASE WHEN touch_ts IS NOT NULL AND touch_ts >= ts - INTERVAL 1 DAY
+            THEN channel ELSE 'unattributed' END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM a GROUP BY 1 ORDER BY channel
+"""
+
+
+@register(
+    "attribution_last_touch",
+    oracle=ATTRIBUTION_ORACLE,
+    tags=("analytics", "events", "asof", "join"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent view/click at-or-before it, but only within a
+    1-day lookback — outside it the purchase counts as unattributed.
+    The core is the as-of join (union + last-ignorenulls window — one
+    shuffle keyed on user, no range explosion; operators/joins.py:
+    asof_join), the shape that at 100 TB replaces the quadratic
+    events×events range join. Touches are pre-deduped to one per
+    (user, ts) with a deterministic channel pick (lexicographic max)
+    so as-of tie semantics can never diverge between engines."""
+    from data_lake_with_spark_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = asof_join(
+        purch,
+        touches,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "channel"],
+        suffix="_t",
+    )
+    attributed = F.when(
+        F.col("ts_t").isNotNull()
+        & (F.col("ts_t") >= F.col("ts") - F.expr("INTERVAL 1 DAY")),
+        F.col("channel_t"),
+    ).otherwise(F.lit("unattributed"))
+    return (
+        j.select(attributed.alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), agg AS (
+  SELECT returnflag, c, SUM(w) AS w FROM v GROUP BY returnflag, c
+), tot AS (
+  SELECT returnflag, SUM(w) AS tw FROM agg GROUP BY returnflag
+), ranked AS (
+  SELECT returnflag, c,
+         SUM(w) OVER (PARTITION BY returnflag ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM agg
+)
+SELECT r.returnflag,
+       CAST(MIN(r.c) AS BIGINT) AS wmedian_cents,
+       CAST(t.tw AS BIGINT) AS total_weight
+FROM ranked r JOIN tot t USING (returnflag)
+WHERE 2 * r.cum >= t.tw
+GROUP BY r.returnflag, t.tw
+ORDER BY r.returnflag
+"""
+
+
+@register(
+    "stats_weighted_median",
+    oracle=WEIGHTED_MEDIAN_ORACLE,
+    tags=("analytics", "stats", "lineitem"),
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag — the robust
+    central-tendency statistic builtins don't cover (F.median is
+    unweighted): smallest price whose cumulative quantity reaches
+    half the group total, integer cross-multiplication (2·cum ≥ tot)
+    so there is no division anywhere. The values are pre-aggregated
+    per (group, price) BEFORE the window — the cumulative sum runs
+    over distinct prices per group, not raw rows, and stays
+    hash-partitioned on the group (no global sort; the two-level
+    band-carry form drops in if one group's distinct prices ever
+    outgrow a partition)."""
+    v = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    agg = v.groupBy("returnflag", "c").agg(F.sum("w").alias("w"))
+    tot = agg.groupBy("returnflag").agg(F.sum("w").alias("tw"))
+    w = W.partitionBy("returnflag").orderBy("c").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = agg.select("returnflag", "c", F.sum("w").over(w).alias("cum"))
+    return (
+        ranked.join(F.broadcast(tot), "returnflag")
+        .where(2 * F.col("cum") >= F.col("tw"))
+        .groupBy("returnflag", "tw")
+        .agg(F.min("c").cast("bigint").alias("wmedian_cents"))
+        .select(
+            "returnflag",
+            "wmedian_cents",
+            F.col("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("returnflag")
+    )

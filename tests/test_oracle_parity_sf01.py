@@ -36,6 +36,10 @@ CHANGED_THIS_ROUND = [
     "graph_label_propagation",
     "stats_exact_percentiles",
     "sketch_theta_overlap",
+    "search_hybrid_rrf",
+    "text_vocab_coverage",
+    "attribution_last_touch",
+    "stats_weighted_median",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

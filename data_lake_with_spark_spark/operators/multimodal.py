@@ -443,3 +443,56 @@ def spectral_power(
         "k",
         (F.floor(power * 1e4 + F.lit(0.5)) / 1e4).alias("power"),
     )
+
+
+def byte_stats_arrow(media: DataFrame) -> DataFrame:
+    """Per-payload byte statistics through ``mapInArrow`` — the
+    Arrow-NATIVE UDF seam, one level below ``mapInPandas``: record
+    batches arrive as pyarrow.RecordBatch with the binary payload
+    column zero-copy in Arrow buffers, no pandas materialization.
+    This is the right seam for binary-heavy multimodal work where a
+    pandas Series of Python bytes objects would double memory; the
+    extraction itself (numpy over each payload's buffer) is the spot
+    a real decoder kernel (libvips/ffmpeg batch call) would occupy.
+    Map-only: no shuffle, no state, output row count == input row
+    count, so partitioning is irrelevant to the result."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = (
+        "media_id long, n_bytes long, byte_sum long, "
+        "byte_xor int, byte_min int, byte_max int"
+    )
+
+    def stats(batches):
+        for batch in batches:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            n, s, x, mn, mx = [], [], [], [], []
+            for pay in payloads:
+                a = np.frombuffer(pay, dtype=np.uint8)
+                n.append(len(a))
+                s.append(int(a.sum()))
+                x.append(int(np.bitwise_xor.reduce(a)) if len(a) else 0)
+                mn.append(int(a.min()) if len(a) else 0)
+                mx.append(int(a.max()) if len(a) else 0)
+            yield pa.record_batch(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(n, pa.int64()),
+                    pa.array(s, pa.int64()),
+                    pa.array(x, pa.int32()),
+                    pa.array(mn, pa.int32()),
+                    pa.array(mx, pa.int32()),
+                ],
+                names=[
+                    "media_id",
+                    "n_bytes",
+                    "byte_sum",
+                    "byte_xor",
+                    "byte_min",
+                    "byte_max",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(stats, out_schema)

@@ -2058,3 +2058,148 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+SKEW_PROFILE_ORACLE = """
+WITH k AS (
+  SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(c) AS BIGINT) AS max_rows,
+         CAST(median(c) AS DOUBLE) AS median_rows,
+         CAST(SUM(c) AS BIGINT) AS total_rows
+  FROM k
+), t AS (
+  SELECT key, c, ROW_NUMBER() OVER (ORDER BY c DESC, key ASC) AS r FROM k
+)
+SELECT s.n_keys, s.max_rows, s.median_rows, s.total_rows,
+       FLOOR(s.max_rows / s.median_rows * 1e4 + 0.5) / 1e4 AS skew_ratio,
+       CAST(t.key AS BIGINT) AS heaviest_key
+FROM s JOIN t ON t.r = 1
+"""
+
+
+@register(
+    "dq_join_skew_profile",
+    oracle=SKEW_PROFILE_ORACLE,
+    tags=("dq", "orders", "skew", "stats"),
+)
+def dq_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey — the diagnostic
+    you run BEFORE a 100 TB shuffle join: per-key row counts (one
+    map-side-combinable hash-agg), then max/median/ratio and the
+    heaviest key in a second agg over the KEY table (cardinality =
+    distinct keys, not rows). A skew_ratio in the tens says salt the
+    key or lean on AQE skew-join (operators/skew.py:join_salted_skew
+    is the remediation this query justifies); the heaviest key is the
+    one to inspect for NULL-surrogate or bot traffic."""
+    k = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.median("c").alias("median_rows"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+    )
+    heaviest = (
+        k.orderBy(F.desc("c"), "key")
+        .limit(1)
+        .select(F.col("key").cast("bigint").alias("heaviest_key"))
+    )
+    return s.crossJoin(F.broadcast(heaviest)).select(
+        "n_keys",
+        "max_rows",
+        "median_rows",
+        "total_rows",
+        pround(F.col("max_rows") / F.col("median_rows"), 4).alias("skew_ratio"),
+        "heaviest_key",
+    )
+
+
+WINSORIZED_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS mu
+  FROM events
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type
+), o AS (
+  SELECT event_type, mu,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mu) AS rn
+  FROM v
+), lims AS (
+  SELECT o.event_type,
+         MIN(CASE WHEN o.rn = (n.n * 5 + 99) // 100 THEN o.mu END) AS lo,
+         MIN(CASE WHEN o.rn = (n.n * 95 + 99) // 100 THEN o.mu END) AS hi
+  FROM o JOIN n USING (event_type) GROUP BY o.event_type
+), w AS (
+  SELECT v.event_type,
+         LEAST(GREATEST(v.mu, l.lo), l.hi) AS wmu
+  FROM v JOIN lims l USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       FLOOR(SUM(wmu) / COUNT(*) / 1e6 * 1e6 + 0.5) / 1e6 AS winsorized_mean
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "stats_winsorized_mean",
+    oracle=WINSORIZED_ORACLE,
+    tags=("analytics", "stats", "events"),
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95-winsorized mean of event value per type — the robust mean
+    that clamps outliers to the exact p5/p95 order statistics instead
+    of dropping them. Values are scaled to exact micro-units so the
+    clamp bounds are integer order statistics (rank = ceil(p·n/100),
+    percentile_disc semantics via an integer cross-multiplied rank)
+    and the clamped sum is pure BIGINT; one division at the end,
+    floor-rounded. The rank window is per-group (hash-partitioned);
+    at data scale the two-phase bucket selection of
+    stats_exact_percentiles replaces the within-group ROW_NUMBER
+    unchanged."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("mu"),
+    )
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("mu")
+    o = v.withColumn("rn", F.row_number().over(w))
+    lims = (
+        o.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("mu")
+                )
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("mu")
+                )
+            ).alias("hi"),
+        )
+    )
+    return (
+        v.join(F.broadcast(lims), "event_type")
+        .select(
+            "event_type",
+            F.least(F.greatest(F.col("mu"), F.col("lo")), F.col("hi")).alias(
+                "wmu"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            pround(
+                F.sum("wmu") / F.count(F.lit(1)) / F.lit(1e6), 6
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

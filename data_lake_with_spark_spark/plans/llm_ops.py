@@ -2354,3 +2354,41 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+BYTESTATS_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) || md5(text || 'x') AS hx FROM documents
+), b AS (
+  SELECT media_id,
+         (strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+  FROM m, (SELECT UNNEST(range(32)) AS i) r
+)
+SELECT media_id,
+       CAST(32 AS BIGINT) AS n_bytes,
+       CAST(SUM(byte) AS BIGINT) AS byte_sum,
+       CAST(bit_xor(byte) AS INTEGER) AS byte_xor,
+       CAST(MIN(byte) AS INTEGER) AS byte_min,
+       CAST(MAX(byte) AS INTEGER) AS byte_max
+FROM b GROUP BY media_id ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_bytestats_arrow",
+    oracle=BYTESTATS_ORACLE,
+    tags=("multimodal", "llm", "arrow"),
+)
+def multimodal_bytestats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload byte statistics via the ``mapInArrow`` seam —
+    completes the Python-UDF surface matrix (pandas_udf / GROUPED_AGG
+    / grouped-map / cogrouped / mapInPandas / stateful / UDTF /
+    mapInArrow): record batches stay in Arrow end to end, the payload
+    bytes are touched as numpy views over Arrow buffers, and the
+    deterministic synthetic payloads (unhex(md5(text))×2, the E5
+    plumbing convention) let DuckDB recompute every statistic from
+    hex arithmetic — an ORACLED Arrow-native binary kernel."""
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.attach_fake_payloads(docs, "doc_id", "text")
+    return MM.byte_stats_arrow(media).orderBy("media_id")

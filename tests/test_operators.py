@@ -656,3 +656,70 @@ def test_bpe_learn_and_apply_matches_reference(spark):
     got = B.apply_bpe(unseen, merges).collect()[0]
     assert got["bpe_tokens"][-1] == "low" + B.END
     assert got["n_bpe_tokens"] >= 2
+
+
+def test_kmv_overlap_estimates_known_intersection(spark):
+    """KMV theta intersection on two constructed id sets: groups
+    smaller than k degrade to EXACT overlap (theta = 2^32); large
+    groups estimate within the ~1/sqrt(k) KMV error band."""
+    from data_lake_with_spark_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("small_a", i) for i in range(40)]
+        + [("small_b", i) for i in range(20, 60)]      # overlap 20
+        + [("big_a", i) for i in range(4000)]
+        + [("big_b", i) for i in range(2000, 6000)]    # overlap 2000
+    )
+    df = spark.createDataFrame(rows, "gk string, uid long")
+    sk = kmv_sketch(df, "uid", "gk", k=256)
+    got = {
+        (r["ta"], r["tb"]): r["est_overlap"]
+        for r in kmv_overlap(sk, k=256).collect()
+    }
+    assert got[("small_a", "small_b")] == 20          # exact mode
+    big = got[("big_a", "big_b")]
+    assert 1000 <= big <= 3000, big                   # ~4 sigma band
+
+    # mergeability: sketch of halves, re-minimized, equals one-shot
+    h1 = kmv_sketch(df.where(F.col("uid") % 2 == 0), "uid", "gk", k=256)
+    h2 = kmv_sketch(df.where(F.col("uid") % 2 == 1), "uid", "gk", k=256)
+    from pyspark.sql import Window
+
+    merged = (
+        h1.unionByName(h2)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("gk").orderBy("h")),
+        )
+        .where(F.col("rn") <= 256)
+        .select("gk", "h")
+    )
+    assert {
+        (r["gk"], r["h"]) for r in merged.collect()
+    } == {(r["gk"], r["h"]) for r in sk.collect()}
+
+
+def test_byte_stats_arrow_matches_python(spark):
+    """mapInArrow byte stats vs a plain-Python recompute, including
+    the empty-payload row."""
+    from data_lake_with_spark_spark.operators.multimodal import byte_stats_arrow
+
+    payloads = [b"", b"\x00", b"\xff\x01\x02", bytes(range(256))]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in byte_stats_arrow(df).collect()}
+    for i, p in enumerate(payloads):
+        r = got[i]
+        assert r["n_bytes"] == len(p)
+        assert r["byte_sum"] == sum(p)
+        x = 0
+        for b in p:
+            x ^= b
+        assert r["byte_xor"] == x
+        assert r["byte_min"] == (min(p) if p else 0)
+        assert r["byte_max"] == (max(p) if p else 0)

@@ -40,6 +40,9 @@ CHANGED_THIS_ROUND = [
     "text_vocab_coverage",
     "attribution_last_touch",
     "stats_weighted_median",
+    "multimodal_bytestats_arrow",
+    "dq_join_skew_profile",
+    "stats_winsorized_mean",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

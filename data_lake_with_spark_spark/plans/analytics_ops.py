@@ -2203,3 +2203,81 @@ def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SEASONALITY_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         {dsum_sql('value', 2)} AS rev
+  FROM events GROUP BY 1
+), dw AS (
+  SELECT ((dayofweek(day) + 6) % 7) AS dow, rev FROM daily
+), per AS (
+  SELECT dow, COUNT(*) AS n_days,
+         CAST(ROUND(SUM(CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE) AS tot
+  FROM dw GROUP BY dow
+), overall AS (
+  SELECT CAST(ROUND(SUM(CAST(tot AS DECIMAL(18,2))), 2) AS DOUBLE) AS g_tot,
+         SUM(n_days) AS g_days
+  FROM per
+)
+SELECT CAST(dow AS INTEGER) AS dow,
+       CAST(n_days AS BIGINT) AS n_days,
+       tot AS dow_revenue,
+       FLOOR((tot / n_days) / (g_tot / g_days) * 1e6 + 0.5) / 1e6
+         AS seasonality_index
+FROM per CROSS JOIN overall
+ORDER BY dow
+"""
+
+
+@register(
+    "timeseries_seasonality_dow",
+    oracle=SEASONALITY_ORACLE,
+    tags=("analytics", "timeseries", "events"),
+)
+def timeseries_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices (ratio-to-overall-average, the
+    first step of classical seasonal decomposition): avg daily revenue
+    per weekday ÷ global avg daily revenue. Monday=0 via the
+    (dayofweek+6)%7 normalization that absorbs the Spark-Sunday=1 /
+    DuckDB-Sunday=0 drift (the F8 lesson). Daily revenue is
+    decimal-exact; the two division operands are identical doubles on
+    both engines, one floor-round at 1e-6. Two tiny aggs after the
+    daily rollup — the 7-row index table broadcasts into any
+    downstream normalization."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum(F.col("value"), 2).alias("rev"))
+    )
+    per = (
+        daily.select(
+            ((F.dayofweek("day") + 5) % 7).alias("dow"), "rev"
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            # rev values are exact 2-dec doubles; decimal re-accumulation
+            # keeps the second-level sum order-independent too
+            F.round(F.sum(F.col("rev").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tot"),
+        )
+    )
+    overall = per.agg(
+        F.round(F.sum(F.col("tot").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("g_tot"),
+        F.sum("n_days").alias("g_days"),
+    )
+    return per.crossJoin(F.broadcast(overall)).select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("tot").alias("dow_revenue"),
+        pround(
+            (F.col("tot") / F.col("n_days"))
+            / (F.col("g_tot") / F.col("g_days")),
+            6,
+        ).alias("seasonality_index"),
+    ).orderBy("dow")

@@ -285,3 +285,44 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
     a silently ignored hint is a perf bug."""
     p = plan_of(spark, sf_dir, "join_hint_shuffle_hash")
     assert "ShuffledHashJoin" in p, p
+
+
+def test_dynamic_partition_pruning_through_join(spark, sf_dir, tmp_path):
+    """Hive-partitioned fact joined to a FILTERED dim on the partition
+    column must plan a dynamicpruning subquery on the fact scan — at
+    100 TB this is the difference between scanning one partition and
+    all of them when the partition predicate only exists on the dim
+    side of the join."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+
+    path = str(tmp_path / "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    # The dim must come from DISK with the filter on a NON-join
+    # attribute: a constant filter on the join column itself would be
+    # propagated statically and never need runtime pruning.
+    dim_path = str(tmp_path / "priority_dim")
+    (
+        fact.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "urgency_class",
+            F.when(
+                F.col("o_orderpriority").startswith("1"), F.lit("high")
+            ).otherwise(F.lit("low")),
+        )
+        .write.parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).where(F.col("urgency_class") == "high")
+    j = (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "dynamicpruning" in plan.lower(), plan
+    assert j.collect()[0]["n"] > 0

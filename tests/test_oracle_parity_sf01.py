@@ -43,6 +43,7 @@ CHANGED_THIS_ROUND = [
     "multimodal_bytestats_arrow",
     "dq_join_skew_profile",
     "stats_winsorized_mean",
+    "timeseries_seasonality_dow",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -29,7 +29,7 @@ from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 217 registered
+# entries of queries() in dict-insertion order. With 229 registered
 # queries, insertion order decides which operators get driver-verified
 # rows — so the dict leads with a hand-picked 50 covering one flagship
 # per operator family (reference surface, TPC-H/relational, join
@@ -57,6 +57,7 @@ DRIVER_WINDOW = [
     "graph_label_propagation",    # unrolled deterministic LPA communities
     "stats_exact_percentiles",    # two-phase count-offset selection
     "sketch_theta_overlap",       # KMV theta-sketch set intersection
+    "pipeline_trainset_stats",    # end-to-end composed trainset build
     # round-5 VERDICT item 2's named never-verified families:
     "q2_min_cost_part",
     "q20_excess_suppliers",
@@ -93,7 +94,6 @@ DRIVER_WINDOW = [
     "window_daily_active_users",
     # scalar/lateral/unpivot surface, never verified:
     "scalar_case_when",
-    "scalar_regexp_extract",
     "scalar_try_functions",
     "unpivot_part_metrics",
     "lateral_posexplode_tokens",

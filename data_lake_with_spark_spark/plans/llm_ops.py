@@ -2392,3 +2392,101 @@ def multimodal_bytestats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = MM.attach_fake_payloads(docs, "doc_id", "text")
     return MM.byte_stats_arrow(media).orderBy("media_id")
+
+
+TRAINSET_ORACLE = r"""
+WITH quality AS (
+  SELECT doc_id,
+         (LEAST(length(text) / 400.0, 1.0)
+          + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
+          + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                         / length(text) * 4, 1.0))) / 3.0 AS q
+  FROM documents
+), eligible AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN quality USING (doc_id)
+  WHERE q >= 0.5
+), survivors AS (
+  SELECT MIN(doc_id) AS doc_id FROM eligible GROUP BY md5(text)
+), kept AS (
+  SELECT e.doc_id, e.text FROM eligible e JOIN survivors USING (doc_id)
+  WHERE e.doc_id >= 20
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS g
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN sh b ON c.g = b.g
+  WHERE b.doc_id < 20 AND c.doc_id >= 20
+), clean AS (
+  SELECT k.doc_id, k.text FROM kept k
+  LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL
+), stats AS (
+  SELECT CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 8 AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM clean
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM stats GROUP BY shard ORDER BY shard
+"""
+
+
+@register(
+    "pipeline_trainset_stats",
+    oracle=TRAINSET_ORACLE,
+    tags=("text", "llm", "dedup", "pipeline", "training"),
+)
+def pipeline_trainset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END trainset build, composed from the pipeline's
+    own stages and verified as ONE query: quality gate (≥0.5 raw
+    score) → exact content dedup (min doc_id per md5 fingerprint) →
+    benchmark decontamination (drop any doc sharing a word 8-gram
+    with the doc_id<20 eval set — inverted-index semi join, xxhash64
+    keys, benchmark side broadcast) → content-addressed 8-way shard
+    assignment → per-shard doc and token counts. Every stage is the
+    scale shape its standalone query documents; composing them costs
+    no extra scans of the corpus beyond the stages themselves, and
+    the single oracle proves the stage BOUNDARIES (filter-before-
+    dedup, dedup-before-decontaminate) agree too — the integration
+    property the per-stage oracles can't see."""
+    docs = _t(spark, sf_dir, "documents")
+    eligible = docs.where(_quality_raw("text") >= 0.5)
+    survivors = (
+        eligible.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = eligible.join(survivors, "doc_id").where(F.col("doc_id") >= 20)
+    grams = DD.shingle_table(docs, n=8).select(
+        "id", F.xxhash64("shingle").alias("g")
+    )
+    bench = grams.where(F.col("id") < 20).select("g").distinct()
+    contaminated = (
+        grams.where(F.col("id") >= 20)
+        .join(F.broadcast(bench), "g")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    shard = F.expr(
+        "pmod(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT), 8)"
+    )
+    return (
+        clean.select(
+            shard.alias("shard"),
+            TXT.token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -44,6 +44,7 @@ CHANGED_THIS_ROUND = [
     "dq_join_skew_profile",
     "stats_winsorized_mean",
     "timeseries_seasonality_dow",
+    "pipeline_trainset_stats",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

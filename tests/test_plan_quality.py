@@ -326,3 +326,28 @@ def test_dynamic_partition_pruning_through_join(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "dynamicpruning" in plan.lower(), plan
     assert j.collect()[0]["n"] > 0
+
+
+def test_exact_percentiles_plan_shape(spark, sf_dir):
+    """The two-phase selection must stay two-phase: the lazy plan is
+    one broadcast join of the 3-row target frame plus ONE hash
+    exchange (the per-pct window over the hit buckets) — no global
+    sort, no single-partition stage, and the ROW_NUMBER-over-
+    everything form must never reappear."""
+    p = plan_of(spark, sf_dir, "stats_exact_percentiles")
+    assert "Exchange SinglePartition" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_trainset_pipeline_plan_shape(spark, sf_dir):
+    """The composed pipeline must keep each stage's physical
+    discipline when chained: benchmark gram side broadcast (never a
+    shuffled join against the tiny eval set), no sort-merge joins, no
+    single-partition exchanges, and the whole five-stage build within
+    4 hash exchanges."""
+    p = plan_of(spark, sf_dir, "pipeline_trainset_stats")
+    assert "Exchange SinglePartition" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert p.count("Exchange hashpartitioning") <= 4, p

@@ -723,3 +723,30 @@ def test_byte_stats_arrow_matches_python(spark):
         assert r["byte_xor"] == x
         assert r["byte_min"] == (min(p) if p else 0)
         assert r["byte_max"] == (max(p) if p else 0)
+
+
+def test_pagerank_portable_tracks_float_ranks(spark):
+    """The scaled-integer PageRank must agree with the float twin:
+    same node ordering at the top (the use case is ranking) and
+    values within the truncation budget (n_iter per-node div losses
+    are ~1e-12 units each)."""
+    from data_lake_with_spark_spark.operators.graph import (
+        pagerank,
+        pagerank_portable,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 5)],
+        "a_id long, b_id long",
+    )
+    fl = {r["id"]: r["rank"] for r in pagerank(pairs, n_iter=10).collect()}
+    sc = {
+        r["id"]: r["rank_scaled"] / 1e12
+        for r in pagerank_portable(pairs, n_iter=10).collect()
+    }
+    assert set(fl) == set(sc)
+    for node in fl:
+        assert abs(fl[node] - sc[node]) < 1e-6, (node, fl[node], sc[node])
+    top_f = sorted(fl, key=lambda n: (-fl[n], n))[:3]
+    top_s = sorted(sc, key=lambda n: (-sc[n], n))[:3]
+    assert top_f == top_s

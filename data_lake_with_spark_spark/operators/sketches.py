@@ -215,19 +215,23 @@ def kmv_theta(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
 
 
 def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
-    """(ta, tb, n_sample, est_overlap) for every group pair with at
-    least one shared retained hash: the standard theta-sketch
-    intersection — θ = min(θ_a, θ_b), sample = shared hashes < θ,
-    estimate = |sample| · 2³² div θ (pure integer arithmetic, so the
-    ESTIMATOR is bit-deterministic and SQL-oracle-able, the portable-
-    HLL discipline). The pair join is an equi-join ON THE HASH — k·g
-    rows per side regardless of data volume — never a set×set
-    comparison of the underlying keys."""
+    """(ta, tb, n_sample, est_overlap, est_union, jaccard_ppm) for
+    every group pair with at least one shared retained hash: the
+    standard theta-sketch set algebra — θ = min(θ_a, θ_b), the
+    intersection sample is the shared hashes < θ, the union sample is
+    |{A<θ}| + |{B<θ}| − |shared<θ|, and every estimate is
+    |sample| · 2³² div θ with Jaccard = inter·10⁶ div union in parts
+    per million (pure integer arithmetic, so the ESTIMATORS are
+    bit-deterministic and SQL-oracle-able, the portable-HLL
+    discipline). The pair join is an equi-join ON THE HASH — k·g rows
+    per side regardless of data volume — never a set×set comparison
+    of the underlying keys; the below-θ per-side counts join the
+    broadcast θ pair table, also k·g rows."""
     th = kmv_theta(sketch, k)
     a = sketch.select(F.col("gk").alias("ta"), "h")
     b = sketch.select(F.col("gk").alias("tb"), "h")
     shared = a.join(b, "h").where(F.col("ta") < F.col("tb"))
-    return (
+    inter = (
         shared.join(
             F.broadcast(
                 th.select(F.col("gk").alias("ta"), F.col("theta").alias("th_a"))
@@ -244,6 +248,24 @@ def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
         .where(F.col("h") < F.col("theta"))
         .groupBy("ta", "tb", "theta")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+    )
+    pairs_theta = F.broadcast(inter.select("ta", "tb", "theta"))
+    na = (
+        a.join(pairs_theta, "ta")
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    nb = (
+        b.join(pairs_theta, "tb")
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    return (
+        inter.join(na, ["ta", "tb"])
+        .join(nb, ["ta", "tb"])
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_sample"))
         .select(
             "ta",
             "tb",
@@ -251,5 +273,11 @@ def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
             F.expr(f"(n_sample * {KMV_RANGE}) div theta")
             .cast("bigint")
             .alias("est_overlap"),
+            F.expr(f"(n_union * {KMV_RANGE}) div theta")
+            .cast("bigint")
+            .alias("est_union"),
+            F.expr("(n_sample * 1000000) div n_union")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
         )
     )

@@ -554,16 +554,30 @@ WITH h AS (
 ), shared AS (
   SELECT a.gk AS ta, b.gk AS tb, a.h AS h
   FROM sk a JOIN sk b ON a.h = b.h AND a.gk < b.gk
-), m AS (
-  SELECT s.ta, s.tb, LEAST(x.theta, y.theta) AS theta
+), inter AS (
+  SELECT s.ta, s.tb, LEAST(x.theta, y.theta) AS theta,
+         CAST(COUNT(*) AS BIGINT) AS n_sample
   FROM shared s JOIN th x ON s.ta = x.gk JOIN th y ON s.tb = y.gk
   WHERE s.h < LEAST(x.theta, y.theta)
+  GROUP BY s.ta, s.tb, LEAST(x.theta, y.theta)
+), na AS (
+  SELECT i.ta, i.tb, COUNT(*) AS na
+  FROM sk a JOIN inter i ON a.gk = i.ta AND a.h < i.theta
+  GROUP BY i.ta, i.tb
+), nb AS (
+  SELECT i.ta, i.tb, COUNT(*) AS nb
+  FROM sk b JOIN inter i ON b.gk = i.tb AND b.h < i.theta
+  GROUP BY i.ta, i.tb
 )
-SELECT ta AS type_a, tb AS type_b,
-       CAST(COUNT(*) AS BIGINT) AS n_sample,
-       CAST((COUNT(*) * 4294967296) // theta AS BIGINT) AS est_overlap
-FROM m GROUP BY ta, tb, theta
-ORDER BY ta, tb
+SELECT i.ta AS type_a, i.tb AS type_b,
+       i.n_sample,
+       CAST((i.n_sample * 4294967296) // i.theta AS BIGINT) AS est_overlap,
+       CAST(((na.na + nb.nb - i.n_sample) * 4294967296) // i.theta AS BIGINT)
+         AS est_union,
+       CAST((i.n_sample * 1000000) // (na.na + nb.nb - i.n_sample) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i JOIN na USING (ta, tb) JOIN nb USING (ta, tb)
+ORDER BY type_a, type_b
 """
 
 
@@ -580,11 +594,13 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-th-smallest hashes, shared-hash sample below θ, estimate =
     |sample|·2³² div θ — integer end to end, so like the portable HLL
     this approximate sketch is itself bit-deterministic and fully
-    value-verified. At 100 TB the pair comparison touches k·|types|
-    sketch rows (an equi-join on the hash), never the user sets;
-    sketches of shards/days OR together by keeping the k smallest of
-    the union. Sets smaller than k degrade to exact intersections
-    (θ = 2³²)."""
+    value-verified — and the same θ-sample algebra yields the UNION
+    estimate (|A<θ|+|B<θ|−|∩<θ| scaled by 2³²/θ) and audience
+    Jaccard in integer parts-per-million. At 100 TB the pair
+    comparison touches k·|types| sketch rows (an equi-join on the
+    hash), never the user sets; sketches of shards/days merge by
+    keeping the k smallest of the union. Sets smaller than k degrade
+    to exact set arithmetic (θ = 2³²)."""
     from data_lake_with_spark_spark.operators.sketches import kmv_overlap, kmv_sketch
 
     ev = _events(spark, sf_dir)
@@ -596,6 +612,8 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb").alias("type_b"),
             "n_sample",
             "est_overlap",
+            "est_union",
+            "jaccard_ppm",
         )
         .orderBy("type_a", "type_b")
     )

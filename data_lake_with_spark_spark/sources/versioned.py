@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -255,9 +256,11 @@ def versioned_append(
         # reserved keys: the delta's exact write schema + partition
         # spec, so reads/enforcement never have to re-infer them from
         # footers (and hive partition columns keep their written type
-        # instead of being re-inferred, e.g. "02" as int)
+        # instead of being re-inferred, e.g. "02" as int); the commit
+        # wall clock enables TIMESTAMP AS OF time travel
         full["_schema"] = df.schema.json()
         full["_partition_by"] = list(partition_by)
+        full["_committed_at"] = time.time()
         with open(os.path.join(stage, _META_NAME), "w") as fh:
             json.dump(full, fh)
     except BaseException:
@@ -510,6 +513,7 @@ def versioned_history(path: str) -> list[dict]:
         m = version_meta(path, v) or {}
         entry = {
             "version": v,
+            "committed_at": version_committed_at(path, v),
             "n_rows": n_rows,
             "n_files": n_files,
             "n_bytes": n_bytes,
@@ -1155,3 +1159,43 @@ def versioned_clone(src: str, dst: str, version: int | None = None) -> int:
             _link_tree(_version_dir(src, k), _version_dir(dst, k))
     _advance_latest(dst, v)
     return v
+
+
+def version_committed_at(path: str, version: int) -> float | None:
+    """Commit wall-clock (epoch seconds) of ``version``: the
+    ``_committed_at`` recorded atomically with the commit, falling
+    back to the staged meta file's mtime for tables written before
+    the key existed. None when the version dir is gone (vacuumed)."""
+    m = version_meta(path, version)
+    if m is not None and "_committed_at" in m:
+        return float(m["_committed_at"])
+    meta_file = os.path.join(_version_dir(path, version), _META_NAME)
+    try:
+        return os.path.getmtime(meta_file)
+    except FileNotFoundError:
+        return None
+
+
+def versioned_read_asof_timestamp(
+    spark: SparkSession, path: str, ts: float
+) -> DataFrame:
+    """TIMESTAMP AS OF time travel (the Delta analog of
+    ``versioned_read(version=...)``): snapshot as of wall-clock
+    ``ts`` (epoch seconds) — the highest version whose commit time is
+    ≤ ts. Commit times are recorded atomically with each commit, so
+    the mapping is stable across readers; raises ValueError when the
+    table has no version that old (matching Delta's behavior for a
+    timestamp before the first commit)."""
+    latest = current_version(path)
+    if latest is None:
+        raise FileNotFoundError(path)
+    pick = None
+    for v in range(latest + 1):
+        at = version_committed_at(path, v)
+        if at is not None and at <= ts:
+            pick = v
+    if pick is None:
+        raise ValueError(
+            f"no version of {path} committed at or before {ts}"
+        )
+    return versioned_read(spark, path, version=pick)

@@ -704,3 +704,48 @@ def test_versioned_clone_forks_independently(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         V.versioned_clone(src, dst)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: each commit records its wall clock atomically;
+    reading as of a moment between commits yields exactly the earlier
+    snapshot, and a timestamp before the first commit raises."""
+    import time
+
+    import pytest as _pytest
+
+    from data_lake_with_spark_spark.sources.versioned import (
+        version_committed_at,
+        versioned_append,
+        versioned_history,
+        versioned_read,
+        versioned_read_asof_timestamp,
+    )
+
+    path = str(tmp_path / "asof_table")
+    t_before = time.time()
+    time.sleep(0.05)
+    versioned_append(spark.range(3).toDF("id"), path)
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    versioned_append(spark.range(3, 6).toDF("id"), path)
+
+    got_mid = sorted(
+        r["id"] for r in versioned_read_asof_timestamp(spark, path, t_mid).collect()
+    )
+    assert got_mid == [0, 1, 2]
+    got_now = sorted(
+        r["id"]
+        for r in versioned_read_asof_timestamp(spark, path, time.time()).collect()
+    )
+    assert got_now == list(range(6))
+    assert got_now == sorted(r["id"] for r in versioned_read(spark, path).collect())
+
+    with _pytest.raises(ValueError):
+        versioned_read_asof_timestamp(spark, path, t_before)
+
+    at0, at1 = version_committed_at(path, 0), version_committed_at(path, 1)
+    assert at0 is not None and at1 is not None and at0 < at1
+    hist = versioned_history(path)
+    assert [h["committed_at"] for h in hist] == [at0, at1]

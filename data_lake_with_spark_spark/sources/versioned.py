@@ -244,6 +244,7 @@ def versioned_append(
     os.makedirs(path, exist_ok=True)
     if enforce_schema:
         _check_schema_compatible(df, path)
+    _check_constraints(df, path)
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -1199,3 +1200,65 @@ def versioned_read_asof_timestamp(
             f"no version of {path} committed at or before {ts}"
         )
     return versioned_read(spark, path, version=pick)
+
+
+_CONSTRAINTS_NAME = "_CONSTRAINTS.json"
+
+
+class ConstraintViolationError(ValueError):
+    """An appended batch contains rows violating a table CHECK
+    constraint."""
+
+
+def add_table_constraint(path: str, name: str, sql_expr: str) -> None:
+    """Register a CHECK constraint (the Delta ``ALTER TABLE ... ADD
+    CONSTRAINT`` analog): ``sql_expr`` is a boolean SQL expression
+    every FUTURE appended row must satisfy (existing data is not
+    re-validated — match Delta by adding constraints before data, or
+    validate a snapshot manually). Constraints live beside ``_LATEST``
+    as table-level metadata, not per-version."""
+    os.makedirs(path, exist_ok=True)
+    cons = table_constraints(path)
+    cons[name] = sql_expr
+    tmp = os.path.join(path, f"_constraints-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, os.path.join(path, _CONSTRAINTS_NAME))
+
+
+def drop_table_constraint(path: str, name: str) -> None:
+    cons = table_constraints(path)
+    cons.pop(name, None)
+    tmp = os.path.join(path, f"_constraints-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, os.path.join(path, _CONSTRAINTS_NAME))
+
+
+def table_constraints(path: str) -> dict[str, str]:
+    try:
+        with open(os.path.join(path, _CONSTRAINTS_NAME)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def _check_constraints(df: DataFrame, path: str) -> None:
+    """One job validates ALL constraints: a single filtered count of
+    rows failing ANY predicate (null = fail, matching Delta: a CHECK
+    must evaluate true). Runs before staging, so a violating batch
+    never becomes a version."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(path)
+    if not cons:
+        return
+    bad = F.lit(False)
+    for expr in cons.values():
+        bad = bad | ~F.coalesce(F.expr(expr), F.lit(False))
+    n_bad = df.where(bad).limit(1).count()
+    if n_bad:
+        sample = df.where(bad).limit(3).collect()
+        raise ConstraintViolationError(
+            f"constraints {list(cons)} violated; sample rows: {sample}"
+        )

@@ -749,3 +749,42 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert at0 is not None and at1 is not None and at0 < at1
     hist = versioned_history(path)
     assert [h["committed_at"] for h in hist] == [at0, at1]
+
+
+def test_check_constraints_block_bad_appends(spark, tmp_path):
+    """Delta CHECK-constraint analog: a registered predicate blocks
+    violating batches atomically (no version committed), nulls count
+    as violations, and dropping the constraint unblocks."""
+    import pytest as _pytest
+
+    from data_lake_with_spark_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_table_constraint,
+        current_version,
+        drop_table_constraint,
+        table_constraints,
+        versioned_append,
+        versioned_read,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "constrained")
+    add_table_constraint(path, "positive_id", "id > 0")
+    assert table_constraints(path) == {"positive_id": "id > 0"}
+
+    versioned_append(spark.range(1, 4).toDF("id"), path)
+    assert current_version(path) == 0
+
+    with _pytest.raises(ConstraintViolationError):
+        versioned_append(spark.range(0, 2).toDF("id"), path)  # id=0 violates
+    assert current_version(path) == 0  # nothing committed
+
+    nulls = spark.range(1).select(F.lit(None).cast("long").alias("id"))
+    with _pytest.raises(ConstraintViolationError):
+        versioned_append(nulls, path, enforce_schema=False)
+
+    drop_table_constraint(path, "positive_id")
+    versioned_append(spark.range(0, 2).toDF("id"), path)
+    assert sorted(r["id"] for r in versioned_read(spark, path).collect()) == [
+        0, 1, 1, 2, 3,
+    ]

@@ -1262,3 +1262,38 @@ def _check_constraints(df: DataFrame, path: str) -> None:
         raise ConstraintViolationError(
             f"constraints {list(cons)} violated; sample rows: {sample}"
         )
+
+
+def versioned_restore(
+    spark: SparkSession, path: str, keys: list[str], to_version: int
+) -> tuple[int, int, int]:
+    """RESTORE TABLE ... TO VERSION AS OF — the Delta analog, built on
+    the merge-on-read model: commit ONE new version whose effect makes
+    ``versioned_read_merged`` equal the snapshot at ``to_version``.
+    History is preserved (time travel before the restore still sees
+    the undone states, exactly like Delta RESTORE); the commit is
+    O(diff): rows whose current merged value differs from the old
+    snapshot are re-appended (last-writer-wins re-asserts the old
+    value), keys that did not exist at ``to_version`` get tombstones.
+    Returns (version, rows_readded, keys_tombstoned)."""
+    from pyspark.sql import functions as F
+
+    old = versioned_read_merged(spark, path, keys, version=to_version)
+    cur = versioned_read_merged(spark, path, keys)
+    readd = old.exceptAll(cur).withColumn(TOMBSTONE, F.lit(False)).cache()
+    tomb = (
+        cur.select(*keys)
+        .join(old.select(*keys), keys, "left_anti")
+        .dropDuplicates(keys)
+    )
+    for fld in old.schema.fields:
+        if fld.name not in keys:
+            tomb = tomb.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    ordered = [f.name for f in old.schema.fields]
+    tomb = tomb.select(*ordered).withColumn(TOMBSTONE, F.lit(True)).cache()
+    n_readd, n_tomb = readd.count(), tomb.count()
+    batch = readd.unionByName(tomb)
+    v = versioned_append(batch, path, enforce_schema=False)
+    readd.unpersist()
+    tomb.unpersist()
+    return v, n_readd, n_tomb

@@ -788,3 +788,45 @@ def test_check_constraints_block_bad_appends(spark, tmp_path):
     assert sorted(r["id"] for r in versioned_read(spark, path).collect()) == [
         0, 1, 1, 2, 3,
     ]
+
+
+def test_restore_to_version(spark, tmp_path):
+    """RESTORE: one commit re-asserts an old snapshot under
+    last-writer-wins — overwritten keys revert, later-added keys
+    tombstone, deleted keys come back — while pre-restore history
+    stays time-travelable."""
+    from data_lake_with_spark_spark.sources.versioned import (
+        versioned_append,
+        versioned_delete,
+        versioned_read_merged,
+        versioned_restore,
+    )
+
+    path = str(tmp_path / "restorable")
+    versioned_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), path
+    )  # v0
+    versioned_append(
+        spark.createDataFrame([(2, "c"), (3, "d")], "id long, val string"), path
+    )  # v1: overwrite 2, add 3
+    versioned_delete(
+        spark, spark.createDataFrame([(1,)], "id long"), path, ["id"]
+    )  # v2: delete 1
+
+    assert {
+        (r["id"], r["val"])
+        for r in versioned_read_merged(spark, path, ["id"]).collect()
+    } == {(2, "c"), (3, "d")}
+
+    v, n_readd, n_tomb = versioned_restore(spark, path, ["id"], to_version=0)
+    assert v == 3 and n_readd == 2 and n_tomb == 1  # 1,2 revert; 3 tombstoned
+
+    assert {
+        (r["id"], r["val"])
+        for r in versioned_read_merged(spark, path, ["id"]).collect()
+    } == {(1, "a"), (2, "b")}
+    # pre-restore history intact
+    assert {
+        (r["id"], r["val"])
+        for r in versioned_read_merged(spark, path, ["id"], version=1).collect()
+    } == {(1, "a"), (2, "c"), (3, "d")}

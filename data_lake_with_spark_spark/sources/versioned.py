@@ -1187,6 +1187,14 @@ def versioned_read_asof_timestamp(
     the mapping is stable across readers; raises ValueError when the
     table has no version that old (matching Delta's behavior for a
     timestamp before the first commit)."""
+    return versioned_read(spark, path, version=resolve_version_asof(path, ts))
+
+
+def resolve_version_asof(path: str, ts: float) -> int:
+    """Highest version committed at or before epoch-seconds ``ts`` —
+    the shared TIMESTAMP AS OF resolver for both the plain and the
+    merge-on-read readers (pass the result to
+    ``versioned_read_merged(version=...)`` for keyed tables)."""
     latest = current_version(path)
     if latest is None:
         raise FileNotFoundError(path)
@@ -1199,7 +1207,7 @@ def versioned_read_asof_timestamp(
         raise ValueError(
             f"no version of {path} committed at or before {ts}"
         )
-    return versioned_read(spark, path, version=pick)
+    return pick
 
 
 _CONSTRAINTS_NAME = "_CONSTRAINTS.json"

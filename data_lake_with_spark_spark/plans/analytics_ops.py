@@ -2281,3 +2281,49 @@ def timeseries_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonality_index"),
     ).orderBy("dow")
+
+
+MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle=MODE_ORACLE,
+    tags=("agg", "events", "stats"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type with a DETERMINISTIC tie-break
+    (count desc, then lexicographic) — the grouped exact mode that
+    Spark's builtin ``F.mode`` cannot oracle (its tie winner is
+    arbitrary). One hash-agg over (user, type) — map-side combinable,
+    cardinality |users|·|types| — then a per-user window over at most
+    |types| rows; the same count-then-rank shape as one label-
+    propagation step."""
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -45,6 +45,7 @@ CHANGED_THIS_ROUND = [
     "stats_winsorized_mean",
     "timeseries_seasonality_dow",
     "pipeline_trainset_stats",
+    "agg_mode_deterministic",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -2327,3 +2327,127 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+SPATIAL_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lat'), 1, 8)
+              AS BIGINT) % 180000000 AS x,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lon'), 1, 8)
+              AS BIGINT) % 360000000 AS y
+  FROM customer WHERE c_custkey < 1500
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 4000000000000
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "spatial_grid_near_pairs",
+    oracle=SPATIAL_ORACLE,
+    tags=("spatial", "join", "customer"),
+)
+def spatial_grid_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial near-pair join via GRID-CELL BLOCKING — the geo analog
+    of the LSH candidate stage (and the shape S2/H3 cell joins take in
+    production): points land in radius-sized cells, one side expands
+    to its 3×3 neighborhood, candidates come from a plain hash join on
+    the cell key — O(n·9·density), never the n² theta join the DuckDB
+    oracle runs — and the verify is exact integer squared distance.
+    Coordinates are synthetic micro-degree BIGINTs derived from the
+    customer key via the portable md5 family, so both engines compute
+    identical points. Every true pair surfaces exactly once
+    (expanded-side < home-side id filter)."""
+    from data_lake_with_spark_spark.operators.spatial import grid_near_pairs
+
+    def coord(salt: str, mod: int):
+        return F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING),"
+            f" '{salt}')), 1, 8), 16, 10) AS BIGINT), {mod})"
+        )
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 1500)
+        .select(
+            F.col("c_custkey").alias("id"),
+            coord("lat", 180000000).alias("x"),
+            coord("lon", 360000000).alias("y"),
+        )
+    )
+    return grid_near_pairs(pts, radius=2000000).orderBy("a_id", "b_id")
+
+
+AB_TEST_ORACLE = """
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'ab1'), 1, 8)
+              AS BIGINT) % 2 AS arm
+  FROM events
+), conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST((SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS conversion_ppm
+FROM arms a LEFT JOIN conv c USING (user_id)
+GROUP BY arm ORDER BY arm
+"""
+
+
+@register(
+    "ab_test_conversion",
+    oracle=AB_TEST_ORACLE,
+    tags=("analytics", "events", "experiment"),
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CONTENT-ADDRESSED arm assignment:
+    users hash into arms via the portable md5 family (stable across
+    runs, engines, partitionings — the property an experiment
+    assignment must have, and the same discipline as the training
+    split), then per-arm distinct users and purchase conversion in
+    integer ppm. Pair with stats_chi_square_cells for significance.
+    Two distincts + one broadcast-ready left join on user — the
+    readout cost is independent of event volume after the distincts."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.select(
+        "user_id",
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(user_id AS STRING),"
+            " 'ab1')), 1, 8), 16, 10) AS BIGINT), 2)"
+        ).alias("arm"),
+    ).distinct()
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        arms.join(conv, "user_id", "left")
+        .groupBy(F.col("arm").cast("bigint").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0)))
+            .cast("bigint")
+            .alias("n_converted"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_users")
+            .cast("bigint")
+            .alias("conversion_ppm"),
+        )
+        .orderBy("arm")
+    )

@@ -46,6 +46,8 @@ CHANGED_THIS_ROUND = [
     "timeseries_seasonality_dow",
     "pipeline_trainset_stats",
     "agg_mode_deterministic",
+    "spatial_grid_near_pairs",
+    "ab_test_conversion",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

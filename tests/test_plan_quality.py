@@ -351,3 +351,15 @@ def test_trainset_pipeline_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert p.count("Exchange hashpartitioning") <= 4, p
+
+
+def test_spatial_near_pairs_is_cell_equi_join(spark, sf_dir):
+    """The spatial candidate stage must be a hash join on the grid
+    cell — an O(n²) point-vs-point theta join (BNLJ/cartesian) is the
+    scale-killer grid blocking exists to avoid."""
+    p = plan_of(spark, sf_dir, "spatial_grid_near_pairs")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    ), p

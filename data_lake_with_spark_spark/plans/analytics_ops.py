@@ -2451,3 +2451,75 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+PYRAMID_ORACLE = """
+WITH pts AS (
+  SELECT CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lat'), 1, 8)
+              AS BIGINT) % 180000000 AS x,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lon'), 1, 8)
+              AS BIGINT) % 360000000 AS y
+  FROM customer WHERE c_custkey < 1500
+)
+SELECT * FROM (
+  SELECT 0 AS level, x // 10000000 AS cx, y // 10000000 AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 2, 3
+  UNION ALL
+  SELECT 1, x // 20000000, y // 20000000, CAST(COUNT(*) AS BIGINT)
+  FROM pts GROUP BY 2, 3
+  UNION ALL
+  SELECT 2, x // 40000000, y // 40000000, CAST(COUNT(*) AS BIGINT)
+  FROM pts GROUP BY 2, 3
+)
+ORDER BY level, cx, cy
+"""
+
+
+@register(
+    "spatial_pyramid_rollup",
+    oracle=PYRAMID_ORACLE,
+    tags=("spatial", "rollup", "customer"),
+)
+def spatial_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution spatial tile pyramid (the map-tile / H3
+    zoom-level rollup): per-cell point counts at 10°, 20°, and 40°
+    resolutions, where ONLY the finest level scans the points — every
+    coarser level reaggregates the next-finer CELL table (counts of
+    counts; cells nest exactly because resolutions double and the
+    nonnegative grid shares an origin). The oracle computes each
+    level directly from the points, so parity proves the pyramid is
+    losslessly reaggregable — the hypertable-rollup property in two
+    dimensions: a 100 TB deployment persists the finest tiles (~10⁶×
+    smaller than points) and serves every zoom level from them."""
+
+    def coord(salt: str, mod: int):
+        return F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING),"
+            f" '{salt}')), 1, 8), 16, 10) AS BIGINT), {mod})"
+        )
+
+    pts = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 1500)
+        .select(
+            coord("lat", 180000000).alias("x"),
+            coord("lon", 360000000).alias("y"),
+        )
+    )
+    l0 = pts.groupBy(
+        F.expr("x div 10000000").alias("cx"),
+        F.expr("y div 10000000").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    l1 = l0.groupBy(
+        F.expr("cx div 2").alias("cx"), F.expr("cy div 2").alias("cy")
+    ).agg(F.sum("n_points").cast("bigint").alias("n_points"))
+    l2 = l1.groupBy(
+        F.expr("cx div 2").alias("cx"), F.expr("cy div 2").alias("cy")
+    ).agg(F.sum("n_points").cast("bigint").alias("n_points"))
+    out = (
+        l0.select(F.lit(0).alias("level"), "cx", "cy", "n_points")
+        .unionByName(l1.select(F.lit(1).alias("level"), "cx", "cy", "n_points"))
+        .unionByName(l2.select(F.lit(2).alias("level"), "cx", "cy", "n_points"))
+    )
+    return out.orderBy("level", "cx", "cy")

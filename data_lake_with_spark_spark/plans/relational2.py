@@ -1843,3 +1843,41 @@ def growth_top_parts_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("growth"), F.asc("partkey"), F.asc("yr"))
         .limit(25)
     )
+
+
+MERGE_HINT_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("join_hint_merge", oracle=MERGE_HINT_ORACLE, tags=("join", "hint"))
+def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control, sort-merge flavor: the fact
+    join forced to SORT-MERGE via hint("merge") — the strategy for
+    two LARGE sides where neither hash table fits task memory (both
+    sides sort-spill gracefully; with bucketed+sorted layouts the
+    sorts disappear entirely, see join_bucketed_colocated). Completes
+    the strategy-hint matrix next to hint("shuffle_hash") and the
+    broadcast() calls everywhere else; results are strategy-invariant
+    (plain-join oracle) and the plan assert pins that the hint took
+    effect."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = li.join(orders.hint("merge"), "l_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -48,6 +48,8 @@ CHANGED_THIS_ROUND = [
     "agg_mode_deterministic",
     "spatial_grid_near_pairs",
     "ab_test_conversion",
+    "spatial_pyramid_rollup",
+    "join_hint_merge",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

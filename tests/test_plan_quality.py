@@ -363,3 +363,10 @@ def test_spatial_near_pairs_is_cell_equi_join(spark, sf_dir):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
         "ShuffledHashJoin" in p
     ), p
+
+
+def test_merge_hint_takes_effect(spark, sf_dir):
+    """join_hint_merge must actually plan a SortMergeJoin — a
+    silently ignored strategy hint is a perf bug."""
+    p = plan_of(spark, sf_dir, "join_hint_merge")
+    assert "SortMergeJoin" in p, p

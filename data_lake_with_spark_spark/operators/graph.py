@@ -200,3 +200,34 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    pairs: DataFrame, source, n_hops: int = 3, id_col: str = "id"
+) -> DataFrame:
+    """(id, hops) minimum hop distance from ``source`` over the
+    undirected pair graph, bounded at ``n_hops`` — breadth-first
+    reachability as iterated edge relaxation (Bellman-Ford on unit
+    weights): dist_k(v) = min(dist_{k-1}(v), 1 + min over neighbors).
+    Spark has no recursive CTE; the driver loop over lazy plans with
+    checkpoint-truncated lineage IS the recursion, one join + one
+    min-agg per hop (the PageRank/LPA shape), and the bounded unroll
+    is exactly what makes the SQL oracle expressible. Nodes beyond
+    ``n_hops`` are absent (a frontier cap, the BFS analog of a
+    LIMIT)."""
+    spark = pairs.sparkSession
+    edges = undirected_edges(pairs).localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(source, 0)], f"{id_col} bigint, hops int"
+    )
+    for _ in range(int(n_hops)):
+        nxt = edges.join(
+            dist.select(F.col(id_col).alias("src"), "hops"), "src"
+        ).select(F.col("dst").alias(id_col), (F.col("hops") + 1).alias("hops"))
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy(id_col)
+            .agg(F.min("hops").cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

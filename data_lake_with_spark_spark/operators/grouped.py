@@ -140,3 +140,38 @@ def cogroup_asof(
         .cogroup(right2.groupBy(by))
         .applyInPandas(merge, schema)
     )
+
+
+def capped_running_fold(
+    df: DataFrame,
+    key: str,
+    amount_col: str,
+    order_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Per-group SEQUENTIAL fold with clamping: balance ←
+    min(max(balance + amount, 0), cap) applied in ``order_cols``
+    order — the inventory / credit-limit / battery-charge recurrence
+    that NO window function expresses (the clamp makes each step
+    depend nonlinearly on the last, so prefix sums don't decompose).
+    This is exactly what the grouped-map Arrow seam is for: one group
+    per pandas frame, a tight integer loop inside, shuffle keyed on
+    the group — and with integer amounts the fold is bit-exact, so
+    even this sequential operator is SQL-oracle-able (DuckDB
+    list_reduce over the same ordered list). Returns
+    (key, n_events, final_balance) per group."""
+    import pandas as pd
+
+    out_schema = f"{key} long, n_events long, final_balance long"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        b = 0
+        for v in pdf[amount_col]:
+            b = min(max(b + int(v), 0), cap)
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "n_events": [len(pdf)], "final_balance": [b]}
+        )
+
+    cols = [key, amount_col, *order_cols]
+    return df.select(*cols).groupBy(key).applyInPandas(per_group, out_schema)

@@ -2523,3 +2523,51 @@ def spatial_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(l2.select(F.lit(2).alias("level"), "cx", "cy", "n_points"))
     )
     return out.orderBy("level", "cx", "cy")
+
+
+CAPPED_FOLD_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS mu,
+         ts, event_id
+  FROM events
+), folded AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list(mu ORDER BY ts, event_id)),
+           (acc, x) -> LEAST(GREATEST(acc + x, 0), 50000000000)
+         ) AS final_balance
+  FROM v GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(final_balance AS BIGINT) AS final_balance
+FROM folded ORDER BY user_id
+"""
+
+
+@register(
+    "inventory_capped_balance",
+    oracle=CAPPED_FOLD_ORACLE,
+    tags=("analytics", "events", "arrow", "stateful"),
+)
+def inventory_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running balance per user (inventory / credit-limit /
+    battery recurrence): balance ← min(max(balance + value, 0), cap)
+    in strict (ts, event_id) order — the nonlinear sequential fold no
+    window function decomposes, run through the grouped-map Arrow
+    seam (operators/grouped.py:capped_running_fold) with integer
+    micro-units so the per-group loop is bit-exact against DuckDB's
+    list_reduce. The shuffle is one hash partition on the user; each
+    group folds locally. cap = 50 000 in value units."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("mu"),
+        "ts",
+        "event_id",
+    )
+    from data_lake_with_spark_spark.operators.grouped import capped_running_fold
+
+    return capped_running_fold(
+        ev, "user_id", "mu", ["ts", "event_id"], cap=50_000_000_000
+    ).orderBy("user_id")

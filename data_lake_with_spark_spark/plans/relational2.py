@@ -1881,3 +1881,76 @@ def join_hint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _bfs_oracle(n_hops: int = 3) -> str:
+    """Unrolled bounded-BFS twin: n_hops Bellman-Ford relaxations over
+    the covisitation graph from its smallest node id — the third
+    unrolled-iterative oracle family (PageRank, LPA, now BFS)."""
+    head = """WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, user_id
+  FROM events
+), pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), ed AS (
+  SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs
+), d0 AS (
+  SELECT MIN(src) AS id, 0 AS hops FROM ed
+)"""
+    ctes = [head]
+    for k in range(1, n_hops + 1):
+        ctes.append(
+            f""", d{k} AS (
+  SELECT id, MIN(hops) AS hops FROM (
+    SELECT id, hops FROM d{k - 1}
+    UNION ALL
+    SELECT ed.dst AS id, d{k - 1}.hops + 1 AS hops
+    FROM ed JOIN d{k - 1} ON ed.src = d{k - 1}.id
+  ) GROUP BY id
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT id AS user_id, CAST(hops AS INTEGER) AS hops FROM d{n_hops}"
+        "\nORDER BY hops, user_id"
+    )
+
+
+@register(
+    "graph_bfs_reachability",
+    oracle=_bfs_oracle(3),
+    tags=("graph", "events", "iterative"),
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first reachability (the recursive-CTE shape
+    Spark lacks, e.g. org charts / BOM explosions / influence
+    neighborhoods): minimum hop counts within 3 hops of the
+    covisitation graph's smallest node id. The driver loop over
+    checkpoint-truncated lazy plans IS the recursion — one edge join +
+    one min-agg per hop (operators/graph.py:bfs_hops) — and the fixed
+    bound is what lets the oracle unroll it (the PageRank/LPA/k-means
+    precedent, now covering traversal). Source selection (min node) is
+    a bounded driver action; eager like the census."""
+    from data_lake_with_spark_spark.operators.graph import bfs_hops
+
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+        "user_id",
+    ).distinct()
+    a = w.select("win", F.col("user_id").alias("a_id"))
+    b = w.select("win", F.col("user_id").alias("b_id"))
+    pairs = (
+        a.join(b, "win")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") >= 3)
+        .select("a_id", "b_id")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    source = pairs.agg(F.min("a_id")).first()[0]
+    dist = bfs_hops(pairs, int(source), n_hops=3, id_col="user_id")
+    return dist.select("user_id", "hops").orderBy("hops", "user_id")

@@ -50,6 +50,8 @@ CHANGED_THIS_ROUND = [
     "ab_test_conversion",
     "spatial_pyramid_rollup",
     "join_hint_merge",
+    "graph_bfs_reachability",
+    "inventory_capped_balance",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -52,6 +52,8 @@ CHANGED_THIS_ROUND = [
     "join_hint_merge",
     "graph_bfs_reachability",
     "inventory_capped_balance",
+    "finance_ohlc_hourly",
+    "timeseries_twap_daily",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -410,3 +410,38 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def ohlc_bars(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming hourly OHLC bars (twin of the batch
+    finance_ohlc_hourly): min_by/max_by over the unique (ts, event_id)
+    struct ordinal are plain hash-agg accumulators, so candlesticks
+    stream with bounded watermarked state exactly like counts do —
+    no per-bar sort, no ordered state."""
+    mu = F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)")
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(
+            "event_type",
+            "ts",
+            mu.alias("mu"),
+            F.struct("ts", "event_id").alias("ord"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(mu, ord)").cast("bigint").alias("open_mu"),
+            F.max("mu").cast("bigint").alias("high_mu"),
+            F.min("mu").cast("bigint").alias("low_mu"),
+            F.expr("max_by(mu, ord)").cast("bigint").alias("close_mu"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("bar"),
+            "event_type",
+            "open_mu",
+            "high_mu",
+            "low_mu",
+            "close_mu",
+            "n_ticks",
+        )
+    )

@@ -180,3 +180,27 @@ def test_stateful_running_totals_tws(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, stream):
+    """Candlesticks are pure hash-agg accumulators: the streaming
+    hourly OHLC replay must equal the batch query bar for bar."""
+    out = jobs.run_to_completion(
+        jobs.ohlc_bars(stream), "t_ohlc", mode="complete"
+    )
+    batch = (
+        REGISTRY["finance_ohlc_hourly"]
+        .spark(spark, sf_dir)
+        .select(
+            F.col("bar"),
+            "event_type",
+            "open_mu",
+            "high_mu",
+            "low_mu",
+            "close_mu",
+            "n_ticks",
+        )
+    )
+    assert _sorted_rows(out, "event_type", "bar") == _sorted_rows(
+        batch, "event_type", "bar"
+    )

@@ -617,3 +617,111 @@ def sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+USERS_TO_DATE_ORACLE = """
+WITH firsts AS (
+  SELECT event_type, user_id,
+         MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id
+), per_day AS (
+  SELECT event_type, first_day AS day, COUNT(*) AS n_new
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_new AS BIGINT) AS n_new_users,
+       CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS users_to_date
+FROM per_day ORDER BY event_type, day
+"""
+
+
+@register(
+    "window_users_to_date",
+    oracle=USERS_TO_DATE_ORACLE,
+    tags=("window", "events", "agg"),
+)
+def window_users_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE distinct users per event type by day — the running
+    n_unique no window function computes directly. The scalable
+    identity: distinct-to-date(d) = Σ first-occurrences ≤ d, so one
+    (type, user) min-day agg + one tiny per-day rollup + a cumsum
+    over DAYS (hundreds of rows, not user-days) replaces any attempt
+    at COUNT(DISTINCT) OVER — state is O(users) in the first agg and
+    O(days) after, the exact shape that survives 100 TB of events."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("users_to_date"),
+    ).orderBy("event_type", "day")
+
+
+CALENDAR_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+         CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+  FROM events
+), days AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(EXTRACT(year FROM day) AS INTEGER) AS year,
+       CAST(EXTRACT(quarter FROM day) AS INTEGER) AS quarter,
+       CAST(EXTRACT(month FROM day) AS INTEGER) AS month,
+       CAST(EXTRACT(day FROM day) AS INTEGER) AS dayofmonth,
+       CAST((dayofweek(day) + 6) % 7 AS INTEGER) AS dow_monday0,
+       CAST(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END AS INTEGER)
+         AS is_weekend
+FROM days ORDER BY day
+"""
+
+
+@register(
+    "dim_calendar_spine",
+    oracle=CALENDAR_ORACLE,
+    tags=("dim", "events", "timeseries"),
+)
+def dim_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar dimension spanning the fact table's day range —
+    the gap-free date spine every reporting join needs (LOCF
+    resampling and cohort grids both assume it): one min/max scan,
+    then sequence()+explode generates the days table from two scalars
+    (never a row-per-day shuffle of the facts). Weekday normalized
+    Monday=0 across engine conventions; weekend flag for the
+    reporting layer."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    return days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.year("day").cast("int").alias("year"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.month("day").cast("int").alias("month"),
+        F.dayofmonth("day").cast("int").alias("dayofmonth"),
+        ((F.dayofweek("day") + 5) % 7).cast("int").alias("dow_monday0"),
+        F.when(F.dayofweek("day").isin(1, 7), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_weekend"),
+    ).orderBy("day")

@@ -54,6 +54,8 @@ CHANGED_THIS_ROUND = [
     "inventory_capped_balance",
     "finance_ohlc_hourly",
     "timeseries_twap_daily",
+    "window_users_to_date",
+    "dim_calendar_spine",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -370,3 +370,57 @@ def test_merge_hint_takes_effect(spark, sf_dir):
     silently ignored strategy hint is a perf bug."""
     p = plan_of(spark, sf_dir, "join_hint_merge")
     assert "SortMergeJoin" in p, p
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
+    """AQE skew-join: a join keyed on a deliberately hot key must show
+    the skew flag on the sort-merge join in the FINAL adaptive plan
+    once thresholds are scaled to the test's data volume — the
+    runtime remediation (alongside manual salting in
+    operators/skew.py) that keeps one executor from absorbing a hot
+    key's entire partition at 100 TB."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB"
+    )
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    # the join feeds a groupBy: splitting the hot partition breaks the
+    # reusable output partitioning, so AQE skips the rewrite unless
+    # told the extra shuffle is worth it — exactly the production
+    # trade-off this flag exists for
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try:
+        # 500k rows, ~90% on ONE key, with an md5 pad so the hot
+        # shuffle partition clears the byte threshold post-compression
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 200)
+            .alias("k"),
+            F.col("id").alias("payload"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(200).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        j = left.join(right, "k").groupBy("attr").count()
+        j.toPandas()
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "isFinalPlan=true" in plan, plan[:1000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -304,3 +304,62 @@ def training_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_masked"),
         F.size("masked").cast("bigint").alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+QUALITY_MIXTURE_ORACLE = r"""
+WITH q AS (
+  SELECT doc_id,
+         (LEAST(length(text) / 400.0, 1.0)
+          + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
+          + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                         / length(text) * 4, 1.0))) / 3.0 AS score
+  FROM documents
+), banded AS (
+  SELECT doc_id,
+         CASE WHEN score >= 0.75 THEN 'high'
+              WHEN score >= 0.5  THEN 'mid'
+              ELSE 'low' END AS band,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 8)
+              AS BIGINT) % 4 AS shard
+  FROM q
+)
+SELECT CAST(shard AS BIGINT) AS shard, band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM banded GROUP BY shard, band
+ORDER BY shard, band
+"""
+
+
+@register(
+    "training_quality_mixture",
+    oracle=QUALITY_MIXTURE_ORACLE,
+    tags=("training", "llm", "quality", "sampling"),
+)
+def training_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-banded shard mixture audit: docs band into
+    high/mid/low by FIXED score cutoffs (fixed thresholds, not
+    quantiles — a doc's band never depends on the rest of the corpus,
+    so bands are stable under corpus growth and shard-local
+    recomputation) and shard by the content-addressed md5 family;
+    per-(shard, band) counts verify every shard sees the same quality
+    mix — the invariant a curriculum or mixture-weighted training run
+    asserts before burning GPU hours. One scan, one hash-agg."""
+    from data_lake_with_spark_spark.plans.llm_ops import _quality_raw
+
+    docs = _t(spark, sf_dir, "documents")
+    score = _quality_raw("text")
+    band = (
+        F.when(score >= 0.75, F.lit("high"))
+        .when(score >= 0.5, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    shard = F.expr(
+        "pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), 'mix1')),"
+        " 1, 8), 16, 10) AS BIGINT), 4)"
+    )
+    return (
+        docs.select(shard.cast("bigint").alias("shard"), band.alias("band"))
+        .groupBy("shard", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("shard", "band")
+    )

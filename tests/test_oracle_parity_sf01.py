@@ -56,6 +56,7 @@ CHANGED_THIS_ROUND = [
     "timeseries_twap_daily",
     "window_users_to_date",
     "dim_calendar_spine",
+    "training_quality_mixture",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -424,3 +424,23 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_reused_exchange_on_identical_subtrees(spark, sf_dir):
+    """Diamond plans over the SAME canonical subtree must reuse the
+    shuffle (ReusedExchange), not recompute it — the free win that
+    renamed projections silently forfeit (ARCHITECTURE.md lesson:
+    ReuseExchange needs identical canonical plans)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    diamond = agg.unionByName(agg)
+    diamond.collect()
+    plan = diamond._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:3000]

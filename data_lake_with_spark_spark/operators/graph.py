@@ -202,6 +202,58 @@ def label_propagation(
     return labels
 
 
+def min_label_components(
+    pairs: DataFrame, n_iter: int = 4, id_col: str = "id"
+) -> DataFrame:
+    """(id, lab) after ``n_iter`` synchronous MIN-label rounds over the
+    undirected pair graph — connected components by label flooding
+    with POINTER JUMPING: every node starts labeled with its own id
+    and each round takes the min of (its own label, its neighbors'
+    labels, its label's CURRENT label). The last term is the path
+    doubling from the MapReduce-CC literature (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): labels are node
+    ids, so "my label's label" chases the flooding front two hops,
+    giving superlinear reach per round (plain flooding covers
+    diameter d in d rounds; with jumping, ~2^rounds) — what makes a
+    FIXED small unroll converge on real graphs. Fully deterministic
+    (min is a total order), hence — like ``label_propagation`` and
+    ``pagerank_portable`` — verifiable against an unrolled SQL twin;
+    the pytest pins the fixpoint against a driver-side union-find.
+
+    Per iteration: ONE edge→label join + min-agg (keyed on node id)
+    + ONE self-join on the label (the jump) — bounded shuffles,
+    lineage truncated via localCheckpoint."""
+    edges = undirected_edges(pairs).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(id_col, F.col(id_col).alias("lab"))
+    for _ in range(int(n_iter)):
+        nbr_min = (
+            edges.join(labels.select(F.col(id_col).alias("dst"), "lab"), "dst")
+            .groupBy(F.col("src").alias(id_col))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        jump = labels.select(
+            F.col(id_col).alias("_jid"), F.col("lab").alias("_jlab")
+        )
+        labels = (
+            labels.join(jump, F.col("lab") == F.col("_jid"))
+            .join(nbr_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.least(F.col("lab"), F.col("_jlab")),
+                    F.coalesce("nlab", "lab"),
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def bfs_hops(
     pairs: DataFrame, source, n_hops: int = 3, id_col: str = "id"
 ) -> DataFrame:

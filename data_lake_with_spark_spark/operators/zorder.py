@@ -63,6 +63,14 @@ def with_zorder_key(df: DataFrame, cols: list[str], bits: int = BITS) -> DataFra
     return out.drop(*[f"_b_{c}" for c in cols])
 
 
+def morton_from_buckets(bucket_cols: list[Column], bits: int = BITS) -> Column:
+    """Morton key over PRECOMPUTED integer bucket columns (callers that
+    bucket in value space — ``(v - min) * 2^bits div span`` — get a
+    fully map-side z-order key: no window sort at all, just one
+    broadcast of the min/max stats row)."""
+    return _interleave(bucket_cols, bits)
+
+
 def write_zordered(
     df: DataFrame, cols: list[str], path: str, n_files: int = 8, bits: int = BITS
 ) -> None:

@@ -11,6 +11,7 @@ from data_lake_with_spark_spark.plans.registry import REGISTRY, Query, register
 from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     analytics_ops,
     corpus_ops,
+    lakehouse_ops,
     reference_surface,
     relational,
     relational2,

@@ -1,0 +1,644 @@
+"""Lakehouse-maintenance + training-prep queries: physical-layout
+planning (z-order locality, compaction bin packing), feature
+engineering (target encoding, CV fold assignment), time-series
+smoothing (EWMA), two-sample drift testing (KS), diversified
+retrieval (MMR), and connected components over the near-dup graph.
+
+These extend the reference's ETL surface (/root/reference/etl.py
+writes hive-partitioned parquet, 241-294) with the table-maintenance
+and trainset-shaping operations a 100 TB lake needs around that same
+data model. Every query here is fully DuckDB-oracled; float outputs
+go through the parity helpers (plans/parity.py) so both engines land
+on identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators import similarity as SIM
+from data_lake_with_spark_spark.operators.zorder import morton_from_buckets
+from data_lake_with_spark_spark.functions.vector import cosine
+from data_lake_with_spark_spark.plans.parity import (
+    dsum,
+    dsum_sql,
+    pround,
+    pround_sql,
+)
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Physical layout: z-order locality audit
+# ---------------------------------------------------------------------------
+
+_ZBITS = 6  # 64 buckets per dimension, 4096 morton cells, 64 "files"
+
+
+def _morton_sql(bp: str, bs: str, bits: int) -> str:
+    """Bit-interleave SQL twin of operators/zorder.py:_interleave —
+    bit j of dim 0 lands at 2j, of dim 1 at 2j+1."""
+    parts = []
+    for j in range(bits):
+        parts.append(f"((({bp} >> {j}) & 1) << {2 * j})")
+        parts.append(f"((({bs} >> {j}) & 1) << {2 * j + 1})")
+    return " | ".join(parts)
+
+
+ZORDER_LOCALITY_ORACLE = f"""
+WITH r AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+), b AS (
+  SELECT l_partkey, l_suppkey,
+         ((l_partkey - pmin) * {1 << _ZBITS}) // (pmax - pmin + 1) AS bp,
+         ((l_suppkey - smin) * {1 << _ZBITS}) // (smax - smin + 1) AS bs
+  FROM lineitem, r
+), m AS (
+  SELECT l_partkey, l_suppkey, ({_morton_sql('bp', 'bs', _ZBITS)}) AS morton
+  FROM b
+)
+SELECT morton >> {_ZBITS} AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MAX(l_partkey) - MIN(l_partkey) AS p_span,
+       MAX(l_suppkey) - MIN(l_suppkey) AS s_span
+FROM m GROUP BY file_id ORDER BY file_id
+"""
+
+
+@register(
+    "layout_zorder_locality",
+    oracle=ZORDER_LOCALITY_ORACLE,
+    tags=("layout", "lakehouse"),
+)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit — what Delta's
+    ``OPTIMIZE ZORDER BY`` decides, as a query: bucket (l_partkey,
+    l_suppkey) into 64 value-space cells each, interleave the bucket
+    bits into a morton key, split the curve into 64 "files" (morton
+    >> 6), and report each file's min-max span per dimension. Tight
+    spans on BOTH columns are the proof the layout prunes parquet
+    row groups for filters on EITHER key — the data-skipping payoff.
+
+    Scale shape: value-space bucketing means the whole key assignment
+    is MAP-SIDE — one 1-row min/max stats broadcast, zero window
+    sorts (the rank-space variant in operators/zorder.py pays one
+    sort per dimension; at 100 TB you'd swap in approx quantile
+    boundaries). One hash-agg shuffle on file_id ends the audit."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    rng = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    nb = 1 << _ZBITS
+    b = li.crossJoin(F.broadcast(rng)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"((l_partkey - pmin) * {nb}) div (pmax - pmin + 1)").alias("bp"),
+        F.expr(f"((l_suppkey - smin) * {nb}) div (smax - smin + 1)").alias("bs"),
+    )
+    m = b.withColumn(
+        "morton", morton_from_buckets([F.col("bp"), F.col("bs")], bits=_ZBITS)
+    )
+    return (
+        m.groupBy(F.shiftright("morton", _ZBITS).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("p_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("s_span"),
+        )
+        .orderBy("file_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physical layout: compaction bin packing
+# ---------------------------------------------------------------------------
+
+_BIN_TARGET = 16384  # target bytes per compacted output file
+
+COMPACTION_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum
+  FROM documents
+)
+SELECT cum // {_BIN_TARGET} AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY bin_id ORDER BY bin_id
+"""
+
+
+@register(
+    "layout_compaction_bins", oracle=COMPACTION_ORACLE, tags=("layout", "lakehouse")
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-packing step
+    every parquet lake runs: treat each document as a file of
+    ``n_chars`` bytes, walk the manifest in id order, and assign files
+    to output bins by cumulative-size div target (a bin closes once
+    the running size crosses the target — the same streaming coalesce
+    Spark's own file-splitting uses). Output: per-bin file count,
+    total bytes, and id range — the compaction job manifest.
+
+    Scale shape: this runs over the FILE MANIFEST, not the data —
+    one row per file (~800k rows for 100 TB at 128 MB files), so the
+    single ordered window is metadata-sized by construction; the
+    actual rewrite each bin describes is embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned = docs.withColumn(
+        "cum", F.coalesce(F.sum("n_chars").over(w), F.lit(0).cast("bigint"))
+    ).withColumn("bin_id", F.expr(f"cum div {_BIN_TARGET}"))
+    return (
+        planned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: deterministic CV folds
+# ---------------------------------------------------------------------------
+
+CV_FOLDS_ORACLE = f"""
+SELECT ((c_custkey * 2654435761) % 4294967296) % 5 AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {pround_sql("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(c_acctbal)", 4)} AS avg_acctbal,
+       CAST(COUNT_IF(c_mktsegment = 'BUILDING') AS BIGINT) AS n_building
+FROM customer GROUP BY fold ORDER BY fold
+"""
+
+
+@register("training_cv_folds", oracle=CV_FOLDS_ORACLE, tags=("training", "llm"))
+def training_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation /
+    train-test splitting: fold = multiplicative hash (Knuth's 2654435761
+    mod 2³²) of the entity key, mod k — content-addressed, so the split
+    is reproducible across runs, engines, and re-partitions (no RNG, no
+    row order dependence; the same property training_split relies on).
+    The readout checks fold balance: row count, mean balance, and one
+    segment's share per fold — the leakage/imbalance audit run before
+    training. Pure map-side hash + one k-group agg; no shuffle grows
+    with k at 100 TB."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = pround(
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+        / F.count("c_acctbal"),
+        4,
+    )
+    return (
+        cust.groupBy(
+            F.expr("((c_custkey * 2654435761) % 4294967296) % 5").alias("fold")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            avg_bal.alias("avg_acctbal"),
+            F.count_if(F.col("c_mktsegment") == "BUILDING")
+            .cast("bigint")
+            .alias("n_building"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: smoothed target encoding
+# ---------------------------------------------------------------------------
+
+TARGET_ENC_ORACLE = """
+WITH j AS (
+  SELECT p_brand, l_returnflag FROM lineitem JOIN part ON p_partkey = l_partkey
+), g AS (
+  SELECT COUNT(*) AS gn, COUNT_IF(l_returnflag = 'R') AS gr FROM j
+), per AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         COUNT_IF(l_returnflag = 'R') AS r
+  FROM j GROUP BY p_brand
+)
+SELECT p_brand, n_lines,
+       FLOOR((r / n_lines) * 1000000.0 + 0.5) / 1000000.0 AS return_rate,
+       FLOOR(((r + 50.0 * (gr / gn)) / (n_lines + 50.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS target_enc
+FROM per, g ORDER BY p_brand
+"""
+
+
+@register(
+    "feature_target_encoding", oracle=TARGET_ENC_ORACLE, tags=("training", "llm")
+)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate (Bayesian-smoothed) target encoding of a categorical
+    feature: encode each part brand by its return rate shrunk toward
+    the global prior, enc = (returns + m·prior) / (n + m) with m = 50 —
+    the standard leakage-safe categorical encoder for tabular training
+    sets (rare brands collapse to the prior, frequent brands keep
+    their empirical rate). Plan: broadcast the part dim onto lineitem
+    (no fact shuffle), ONE hash-agg per brand + ONE 1-row global agg
+    broadcast back — two shuffles total regardless of data size."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_brand", "l_returnflag")
+    is_ret = F.col("l_returnflag") == "R"
+    per = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_if(is_ret).alias("r"),
+    )
+    glob = j.agg(
+        F.count(F.lit(1)).alias("gn"), F.count_if(is_ret).alias("gr")
+    )
+    prior = F.col("gr") / F.col("gn")
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "p_brand",
+            "n_lines",
+            pround(F.col("r") / F.col("n_lines"), 6).alias("return_rate"),
+            pround(
+                (F.col("r") + F.lit(50.0) * prior)
+                / (F.col("n_lines") + F.lit(50.0)),
+                6,
+            ).alias("target_enc"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series: EWMA smoothing (finite-memory, halflife = 1 step)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 7  # truncate the exponential tail at 2^-7 (<1% weight)
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ", ".join(
+        f"LAG(rev, {k}) OVER (ORDER BY day) AS l{k}"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    num = "rev" + "".join(
+        f" + COALESCE(l{k}, 0.0) * {0.5 ** k!r}" for k in range(1, _EWMA_LAGS + 1)
+    )
+    den = "1.0" + "".join(
+        f" + CASE WHEN l{k} IS NULL THEN 0.0 ELSE {0.5 ** k!r} END"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         {dsum_sql('o_totalprice', 2)} AS rev
+  FROM orders GROUP BY day
+), l AS (
+  SELECT day, rev, {lag_cols} FROM d
+)
+SELECT day, rev, {pround_sql(f'({num}) / ({den})', 4)} AS ewma
+FROM l ORDER BY day
+"""
+
+
+@register(
+    "timeseries_ewma_halflife", oracle=_ewma_oracle(), tags=("timeseries", "window")
+)
+def timeseries_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue with a
+    one-day halflife, truncated at 7 lags (tail weight < 1%): the
+    smoothing pandas' ``ewm(halflife=1)`` computes, recast as a
+    FINITE window so it is expressible with lag() on both engines and
+    renormalized over the lags actually present (warm-up rows use
+    only their real history — no zero-padding bias). Halflife weights
+    are dyadic (2⁻ᵏ — exponent shifts, exact in doubles), and both
+    engines fold the 8 terms in the same left-to-right order, so the
+    smoothed series is bit-identical. Scale shape: the window runs
+    over the DAILY aggregate (one row per calendar day — bounded by
+    time, not data); the raw-fact pass is one hash-agg."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum(F.col("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev",
+        *[
+            F.lag("rev", k).over(w).alias(f"l{k}")
+            for k in range(1, _EWMA_LAGS + 1)
+        ],
+    )
+    num = F.col("rev")
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_LAGS + 1):
+        wt = 0.5**k
+        num = num + F.coalesce(F.col(f"l{k}"), F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(F.col(f"l{k}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(wt)
+        )
+    return lagged.select(
+        "day", "rev", pround(num / den, 4).alias("ewma")
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Statistics: two-sample Kolmogorov-Smirnov drift test
+# ---------------------------------------------------------------------------
+
+KS_ORACLE = """
+WITH ev AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('purchase', 'view')
+), g AS (
+  SELECT value,
+         COUNT_IF(event_type = 'purchase') AS a,
+         COUNT_IF(event_type = 'view') AS b
+  FROM ev GROUP BY value
+), c AS (
+  SELECT CAST(SUM(a) OVER (ORDER BY value) AS BIGINT) AS c1,
+         CAST(SUM(b) OVER (ORDER BY value) AS BIGINT) AS c2
+  FROM g
+), t AS (
+  SELECT CAST(COUNT_IF(event_type = 'purchase') AS BIGINT) AS n1,
+         CAST(COUNT_IF(event_type = 'view') AS BIGINT) AS n2
+  FROM ev
+)
+SELECT n1, n2,
+       CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+       FLOOR((CAST(MAX(ABS(c1 * n2 - c2 * n1)) AS BIGINT) / (n1 * n2))
+             * 1000000.0 + 0.5) / 1000000.0 AS ks_d
+FROM c, t GROUP BY n1, n2
+"""
+
+
+@register("stats_ks_two_sample", oracle=KS_ORACLE, tags=("stats", "quality"))
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase
+    and view value distributions — the standard drift test a feature
+    pipeline runs between training and serving windows. D = max over
+    the merged support of |ECDF₁ − ECDF₂|, computed in SCALED INTEGERS
+    (|c1·n2 − c2·n1|, exact — the float division happens once, on the
+    final 1-row readout), so the max is tie-proof across engines.
+    Plan: one hash-agg collapses rows to distinct values, one ordered
+    window over the distinct-value spine, one 1-row totals broadcast.
+    At 100 TB with a continuous metric you'd pre-bin values to a fixed
+    grid first (same shape, bounded spine); here the support is small
+    so the exact ECDF is the better oracle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select("value", "event_type")
+    )
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+    g = ev.groupBy("value").agg(
+        F.count_if(is_p).alias("a"), F.count_if(is_v).alias("b")
+    )
+    w = Window.orderBy("value")
+    c = g.select(
+        F.sum("a").over(w).alias("c1"), F.sum("b").over(w).alias("c2")
+    )
+    t = ev.agg(
+        F.count_if(is_p).cast("bigint").alias("n1"),
+        F.count_if(is_v).cast("bigint").alias("n2"),
+    )
+    d = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n1", "n2")
+        .agg(F.max(d).cast("bigint").alias("d_scaled"))
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            pround(F.col("d_scaled") / (F.col("n1") * F.col("n2")), 6).alias(
+                "ks_d"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: maximal marginal relevance (diversified top-k)
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_POOL = 20
+_MMR_LAM = 0.7
+_MMR_BETA = 0.3
+
+
+def _cos6_sql(a: str, b: str) -> str:
+    return (
+        f"FLOOR((list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+        f" * 1000000.0 + 0.5) / 1000000.0"
+    )
+
+
+def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    head = f"""WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv,
+         {_cos6_sql('embedding::DOUBLE[]', 'qv')} AS rel
+  FROM embeddings, q WHERE vec_id > 0
+), c20 AS (
+  SELECT * FROM c ORDER BY rel DESC, vec_id LIMIT {pool}
+), p1 AS (
+  SELECT vec_id, cv, rel FROM c20 ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ctes = [head]
+    for i in range(2, k + 1):
+        sims = ",\n         ".join(
+            f"{_cos6_sql('c.cv', f'p{j}.cv')} AS m{j}" for j in range(1, i)
+        )
+        tables = ", ".join(f"p{j}" for j in range(1, i))
+        notin = ", ".join(f"p{j}.vec_id" for j in range(1, i))
+        names = ", ".join(f"m{j}" for j in range(1, i))
+        maxm = f"GREATEST({names})" if i > 2 else "m1"
+        ctes.append(
+            f""", s{i} AS (
+  SELECT c.vec_id, c.cv, c.rel,
+         {sims}
+  FROM c20 c, {tables}
+  WHERE c.vec_id NOT IN ({notin})
+), p{i} AS (
+  SELECT vec_id, cv, rel FROM s{i}
+  ORDER BY ({_MMR_LAM} * rel - {_MMR_BETA} * {maxm}) DESC, vec_id LIMIT 1
+)"""
+        )
+    tail = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, vec_id, rel FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(ctes) + "\nSELECT rank, vec_id, rel FROM (\n" + tail + "\n) ORDER BY rank"
+
+
+def _lit_vec(values) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("vector", "llm", "topk", "iterative"),
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversified top-k every RAG retriever bolts onto raw
+    cosine ranking: greedily pick argmax of λ·rel(d,q) −
+    (1−λ)·max_sim(d, selected), λ=0.7, from a 20-candidate pool.
+    Candidate generation is the scalable part (per-partition top-k
+    merge via sort+limit → TakeOrderedAndProject, no single-partition
+    shuffle; swap in lsh_topk for ANN candidates at 100 TB); the
+    greedy loop is k bounded argmax actions over the 20-row pool —
+    the k-means/codebook bounded-driver-artifact pattern (each
+    iteration collects ONE row; like the other iterative queries this
+    evaluates eagerly at construction). All similarities are
+    portable-rounded doubles, so the unrolled 5-step SQL twin picks
+    identical vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec")
+    )
+    cands = (
+        emb.where(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            pround(cosine(F.col("q_vec"), F.col("embedding")), 6).alias("rel"),
+        )
+    )
+    pool = (
+        cands.orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    picked: list = []
+    for _ in range(_MMR_K):
+        remaining = (
+            pool.where(~F.col("vec_id").isin([r["vec_id"] for r in picked]))
+            if picked
+            else pool
+        )
+        if picked:
+            sims = [
+                pround(cosine(_lit_vec(r["embedding"]), F.col("embedding")), 6)
+                for r in picked
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.lit(_MMR_LAM) * F.col("rel") - F.lit(_MMR_BETA) * maxsim
+        else:
+            score = F.col("rel")
+        picked.append(
+            remaining.orderBy(score.desc(), "vec_id").limit(1).collect()[0]
+        )
+    rank_col = F.lit(None).cast("int")
+    for i, r in enumerate(picked, start=1):
+        rank_col = F.when(
+            F.col("vec_id") == r["vec_id"], F.lit(i).cast("int")
+        ).otherwise(rank_col)
+    return (
+        pool.where(F.col("vec_id").isin([r["vec_id"] for r in picked]))
+        .select(rank_col.alias("rank"), "vec_id", "rel")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle(n_iter: int = 4) -> str:
+    # Each round references the previous labels THREE times (self,
+    # pointer jump, neighbor lookup) — without MATERIALIZED the CTE
+    # inliner would expand 3^n_iter copies of the whole chain.
+    head = """WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM ed
+), l0 AS MATERIALIZED (
+  SELECT id, id AS lab FROM nodes
+)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(LEAST(l.lab, pj.lab), MIN(n.lab)) AS lab
+  FROM l{i - 1} l
+  JOIN l{i - 1} pj ON pj.id = l.lab
+  JOIN ed ON ed.src = l.id
+  JOIN l{i - 1} n ON n.id = ed.dst
+  GROUP BY l.id, l.lab, pj.lab
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT lab AS component, CAST(COUNT(*) AS BIGINT) AS n_members"
+        f"\nFROM l{n_iter} GROUP BY lab"
+        "\nORDER BY n_members DESC, component"
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle=_cc_oracle(8),
+    tags=("graph", "dedup", "llm", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the near-dup graph by synchronous
+    min-label flooding with pointer jumping (8 rounds):
+    the canonical duplicate-CLUSTER extraction — transitive closure
+    of pairwise near-dup edges, so "A≈B, B≈C" lands A, B, C in one
+    component even when A and C are not directly similar (the
+    grouping MinHash-dedup pipelines need before keep-first).
+    Deterministic (min is a total order) hence value-verified against
+    the unrolled 8-step SQL twin; the pytest additionally pins full
+    convergence against a driver-side union-find at the local and
+    driver gate scales (a production run would instead iterate to
+    fixpoint — stop when a round changes zero labels). Per round: one
+    edge→label join + min-agg + one label self-join (the jump),
+    shuffles keyed on node id (operators/graph.py:
+    min_label_components has the round kernel and the
+    MapReduce-CC citation)."""
+    from data_lake_with_spark_spark.operators.graph import min_label_components
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    labels = min_label_components(pairs, n_iter=8)
+    return (
+        labels.groupBy(F.col("lab").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "component")
+    )

@@ -750,3 +750,38 @@ def test_pagerank_portable_tracks_float_ranks(spark):
     top_f = sorted(fl, key=lambda n: (-fl[n], n))[:3]
     top_s = sorted(sc, key=lambda n: (-sc[n], n))[:3]
     assert top_f == top_s
+
+
+def test_min_label_components_converges_to_union_find(spark, sf_dir):
+    """min_label_components(8) over the near-dup graph must equal the
+    exact components a driver-side union-find computes on the same
+    pairs — i.e. 8 flooding rounds fully converge at test scale (the
+    oracle pins 8 rounds; this pins that 8 rounds ARE the fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.graph import min_label_components
+    from data_lake_with_spark_spark.operators.similarity import lsh_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = lsh_near_pairs(emb, threshold=0.35)
+    edges = [(r["a_id"], r["b_id"]) for r in pairs.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r["id"]: r["lab"] for r in min_label_components(pairs, n_iter=8).collect()
+    }
+    assert got == want

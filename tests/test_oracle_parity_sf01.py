@@ -57,6 +57,14 @@ CHANGED_THIS_ROUND = [
     "window_users_to_date",
     "dim_calendar_spine",
     "training_quality_mixture",
+    "layout_zorder_locality",
+    "layout_compaction_bins",
+    "training_cv_folds",
+    "feature_target_encoding",
+    "timeseries_ewma_halflife",
+    "stats_ks_two_sample",
+    "search_mmr_rerank",
+    "graph_connected_components",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -1204,3 +1204,93 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+BIGRAM_LOGPROB_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), uni AS (
+  SELECT unnest(l) AS term FROM tok
+), voc AS (
+  SELECT COUNT(DISTINCT term) AS v FROM uni
+), bi AS (
+  SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2
+  FROM tok, UNNEST(range(len(l) - 1)) AS u(i)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+), scored AS (
+  SELECT doc_id,
+         CAST(FLOOR((ln(CAST(c12 + 1 AS DOUBLE)) - ln(CAST(c1 + v AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS lp_q
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN voc
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR(SUM(lp_q) * 1.0 / COUNT(*) / 1e6 * 1e4 + 0.5) / 1e4
+         AS mean_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_bigram_logprob", oracle=BIGRAM_LOGPROB_ORACLE, tags=("text", "llm", "quality")
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with Laplace smoothing — the
+    context-aware upgrade of text_unigram_logprob's perplexity-proxy
+    quality filter: each document's mean ln P(w₂|w₁) under the
+    corpus's own bigram counts, P = (c(w₁,w₂)+1)/(c(w₁·)+V).
+    Scrambled or boilerplate-stitched text keeps plausible unigrams
+    but rare transitions, so it scores low here while passing the
+    unigram screen. Same transcendental-portability trick: per-bigram
+    log-probs quantized to integers (floor(ln·1e6)) BEFORE summation
+    — order-independent, bit-identical on any engine/partitioning.
+    Plan: bigrams via two array slices zipped (no self-join), one
+    (w₁,w₂) hash-agg + one w₁ hash-agg, a join back on the bigram
+    key, map-side-combined per-doc sums; vocabulary size is a 1-row
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TXT.tokens("text").alias("ts"))
+    sliced = toks.where(F.size("ts") >= 2).select(
+        "doc_id",
+        F.slice("ts", 1, F.size("ts") - 1).alias("a"),
+        F.slice("ts", 2, F.size("ts") - 1).alias("b"),
+    )
+    bi = sliced.select(
+        "doc_id", F.explode(F.arrays_zip("a", "b")).alias("bg")
+    ).select(
+        "doc_id", F.col("bg.a").alias("w1"), F.col("bg.b").alias("w2")
+    )
+    voc = toks.select(F.explode("ts").alias("term")).agg(
+        F.count_distinct("term").alias("v")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp_q = F.floor(
+        (
+            F.log((F.col("c12") + F.lit(1)).cast("double"))
+            - F.log((F.col("c1") + F.col("v")).cast("double"))
+        )
+        * 1e6
+    ).cast("long")
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", lp_q.alias("lp_q"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_q").alias("s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(F.col("s") * 1.0 / F.col("n_bigrams") / 1e6 * 1e4 + 0.5)
+                / 1e4
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

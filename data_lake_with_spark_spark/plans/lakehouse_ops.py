@@ -642,3 +642,170 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC: SCD2 merge application (the MERGE INTO analog as a query)
+# ---------------------------------------------------------------------------
+
+SCD2_APPLY_ORACLE = """
+WITH f AS (
+  SELECT o_custkey AS c_key, o_orderpriority AS prio, o_orderdate AS vf
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+), l AS (
+  SELECT o_custkey AS c_key, o_orderpriority AS uprio, o_orderdate AS uts
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+)
+SELECT f.c_key, f.prio, CAST(f.vf AS TIMESTAMP) AS valid_from,
+       CAST(CASE WHEN l.uprio <> f.prio THEN l.uts END AS TIMESTAMP) AS valid_to
+FROM f JOIN l USING (c_key)
+UNION ALL
+SELECT l.c_key, l.uprio AS prio, CAST(l.uts AS TIMESTAMP) AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM f JOIN l USING (c_key) WHERE l.uprio <> f.prio
+ORDER BY c_key, valid_from, prio
+"""
+
+
+@register("cdc_scd2_apply", oracle=SCD2_APPLY_ORACLE, tags=("cdc", "lakehouse", "join"))
+def cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE application as a value-verified query: seed each
+    customer's history with their FIRST order's priority (open row
+    from that order date), then apply the LATEST order as an update
+    batch through ``operators/cdc.py:scd2_apply`` — changed keys get
+    the open row closed at the update timestamp plus a new open
+    version; unchanged keys pass through untouched (idempotent, the
+    property the reference's append-only upsert lacked — reference
+    etl.py:105-128). Both window picks tie-break on o_orderkey, so
+    the batch reduction inside scd2_apply sees exactly one
+    deterministic row per key. This is what ``MERGE INTO`` compiles
+    to on immutable parquet: anti/outer join + union — per-key
+    shuffles only; at 100 TB the history table would be bucketed by
+    key so the join co-locates."""
+    from data_lake_with_spark_spark.operators.cdc import scd2_apply
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    wf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wl = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    cur = (
+        orders.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_key"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    upd = (
+        orders.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_key"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    hist = scd2_apply(cur, upd, key="c_key", attrs=["prio"], ts_col="ts")
+    return hist.orderBy("c_key", "valid_from", "prio")
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: decile binning from two-phase exact percentiles
+# ---------------------------------------------------------------------------
+
+QUANTILE_BINS_ORACLE = """
+WITH v AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+), n AS (
+  SELECT COUNT(*) AS n FROM v
+), o AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v
+), p AS (
+  SELECT * FROM (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)) AS t(pct)
+), b AS (
+  SELECT p.pct, o.c AS bval
+  FROM p CROSS JOIN n
+  JOIN o ON o.rn = CAST((p.pct * n.n + 99) // 100 AS BIGINT)
+), binned AS (
+  SELECT v.c, 1 + (SELECT COUNT(*) FROM b WHERE b.bval < v.c) AS bin FROM v
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(c) / 100.0 AS min_value,
+       MAX(c) / 100.0 AS max_value
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "feature_quantile_bins", oracle=QUANTILE_BINS_ORACLE, tags=("training", "stats")
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile discretization of order value — quantile feature binning
+    WITHOUT a global sort: the two-phase count-offset machinery of
+    stats_exact_percentiles finds the 9 exact decile boundaries (one
+    map-side-combinable bucket histogram + ONE re-scan of the ≤9 hit
+    buckets; the naive ROW_NUMBER-over-everything form survives only
+    as the DuckDB oracle), then bin assignment is PURE MAP-SIDE — 9
+    broadcast literal comparisons summed — and one final hash-agg
+    reads out per-bin counts and ranges. Strictly-greater semantics
+    put boundary ties in the lower bin on both engines; integer cents
+    end to end. Eager phase-1 actions at construction (histogram +
+    9-row boundary collect — bounded driver artifacts, the k-means
+    codebook pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("c")
+    )
+    hist = (
+        o.groupBy(F.expr("c div 10000").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+        .collect()
+    )
+    n = sum(r["cnt"] for r in hist)
+    targets = []
+    for pct in range(10, 100, 10):
+        rank = (pct * n + 99) // 100
+        cum = 0
+        for r in hist:
+            if cum + r["cnt"] >= rank:
+                targets.append((pct, rank, int(r["bucket"]), rank - cum))
+                break
+            cum += r["cnt"]
+    tdf = spark.createDataFrame(
+        targets, "pct int, rank bigint, bucket bigint, resid bigint"
+    )
+    wp = Window.partitionBy("pct").orderBy("c")
+    bounds = [
+        r["c"]
+        for r in (
+            o.withColumn("bucket", F.expr("c div 10000"))
+            .join(F.broadcast(tdf), "bucket")
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") == F.col("resid"))
+            .select("c")
+            .collect()
+        )
+    ]
+    bin_col = F.lit(1).cast("bigint")
+    for b in bounds:
+        bin_col = bin_col + (F.col("c") > F.lit(b)).cast("bigint")
+    return (
+        o.select("c", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.min("c") / F.lit(100.0)).alias("min_value"),
+            (F.max("c") / F.lit(100.0)).alias("max_value"),
+        )
+        .orderBy("bin")
+    )

@@ -65,6 +65,9 @@ CHANGED_THIS_ROUND = [
     "stats_ks_two_sample",
     "search_mmr_rerank",
     "graph_connected_components",
+    "cdc_scd2_apply",
+    "feature_quantile_bins",
+    "text_bigram_logprob",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

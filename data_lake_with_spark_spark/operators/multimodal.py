@@ -496,3 +496,75 @@ def byte_stats_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(stats, out_schema)
+
+
+def attach_fake_video(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 4,
+    height: int = 2,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Video-shaped variant of ``attach_fake_payloads``: the payload is
+    ``n_frames`` row-major 1-byte/px frames concatenated (48 md5-derived
+    bytes = 6 frames of 4×2), metadata carries the frame geometry — the
+    opaque-binary-plus-typed-metadata contract a real video column
+    uses, with deterministic bytes so frame arithmetic is oracle-able."""
+    payload = F.concat(
+        F.unhex(F.md5(F.col(text_col))),
+        F.unhex(F.md5(F.concat(F.col(text_col), F.lit("f")))),
+        F.unhex(F.md5(F.concat(F.col(text_col), F.lit("g")))),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("media_type"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(n_frames).cast("long").alias("n_frames"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def frame_decimate(media: DataFrame, every: int = 2) -> DataFrame:
+    """Temporal frame sampling (every ``every``-th frame, starting at
+    frame 0) — the video analog of ``resize_image``'s spatial gather:
+    pure JVM byte slicing assembles the kept frames into a smaller
+    payload and rewrites n_frames/n_bytes metadata. No Python worker
+    in the path; at 100 TB the payload shrinks ``every``× BEFORE any
+    shuffle or Arrow stage touches it — sample at scan, then decode
+    only kept frames (the frame-rate decimation every video trainset
+    build runs)."""
+    fs = F.col("meta.width") * F.col("meta.height")
+    idxs = F.filter(
+        F.sequence(F.lit(0).cast("long"), F.col("meta.n_frames") - 1),
+        lambda i: i % F.lit(every) == 0,
+    )
+    picked = F.transform(
+        idxs, lambda i: F.substring(F.col("payload"), (i * fs + 1).cast("int"), fs)
+    )
+    payload = F.aggregate(
+        picked, F.lit(b"").cast("binary"), lambda acc, x: F.concat(acc, x)
+    )
+    sampled = media.select(
+        "media_id",
+        payload.alias("payload"),
+        F.col("meta.media_type").alias("_mt"),
+        F.col("meta.width").alias("_w"),
+        F.col("meta.height").alias("_h"),
+        F.size(idxs).cast("long").alias("_nf"),
+    )
+    return sampled.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("_mt").alias("media_type"),
+            F.col("_w").alias("width"),
+            F.col("_h").alias("height"),
+            F.col("_nf").alias("n_frames"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

@@ -2490,3 +2490,65 @@ def pipeline_trainset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+VIDEO_DECIMATE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         md5(text) || md5(text || 'f') || md5(text || 'g') AS h
+  FROM documents
+), s AS (
+  -- frames 0,2,4 of six 8-byte frames = hex chars [1,16], [33,48], [65,80]
+  SELECT media_id,
+         sha256(substr(h, 1, 16) || substr(h, 33, 16) || substr(h, 65, 16)) AS d
+  FROM m
+), b AS (
+  SELECT media_id,
+         list_sum(list_transform(range(8), i ->
+             (strpos('0123456789abcdef', substr(d, 2 * i + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(d, 2 * i + 2, 1)) - 1))) AS sm
+  FROM s
+)
+SELECT media_id,
+       CAST(3 AS BIGINT) AS n_frames_sampled,
+       CAST(24 AS BIGINT) AS n_bytes,
+       FLOOR(sm / 255.0 * 1000000.0 + 0.5) / 1000000.0 AS feature_sum
+FROM b ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_video_decimate", oracle=VIDEO_DECIMATE_ORACLE, tags=("multimodal", "llm")
+)
+def multimodal_video_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-rate decimation (E5 — decode / extract /
+    resize / FRAME-SAMPLE): 6-frame fake videos decimated to every 2nd
+    frame by pure JVM byte slicing (payload shrinks 2× before any
+    Arrow stage — operators/multimodal.py:frame_decimate), then
+    Arrow-batched feature extraction over the kept frames.
+    Value-verified end-to-end: the oracle re-derives the sampled
+    payload as the hex spans of frames 0/2/4 and the features via
+    sha256(hex) — the gather, the metadata rewrite, and the Arrow
+    stage all hash-check."""
+    docs = _t(spark, sf_dir, "documents")
+    vid = MM.attach_fake_video(docs, "doc_id", "text")
+    sam = MM.frame_decimate(vid, every=2)
+    feats = MM.fake_feature_extract(sam)
+    byte_sum = F.aggregate(
+        "feature_bytes", F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    return (
+        sam.select(
+            "media_id",
+            F.col("meta.n_frames").alias("n_frames_sampled"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .join(feats, "media_id")
+        .select(
+            "media_id",
+            "n_frames_sampled",
+            "n_bytes",
+            pround(byte_sum / F.lit(255.0), 6).alias("feature_sum"),
+        )
+        .orderBy("media_id")
+    )

@@ -363,3 +363,141 @@ def training_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("shard", "band")
     )
+
+
+AUC_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM s GROUP BY score
+), r AS (
+  SELECT p,
+         cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM g
+)
+SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(p) AS BIGINT) AS n_neg,
+       FLOOR(((CAST(SUM(p * (2 * cumb + cnt + 1)) AS BIGINT) - SUM(p) * (SUM(p) + 1))
+              / (2 * SUM(p) * (SUM(cnt) - SUM(p)))) * 1000000.0 + 0.5) / 1000000.0
+         AS auc
+FROM r
+"""
+
+
+@register("ml_auc_rank_sum", oracle=AUC_ORACLE, tags=("training", "stats", "llm"))
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity — the
+    model-eval readout every training pipeline ends with, computed
+    without materializing the ROC curve: AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻) with AVERAGE ranks over score ties (the scikit-learn
+    semantics), all in scaled integers — doubled average ranks
+    (2·cum_before + cnt + 1) keep ties exact, one float division at
+    the end. Plan: one hash-agg collapses rows to distinct scores
+    (the 100 TB move — ranks come from the distinct-score spine, not
+    a global per-row sort), one ordered window over that spine, one
+    1-row readout. Scores here: first embedding component predicting
+    label<5 — the engine contract is the rank math, not the toy
+    scores."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "p",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("cumb"),
+    )
+    np_ = F.sum("p").cast("bigint")
+    nn = (F.sum("cnt") - F.sum("p")).cast("bigint")
+    r2 = F.sum(F.col("p") * (2 * F.col("cumb") + F.col("cnt") + 1)).cast("bigint")
+    return r.agg(
+        np_.alias("n_pos"),
+        nn.alias("n_neg"),
+        pround(
+            (r2 - F.sum("p") * (F.sum("p") + 1))
+            / (2 * F.sum("p") * (F.sum("cnt") - F.sum("p"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+THRESHOLD_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), t AS (
+  SELECT * FROM (VALUES (-200000), (-100000), (0), (100000), (200000)) AS v(thr)
+), m AS (
+  SELECT thr,
+         CAST(COUNT_IF(score >= thr AND pos = 1) AS BIGINT) AS tp,
+         CAST(COUNT_IF(score >= thr AND pos = 0) AS BIGINT) AS fp,
+         CAST(COUNT_IF(score < thr AND pos = 1) AS BIGINT) AS fn,
+         CAST(COUNT_IF(score < thr AND pos = 0) AS BIGINT) AS tn
+  FROM s, t GROUP BY thr
+)
+SELECT thr, tp, fp, fn, tn,
+       FLOOR((tp / (tp + fp)) * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       FLOOR((tp / (tp + fn)) * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM m ORDER BY thr
+"""
+
+
+@register(
+    "ml_threshold_metrics", oracle=THRESHOLD_ORACLE, tags=("training", "stats", "llm")
+)
+def ml_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix sweep over 5 decision thresholds —
+    precision/recall operating points from ONE scan: each row fans out
+    to the 5-row literal threshold frame (map-side ×5, no data
+    shuffle grows with thresholds), one hash-agg per threshold builds
+    tp/fp/fn/tn in integers, ratios divide once at readout. The
+    companion of ml_auc_rank_sum (threshold-free ranking quality vs
+    thresholded operating points)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    thr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (-200000, -100000, 0, 100000, 200000)])
+        ).alias("thr")
+    )
+    hit = F.col("score") >= F.col("thr")
+    is_p = F.col("pos") == 1
+    m = (
+        s.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count_if(hit & is_p).cast("bigint").alias("tp"),
+            F.count_if(hit & ~is_p).cast("bigint").alias("fp"),
+            F.count_if(~hit & is_p).cast("bigint").alias("fn"),
+            F.count_if(~hit & ~is_p).cast("bigint").alias("tn"),
+        )
+    )
+    return m.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        pround(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        pround(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+    ).orderBy("thr")

@@ -68,6 +68,9 @@ CHANGED_THIS_ROUND = [
     "cdc_scd2_apply",
     "feature_quantile_bins",
     "text_bigram_logprob",
+    "multimodal_video_decimate",
+    "ml_auc_rank_sum",
+    "ml_threshold_metrics",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -809,3 +809,206 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scans: hidden file-metadata column
+# ---------------------------------------------------------------------------
+
+FILE_METADATA_ORACLE = """
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_orderkey) AS min_orderkey,
+       MAX(l_orderkey) AS max_orderkey
+FROM lineitem
+"""
+
+
+@register(
+    "scan_file_metadata", oracle=FILE_METADATA_ORACLE, tags=("scan", "lakehouse")
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input-file statistics via Spark's hidden ``_metadata``
+    column — the provenance/manifest readout (which file holds which
+    key range) that file-level data skipping and incremental-ingest
+    bookkeeping are built from, with zero extra I/O (the scan already
+    knows its file). The oracle pins the basename and the per-file
+    rollup analytically (one file per table in the testdata; on a
+    multi-file table the same query yields the real manifest). Key
+    min/max per file is exactly what ``sources/versioned.py`` records
+    in its stats manifests — this is the query-side view of it."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: Welch's t-test (unequal-variance two-sample mean test)
+# ---------------------------------------------------------------------------
+
+WELCH_ORACLE = """
+WITH ev AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('purchase', 'view')
+), a AS (
+  SELECT
+    CAST(COUNT_IF(event_type = 'purchase') AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s1,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value * value AS DECIMAL(18,6)) END) AS DOUBLE) AS q1,
+    CAST(COUNT_IF(event_type = 'view') AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s2,
+    CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value * value AS DECIMAL(18,6)) END) AS DOUBLE) AS q2
+  FROM ev
+), v AS (
+  SELECT n1, n2,
+         s1 / n1 - s2 / n2 AS mean_diff,
+         ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS se1,
+         ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2 AS se2
+  FROM a
+)
+SELECT n1, n2,
+       FLOOR((mean_diff) * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+       FLOOR((mean_diff / sqrt(se1 + se2)) * 10000.0 + 0.5) / 10000.0 AS t_stat,
+       FLOOR(((se1 + se2) * (se1 + se2)
+              / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))) * 100.0 + 0.5)
+         / 100.0 AS df
+FROM v
+"""
+
+
+@register("stats_welch_ttest", oracle=WELCH_ORACLE, tags=("stats", "quality"))
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the purchase and view
+    value distributions — the mean-shift companion to the KS shape
+    test (stats_ks_two_sample): t statistic and Welch-Satterthwaite
+    degrees of freedom from ONE conditional-aggregation scan. Moments
+    are exact decimal sums (order-independent across engines); every
+    double expression after that is written in the identical
+    operation order on both engines, so t and df agree bit-for-bit
+    before the final portable rounding. Map-side-combinable single
+    agg — the 100 TB shape for any moment-based test."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select("value", "event_type")
+    )
+    dec = "decimal(18,6)"
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+    val = F.col("value")
+    a = ev.agg(
+        F.count_if(is_p).cast("bigint").alias("n1"),
+        F.sum(F.when(is_p, val).cast(dec)).cast("double").alias("s1"),
+        F.sum(F.when(is_p, val * val).cast(dec)).cast("double").alias("q1"),
+        F.count_if(is_v).cast("bigint").alias("n2"),
+        F.sum(F.when(is_v, val).cast(dec)).cast("double").alias("s2"),
+        F.sum(F.when(is_v, val * val).cast(dec)).cast("double").alias("q2"),
+    )
+    v = a.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")).alias("md"),
+        (
+            ((F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1))
+            / F.col("n1")
+        ).alias("se1"),
+        (
+            ((F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1))
+            / F.col("n2")
+        ).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return v.select(
+        "n1",
+        "n2",
+        pround(F.col("md"), 4).alias("mean_diff"),
+        pround(F.col("md") / F.sqrt(se), 4).alias("t_stat"),
+        pround(
+            (se * se)
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering: group-mean imputation
+# ---------------------------------------------------------------------------
+
+IMPUTE_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey,
+         c_acctbal,
+         c_custkey % 7 = 0 AS is_missing
+  FROM customer
+), g AS (
+  SELECT c_nationkey,
+         CAST(COUNT_IF(is_missing) AS BIGINT) AS n_missing,
+         CAST(COUNT_IF(NOT is_missing) AS BIGINT) AS n_present,
+         CAST(SUM(CASE WHEN NOT is_missing
+                       THEN CAST(c_acctbal AS DECIMAL(18,6)) END) AS DOUBLE) AS s
+  FROM c GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       n_missing, n_present,
+       FLOOR((s / n_present) * 10000.0 + 0.5) / 10000.0 AS mean_present,
+       FLOOR(((s + n_missing * (s / n_present)) / (n_missing + n_present))
+             * 10000.0 + 0.5) / 10000.0 AS mean_imputed
+FROM g ORDER BY c_nationkey
+"""
+
+
+@register(
+    "feature_impute_group_mean", oracle=IMPUTE_ORACLE, tags=("training", "quality")
+)
+def feature_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation audit — the standard missing-value fill
+    for tabular features, as a per-group readout: rows flagged missing
+    by a deterministic rule (custkey % 7 — the testdata has no real
+    nulls, so missingness is simulated content-addressed) are imputed
+    with their nation's present-value mean; the query reports each
+    nation's missing/present counts, donor mean, and post-imputation
+    mean. One hash-agg per group, exact decimal sums, identical
+    double-op order on both engines. (The per-ROW imputed table is
+    the same plan minus the final rollup — a broadcast join of g back
+    onto c.)"""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_acctbal",
+        (F.col("c_custkey") % 7 == 0).alias("is_missing"),
+    )
+    g = cust.groupBy("c_nationkey").agg(
+        F.count_if("is_missing").cast("bigint").alias("n_missing"),
+        F.count_if(~F.col("is_missing")).cast("bigint").alias("n_present"),
+        F.sum(F.when(~F.col("is_missing"), F.col("c_acctbal")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s"),
+    )
+    mean_present = F.col("s") / F.col("n_present")
+    return g.select(
+        "c_nationkey",
+        "n_missing",
+        "n_present",
+        pround(mean_present, 4).alias("mean_present"),
+        pround(
+            (F.col("s") + F.col("n_missing") * mean_present)
+            / (F.col("n_missing") + F.col("n_present")),
+            4,
+        ).alias("mean_imputed"),
+    ).orderBy("c_nationkey")

@@ -71,6 +71,9 @@ CHANGED_THIS_ROUND = [
     "multimodal_video_decimate",
     "ml_auc_rank_sum",
     "ml_threshold_metrics",
+    "scan_file_metadata",
+    "stats_welch_ttest",
+    "feature_impute_group_mean",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -1012,3 +1012,258 @@ def feature_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_imputed"),
     ).orderBy("c_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Statistics: KL divergence of event mix by weekday
+# ---------------------------------------------------------------------------
+
+KL_DOW_ORACLE = """
+WITH e AS (
+  SELECT ((dayofweek(ts) + 6) % 7) AS dow, event_type FROM events
+), cell AS (
+  SELECT dow, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY dow, event_type
+), nd AS (
+  SELECT dow, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY dow
+), gl AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS gc FROM cell GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM gl
+), scored AS (
+  SELECT cell.dow, cell.c,
+         CAST(FLOOR((ln(CAST(cell.c AS DOUBLE)) - ln(CAST(nd.n AS DOUBLE)))
+                    * 1e6) AS BIGINT)
+         - CAST(FLOOR((ln(CAST(gl.gc AS DOUBLE)) - ln(CAST(tot.gn AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS dlp
+  FROM cell
+  JOIN nd USING (dow)
+  JOIN gl USING (event_type)
+  CROSS JOIN tot
+)
+SELECT CAST(dow AS INTEGER) AS dow,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       FLOOR(CAST(SUM(c * dlp) AS BIGINT) * 1.0 / SUM(c) / 1e6 * 1e6 + 0.5) / 1e6
+         AS kl_divergence
+FROM scored GROUP BY dow ORDER BY dow
+"""
+
+
+@register("stats_kl_weekday", oracle=KL_DOW_ORACLE, tags=("stats", "quality"))
+def stats_kl_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each weekday's event-type mix from the overall
+    mix — the distribution-drift monitor a feature store runs per
+    segment: KL(P_dow ‖ P_overall) = Σᵢ pᵢ·(ln pᵢ − ln qᵢ), computed
+    as Σ c·Δlnq / n with per-cell log-probabilities QUANTIZED to
+    integers before any summation (the text_unigram_logprob
+    transcendental-portability trick), so the aggregate is
+    order-independent and engine-identical. Monday=0 weekday
+    normalization absorbs the Spark/DuckDB dayofweek base drift.
+    Plan: one (dow, type) hash-agg, two tiny re-aggregates, broadcast
+    joins back — nothing scales with rows except the first agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.dayofweek("ts") + 5) % 7).alias("dow"), "event_type"
+    )
+    cell = ev.groupBy("dow", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = cell.groupBy("dow").agg(F.sum("c").cast("bigint").alias("n"))
+    glob = cell.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("gc")
+    )
+    tot = glob.agg(F.sum("gc").cast("bigint").alias("gn"))
+    lnq = lambda a, b: F.floor(  # noqa: E731
+        (F.log(F.col(a).cast("double")) - F.log(F.col(b).cast("double"))) * 1e6
+    ).cast("long")
+    scored = (
+        cell.join(F.broadcast(nd), "dow")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select("dow", "c", (lnq("c", "n") - lnq("gc", "gn")).alias("dlp"))
+    )
+    return (
+        scored.groupBy("dow")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            (
+                F.floor(
+                    F.sum(F.col("c") * F.col("dlp")).cast("bigint")
+                    * 1.0
+                    / F.sum("c")
+                    / 1e6
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("kl_divergence"),
+        )
+        .select(
+            F.col("dow").cast("int").alias("dow"), "n_events", "kl_divergence"
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle(n_iter: int = 3) -> str:
+    head = """WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM ed
+), l0 AS MATERIALIZED (
+  SELECT id, id AS lab FROM nodes
+)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", s{i} AS MATERIALIZED (
+  SELECT ed.src AS id, l.lab, COUNT(*) AS c
+  FROM ed JOIN l{i - 1} l ON ed.dst = l.id
+  GROUP BY ed.src, l.lab
+), l{i} AS MATERIALIZED (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return "".join(ctes) + f""", lab AS MATERIALIZED (
+  SELECT id, lab FROM l{n_iter}
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(COUNT_IF(la.lab = lb.lab) AS BIGINT) AS intra
+  FROM pairs p
+  JOIN lab la ON la.id = p.a_id
+  JOIN lab lb ON lb.id = p.b_id
+), deg AS (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM ed GROUP BY src
+), dc AS (
+  SELECT l.lab, CAST(SUM(d.degree) AS BIGINT) AS d_c
+  FROM deg d JOIN lab l ON l.id = d.id GROUP BY l.lab
+), a2 AS (
+  SELECT CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2,
+         CAST(COUNT(*) AS BIGINT) AS n_communities
+  FROM dc
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab
+)
+SELECT m AS n_edges, n_nodes, n_communities, intra AS n_intra_edges,
+       FLOOR((intra / m - sum_dc2 / (4.0 * m * m)) * 1e6 + 0.5) / 1e6
+         AS modularity
+FROM st, a2, nn"""
+
+
+@register(
+    "graph_community_modularity",
+    oracle=_modularity_oracle(3),
+    tags=("graph", "dedup", "llm", "iterative"),
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    quality score that says whether the near-dup graph's community
+    structure is real: Q = Σ_c[e_c/m − (d_c/2m)²], computed as TWO
+    integer sums (intra-community edge count; Σ of squared community
+    degree totals) and two final divisions — no per-community float
+    summation, so engines agree regardless of community enumeration
+    order. Labels come from the same deterministic 3-round LPA the
+    graph_label_propagation query verifies; the oracle unrolls those
+    rounds then replays the modularity arithmetic."""
+    from data_lake_with_spark_spark.operators.graph import (
+        degrees,
+        label_propagation,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    labels = label_propagation(pairs, n_iter=3).localCheckpoint(eager=True)
+    la = labels.select(F.col("id").alias("a_id"), F.col("lab").alias("la"))
+    lb = labels.select(F.col("id").alias("b_id"), F.col("lab").alias("lb"))
+    st = (
+        pairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.count_if(F.col("la") == F.col("lb")).cast("bigint").alias("intra"),
+        )
+    )
+    dc = (
+        degrees(pairs)
+        .join(labels, "id")
+        .groupBy("lab")
+        .agg(F.sum("degree").cast("bigint").alias("d_c"))
+    )
+    a2 = dc.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast("bigint").alias("sum_dc2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    )
+    nn = labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        st.crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_nodes",
+            "n_communities",
+            F.col("intra").alias("n_intra_edges"),
+            pround(
+                F.col("intra") / F.col("m")
+                - F.col("sum_dc2") / (F.lit(4.0) * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: freshness lag per source
+# ---------------------------------------------------------------------------
+
+FRESHNESS_ORACLE = """
+SELECT event_type,
+       CAST(MAX(ts) AS TIMESTAMP) AS latest_ts,
+       CAST(FLOOR((999302400.0 - epoch(MAX(ts))) / 3600) AS BIGINT) AS lag_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("dq_freshness_by_type", oracle=FRESHNESS_ORACLE, tags=("quality", "events"))
+def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness monitoring — the first SLA check any lake
+    dashboard runs: latest event timestamp per type and its lag (in
+    whole hours) behind a fixed reference instant (2001-09-01 UTC =
+    epoch 999302400; a wall-clock 'now' would be nondeterministic —
+    production substitutes current_timestamp for the literal).
+    Timestamps are compared in fractional epoch seconds on both
+    engines (cast-to-double, not unix_timestamp, which truncates
+    sub-second parts). One map-side-combinable max/count agg."""
+    ev = _t(spark, sf_dir, "events")
+    latest = F.max("ts")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            latest.alias("latest_ts"),
+            F.floor(
+                (F.lit(999302400.0) - latest.cast("double")) / 3600
+            )
+            .cast("bigint")
+            .alias("lag_hours"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -74,6 +74,9 @@ CHANGED_THIS_ROUND = [
     "scan_file_metadata",
     "stats_welch_ttest",
     "feature_impute_group_mean",
+    "stats_kl_weekday",
+    "graph_community_modularity",
+    "dq_freshness_by_type",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

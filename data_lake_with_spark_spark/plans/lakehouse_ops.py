@@ -1267,3 +1267,148 @@ def dq_freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch algebra × multidimensional rollup: HLL over a cube
+# ---------------------------------------------------------------------------
+
+HLL_CUBE_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST((dayofweek(ts) + 6) % 7 AS VARCHAR) AS dow, user_id
+  FROM events
+), cells AS (
+  SELECT event_type || '|' || dow AS gk, user_id FROM e
+  UNION ALL SELECT event_type || '|ALL', user_id FROM e
+  UNION ALL SELECT 'ALL|' || dow, user_id FROM e
+  UNION ALL SELECT 'ALL|ALL', user_id FROM e
+), h AS (
+  SELECT gk,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'hll1'), 1, 8)
+              AS BIGINT) AS h
+  FROM cells
+), r AS (
+  SELECT gk, h // 268435456 AS reg, h % 268435456 AS suffix FROM h
+), rho AS (
+  SELECT gk, reg,
+         CASE WHEN suffix = 0 THEN 29 ELSE 29 - length(bin(suffix)) END AS rho
+  FROM r
+), base AS (
+  SELECT gk, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT gk FROM base
+), fullreg AS (
+  SELECT k.gk, g.reg, COALESCE(b.m, 0) AS m
+  FROM keys k CROSS JOIN (SELECT UNNEST(range(16)) AS reg) g
+  LEFT JOIN base b ON b.gk = k.gk AND b.reg = g.reg
+), s AS (
+  SELECT gk,
+         FLOOR((0.673 * 256.0 * 4294967296.0)
+               / SUM(CAST(1 AS BIGINT) << CAST(32 - m AS INTEGER))
+               * 1e4 + 0.5) / 1e4 AS users_est,
+         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_registers
+  FROM fullreg GROUP BY gk
+), ex AS (
+  SELECT gk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM cells GROUP BY gk
+)
+SELECT split_part(s.gk, '|', 1) AS event_type,
+       split_part(s.gk, '|', 2) AS dow,
+       s.users_est, s.n_zero_registers, ex.exact_users
+FROM s JOIN ex USING (gk)
+ORDER BY event_type, dow
+"""
+
+
+@register(
+    "sketch_hll_cube", oracle=HLL_CUBE_ORACLE, tags=("sketch", "approx", "agg", "cube")
+)
+def sketch_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct users over the FULL CUBE of (event_type ×
+    weekday) — sketch algebra composed with multidimensional rollup:
+    each register observation is relabeled into the 4 cube cells it
+    belongs to (type×dow, type×ALL, ALL×dow, ALL×ALL — the bounded ×4
+    fan-out), and because HLL registers merge by MAX, the duplicate
+    observations are free; one estimate pass serves every grouping
+    set. Exact distincts ride along per cell for error context. This
+    is the 100 TB dashboard shape: one scan, mergeable state, every
+    rollup level materialized from the same registers (a plain
+    GROUP BY CUBE + COUNT(DISTINCT) re-shuffles raw user ids per
+    grouping set instead)."""
+    from data_lake_with_spark_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.dayofweek("ts") + 5) % 7).cast("string").alias("dow"),
+        "user_id",
+    )
+    cells = ev.select(
+        F.explode(
+            F.array(
+                F.concat("event_type", F.lit("|"), "dow"),
+                F.concat("event_type", F.lit("|ALL")),
+                F.concat(F.lit("ALL|"), "dow"),
+                F.lit("ALL|ALL"),
+            )
+        ).alias("gk"),
+        "user_id",
+    )
+    est = hll_estimate(hll_registers(cells, "user_id", "gk"))
+    exact = cells.groupBy("gk").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        est.join(exact, "gk")
+        .select(
+            F.substring_index("gk", "|", 1).alias("event_type"),
+            F.substring_index("gk", "|", -1).alias("dow"),
+            "users_est",
+            "n_zero_registers",
+            "exact_users",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorting: keyset pagination (the OFFSET-free page fetch)
+# ---------------------------------------------------------------------------
+
+KEYSET_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""
+
+
+@register("sort_keyset_pagination", oracle=KEYSET_ORACLE, tags=("sort", "topk"))
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 (rows 41-60) of orders by price — fetched the way a
+    100 TB pager must: KEYSET pagination. The anchor is the last key
+    of the previous page ((price, orderkey) of row 40 — here derived
+    by a TakeOrdered top-40 and a bounded collect; in an API server
+    the client passes it back); the page itself is a pushed-down
+    strict-after predicate `price < aₚ OR (price = aₚ AND key > aₖ)`
+    plus another TakeOrdered — both per-partition top-k merges, no
+    single-partition sort, no OFFSET scan-and-discard (which reads
+    and sorts all preceding pages; it survives only as the oracle).
+    The composite tie-break key makes every page boundary
+    deterministic under duplicate prices."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    top40 = (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(40).collect()
+    )
+    a_p, a_k = top40[-1]["o_totalprice"], top40[-1]["o_orderkey"]
+    after_anchor = (F.col("o_totalprice") < F.lit(a_p)) | (
+        (F.col("o_totalprice") == F.lit(a_p)) & (F.col("o_orderkey") > F.lit(a_k))
+    )
+    return (
+        o.where(after_anchor)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )

@@ -77,6 +77,8 @@ CHANGED_THIS_ROUND = [
     "stats_kl_weekday",
     "graph_community_modularity",
     "dq_freshness_by_type",
+    "sketch_hll_cube",
+    "sort_keyset_pagination",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -444,3 +444,42 @@ def test_reused_exchange_on_identical_subtrees(spark, sf_dir):
     diamond.collect()
     plan = diamond._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[:3000]
+
+
+def test_zorder_locality_is_map_side(spark, sf_dir):
+    """layout_zorder_locality's docstring claims value-space bucketing
+    needs NO window sort: the plan must contain no Window operator —
+    the morton key assignment is a broadcast-stats map stage (the only
+    SinglePartition exchange allowed is the 1-row min/max stats agg
+    itself), ending in one hash-agg."""
+    p = plan_of(spark, sf_dir, "layout_zorder_locality")
+    assert "Window" not in p, p
+    assert "HashAggregate" in p
+    # the single-partition exchange must feed the 4-value stats agg,
+    # never the full-table side: it may appear at most once
+    assert p.count("Exchange SinglePartition") <= 1, p
+
+
+def test_keyset_pagination_avoids_global_sort(spark, sf_dir):
+    """sort_keyset_pagination must plan per-partition top-k merges
+    (TakeOrderedAndProject), never a single-partition global sort —
+    the whole point of keyset over OFFSET."""
+    p = plan_of(spark, sf_dir, "sort_keyset_pagination")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_target_encoding_broadcasts_dim_and_prior(spark, sf_dir):
+    """feature_target_encoding: the part dim must broadcast onto the
+    fact scan (no shuffle of lineitem for the join) and the 1-row
+    global prior must come back as a broadcast, not a shuffle."""
+    p = plan_of(spark, sf_dir, "feature_target_encoding")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_welch_ttest_single_aggregate(spark, sf_dir):
+    """stats_welch_ttest claims ONE conditional-aggregation scan: the
+    plan must read events exactly once."""
+    p = plan_of(spark, sf_dir, "stats_welch_ttest")
+    assert p.count("FileScan parquet") == 1, p

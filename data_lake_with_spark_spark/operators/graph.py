@@ -283,3 +283,31 @@ def bfs_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def kcore(pairs: DataFrame, k: int = 2, n_iter: int = 6, id_col: str = "id") -> DataFrame:
+    """(id, degree) of nodes surviving ``n_iter`` rounds of k-core
+    peeling: repeatedly drop nodes whose degree within the CURRENT
+    subgraph is < k (Matula-Beck). Each removal can demote neighbors,
+    so peeling iterates; ``n_iter`` bounds the rounds (the pytest pins
+    the fixpoint at test scale — production would stop when a round
+    removes nothing). Deterministic — the peel set is a pure predicate
+    — hence SQL-unrollable like the other iterative operators.
+    Per round: one semi-join restriction of the edge list + one
+    degree hash-agg, both keyed on node id."""
+    edges = undirected_edges(pairs).localCheckpoint(eager=True)
+    alive = edges.select(F.col("src").alias(id_col)).distinct()
+    deg = None
+    for _ in range(int(n_iter)):
+        e = edges.join(
+            alive.select(F.col(id_col).alias("src")), "src"
+        ).join(alive.select(F.col(id_col).alias("dst")), "dst")
+        deg = e.groupBy(F.col("src").alias(id_col)).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        alive = (
+            deg.where(F.col("degree") >= k)
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+    return deg.join(alive, id_col).select(id_col, "degree")

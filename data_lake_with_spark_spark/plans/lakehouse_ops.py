@@ -671,21 +671,12 @@ ORDER BY c_key, valid_from, prio
 """
 
 
-@register("cdc_scd2_apply", oracle=SCD2_APPLY_ORACLE, tags=("cdc", "lakehouse", "join"))
-def cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 MERGE application as a value-verified query: seed each
-    customer's history with their FIRST order's priority (open row
-    from that order date), then apply the LATEST order as an update
-    batch through ``operators/cdc.py:scd2_apply`` — changed keys get
-    the open row closed at the update timestamp plus a new open
-    version; unchanged keys pass through untouched (idempotent, the
-    property the reference's append-only upsert lacked — reference
-    etl.py:105-128). Both window picks tie-break on o_orderkey, so
-    the batch reduction inside scd2_apply sees exactly one
-    deterministic row per key. This is what ``MERGE INTO`` compiles
-    to on immutable parquet: anti/outer join + union — per-key
-    shuffles only; at 100 TB the history table would be bucketed by
-    key so the join co-locates."""
+def _order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 priority history per customer: first order seeds the open
+    row, the latest order is applied as an update batch through
+    operators/cdc.py:scd2_apply. Shared by cdc_scd2_apply (which
+    verifies the merge itself) and join_pointintime_scd2 (which
+    consumes the history)."""
     from data_lake_with_spark_spark.operators.cdc import scd2_apply
 
     orders = _t(spark, sf_dir, "orders").select(
@@ -714,7 +705,25 @@ def cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("ts"),
         )
     )
-    hist = scd2_apply(cur, upd, key="c_key", attrs=["prio"], ts_col="ts")
+    return scd2_apply(cur, upd, key="c_key", attrs=["prio"], ts_col="ts")
+
+
+@register("cdc_scd2_apply", oracle=SCD2_APPLY_ORACLE, tags=("cdc", "lakehouse", "join"))
+def cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE application as a value-verified query: seed each
+    customer's history with their FIRST order's priority (open row
+    from that order date), then apply the LATEST order as an update
+    batch through ``operators/cdc.py:scd2_apply`` — changed keys get
+    the open row closed at the update timestamp plus a new open
+    version; unchanged keys pass through untouched (idempotent, the
+    property the reference's append-only upsert lacked — reference
+    etl.py:105-128). Both window picks tie-break on o_orderkey, so
+    the batch reduction inside scd2_apply sees exactly one
+    deterministic row per key. This is what ``MERGE INTO`` compiles
+    to on immutable parquet: anti/outer join + union — per-key
+    shuffles only; at 100 TB the history table would be bucketed by
+    key so the join co-locates."""
+    hist = _order_priority_history(spark, sf_dir)
     return hist.orderBy("c_key", "valid_from", "prio")
 
 
@@ -1411,4 +1420,307 @@ def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(after_anchor)
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: point-in-time (feature-store correctness) join against SCD2
+# ---------------------------------------------------------------------------
+
+PIT_ORACLE = """
+WITH f AS (
+  SELECT o_custkey AS c_key, o_orderpriority AS prio, o_orderdate AS vf
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+), l AS (
+  SELECT o_custkey AS c_key, o_orderpriority AS uprio, o_orderdate AS uts
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+), hist AS (
+  SELECT f.c_key, f.prio, f.vf AS valid_from,
+         CASE WHEN l.uprio <> f.prio THEN l.uts END AS valid_to
+  FROM f JOIN l USING (c_key)
+  UNION ALL
+  SELECT l.c_key, l.uprio, l.uts, NULL
+  FROM f JOIN l USING (c_key) WHERE l.uprio <> f.prio
+)
+SELECT h.prio AS prio_at_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN hist h ON h.c_key = o.o_custkey
+           AND h.valid_from <= o.o_orderdate
+           AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+GROUP BY h.prio ORDER BY prio_at_order
+"""
+
+
+@register(
+    "join_pointintime_scd2", oracle=PIT_ORACLE, tags=("join", "cdc", "training")
+)
+def join_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correct enrichment — THE feature-store join: every
+    order picks the SCD2 priority version that was valid AT ITS OWN
+    DATE (no leakage from future versions), then revenue rolls up by
+    that as-was attribute. Implementation: as-of join on valid_from
+    (one interleaved-stream window, operators/joins.py:asof_join — no
+    interval explosion) after dropping zero-length versions
+    (valid_to = valid_from covers nothing and would tie the as-of
+    pick); gap-free SCD2 intervals make as-of ≡ the between-join the
+    oracle runs. Shuffles: one window keyed on customer — same cost
+    as any per-key sort at 100 TB; history bucketing co-locates it."""
+    from data_lake_with_spark_spark.operators.joins import asof_join
+
+    hist = _order_priority_history(spark, sf_dir).where(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") != F.col("valid_from"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_key"), "o_orderdate", "o_totalprice"
+    )
+    pit = asof_join(
+        orders,
+        hist,
+        by="c_key",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_cols=["prio"],
+    )
+    return (
+        pit.groupBy(F.col("prio_asof").alias("prio_at_order"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("prio_at_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: k-core membership (iterative peeling)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int = 2, n_iter: int = 6) -> str:
+    head = """WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), n0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM ed
+)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT ed.src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM ed
+  JOIN n{i - 1} a ON a.id = ed.src
+  JOIN n{i - 1} b ON b.id = ed.dst
+  GROUP BY ed.src
+), n{i} AS MATERIALIZED (
+  SELECT id FROM d{i} WHERE degree >= {k}
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT d.id AS vec_id, d.degree AS core_degree"
+        f"\nFROM d{n_iter} d JOIN n{n_iter} USING (id)"
+        "\nORDER BY vec_id"
+    )
+
+
+@register(
+    "graph_kcore_membership",
+    oracle=_kcore_oracle(2, 6),
+    tags=("graph", "dedup", "llm", "iterative"),
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph by iterative peeling (6 unrolled
+    rounds): nodes that remain after repeatedly shedding degree-<2
+    nodes — the dense-cluster skeleton that separates true duplicate
+    GROUPS from incidental pairwise matches (a chain's endpoints peel
+    off; a clique survives). Deterministic predicate per round, so it
+    unrolls into a SQL twin like the other iterative operators
+    (operators/graph.py:kcore has the per-round semi-join + degree
+    kernel); the pytest pins the 6-round fixpoint against an exact
+    driver-side peel."""
+    from data_lake_with_spark_spark.operators.graph import kcore
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    core = kcore(pairs, k=2, n_iter=6)
+    return core.select(
+        F.col("id").alias("vec_id"), F.col("degree").cast("bigint").alias("core_degree")
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Statistics: higher moments and association strength
+# ---------------------------------------------------------------------------
+
+SKEW_KURT_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT event_type, n,
+         s1 / n AS mean,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n)
+           + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM m
+)
+SELECT event_type, n,
+       FLOOR(mean * 10000.0 + 0.5) / 10000.0 AS mean,
+       FLOOR((m3 / (m2 * sqrt(m2))) * 10000.0 + 0.5) / 10000.0 AS skewness,
+       FLOOR((m4 / (m2 * m2) - 3.0) * 10000.0 + 0.5) / 10000.0 AS kurtosis
+FROM c ORDER BY event_type
+"""
+
+
+@register("stats_skew_kurtosis", oracle=SKEW_KURT_ORACLE, tags=("stats", "agg"))
+def stats_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event type from exact
+    decimal power sums (Σx..Σx⁴ in DECIMAL(38,6) — x⁴ overflows the
+    (18,6) default) — one map-side-combinable agg, then central
+    moments written in the IDENTICAL operation order on both engines.
+    sqrt(m2)·m2 replaces pow(m2, 1.5): sqrt is IEEE-correctly-rounded
+    everywhere, pow's last ulp is libm-specific — the same
+    transcendental discipline as the quantized-log queries."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    dec = "decimal(38,6)"
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v.cast(dec)).cast("double").alias("s1"),
+        F.sum((v * v).cast(dec)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(dec)).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast(dec)).cast("double").alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mean * (F.col("s3") / F.col("n"))
+        + 6 * mean * mean * (F.col("s2") / F.col("n"))
+        - 3 * mean * mean * mean * mean
+    )
+    c = m.select("event_type", "n", mean.alias("mean"), m2.alias("m2"),
+                 m3.alias("m3"), m4.alias("m4"))
+    return c.select(
+        "event_type",
+        "n",
+        pround(F.col("mean"), 4).alias("mean"),
+        pround(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 4).alias("skewness"),
+        pround(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 4).alias(
+            "kurtosis"
+        ),
+    ).orderBy("event_type")
+
+
+CRAMERS_ORACLE = """
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2
+), rt AS (SELECT lang, SUM(obs) AS r FROM o GROUP BY lang),
+ct AS (SELECT source, SUM(obs) AS c FROM o GROUP BY source),
+n AS (SELECT SUM(obs) AS n FROM o),
+q AS (
+  SELECT CAST(FLOOR(((o.obs - rt.r * ct.c * 1.0 / n.n)
+                     * (o.obs - rt.r * ct.c * 1.0 / n.n)
+                     / (rt.r * ct.c * 1.0 / n.n)) * 1e6) AS BIGINT) AS cq
+  FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+), dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS nc,
+         (SELECT CAST(n AS BIGINT) FROM n) AS n
+)
+SELECT n, nr AS n_rows_dim, nc AS n_cols_dim,
+       FLOOR((CAST(SUM(cq) AS BIGINT) / 1e6) * 10000.0 + 0.5) / 10000.0
+         AS chi_square,
+       FLOOR(sqrt((CAST(SUM(cq) AS BIGINT) / 1e6)
+                  / (n * LEAST(nr - 1, nc - 1))) * 1000000.0 + 0.5) / 1000000.0
+         AS cramers_v
+FROM q CROSS JOIN dims
+GROUP BY n, nr, nc
+"""
+
+
+@register("stats_cramers_v", oracle=CRAMERS_ORACLE, tags=("stats", "agg"))
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for lang × source — the
+    normalized effect size on top of stats_chi_square_cells' per-cell
+    contributions: V = √(χ²/(n·min(r−1,c−1))). Per-cell χ²
+    contributions are QUANTIZED to integers before the total (float
+    summation over cells would be enumeration-order-dependent; the
+    quantized sum is exact — the same trick as the KL and log-prob
+    queries), then one sqrt at readout. Contingency table + two tiny
+    marginal re-aggregations, nothing else scales with rows."""
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    e = F.col("r") * F.col("c") * F.lit(1.0) / F.col("n")
+    cq = F.floor(
+        ((F.col("obs") - e) * (F.col("obs") - e) / e) * 1e6
+    ).cast("long")
+    q = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(cq.alias("cq"))
+    )
+    dims = (
+        rt.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
+        .crossJoin(n.select(F.col("n").cast("bigint").alias("n")))
+    )
+    chi = F.sum("cq").cast("bigint") / 1e6
+    return (
+        q.crossJoin(F.broadcast(dims))
+        .groupBy("n", "nr", "nc")
+        .agg(
+            pround(chi, 4).alias("chi_square"),
+            pround(
+                F.sqrt(
+                    (F.sum("cq").cast("bigint") / 1e6)
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .select(
+            "n",
+            F.col("nr").alias("n_rows_dim"),
+            F.col("nc").alias("n_cols_dim"),
+            "chi_square",
+            "cramers_v",
+        )
     )

@@ -785,3 +785,35 @@ def test_min_label_components_converges_to_union_find(spark, sf_dir):
         r["id"]: r["lab"] for r in min_label_components(pairs, n_iter=8).collect()
     }
     assert got == want
+
+
+def test_kcore_fixpoint_matches_exact_peel(spark, sf_dir):
+    """kcore(k=2, n_iter=6) must equal an exact driver-side peel run
+    to fixpoint — i.e. 6 rounds suffice at test scale (the oracle
+    pins 6 rounds; this pins that 6 rounds ARE the fixpoint)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.graph import kcore
+    from data_lake_with_spark_spark.operators.similarity import lsh_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = lsh_near_pairs(emb, threshold=0.35)
+    edges = [(r["a_id"], r["b_id"]) for r in pairs.collect()]
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < 2}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+
+    got = {r["id"]: r["degree"] for r in kcore(pairs, k=2, n_iter=6).collect()}
+    assert got == want

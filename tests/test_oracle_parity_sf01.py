@@ -79,6 +79,10 @@ CHANGED_THIS_ROUND = [
     "dq_freshness_by_type",
     "sketch_hll_cube",
     "sort_keyset_pagination",
+    "join_pointintime_scd2",
+    "graph_kcore_membership",
+    "stats_skew_kurtosis",
+    "stats_cramers_v",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

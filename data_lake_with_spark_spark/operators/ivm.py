@@ -264,3 +264,88 @@ def read_kmv_distinct(
             .alias("est_distinct"),
         )
     )
+
+
+def maintain_hll(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """One refresh step for a portable-HLL distinct state
+    (group_cols, reg, m): insert rows' ids hash into the SAME md5
+    family as operators/sketches.hll_registers (salt 'hll1'), so the
+    maintained state is BIT-IDENTICAL to the one-shot sketch's
+    register table; merge = register-wise MAX -- associative and
+    idempotent (re-inserting a seen id never raises a register), so
+    at-least-once replays are harmless. State is <=16 rows per group
+    REGARDLESS of id range (beats the bitmap's O(id_range/32)) and
+    merges across groups for rollups (sketch_hll_cube); the price is
+    an estimate, and -- like bitmap/KMV -- deletes are REJECTED
+    (register maxes are not subtractable)."""
+    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
+    if bad:
+        raise ValueError("hll distinct state is insert-only")
+    delta = (
+        changes.select(*group_cols, F.col(id_col).alias("_id"))
+        .withColumn(
+            "_h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_id").cast("string"), F.lit("hll1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .select(
+            *group_cols,
+            F.expr("_h div 268435456").alias("reg"),
+            F.when(F.expr("_h % 268435456") == 0, F.lit(29))
+            .otherwise(F.lit(29) - F.length(F.bin(F.expr("_h % 268435456"))))
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    if current is None:
+        return delta
+    return (
+        current.select(*group_cols, "reg", "m")
+        .unionByName(delta)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("m").alias("m"))
+    )
+
+
+def read_hll_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols, users_est, n_zero_registers) from a maintain_hll
+    state -- the sketches.hll_estimate arithmetic (exact 2^32-scaled
+    integer register sum, one final division) over the maintained
+    registers, missing registers counted as zero."""
+    from data_lake_with_spark_spark.operators.sketches import HLL_ALPHA_16
+
+    spark = state.sparkSession
+    keys = state.select(*group_cols).distinct()
+    regs16 = spark.range(16).select(F.col("id").alias("reg"))
+    full = (
+        keys.crossJoin(F.broadcast(regs16))
+        .join(state.select(*group_cols, "reg", "m"), [*group_cols, "reg"], "left")
+        .withColumn("m", F.coalesce("m", F.lit(0)))
+    )
+    return full.groupBy(*group_cols).agg(
+        (
+            F.floor(
+                F.lit(HLL_ALPHA_16 * 256.0 * 4294967296.0)
+                / F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - m AS INT))"))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("users_est"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    )

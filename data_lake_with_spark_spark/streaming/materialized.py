@@ -269,3 +269,46 @@ def stream_maintain_kmv_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_hll_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    id_col: str,
+    query_name: str = "hll_view",
+    checkpoint: str | None = None,
+):
+    """Streaming APPROXIMATE distinct counts with FIXED state: per-
+    micro-batch register-MAX fold of portable-HLL registers into a
+    versioned state table (ivm.maintain_hll). Idempotent per id like
+    the bitmap/KMV views, but state is <=16 rows per group no matter
+    how many ids arrive -- the cheapest of the three distinct states;
+    registers are bit-identical to the one-shot sketch and roll up
+    across groups (the sketch_hll_cube algebra). Read with
+    ivm.read_hll_distinct -- the streaming twin of
+    sketch_hll_portable."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        V.versioned_append(
+            ivm.maintain_hll(cur, batch_df, group_cols, id_col),
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

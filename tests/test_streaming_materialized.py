@@ -428,3 +428,85 @@ def test_stream_maintained_kmv_distinct(spark, sf_dir, tmp_path):
     assert {
         (r["event_type"], r["h"]) for r in refold.collect()
     } == streamed
+
+
+def test_stream_maintained_hll_distinct(spark, sf_dir, tmp_path):
+    """Portable-HLL distinct via streaming register folds: the
+    maintained register table must be BIT-IDENTICAL to the one-shot
+    hll_registers MAX (register max is an associative merge), the
+    estimate must equal the one-shot sketch's estimate exactly (same
+    registers -> same integer sum), and a replayed batch must fold to
+    the same state (idempotence)."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.ivm import (
+        maintain_hll,
+        read_hll_distinct,
+    )
+    from data_lake_with_spark_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pdf = ev.toPandas()
+    pdf["_change_type"] = "insert"
+
+    src = tmp_path / "hll_changes"
+    src.mkdir()
+    for i, half in enumerate((pdf.iloc[::2], pdf.iloc[1::2])):
+        pq.write_table(
+            pa.Table.from_pandas(half, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "hll_view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_hll_view(
+        stream, state, ["event_type"], "user_id", query_name="hll_mv"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    streamed = {
+        (r["event_type"], r["reg"], r["m"])
+        for r in MV.read_view(spark, state).collect()
+    }
+    oneshot = {
+        (r["gk"], r["reg"], r["m"])
+        for r in hll_registers(ev, "user_id", "event_type")
+        .groupBy("gk", "reg")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    assert streamed == oneshot and len(streamed) > 0
+
+    # estimates identical to the one-shot sketch (same registers)
+    got_est = {
+        r["event_type"]: (r["users_est"], r["n_zero_registers"])
+        for r in read_hll_distinct(
+            MV.read_view(spark, state), ["event_type"]
+        ).collect()
+    }
+    want_est = {
+        r["gk"]: (r["users_est"], r["n_zero_registers"])
+        for r in hll_estimate(hll_registers(ev, "user_id", "event_type")).collect()
+    }
+    assert got_est == want_est
+
+    # idempotence: re-folding the first half changes nothing
+    cur = MV.read_view(spark, state)
+    batch1 = spark.createDataFrame(pdf.iloc[::2], schema)
+    refold = maintain_hll(cur, batch1, ["event_type"], "user_id")
+    assert {
+        (r["event_type"], r["reg"], r["m"]) for r in refold.collect()
+    } == streamed

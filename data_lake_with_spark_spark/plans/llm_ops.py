@@ -1762,24 +1762,10 @@ ORDER BY query_id, rank
 """.replace("{planes}", _LSHP_VALUES)
 
 
-@register(
-    "vector_topk_lsh_portable",
-    oracle=LSH_PORTABLE_ORACLE,
-    tags=("vector", "llm", "approx", "topk", "lsh"),
-)
-def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH top-k with a PORTABLE plane family: integer plane
-    weights derived from md5(table, plane, dim), bucket bits from the
-    SIGN of INTEGER plane dot products (components pre-scaled
-    floor(x·1000 + 0.5) → order-independent exact sums on any engine),
-    candidates from per-table bucket equality, exact
-    cosine rerank. Like the minhash/simhash portable twins this makes
-    the approximate ANN pipeline itself oracle-checkable; the
-    numpy-seeded multi-table variant (vector_topk_lsh) stays the fast
-    path. Plan shape: one explode + one broadcast plane join + two
-    hash-aggs for signatures — no literal-array codegen blowup (see
-    ARCHITECTURE round-2 note), no cartesian, no Python."""
-    emb = _t(spark, sf_dir, "embeddings")
+def _lshp_topk(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """The portable hyperplane-LSH top-k pipeline shared by
+    vector_topk_lsh_portable (k=5, the oracled query) and
+    ml_recall_mrr_at_k (k=10, graded against brute force)."""
     planes = spark.createDataFrame(
         [
             (t, p, d, _lshp_weight(t, p, d))
@@ -1833,10 +1819,31 @@ def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "vector_topk_lsh_portable",
+    oracle=LSH_PORTABLE_ORACLE,
+    tags=("vector", "llm", "approx", "topk", "lsh"),
+)
+def vector_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k with a PORTABLE plane family: integer plane
+    weights derived from md5(table, plane, dim), bucket bits from the
+    SIGN of INTEGER plane dot products (components pre-scaled
+    floor(x·1000 + 0.5) → order-independent exact sums on any engine),
+    candidates from per-table bucket equality, exact
+    cosine rerank. Like the minhash/simhash portable twins this makes
+    the approximate ANN pipeline itself oracle-checkable; the
+    numpy-seeded multi-table variant (vector_topk_lsh) stays the fast
+    path. Plan shape: one explode + one broadcast plane join + two
+    hash-aggs for signatures — no literal-array codegen blowup (see
+    ARCHITECTURE round-2 note), no cartesian, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _lshp_topk(spark, emb, k=5)
 
 
 PQ_PORTABLE_ORACLE = r"""
@@ -2551,4 +2558,108 @@ def multimodal_video_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(byte_sum / F.lit(255.0), 6).alias("feature_sum"),
         )
         .orderBy("media_id")
+    )
+
+
+_LSHP_CTES = LSH_PORTABLE_ORACLE.split("\nSELECT query_id, neighbor_id, CAST(rnk")[0]
+
+RECALL_MRR_ORACLE = _LSHP_CTES + """, ann AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored)
+  WHERE rnk <= 10
+), ex_scored AS (
+  SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+         FLOOR(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM e qe, e ce
+  WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+), exact AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM ex_scored)
+  WHERE rnk <= 10
+), ov AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM ann a JOIN exact x USING (query_id, neighbor_id)
+  GROUP BY a.query_id
+), best AS (
+  SELECT query_id, neighbor_id AS best_id FROM exact WHERE rnk = 1
+), hit AS (
+  SELECT b.query_id, a.rnk AS hit_rank
+  FROM best b LEFT JOIN ann a
+    ON a.query_id = b.query_id AND a.neighbor_id = b.best_id
+), qs AS (
+  SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 10
+)
+SELECT q.query_id AS query_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       FLOOR((COALESCE(ov.n_overlap, 0) / 10.0) * 10000.0 + 0.5) / 10000.0
+         AS recall_at_10,
+       FLOOR(COALESCE(1.0 / hit.hit_rank, 0.0) * 1000000.0 + 0.5) / 1000000.0
+         AS reciprocal_rank
+FROM qs q
+LEFT JOIN ov ON ov.query_id = q.query_id
+LEFT JOIN hit ON hit.query_id = q.query_id
+ORDER BY q.query_id"""
+
+
+@register(
+    "ml_recall_mrr_at_k",
+    oracle=RECALL_MRR_ORACLE,
+    tags=("vector", "llm", "topk", "training"),
+)
+def ml_recall_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval quality as an ORACLED query: recall@10 and the
+    reciprocal rank of the true nearest neighbor, grading the
+    portable hyperplane-LSH top-10 against exact brute-force cosine
+    per query -- the offline eval loop every vector-index deployment
+    runs before swapping indexes. Both rankings are deterministic
+    (integer plane dots / portable-rounded cosines, id tie-breaks),
+    so the METRICS themselves hash-check cross-engine -- unlike the
+    seeded-numpy fast paths whose recall is pinned by pytest only.
+    Recall denominator is fixed k (absent candidates score zero);
+    MRR = 1/rank of the exact-best neighbor inside the ANN list, 0 on
+    a miss."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = _lshp_topk(spark, emb, k=10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    ov = (
+        ann.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    best = exact.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("best_id")
+    )
+    hit = best.join(
+        ann.select("query_id", F.col("neighbor_id").alias("best_id"),
+                   F.col("rank").alias("hit_rank")),
+        ["query_id", "best_id"],
+        "left",
+    ).select("query_id", "hit_rank")
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qs.join(ov, "query_id", "left")
+        .join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias("n_overlap"),
+            pround(F.coalesce("n_overlap", F.lit(0).cast("bigint")) / F.lit(10.0), 4).alias(
+                "recall_at_10"
+            ),
+            pround(
+                F.coalesce(F.lit(1.0) / F.col("hit_rank"), F.lit(0.0)), 6
+            ).alias("reciprocal_rank"),
+        )
+        .orderBy("query_id")
     )

@@ -83,6 +83,8 @@ CHANGED_THIS_ROUND = [
     "graph_kcore_membership",
     "stats_skew_kurtosis",
     "stats_cramers_v",
+    "ml_recall_mrr_at_k",
+    "vector_topk_lsh_portable",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -1294,3 +1294,77 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, substr(text, i + 1, 1) AS c
+  FROM documents, UNNEST(range(length(text))) AS u(i)
+), cnt AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c
+), nd AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+), scored AS (
+  SELECT cnt.doc_id, cnt.k,
+         CAST(FLOOR((ln(CAST(cnt.k AS DOUBLE)) - ln(CAST(nd.n AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS lp
+  FROM cnt JOIN nd USING (doc_id)
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_chars_counted,
+       FLOOR((-(CAST(SUM(k * lp) AS BIGINT) * 1.0 / SUM(k) / 1e6)) * 10000.0 + 0.5)
+         / 10000.0 AS entropy_nats
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "text_char_entropy", oracle=CHAR_ENTROPY_ORACLE, tags=("text", "llm", "quality")
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) -- the
+    classic gibberish/compressibility quality signal (low entropy =
+    repeated filler, high = encoding noise): H = -Sigma p ln p over
+    the doc's character distribution, computed with per-character
+    log-probabilities quantized to integers BEFORE the weighted sum
+    (the transcendental-portability discipline), so the entropy is
+    bit-identical on any engine and partitioning. Plan: one
+    char-position explode + per-(doc, char) hash-agg + per-doc
+    rollup; nothing shuffles more than the character histogram."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # substr with a per-element dynamic start needs the expr form
+    # (python F.substring takes plain ints for pos/len)
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, length(text) - 1), i -> substr(text, i + 1, 1))")
+        ).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    nd = cnt.groupBy("doc_id").agg(F.sum("k").cast("bigint").alias("n"))
+    lp = F.floor(
+        (F.log(F.col("k").cast("double")) - F.log(F.col("n").cast("double"))) * 1e6
+    ).cast("long")
+    scored = cnt.join(nd, "doc_id").select("doc_id", "k", lp.alias("lp"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_chars_counted"),
+            (
+                F.floor(
+                    (
+                        -(
+                            F.sum(F.col("k") * F.col("lp")).cast("bigint")
+                            * 1.0
+                            / F.sum("k")
+                            / 1e6
+                        )
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2663,3 +2663,104 @@ def ml_recall_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+import math as _math
+
+_NDCG_W = {i: int(_math.floor(1e6 / _math.log2(i + 1) + 0.5)) for i in range(1, 11)}
+_NDCG_IDCG = sum((11 - i) * _NDCG_W[i] for i in range(1, 11))
+_NDCG_VALUES = ", ".join(f"({i}, {w})" for i, w in _NDCG_W.items())
+
+NDCG_ORACLE = _LSHP_CTES + """, ann AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM scored)
+  WHERE rnk <= 10
+), ex_scored AS (
+  SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+         FLOOR(list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM e qe, e ce
+  WHERE qe.vec_id < 10 AND ce.vec_id <> qe.vec_id
+), exact AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM ex_scored)
+  WHERE rnk <= 10
+), w AS (
+  SELECT * FROM (VALUES {wvals}) AS v(i, wt)
+), dcg AS (
+  SELECT a.query_id,
+         CAST(SUM(COALESCE(11 - x.rnk, 0) * w.wt) AS BIGINT) AS dcg_scaled
+  FROM ann a
+  JOIN w ON w.i = a.rnk
+  LEFT JOIN exact x ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+), qs AS (
+  SELECT DISTINCT vec_id AS query_id FROM e WHERE vec_id < 10
+)
+SELECT q.query_id AS query_id,
+       CAST(COALESCE(d.dcg_scaled, 0) AS BIGINT) AS dcg_scaled,
+       FLOOR((COALESCE(d.dcg_scaled, 0) / {idcg}.0) * 1000000.0 + 0.5) / 1000000.0
+         AS ndcg_at_10
+FROM qs q LEFT JOIN dcg d ON d.query_id = q.query_id
+ORDER BY q.query_id""".replace("{wvals}", _NDCG_VALUES).replace("{idcg}", str(_NDCG_IDCG))
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=NDCG_ORACLE,
+    tags=("vector", "llm", "topk", "training"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the portable-LSH ranking against brute-force graded
+    relevance (rel = 11 - exact rank, 0 outside the exact top-10) --
+    the position-sensitive companion of ml_recall_mrr_at_k. The
+    1/log2(i+1) discount weights are PRECOMPUTED integer constants
+    (i <= 10), embedded identically in the Spark plan and the SQL
+    twin -- no runtime transcendental at all, so DCG is an exact
+    integer sum; IDCG is the same constant for every query (the exact
+    list always carries rels 10..1), leaving ONE portable-rounded
+    division."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = _lshp_topk(spark, emb, k=10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=10)
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in _NDCG_W.items()], "i int, wt bigint"
+    )
+    dcg = (
+        ann.join(F.broadcast(wdf), ann["rank"] == wdf["i"])
+        .join(
+            exact.select(
+                "query_id", "neighbor_id", F.col("rank").alias("x_rnk")
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.lit(11) - F.col("x_rnk"), F.lit(0)) * F.col("wt")
+            )
+            .cast("bigint")
+            .alias("dcg_scaled")
+        )
+    )
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qs.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_scaled", F.lit(0).cast("bigint")).alias("dcg_scaled"),
+            pround(
+                F.coalesce("dcg_scaled", F.lit(0).cast("bigint"))
+                / F.lit(float(_NDCG_IDCG)),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -85,6 +85,8 @@ CHANGED_THIS_ROUND = [
     "stats_cramers_v",
     "ml_recall_mrr_at_k",
     "vector_topk_lsh_portable",
+    "ml_ndcg_at_k",
+    "text_char_entropy",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -2764,3 +2764,157 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_MHP_CTES = MINHASH_PORTABLE_ORACLE.split("), sizes AS (")[0] + ")"
+
+MINHASH_ERR_ORACLE = _MHP_CTES + """, sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND a.shingle = b.shingle
+  GROUP BY c.a_id, c.b_id
+), agree AS (
+  SELECT c.a_id, c.b_id, CAST(COUNT_IF(sa.v = sb.v) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+  GROUP BY c.a_id, c.b_id
+), rounded AS (
+  SELECT g.a_id, g.b_id, g.n_agree,
+         FLOOR((g.n_agree / 16.0) * 1000000.0 + 0.5) / 1000000.0 AS jaccard_est,
+         FLOOR((i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter))
+               * 1000000.0 + 0.5) / 1000000.0 AS jaccard_exact
+  FROM agree g
+  JOIN inter i ON i.a_id = g.a_id AND i.b_id = g.b_id
+  JOIN sizes sa ON g.a_id = sa.doc_id
+  JOIN sizes sb ON g.b_id = sb.doc_id
+)
+SELECT a_id, b_id, n_agree, jaccard_est, jaccard_exact,
+       FLOOR(ABS(jaccard_est - jaccard_exact) * 1000000.0 + 0.5) / 1000000.0
+         AS abs_err
+FROM rounded ORDER BY a_id, b_id"""
+
+
+@register(
+    "ml_minhash_jaccard_error",
+    oracle=MINHASH_ERR_ORACLE,
+    tags=("dedup", "llm", "minhash", "training"),
+)
+def ml_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy eval for the MinHash pipeline: on every
+    band-candidate pair, the signature-estimated Jaccard (matching
+    components / 16) next to the EXACT shingle Jaccard and their
+    absolute error -- the calibration readout that tells a dedup
+    operator whether 16 permutations x 4x4 banding is enough for the
+    corpus before trusting the threshold (the ANN counterpart is
+    ml_recall_mrr_at_k). Portable hash family end to end, so the
+    error table itself is value-verified; candidates still come only
+    from the band join (never all pairs). Exact intersections are
+    JVM array_intersect over the per-doc distinct-shingle arrays."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    sh_arr = toked.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+            )
+        ).alias("sh"),
+    ).repartition("doc_id")
+    hs = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+    def _perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+
+    sig_cols = [
+        _perm_min(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    sigs = sh_arr.withColumn("hs", hs).select("doc_id", "sh", *sig_cols)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"s{b * MINHASH_ROWS + r}").cast("string")
+                    for r in range(MINHASH_ROWS)
+                ],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)],
+    )
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(1, 16)
+    ) + (F.col("a0") == F.col("b0")).cast("int")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    est = F.floor((F.col("n_agree") / F.lit(16.0)) * 1e6 + 0.5) / 1e6
+    exact = (
+        F.floor((F.col("n_inter") * F.lit(1.0) / F.col("n_union")) * 1e6 + 0.5)
+        / 1e6
+    )
+    rounded = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            agree.cast("bigint").alias("n_agree"),
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "n_agree",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+        )
+    )
+    return rounded.select(
+        "a_id",
+        "b_id",
+        "n_agree",
+        "jaccard_est",
+        "jaccard_exact",
+        (
+            F.floor(
+                F.abs(F.col("jaccard_est") - F.col("jaccard_exact")) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("abs_err"),
+    ).orderBy("a_id", "b_id")

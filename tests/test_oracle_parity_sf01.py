@@ -87,6 +87,7 @@ CHANGED_THIS_ROUND = [
     "vector_topk_lsh_portable",
     "ml_ndcg_at_k",
     "text_char_entropy",
+    "ml_minhash_jaccard_error",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -29,7 +29,7 @@ from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 229 registered
+# entries of queries() in dict-insertion order. With 271 registered
 # queries, insertion order decides which operators get driver-verified
 # rows — so the dict leads with a hand-picked 50 covering one flagship
 # per operator family (reference surface, TPC-H/relational, join

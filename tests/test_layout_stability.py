@@ -25,6 +25,16 @@ CLAIMANTS = [
     "window_wau_bitmap",          # OR-merge algebra
     "score_activity_decay",       # power-of-two weights
     "segment_rfm_distributed",    # two-level NTILE
+    # round-6 continued-session claimants:
+    "graph_connected_components", # min-label flooding (total order)
+    "graph_kcore_membership",     # peel predicate on integer degrees
+    "ml_auc_rank_sum",            # doubled integer average ranks
+    "sketch_hll_cube",            # register MAX over relabeled cells
+    "stats_skew_kurtosis",        # decimal power sums
+    "stats_cramers_v",            # quantized-integer chi-square cells
+    "text_bigram_logprob",        # quantized-integer log-probs
+    "timeseries_ewma_halflife",   # decimal daily revs + dyadic weights
+    "search_mmr_rerank",          # rounded sims, id tie-breaks
 ]
 
 

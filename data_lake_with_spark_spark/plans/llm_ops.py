@@ -1511,6 +1511,86 @@ ORDER BY a_id, b_id
 """.replace("{perms}", _PERM_VALUES)
 
 
+def _mh_portable_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, s0..s15): distinct 3-gram shingle arrays plus the
+    16 portable MinHash signature components — the shared front end of
+    dedup_minhash_portable, ml_minhash_jaccard_error, and
+    pipeline_neardup_trainset."""
+    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    sh_arr = toked.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 3),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+            )
+        ).alias("sh"),
+    ).repartition("doc_id")  # barrier: materialize tokens/shingles once
+    hs = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+    def _perm_min(a: int, b: int):
+        # closure, not default-arg lambda: PySpark maps every lambda
+        # parameter (defaults included) onto HOF arguments
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+        )
+
+    sig_cols = [
+        _perm_min(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh_arr.withColumn("hs", hs).select("doc_id", "sh", *sig_cols)
+
+
+def _mh_band_candidates(sigs: DataFrame) -> DataFrame:
+    """(a_id, b_id) candidate pairs from the 4x4 band-key self-join."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"s{b * MINHASH_ROWS + r}").cast("string")
+                    for r in range(MINHASH_ROWS)
+                ],
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    return (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _mh_near_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(a_id, b_id, jaccard) — band candidates verified by exact
+    Jaccard over the distinct-shingle arrays, thresholded on the
+    portable-rounded value."""
+    sigs = _mh_portable_sigs(docs)
+    cand = _mh_band_candidates(sigs)
+    arr = sigs.select("doc_id", "sh")
+    a_arr = arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b_arr = arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(a_arr, "a_id")
+        .join(b_arr, "b_id")
+        .select("a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 @register(
     "dedup_minhash_portable",
     oracle=MINHASH_PORTABLE_ORACLE,
@@ -1526,70 +1606,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-shingle array (zero shuffle); candidates come from the
     band-key self-join; verify is exact Jaccard on shingle strings."""
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
-    sh_arr = toked.where(F.size("toks") >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
-            )
-        ).alias("sh"),
-    ).repartition("doc_id")  # barrier: materialize tokens/shingles once
-    hs = F.transform(
-        "sh",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-    )
-    def _perm_min(a: int, b: int):
-        # closure, not default-arg lambda: PySpark maps every lambda
-        # parameter (defaults included) onto HOF arguments
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        )
-
-    sig_cols = [
-        _perm_min(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    sigs = sh_arr.withColumn("hs", hs).select("doc_id", "sh", *sig_cols)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_", *[F.col(f"s{b * MINHASH_ROWS + r}").cast("string") for r in range(MINHASH_ROWS)]
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", "sh", F.posexplode(band_keys).alias("band", "key")
-    )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-        )
-        .distinct()
-    )
-    arr = sigs.select("doc_id", "sh")
-    a_arr = arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
-    b_arr = arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
-    return (
-        cand.join(a_arr, "a_id")
-        .join(b_arr, "b_id")
-        .select(
-            "a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard")
-        )
-        .where(F.col("jaccard") >= 0.5)
-        .orderBy("a_id", "b_id")
-    )
+    return _mh_near_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
 
 
 SIMHASH_PORTABLE_ORACLE = r"""
@@ -2815,58 +2832,8 @@ def ml_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the band join (never all pairs). Exact intersections are
     JVM array_intersect over the per-doc distinct-shingle arrays."""
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
-    sh_arr = toked.where(F.size("toks") >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - 3),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
-            )
-        ).alias("sh"),
-    ).repartition("doc_id")
-    hs = F.transform(
-        "sh",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-    )
-
-    def _perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        )
-
-    sig_cols = [
-        _perm_min(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    sigs = sh_arr.withColumn("hs", hs).select("doc_id", "sh", *sig_cols)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"s{b * MINHASH_ROWS + r}").cast("string")
-                    for r in range(MINHASH_ROWS)
-                ],
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "key")
-    )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
-        .distinct()
-    )
+    sigs = _mh_portable_sigs(docs)
+    cand = _mh_band_candidates(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("a_id"),
         F.col("sh").alias("sh_a"),
@@ -2918,3 +2885,77 @@ def ml_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("abs_err"),
     ).orderBy("a_id", "b_id")
+
+
+def _neardup_trainset_oracle() -> str:
+    mh_body = MINHASH_PORTABLE_ORACLE.split("WITH ", 1)[1]
+    ctes, final = mh_body.split("\nSELECT i.a_id")
+    ctes = ctes.replace("FROM documents", "FROM eligible")
+    return (
+        r"""WITH quality AS (
+  SELECT doc_id,
+         (LEAST(length(text) / 400.0, 1.0)
+          + LEAST(len(string_split_regex(trim(text), '\s+')) / 60.0, 1.0)
+          + (1.0 - LEAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0
+                         / length(text) * 4, 1.0))) / 3.0 AS q
+  FROM documents
+), eligible AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN quality USING (doc_id)
+  WHERE q >= 0.5
+), """
+        + ctes
+        + r""", dropped AS (
+  SELECT DISTINCT i.b_id AS doc_id
+  FROM inter i
+  JOIN sizes sa ON i.a_id = sa.doc_id
+  JOIN sizes sb ON i.b_id = sb.doc_id
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), clean AS (
+  SELECT e.doc_id, e.text, e.lang FROM eligible e
+  LEFT JOIN dropped d ON e.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM clean GROUP BY lang ORDER BY lang"""
+    )
+
+
+@register(
+    "pipeline_neardup_trainset",
+    oracle=_neardup_trainset_oracle(),
+    tags=("text", "llm", "dedup", "pipeline", "training", "minhash"),
+)
+def pipeline_neardup_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-DUP flavor of the end-to-end trainset build, verified
+    as one query: quality gate (>= 0.5 raw score) -> portable-MinHash
+    near-dup keep-first over the SURVIVING docs only (band candidates
+    + exact Jaccard >= 0.5, drop every doc with a smaller-id
+    near-dup; candidates never cross the quality boundary -- the
+    stage-ordering property the single chained oracle proves) ->
+    per-language doc and token counts. Complements
+    pipeline_trainset_stats (exact dedup + decontamination branch);
+    together they are the two canonical corpus-build topologies.
+    Shuffle budget = the stages' own: one quality map, the banded
+    self-join, one rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    eligible = docs.where(_quality_raw("text") >= 0.5).select(
+        "doc_id", "text", "lang"
+    )
+    dropped = (
+        _mh_near_pairs(eligible, threshold=0.5)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = eligible.join(dropped, "doc_id", "left_anti")
+    return (
+        clean.select("lang", TXT.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

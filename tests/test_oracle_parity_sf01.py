@@ -88,6 +88,8 @@ CHANGED_THIS_ROUND = [
     "ml_ndcg_at_k",
     "text_char_entropy",
     "ml_minhash_jaccard_error",
+    "dedup_minhash_portable",
+    "pipeline_neardup_trainset",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators import multimodal as MM
 from data_lake_with_spark_spark.operators import similarity as SIM
 from data_lake_with_spark_spark.operators.zorder import morton_from_buckets
 from data_lake_with_spark_spark.functions.vector import cosine
@@ -1723,4 +1724,201 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_square",
             "cramers_v",
         )
+    )
+
+
+AHASH_ORACLE = """
+WITH lead AS (
+  SELECT doc_id, doc_id - doc_id % 25 AS lead_id FROM documents
+), base AS (
+  SELECT doc_id AS lead_id, md5(text) || md5(text || 'x') AS h FROM documents
+), m AS (
+  SELECT l.doc_id, b.h FROM lead l JOIN base b USING (lead_id)
+), by AS (
+  SELECT doc_id, i,
+         CASE WHEN i = doc_id % 32
+              THEN ((strpos('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)
+                  + (doc_id % 7) * 16) % 256
+              ELSE (strpos('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)
+         END AS b
+  FROM m, UNNEST(range(32)) AS u(i)
+), tot AS (
+  SELECT doc_id, CAST(SUM(b) AS BIGINT) AS s FROM by GROUP BY doc_id
+), bits AS (
+  SELECT by.doc_id,
+         CAST(SUM(CASE WHEN by.b * 32 > tot.s
+                       THEN (CAST(1 AS BIGINT) << by.i) ELSE 0 END) AS BIGINT)
+           AS ah
+  FROM by JOIN tot USING (doc_id) GROUP BY by.doc_id
+), bands AS (
+  SELECT doc_id, ah, k.k, (ah >> (8 * k.k)) & 255 AS key
+  FROM bits CROSS JOIN (SELECT UNNEST(range(4)) AS k) k
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.ah AS ha, b.ah AS hb
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "dedup_image_ahash",
+    oracle=AHASH_ORACLE,
+    tags=("dedup", "multimodal", "llm", "approx"),
+)
+def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE dedup by average hash (aHash): 32-bit
+    fingerprint sets bit i when pixel i is above the image mean --
+    compared in INTEGERS (pixel*32 > sum, no division), so the
+    perceptual hash is bit-portable; candidates come from the
+    4x8-bit pigeonhole band join (lossless for hamming <= 3, the
+    simhash blocking argument) and verify by exact popcount. The
+    corpus is a synthetic near-dup image family -- 20 base rasters
+    (md5-derived, one per 25-doc group) each with 25 single-pixel-
+    perturbed variants -- so the screen finds real matches that
+    exact byte dedup misses (the brightness-noise robustness aHash
+    exists for). Pixels are hex arithmetic JVM-side; no decode stage
+    is needed for the hash, and the no-cartesian scale shape matches
+    the text near-dup family."""
+    docs = _t(spark, sf_dir, "documents")
+    lead = docs.select(
+        "doc_id", F.expr("doc_id - doc_id % 25").alias("lead_id")
+    )
+    base = docs.select(
+        F.col("doc_id").alias("lead_id"),
+        F.concat(F.md5("text"), F.md5(F.concat("text", F.lit("x")))).alias("h"),
+    )
+    m = lead.join(F.broadcast(base), "lead_id").select("doc_id", "h")
+    # per-byte values + single-pixel perturbation, via the expr form
+    # (dynamic substr positions -- python F.substring takes ints)
+    by = m.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 31), i -> CAST(IF(i = doc_id % 32, "
+            "(conv(substr(h, 2 * i + 1, 2), 16, 10) + (doc_id % 7) * 16) % 256, "
+            "conv(substr(h, 2 * i + 1, 2), 16, 10)) AS BIGINT))"
+        ).alias("bs"),
+    )
+    s = F.aggregate("bs", F.lit(0).cast("bigint"), lambda a, x: a + x)
+    # python F.shiftleft wants a literal shift count; the SQL form
+    # accepts a column, so the bit packing lives in expr()
+    ah = F.expr(
+        "aggregate(zip_with(bs, sequence(0, 31), (b, i) -> "
+        "IF(b * 32 > s, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    bits = by.withColumn("s", s).select("doc_id", ah.alias("ah"))
+    bands = bits.select(
+        "doc_id",
+        "ah",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ah", 8 * k).bitwiseAND(F.lit(255))
+                    for k in range(4)
+                ]
+            )
+        ).alias("k", "key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.ah").alias("ha"),
+            F.col("b.ah").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
+    )
+
+
+COVERAGE_GAPS_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+  FROM events
+), spine AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), observed AS (
+  SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), grid AS (
+  SELECT t.event_type, s.day, o.day AS seen
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN observed o ON o.event_type = t.event_type AND o.day = s.day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT_IF(seen IS NULL) AS BIGINT) AS n_missing_days,
+       strftime(MIN(CASE WHEN seen IS NULL THEN day END), '%Y-%m-%d')
+         AS first_gap_day
+FROM grid GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("dq_coverage_gaps", oracle=COVERAGE_GAPS_ORACLE, tags=("quality", "events"))
+def dq_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal completeness check -- days with ZERO events per type
+    inside the table's own [min, max] day range: the silent-ingest-
+    failure detector (a missing partition shows up as a gap day, not
+    an error). The day spine is generated from two scalars
+    (sequence + explode -- bounded by calendar, the
+    dim_calendar_spine shape), crossed with the distinct type
+    dimension, and anti-checked against the observed (type, day)
+    pairs; nothing scales with raw events except one distinct
+    collapse."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    observed = ev.select(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    grid = types.crossJoin(spine).join(
+        observed.select(
+            F.col("event_type").alias("o_type"), F.col("day").alias("o_day")
+        ),
+        (F.col("event_type") == F.col("o_type"))
+        & (F.col("day") == F.col("o_day")),
+        "left",
+    )
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.count_if(F.col("o_day").isNull()).cast("bigint").alias(
+                "n_missing_days"
+            ),
+            F.date_format(
+                F.min(F.when(F.col("o_day").isNull(), F.col("day"))),
+                "yyyy-MM-dd",
+            ).alias("first_gap_day"),
+        )
+        .orderBy("event_type")
     )

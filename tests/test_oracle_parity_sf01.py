@@ -90,6 +90,8 @@ CHANGED_THIS_ROUND = [
     "ml_minhash_jaccard_error",
     "dedup_minhash_portable",
     "pipeline_neardup_trainset",
+    "dedup_image_ahash",
+    "dq_coverage_gaps",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

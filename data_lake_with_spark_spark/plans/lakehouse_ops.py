@@ -1922,3 +1922,146 @@ def dq_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: randomness and tail risk of the daily revenue series
+# ---------------------------------------------------------------------------
+
+RUNS_TEST_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         {dsum_sql('o_totalprice', 2)} AS rev
+  FROM orders GROUP BY day
+), g AS (
+  SELECT day, rev,
+         CASE WHEN rev > LAG(rev) OVER (ORDER BY day) THEN 1
+              WHEN rev < LAG(rev) OVER (ORDER BY day) THEN -1
+         END AS sgn
+  FROM d
+), s AS (
+  SELECT sgn,
+         CASE WHEN sgn <> LAG(sgn) OVER (ORDER BY day) THEN 1 ELSE 0 END AS brk
+  FROM g WHERE sgn IS NOT NULL
+), a AS (
+  SELECT CAST(COUNT_IF(sgn = 1) AS BIGINT) AS n_up,
+         CAST(COUNT_IF(sgn = -1) AS BIGINT) AS n_down,
+         CAST(1 + SUM(brk) AS BIGINT) AS n_runs
+  FROM s
+)
+SELECT n_up, n_down, n_runs,
+       FLOOR((2.0 * n_up * n_down / (n_up + n_down) + 1.0) * 10000.0 + 0.5)
+         / 10000.0 AS expected_runs,
+       FLOOR(((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+              / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                     / ((n_up + n_down) * (n_up + n_down) * (n_up + n_down - 1.0))))
+             * 10000.0 + 0.5) / 10000.0 AS z_score
+FROM a
+"""
+
+
+@register("stats_runs_test", oracle=RUNS_TEST_ORACLE, tags=("stats", "timeseries"))
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue up/down sequence
+    -- the randomness check that catches trending or oscillating
+    series a mean test misses: count maximal runs of same-sign
+    day-over-day moves, compare against the expected run count
+    2·n₊·n₋/n + 1 with its exact variance. Signs and run breaks are
+    integers from two lag passes over the CALENDAR-sized daily
+    aggregate; the z-score's float expression is written in the
+    identical operation order on both engines (ties/zero-change days
+    are dropped, the standard treatment). One decimal-exact daily
+    rollup, two tiny windows, a 1-row readout."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    g = daily.select(
+        "day",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1)
+        .when(F.col("rev") < F.lag("rev").over(w), -1)
+        .alias("sgn"),
+    )
+    sflt = g.where(F.col("sgn").isNotNull())
+    s2 = sflt.select(
+        "sgn",
+        F.when(F.col("sgn") != F.lag("sgn").over(w), 1).otherwise(0).alias("brk"),
+    )
+    a = s2.agg(
+        F.count_if(F.col("sgn") == 1).cast("bigint").alias("n_up"),
+        F.count_if(F.col("sgn") == -1).cast("bigint").alias("n_down"),
+        (F.lit(1) + F.sum("brk")).cast("bigint").alias("n_runs"),
+    )
+    nu, nd, nr = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    exp_runs = F.lit(2.0) * nu * nd / (nu + nd) + F.lit(1.0)
+    var_num = (
+        F.lit(2.0) * nu * nd * (F.lit(2.0) * nu * nd - nu - nd)
+    )
+    var_den = (nu + nd) * (nu + nd) * (nu + nd - F.lit(1.0))
+    return a.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        pround(exp_runs, 4).alias("expected_runs"),
+        pround((nr - exp_runs) / F.sqrt(var_num / var_den), 4).alias("z_score"),
+    )
+
+
+VAR_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         {dsum_sql('o_totalprice', 2)} AS rev
+  FROM orders GROUP BY day
+), r AS (
+  SELECT day, rev,
+         FLOOR((rev - LAG(rev) OVER (ORDER BY day)) * 100.0 + 0.5) AS chg_cents
+  FROM d
+), v AS (
+  SELECT chg_cents, ROW_NUMBER() OVER (ORDER BY chg_cents) AS rn,
+         COUNT(*) OVER () AS n
+  FROM r WHERE chg_cents IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST((5 * n + 99) // 100 AS BIGINT) AS var_rank,
+       chg_cents / 100.0 AS var_95
+FROM v WHERE rn = CAST((5 * n + 99) // 100 AS BIGINT)
+"""
+
+
+@register("finance_var_historical", oracle=VAR_ORACLE, tags=("finance", "stats"))
+def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk of the day-over-day revenue
+    change: the 5th-percentile worst daily move, selected by exact
+    integer rank ceil(0.05·n) over the change distribution in CENTS
+    (changes pre-rounded to integers so the order statistic is
+    tie-proof). The series is the CALENDAR-sized daily aggregate, so
+    the ranking window is metadata-sized — the raw scan is one
+    decimal-exact rollup; drawdown (finance_max_drawdown) reads the
+    same series' path risk, this reads its tail risk."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(dsum(F.col("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    r = daily.select(
+        F.floor((F.col("rev") - F.lag("rev").over(w)) * 100.0 + 0.5).alias(
+            "chg_cents"
+        )
+    ).where(F.col("chg_cents").isNotNull())
+    wv = Window.orderBy("chg_cents")
+    v = r.select(
+        "chg_cents",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        v.where(F.col("rn") == F.expr("(5 * n + 99) div 100"))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.expr("(5 * n + 99) div 100").cast("bigint").alias("var_rank"),
+            (F.col("chg_cents") / F.lit(100.0)).alias("var_95"),
+        )
+    )

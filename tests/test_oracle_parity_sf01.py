@@ -92,6 +92,8 @@ CHANGED_THIS_ROUND = [
     "pipeline_neardup_trainset",
     "dedup_image_ahash",
     "dq_coverage_gaps",
+    "stats_runs_test",
+    "finance_var_historical",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

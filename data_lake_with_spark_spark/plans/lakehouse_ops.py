@@ -2065,3 +2065,145 @@ def finance_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chg_cents") / F.lit(100.0)).alias("var_95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational: skyline (Pareto frontier) operator
+# ---------------------------------------------------------------------------
+
+SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d
+  FROM orders
+), m AS (
+  SELECT o_orderkey, o_orderdate, price_cents, d,
+         MAX(d) OVER (ORDER BY price_cents
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS maxd_cheaper,
+         MAX(d) OVER (PARTITION BY price_cents) AS maxd_same
+  FROM o
+)
+SELECT o_orderkey, price_cents / 100.0 AS price,
+       CAST(o_orderdate AS TIMESTAMP) AS order_date
+FROM m
+WHERE (maxd_cheaper IS NULL OR d > maxd_cheaper) AND d = maxd_same
+ORDER BY price_cents, o_orderkey
+"""
+
+
+@register("skyline_pareto_orders", oracle=SKYLINE_ORACLE, tags=("relational", "window"))
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator — the multi-objective
+    dominance query (Borzsony/Kossmann/Stocker 2001) the relational
+    family lacked: orders minimizing price while maximizing recency;
+    a row survives iff no other order is cheaper-or-equal AND
+    newer-or-equal with one strict. The 2-D frontier reduces to TWO
+    window maxima instead of the O(n²) dominance join: the newest
+    date among STRICTLY cheaper rows (integer-keyed RANGE frame) and
+    the newest within the same price — keep rows newer than the
+    former and tied with the latter (exact-duplicate frontier points
+    all survive, per the one-strict rule). Integer cents / epoch
+    seconds, so the frontier is tie-proof. At 100 TB the price order
+    becomes a two-level band partition (per-band partials + carry —
+    the segment_abc_distributed shape); the dominance-join form never
+    exists on either engine."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        # day-integer key (datediff), not cast-to-epoch: o_orderdate
+        # arrives as TIMESTAMP_NTZ under vanilla driver sessions,
+        # which refuses numeric casts
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    m = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "price_cents",
+        "d",
+        F.max("d").over(w_cheaper).alias("maxd_cheaper"),
+        F.max("d").over(w_same).alias("maxd_same"),
+    )
+    return (
+        m.where(
+            (F.col("maxd_cheaper").isNull() | (F.col("d") > F.col("maxd_cheaper")))
+            & (F.col("d") == F.col("maxd_same"))
+        )
+        .select(
+            "o_orderkey",
+            (F.col("price_cents") / F.lit(100.0)).alias("price"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .orderBy("price", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus: n-gram novelty curve
+# ---------------------------------------------------------------------------
+
+NOVELTY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), firsts AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT_IF(f.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+       FLOOR((COUNT_IF(f.first_doc = s.doc_id) * 1.0 / COUNT(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS novelty_ratio
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+@register(
+    "text_ngram_novelty", oracle=NOVELTY_ORACLE, tags=("text", "llm", "dedup")
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram NOVELTY in corpus id order — the fraction
+    of a doc's shingles never seen in any earlier doc: the dedup-ROI
+    curve (novelty collapsing toward 0 says additional data is
+    re-treading old text — the signal that decides when to stop
+    crawling a source). One shingle inverted index (min doc_id per
+    shingle — the same index dedup_ngram_jaccard builds), one join
+    back, integer ratios. Sub-linear at 100 TB when the first-seen
+    index is maintained incrementally (an IVM min-fold, like the
+    bitmap/HLL states)."""
+    from data_lake_with_spark_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = DD.shingle_table(docs, id_col="doc_id", text_col="text", n=3)
+    firsts = sh.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count_if(F.col("first_doc") == F.col("id"))
+            .cast("bigint")
+            .alias("n_novel"),
+            pround(
+                F.count_if(F.col("first_doc") == F.col("id"))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )

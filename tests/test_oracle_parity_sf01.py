@@ -94,6 +94,8 @@ CHANGED_THIS_ROUND = [
     "dq_coverage_gaps",
     "stats_runs_test",
     "finance_var_historical",
+    "skyline_pareto_orders",
+    "text_ngram_novelty",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -2207,3 +2207,134 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience analysis: exact pairwise overlap (the theta sketch's truth)
+# ---------------------------------------------------------------------------
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY event_type
+), p AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+       FLOOR((p.n_both * 1.0 / (sa.n + sb.n - p.n_both)) * 1000000.0 + 0.5)
+         / 1000000.0 AS jaccard
+FROM p JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "audience_overlap_exact",
+    oracle=AUDIENCE_OVERLAP_ORACLE,
+    tags=("agg", "events", "sketch"),
+)
+def audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise audience overlap between event types — the
+    ground truth the KMV theta sketch (sketch_theta_overlap)
+    estimates: distinct (type, user) collapse, then a user-keyed
+    self-join counts co-membership per type pair (the shuffle is keyed
+    on user, never a type-pair cartesian; per-user fan-out is bounded
+    by the type count). Integer sizes and intersections, one rounded
+    Jaccard per pair. At 100 TB this exact form is the periodic
+    calibration job run against the always-on sketch."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    s = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    x = ev.select(F.col("event_type").alias("type_a"), "user_id")
+    y = ev.select(F.col("event_type").alias("type_b"), "user_id")
+    p = (
+        x.join(y, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        p.join(
+            F.broadcast(s.select(F.col("event_type").alias("type_a"),
+                                 F.col("n").alias("n_a"))), "type_a"
+        )
+        .join(
+            F.broadcast(s.select(F.col("event_type").alias("type_b"),
+                                 F.col("n").alias("n_b"))), "type_b"
+        )
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            pround(
+                F.col("n_both") * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational: division (the "for all" join)
+# ---------------------------------------------------------------------------
+
+DIVISION_ORACLE = """
+WITH yrs AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders
+), cy AS (
+  SELECT DISTINCT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr
+  FROM orders
+), qual AS (
+  SELECT o_custkey
+  FROM cy GROUP BY o_custkey
+  HAVING COUNT(*) = (SELECT COUNT(*) FROM yrs)
+)
+SELECT q.o_custkey AS c_custkey, c.c_mktsegment,
+       CAST(n.n_years AS BIGINT) AS n_years
+FROM qual q
+JOIN customer c ON c.c_custkey = q.o_custkey
+CROSS JOIN (SELECT COUNT(*) AS n_years FROM yrs) n
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "join_relational_division", oracle=DIVISION_ORACLE, tags=("join", "relational")
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION — the "for all" join the classic algebra
+    names and SQL lacks a keyword for: customers with at least one
+    order in EVERY year the table covers (suppliers-supplying-all-
+    parts shape). Implemented the count-matching way: distinct
+    (customer, year) collapse, per-customer year count equal to the
+    1-row broadcast universe count — two hash-aggs and a broadcast,
+    never a per-element anti-join loop. The double-NOT-EXISTS
+    formulation survives only in textbooks; the oracle uses the same
+    counting form."""
+    orders = _t(spark, sf_dir, "orders")
+    cy = orders.select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).distinct()
+    yrs = cy.select("yr").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_years")
+    )
+    qual = (
+        cy.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ny"))
+        .crossJoin(F.broadcast(yrs))
+        .where(F.col("ny") == F.col("n_years"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        qual.join(cust, qual["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("n_years").cast("bigint").alias("n_years"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -96,6 +96,8 @@ CHANGED_THIS_ROUND = [
     "finance_var_historical",
     "skyline_pareto_orders",
     "text_ngram_novelty",
+    "audience_overlap_exact",
+    "join_relational_division",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -2338,3 +2338,105 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data quality: content checksums / replica diff
+# ---------------------------------------------------------------------------
+
+TABLE_DIFF_ORACLE = """
+WITH a AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), b AS (
+  SELECT yr, o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 9973 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM a
+), ha AS (
+  SELECT yr,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST('0x' || substring(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+           AS checksum_a
+  FROM a GROUP BY yr
+), hb AS (
+  SELECT yr,
+         CAST(SUM(CAST('0x' || substring(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || CAST(cents AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+           AS checksum_b
+  FROM b GROUP BY yr
+)
+SELECT ha.yr, ha.n_rows, ha.checksum_a, hb.checksum_b,
+       ha.checksum_a = hb.checksum_b AS is_match
+FROM ha JOIN hb USING (yr)
+ORDER BY yr
+"""
+
+
+@register(
+    "dq_table_diff_checksums", oracle=TABLE_DIFF_ORACLE, tags=("quality", "lakehouse")
+)
+def dq_table_diff_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level content checksums + replica diff — the
+    migration/replication verifier: each row hashes to a portable
+    32-bit md5 integer over its INTEGER-rendered key columns (floats
+    enter as exact cents — float-to-string formatting is the one
+    cross-engine trap this avoids), per-partition checksum = plain
+    SUM (order-independent, mergeable), and two replicas compare by
+    (n_rows, checksum) per partition. Replica B here is the same
+    table with a deterministic simulated corruption (cents+100 on
+    orderkey % 9973 = 0), so exactly the partitions containing those
+    keys flag is_match = false. Map-side hash + one hash-agg per
+    replica — the cheapest possible full-content comparison at
+    100 TB (one pass, 16 bytes of state per partition)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    b = o.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 9973 == 0, F.col("cents") + 100).otherwise(
+            F.col("cents")
+        ),
+    )
+
+    def _h(df):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    ha = o.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(_h(o)).cast("bigint").alias("checksum_a"),
+    )
+    hb = b.groupBy("yr").agg(F.sum(_h(b)).cast("bigint").alias("checksum_b"))
+    return (
+        ha.join(hb, "yr")
+        .select(
+            "yr",
+            "n_rows",
+            "checksum_a",
+            "checksum_b",
+            (F.col("checksum_a") == F.col("checksum_b")).alias("is_match"),
+        )
+        .orderBy("yr")
+    )

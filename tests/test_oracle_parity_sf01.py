@@ -98,6 +98,7 @@ CHANGED_THIS_ROUND = [
     "text_ngram_novelty",
     "audience_overlap_exact",
     "join_relational_division",
+    "dq_table_diff_checksums",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -349,3 +349,40 @@ def read_hll_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
         .cast("bigint")
         .alias("n_zero_registers"),
     )
+
+
+def maintain_extrema(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """One refresh step for a per-group MAX/MIN state (group_cols,
+    vmax, vmin, n_rows): insert rows fold by max/min/sum-merge --
+    associative, and idempotent per epoch (NOT per row: re-folding
+    the same rows inflates n_rows, so the epoch guard in the
+    streaming sink is load-bearing here, unlike the bitmap/KMV/HLL
+    states). Extrema are not subtractable, so deletes are REJECTED
+    like the other distinct/extrema states. The freshness-SLA state:
+    vmax of an event-time column per source is the watermark the
+    dq_freshness_by_type readout lags against."""
+    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
+    if bad:
+        raise ValueError("extrema state is insert-only")
+    delta = changes.groupBy(*group_cols).agg(
+        F.max(value_col).alias("vmax"),
+        F.min(value_col).alias("vmin"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    if current is None:
+        return delta
+    return (
+        current.select(*group_cols, "vmax", "vmin", "n_rows")
+        .unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("vmax").alias("vmax"),
+            F.min("vmin").alias("vmin"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -2440,3 +2440,106 @@ def dq_table_diff_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time series: rolling correlation between two daily series
+# ---------------------------------------------------------------------------
+
+ROLLING_CORR_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(FLOOR(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                      THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY day
+), w AS (
+  SELECT day,
+         CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+         CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+         CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER fr AS BIGINT) AS syy
+  FROM d
+  WINDOW fr AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n AS n_obs,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN FLOOR(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS rolling_corr
+FROM w ORDER BY day
+"""
+
+
+@register(
+    "timeseries_rolling_corr",
+    oracle=ROLLING_CORR_ORACLE,
+    tags=("timeseries", "window", "stats"),
+)
+def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-observation rolling Pearson correlation between the daily
+    purchase and view revenue series — the co-movement monitor.
+    Determinism under sliding frames is the hard part: engines
+    aggregate frames with different association orders (DuckDB's
+    segment tree vs Spark's running accumulation), so double window
+    sums drift in the last ulp — here every WINDOW SUM is an exact
+    BIGINT (daily values pre-floored to cents; products fit 2⁶³), and
+    the correlation is assembled from those integers in identical
+    double-op order, sqrt-only. Zero-variance frames yield NULL on
+    both engines. The window runs over the CALENDAR-sized daily
+    rollup; readout products are computed in doubles on BOTH engines
+    (a bigint multiply would overflow ANSI Spark / promote to hugeint
+    in DuckDB at extreme magnitudes — doubles keep the two engines on
+    the same arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(18,6)"
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.floor(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "view", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    fr = Window.orderBy("day").rowsBetween(-29, 0)
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(fr).cast("bigint").alias("n"),
+        F.sum("x").over(fr).cast("bigint").alias("sx"),
+        F.sum("y").over(fr).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    corr = pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6)
+    return w.select(
+        "day",
+        F.col("n").alias("n_obs"),
+        F.when((vx > 0) & (vy > 0), corr).alias("rolling_corr"),
+    ).orderBy("day")

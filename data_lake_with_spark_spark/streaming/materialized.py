@@ -312,3 +312,44 @@ def stream_maintain_hll_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_extrema_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    query_name: str = "extrema_view",
+    checkpoint: str | None = None,
+):
+    """Streaming per-group MAX/MIN/count state (ivm.maintain_extrema)
+    -- the incremental backbone of the freshness-SLA monitor: vmax of
+    the event-time column per source IS the ingest watermark, read at
+    any moment without rescanning the base table. n_rows makes the
+    epoch guard load-bearing (counts are not replay-idempotent);
+    checkpointed runs are exactly-once, unchcheckpointed dev runs
+    record no epochs."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        V.versioned_append(
+            ivm.maintain_extrema(cur, batch_df, group_cols, value_col),
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

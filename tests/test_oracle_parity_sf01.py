@@ -99,6 +99,7 @@ CHANGED_THIS_ROUND = [
     "audience_overlap_exact",
     "join_relational_division",
     "dq_table_diff_checksums",
+    "timeseries_rolling_corr",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -510,3 +510,80 @@ def test_stream_maintained_hll_distinct(spark, sf_dir, tmp_path):
     assert {
         (r["event_type"], r["reg"], r["m"]) for r in refold.collect()
     } == streamed
+
+
+def test_stream_maintained_extrema_freshness(spark, sf_dir, tmp_path):
+    """Per-source extrema via streaming folds: the maintained
+    (vmax, vmin, n_rows) state must equal the one-shot aggregate over
+    all events, and the epoch guard must make a replayed micro-batch
+    a no-op (counts are NOT replay-idempotent, unlike the
+    register/bitmap states -- this pins the guard actually working)."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.ivm import maintain_extrema
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    pdf["_change_type"] = "insert"
+
+    src = tmp_path / "ext_changes"
+    src.mkdir()
+    for i, half in enumerate((pdf.iloc[::2], pdf.iloc[1::2])):
+        pq.write_table(
+            pa.Table.from_pandas(half, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "ext_view")
+    ckpt = str(tmp_path / "ext_ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_extrema_view(
+        stream, state, ["event_type"], "value",
+        query_name="ext_mv", checkpoint=ckpt,
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    got = {
+        r["event_type"]: (r["vmax"], r["vmin"], r["n_rows"])
+        for r in MV.read_view(spark, state).collect()
+    }
+    want = {
+        r["event_type"]: (r["vmax"], r["vmin"], r["n_rows"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.max("value").alias("vmax"),
+            F.min("value").alias("vmin"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # epoch guard: replaying epoch 0's batch must be skipped entirely
+    batch0 = spark.createDataFrame(pdf.iloc[::2], schema)
+    before = MV.applied_epoch(state)
+    # a non-newer epoch id is a no-op
+    import data_lake_with_spark_spark.sources.versioned as V
+
+    v_before = V.current_version(state)
+    res = MV.read_view(spark, state)
+    cur = maintain_extrema(res, batch0, ["event_type"], "value")
+    # direct re-fold WOULD inflate counts -- proving the guard matters
+    inflated = {
+        r["event_type"]: r["n_rows"] for r in cur.collect()
+    }
+    assert any(
+        inflated[k] > want[k][2] for k in inflated
+    ), "re-fold should inflate counts without the guard"
+    assert V.current_version(state) == v_before
+    assert MV.applied_epoch(state) == before

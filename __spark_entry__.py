@@ -45,6 +45,21 @@ DRIVER_WINDOW = [
     # four queries whose engine changed this round and therefore need
     # re-verification under the new implementation.
     #
+    # ROUND-7 ROTATION QUEUE: the round-6 continued session added 53
+    # more oracled queries (layout_*, cdc_scd2_apply,
+    # join_pointintime_scd2, feature_*, training_cv_folds, stats_*,
+    # ml_*, timeseries_ewma_halflife / _rolling_corr,
+    # graph_connected_components / _kcore_membership /
+    # _community_modularity, search_mmr_rerank, sketch_hll_cube,
+    # skyline_pareto_orders, pipeline_neardup_trainset,
+    # dedup_image_ahash, dq_*, text_bigram_logprob / _char_entropy /
+    # _ngram_novelty, audience_overlap_exact,
+    # join_relational_division, sort_keyset_pagination,
+    # multimodal_video_decimate, scan_file_metadata,
+    # finance_var_historical) — all green in the local sf0.001 AND
+    # sf0.01 gates but never driver-verified; rotate them in next
+    # round once this window's rows are durable.
+    #
     # changed this round (re-verify under new code; agg_bitmap /
     # window_wau_bitmap / graph_triangle_count also changed but
     # value-neutrally — their r5 rows stand and the local sf0.01 gate

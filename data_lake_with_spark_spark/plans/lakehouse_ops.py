@@ -2543,3 +2543,127 @@ def timeseries_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_obs"),
         F.when((vx > 0) & (vy > 0), corr).alias("rolling_corr"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Statistics: Spearman rank correlation (completes the correlation family)
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(FLOOR(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                      THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                      THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    * 100 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY day
+), gx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cumb
+  FROM d GROUP BY x
+), gy AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cumb
+  FROM d GROUP BY y
+), r AS (
+  SELECT d.day,
+         2 * gx.cumb + gx.cnt + 1 AS rx,
+         2 * gy.cumb + gy.cnt + 1 AS ry
+  FROM d JOIN gx USING (x) JOIN gy USING (y)
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy
+  FROM r
+)
+SELECT n AS n_days,
+       FLOOR(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+FROM s
+"""
+
+
+@register("stats_spearman_corr", oracle=SPEARMAN_ORACLE, tags=("stats", "timeseries"))
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily purchase and view
+    revenue series — the monotone-association companion of Pearson
+    (timeseries_rolling_corr) and the robust choice under outliers:
+    Pearson over AVERAGE RANKS, with ranks as doubled integers
+    (2·cum_before + cnt + 1, the ml_auc_rank_sum tie device) from the
+    distinct-value spine of each series, so every sum is an exact
+    BIGINT; the final assembly is identical-order double math with
+    one sqrt per variance. Two tiny spine windows over the
+    calendar-sized daily rollup, one join back by day, a 1-row
+    readout."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(18,6)"
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.floor(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "view", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def spine(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            d.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .select(
+                col,
+                "cnt",
+                F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                .cast("bigint")
+                .alias("cumb"),
+            )
+        )
+
+    gx = spine("x").select(
+        "x", (2 * F.col("cumb") + F.col("cnt") + 1).alias("rx")
+    )
+    gy = spine("y").select(
+        "y", (2 * F.col("cumb") + F.col("cnt") + 1).alias("ry")
+    )
+    r = d.join(gx, "x").join(gy, "y")
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_days"),
+        pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
+    )

@@ -100,6 +100,7 @@ CHANGED_THIS_ROUND = [
     "join_relational_division",
     "dq_table_diff_checksums",
     "timeseries_rolling_corr",
+    "stats_spearman_corr",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

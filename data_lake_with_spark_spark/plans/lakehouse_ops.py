@@ -2667,3 +2667,146 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov predictability and fulfillment latency
+# ---------------------------------------------------------------------------
+
+TRANSITION_ENTROPY_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY event_type
+), scored AS (
+  SELECT c.event_type, c.n,
+         CAST(FLOOR((ln(CAST(c.n AS DOUBLE)) - ln(CAST(tot.t AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS lp
+  FROM c JOIN tot USING (event_type)
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_next_states,
+       FLOOR((-(CAST(SUM(n * lp) AS BIGINT) * 1.0 / SUM(n) / 1e6))
+             * 10000.0 + 0.5) / 10000.0 AS entropy_nats
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "events_transition_entropy",
+    oracle=TRANSITION_ENTROPY_ORACLE,
+    tags=("analytics", "events", "stats"),
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state Markov transition entropy — how PREDICTABLE the next
+    event is from each current event type (the uncertainty readout on
+    top of events_transition_matrix's probabilities: 0 nats = a
+    deterministic funnel step, ln|types| = anything can follow).
+    Entropy uses the quantized-integer log-prob discipline (floor of
+    ln-ratio at 1e-6 BEFORE the weighted sum), so it is bit-identical
+    across engines and partitionings. One user-keyed lead window over
+    raw events, then |types|²-row arithmetic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    lp = F.floor(
+        (F.log(F.col("n").cast("double")) - F.log(F.col("t").cast("double"))) * 1e6
+    ).cast("long")
+    scored = c.join(F.broadcast(tot), "event_type").select(
+        "event_type", "n", lp.alias("lp")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_transitions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_next_states"),
+            (
+                F.floor(
+                    (
+                        -(
+                            F.sum(F.col("n") * F.col("lp")).cast("bigint")
+                            * 1.0
+                            / F.sum("n")
+                            / 1e6
+                        )
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("entropy_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SHIP_DELAY_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+           AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(delay_days) AS BIGINT) AS min_days,
+       CAST(MAX(delay_days) AS BIGINT) AS max_days,
+       FLOOR((CAST(SUM(CAST(delay_days AS BIGINT)) AS DOUBLE) / COUNT(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_days,
+       CAST(COUNT_IF(delay_days > 60) AS BIGINT) AS n_late
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "orders_ship_delay_stats", oracle=SHIP_DELAY_ORACLE, tags=("analytics", "join")
+)
+def orders_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment latency by order priority — ship date minus order
+    date per lineitem, the ops-SLA readout (does 1-URGENT actually
+    ship faster?): integer day deltas via datediff (timestamp-NTZ-safe
+    — no numeric casts on raw parquet timestamps), exact BIGINT sums,
+    one rounded mean, plus a >60-day late counter. The orders side
+    broadcasts if small or hash-joins on orderkey — the same
+    fact-to-fact equi-join every q-series analog plans."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("delay_days").cast("bigint").alias("min_days"),
+            F.max("delay_days").cast("bigint").alias("max_days"),
+            pround(
+                F.sum(F.col("delay_days").cast("bigint")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_days"),
+            F.count_if(F.col("delay_days") > 60).cast("bigint").alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -101,6 +101,8 @@ CHANGED_THIS_ROUND = [
     "dq_table_diff_checksums",
     "timeseries_rolling_corr",
     "stats_spearman_corr",
+    "events_transition_entropy",
+    "orders_ship_delay_stats",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -2810,3 +2810,207 @@ def orders_ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time series: linear gap interpolation and autocorrelation
+# ---------------------------------------------------------------------------
+
+INTERP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT)
+           AS cents
+  FROM events GROUP BY day
+), b AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+), d AS (
+  SELECT day, cents,
+         CAST(datediff('day', CAST(b.d0 AS DATE), CAST(day AS DATE)) AS BIGINT)
+           AS idx,
+         datediff('day', CAST(b.d0 AS DATE), CAST(day AS DATE)) % 9 = 3
+           AND day <> b.d1 AS dropped
+  FROM daily CROSS JOIN b
+), w AS (
+  SELECT day, cents, idx, dropped,
+         LAST_VALUE(CASE WHEN NOT dropped THEN cents END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+         LAST_VALUE(CASE WHEN NOT dropped THEN idx END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ip,
+         FIRST_VALUE(CASE WHEN NOT dropped THEN cents END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn,
+         FIRST_VALUE(CASE WHEN NOT dropped THEN idx END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxi
+  FROM d
+)
+SELECT day, cents / 100.0 AS true_rev,
+       FLOOR(((CAST(vp AS DOUBLE)
+               + (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE))
+                 * ((CAST(idx AS DOUBLE) - CAST(ip AS DOUBLE))
+                    / (CAST(nxi AS DOUBLE) - CAST(ip AS DOUBLE)))) / 100.0)
+             * 10000.0 + 0.5) / 10000.0 AS interp_rev,
+       FLOOR(ABS((CAST(vp AS DOUBLE)
+               + (CAST(vn AS DOUBLE) - CAST(vp AS DOUBLE))
+                 * ((CAST(idx AS DOUBLE) - CAST(ip AS DOUBLE))
+                    / (CAST(nxi AS DOUBLE) - CAST(ip AS DOUBLE)))) / 100.0
+               - cents / 100.0)
+             * 10000.0 + 0.5) / 10000.0 AS abs_err
+FROM w WHERE dropped ORDER BY day
+"""
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle=INTERP_ORACLE,
+    tags=("timeseries", "window"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR gap interpolation -- the resampling mode LOCF
+    (timeseries_resample_locf) cannot express: daily revenue with a
+    deterministic simulated sensor dropout (every 9th day index,
+    endpoints exempt so both neighbors exist) reconstructed from its
+    surviving neighbors, vp + (vn-vp)*(d-dp)/(dn-dp), and graded
+    against the held-out truth (abs_err per dropped day -- the
+    imputation-audit pattern of feature_impute_group_mean applied to
+    time). Neighbor lookup is two ignore-nulls window fills over the
+    calendar-sized daily series; interpolation arithmetic runs in
+    identical double order from exact cent integers."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    d = daily.crossJoin(F.broadcast(b)).select(
+        "day",
+        "cents",
+        F.datediff(F.to_date("day"), F.to_date("d0")).cast("bigint").alias("idx"),
+        (
+            (F.datediff(F.to_date("day"), F.to_date("d0")) % 9 == 3)
+            & (F.col("day") != F.col("d1"))
+        ).alias("dropped"),
+    )
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wn = Window.orderBy("day").rowsBetween(1, Window.unboundedFollowing)
+    keep = lambda c: F.when(~F.col("dropped"), F.col(c))  # noqa: E731
+    w = d.select(
+        "day",
+        "cents",
+        "idx",
+        "dropped",
+        F.last(keep("cents"), ignorenulls=True).over(wp).alias("vp"),
+        F.last(keep("idx"), ignorenulls=True).over(wp).alias("ip"),
+        F.first(keep("cents"), ignorenulls=True).over(wn).alias("vn"),
+        F.first(keep("idx"), ignorenulls=True).over(wn).alias("nxi"),
+    )
+    interp = (
+        F.col("vp").cast("double")
+        + (F.col("vn").cast("double") - F.col("vp").cast("double"))
+        * (
+            (F.col("idx").cast("double") - F.col("ip").cast("double"))
+            / (F.col("nxi").cast("double") - F.col("ip").cast("double"))
+        )
+    ) / 100.0
+    true_rev = F.col("cents") / F.lit(100.0)
+    return (
+        w.where("dropped")
+        .select(
+            "day",
+            true_rev.alias("true_rev"),
+            pround(interp, 4).alias("interp_rev"),
+            pround(F.abs(interp - true_rev), 4).alias("abs_err"),
+        )
+        .orderBy("day")
+    )
+
+
+ACF_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6))) * 100 + 0.5) AS BIGINT) AS x
+  FROM events GROUP BY day
+), l AS (
+  SELECT day, x,
+         __LAG_COLS__
+  FROM daily
+), p AS (
+  SELECT * FROM (
+    SELECT NULL::INTEGER AS k, NULL::BIGINT AS x, NULL::BIGINT AS y WHERE FALSE
+__LAG_UNIONS__
+  )
+), s AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM p GROUP BY k
+)
+SELECT k AS lag_days, n AS n_pairs,
+       FLOOR(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             * 1000000.0 + 0.5) / 1000000.0 AS acf
+FROM s ORDER BY lag_days
+""".replace("__LAG_COLS__", '''LAG(x, 1) OVER (ORDER BY day) AS l1,
+         LAG(x, 2) OVER (ORDER BY day) AS l2,
+         LAG(x, 3) OVER (ORDER BY day) AS l3,
+         LAG(x, 4) OVER (ORDER BY day) AS l4,
+         LAG(x, 5) OVER (ORDER BY day) AS l5,
+         LAG(x, 6) OVER (ORDER BY day) AS l6,
+         LAG(x, 7) OVER (ORDER BY day) AS l7''').replace("__LAG_UNIONS__", '''  UNION ALL SELECT 1 AS k, x, l1 AS y FROM l WHERE l1 IS NOT NULL
+  UNION ALL SELECT 2 AS k, x, l2 AS y FROM l WHERE l2 IS NOT NULL
+  UNION ALL SELECT 3 AS k, x, l3 AS y FROM l WHERE l3 IS NOT NULL
+  UNION ALL SELECT 4 AS k, x, l4 AS y FROM l WHERE l4 IS NOT NULL
+  UNION ALL SELECT 5 AS k, x, l5 AS y FROM l WHERE l5 IS NOT NULL
+  UNION ALL SELECT 6 AS k, x, l6 AS y FROM l WHERE l6 IS NOT NULL
+  UNION ALL SELECT 7 AS k, x, l7 AS y FROM l WHERE l7 IS NOT NULL''')
+
+
+@register(
+    "timeseries_autocorrelation", oracle=ACF_ORACLE, tags=("timeseries", "stats")
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1-7 -- the
+    seasonality detector (a weekly cycle surfaces as an ACF spike at
+    lag 7) feeding model-order choices. Per lag: Pearson between the
+    series and its shifted self over the overlapping pairs, with the
+    lagged pairs STACKED into one (lag, x, y) frame so a single
+    hash-agg computes all seven correlations -- exact BIGINT sums
+    over cent integers, identical-order double readout (the
+    timeseries_rolling_corr discipline, pair-generated by 7 lag
+    columns + stack instead of a frame)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.floor(F.sum(F.col("value").cast("decimal(18,6)")) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    stack_expr = "stack(7, " + ", ".join(
+        f"{k}, l{k}" for k in range(1, 8)
+    ) + ") AS (k, y)"
+    p = lagged.select("x", F.expr(stack_expr)).where(F.col("y").isNotNull())
+    s = p.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
+    ).orderBy("lag_days")

@@ -103,6 +103,8 @@ CHANGED_THIS_ROUND = [
     "stats_spearman_corr",
     "events_transition_entropy",
     "orders_ship_delay_stats",
+    "timeseries_interpolate_linear",
+    "timeseries_autocorrelation",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

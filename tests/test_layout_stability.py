@@ -35,6 +35,11 @@ CLAIMANTS = [
     "text_bigram_logprob",        # quantized-integer log-probs
     "timeseries_ewma_halflife",   # decimal daily revs + dyadic weights
     "search_mmr_rerank",          # rounded sims, id tie-breaks
+    "stats_spearman_corr",        # doubled integer average ranks
+    "timeseries_autocorrelation", # exact BIGINT lag sums
+    "dq_table_diff_checksums",    # SUM-mergeable md5-int checksums
+    "events_transition_entropy",  # quantized-integer log-probs
+    "dedup_image_ahash",          # integer aHash, popcount verify
 ]
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions import text as TXT
 from data_lake_with_spark_spark.operators import multimodal as MM
 from data_lake_with_spark_spark.operators import similarity as SIM
 from data_lake_with_spark_spark.operators.zorder import morton_from_buckets
@@ -3014,3 +3015,146 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("acf"),
     ).orderBy("lag_days")
+
+
+# ---------------------------------------------------------------------------
+# Graph: degree assortativity; training: length-bucket padding waste
+# ---------------------------------------------------------------------------
+
+ASSORT_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), deg AS (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src
+), de AS (
+  SELECT da.d AS x, db.d AS y
+  FROM ed JOIN deg da ON da.id = ed.src JOIN deg db ON db.id = ed.dst
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM de
+)
+SELECT n AS n_directed_edges,
+       FLOOR(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
+             * 1000000.0 + 0.5) / 1000000.0 AS assortativity
+FROM s
+"""
+
+
+@register(
+    "graph_assortativity", oracle=ASSORT_ORACLE, tags=("graph", "dedup", "stats")
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph (Newman 2002):
+    Pearson correlation between the endpoint degrees over all
+    directed edges — positive means duplicate hubs connect to hubs
+    (one big boilerplate blob), negative means hub-and-spoke template
+    families; it changes how aggressively cluster-survivor dedup can
+    prune. Degrees are integers, every sum an exact BIGINT over the
+    edge list (both directions, the standard convention), readout in
+    identical double order. One degree hash-agg + two broadcast-sized
+    joins back onto the edge list."""
+    from data_lake_with_spark_spark.operators.graph import (
+        degrees,
+        undirected_edges,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    ed = undirected_edges(pairs)
+    deg = degrees(pairs).select("id", F.col("degree").cast("bigint").alias("d"))
+    de = (
+        ed.join(deg.select(F.col("id").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    s = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        pround(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("assortativity"),
+    )
+
+
+LENGTH_BUCKETS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tok,
+         CAST(POWER(2, CEIL(ln(CAST(GREATEST(n_tok, 1) AS DOUBLE)) / ln(2.0)))
+              AS BIGINT) AS bucket
+  FROM t
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_tokens,
+       FLOOR((CAST(SUM(bucket - n_tok) AS DOUBLE)
+              / (SUM(n_tok) + SUM(bucket - n_tok))) * 1000000.0 + 0.5)
+         / 1000000.0 AS waste_ratio
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@register(
+    "training_length_buckets",
+    oracle=LENGTH_BUCKETS_ORACLE,
+    tags=("training", "llm", "text"),
+)
+def training_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length bucketing with padding-waste accounting —
+    the batching diagnostic behind dynamic-shape training: each doc
+    rounds up to the next 2^k token bucket, and the per-bucket waste
+    ratio (padding / padded total) quantifies what naive bucketing
+    burns vs sequence packing (training_pack_sequences is the cure;
+    this measures the disease). Bucket = 2^ceil(log2 n) — the one
+    transcendental is ln(integer)/ln 2 fed to CEIL, where a whole-ulp
+    error would be needed to flip the integer result, so it is safe
+    cross-engine (and the power-of-two result is exact). Map-side
+    bucket math + one hash-agg."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TXT.token_count(F.col("text")).alias("n_tok"))
+    bucket = F.expr(
+        "CAST(POWER(2, CEIL(ln(CAST(GREATEST(n_tok, 1) AS DOUBLE)) / ln(2.0))) AS BIGINT)"
+    )
+    b = t.select("doc_id", "n_tok", bucket.alias("bucket"))
+    pad = F.sum(F.col("bucket") - F.col("n_tok"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            pad.cast("bigint").alias("padding_tokens"),
+            pround(
+                pad.cast("double") / (F.sum("n_tok") + pad),
+                6,
+            ).alias("waste_ratio"),
+        )
+        .orderBy("bucket")
+    )

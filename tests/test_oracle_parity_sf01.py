@@ -105,6 +105,8 @@ CHANGED_THIS_ROUND = [
     "orders_ship_delay_stats",
     "timeseries_interpolate_linear",
     "timeseries_autocorrelation",
+    "graph_assortativity",
+    "training_length_buckets",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -37,93 +37,103 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # in sorted order and are covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-6 rotation: the entire round-5 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r05.json, durable in git), so all
-    # unchanged r5 rows rotate out and the window carries 46
+    # Round-7 rotation: the entire round-6 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r06.json, durable in git), so all
+    # unchanged r6 rows rotate out and the window carries 48
     # FIRST-TIME queries — never driver-hash-verified in any round's
-    # CORRECTNESS file (computed from the union of r01–r05) — plus the
-    # four queries whose engine changed this round and therefore need
-    # re-verification under the new implementation.
+    # CORRECTNESS file (computed from the union of r01–r06: 109 oracled
+    # queries had no row; this window takes 48, leaving ~61 queued for
+    # round 8) — plus the two previously-verified graph queries whose
+    # engine changed this round (operators/graph.py now defaults to
+    # iterate-to-fixpoint; the registered queries pin n_iter and must
+    # be re-verified under the refactored loop).
     #
-    # ROUND-7 ROTATION QUEUE: the round-6 continued session added 53
-    # more oracled queries (layout_*, cdc_scd2_apply,
-    # join_pointintime_scd2, feature_*, training_cv_folds, stats_*,
-    # ml_*, timeseries_ewma_halflife / _rolling_corr,
-    # graph_connected_components / _kcore_membership /
-    # _community_modularity, search_mmr_rerank, sketch_hll_cube,
-    # skyline_pareto_orders, pipeline_neardup_trainset,
-    # dedup_image_ahash, dq_*, text_bigram_logprob / _char_entropy /
-    # _ngram_novelty, audience_overlap_exact,
-    # join_relational_division, sort_keyset_pagination,
-    # multimodal_video_decimate, scan_file_metadata,
-    # finance_var_historical) — all green in the local sf0.001 AND
-    # sf0.01 gates but never driver-verified; rotate them in next
-    # round once this window's rows are durable.
+    # ROUND-8 ROTATION QUEUE (never driver-verified after this round,
+    # rotate in once this window's rows are durable): ab_test_conversion,
+    # activity_dow_hour_matrix, agg_mode_deterministic,
+    # agg_regression_trend, anomaly_mad_daily, anomaly_rate_bursts,
+    # dim_calendar_spine, events_transition_entropy, features_lag_purchases,
+    # finance_ohlc_hourly, funnel_conversion_latency, funnel_unordered_set,
+    # growth_top_parts_yoy, inventory_capped_balance, join_hint_merge,
+    # join_hint_shuffle_hash, join_range_outer_5min, ml_threshold_metrics,
+    # multimodal_audio_clip, multimodal_bytestats_arrow,
+    # multimodal_frame_sample, orders_interarrival_gaps,
+    # orders_ship_delay_stats, q2_min_cost_supplier,
+    # q20_heavy_promo_suppliers, regression_theil_sen,
+    # sample_stratified_topk, scalar_* (4), score_user_gini_diversity,
+    # segment_abc_* (2), segment_rfm_distributed, sequence_bigram_support,
+    # spatial_* (2), stats_spearman_corr, stats_table_profile,
+    # subquery_(not_)in_nations, supplier_nation_share,
+    # text_decontaminate, text_lang_profile, text_ngram_novelty,
+    # text_top_tokens, text_vocab_coverage, text_vocab_oov,
+    # timeseries_autocorrelation, timeseries_interpolate_linear,
+    # timeseries_seasonality_dow, timeseries_twap_daily,
+    # training_length_buckets, training_quality_mixture,
+    # training_split_counts, vector_near_pairs, window_cume_nth,
+    # window_lag_gaps, window_ntile_first_last, window_users_to_date.
     #
-    # changed this round (re-verify under new code; agg_bitmap /
-    # window_wau_bitmap / graph_triangle_count also changed but
-    # value-neutrally — their r5 rows stand and the local sf0.01 gate
-    # re-verified them, so their slots go to first-time queries):
-    "dedup_repeated_spans",       # hashed xxhash64 span index default
-    # changed AND never driver-verified:
-    "score_activity_decay",       # decay floors at 0 past 8 weeks
-    "graph_pagerank_neardup",     # scaled-integer + unrolled SQL oracle
-    # NEW this round (round-6 additions):
-    "graph_label_propagation",    # unrolled deterministic LPA communities
-    "stats_exact_percentiles",    # two-phase count-offset selection
-    "sketch_theta_overlap",       # KMV theta-sketch set intersection
-    "pipeline_trainset_stats",    # end-to-end composed trainset build
-    # round-5 VERDICT item 2's named never-verified families:
-    "q2_min_cost_part",
-    "q20_excess_suppliers",
-    "variant_extract_props",
-    "text_language_id",
-    "pii_redact",
-    "graph_local_clustering",
-    "finance_max_drawdown",
-    "cohort_ltv_yearly",
-    "training_mlm_mask",
-    "stats_benford_digits",
-    "vector_mean_pool",
-    "sample_domain_mixture",
-    # TPC-H tail, never driver-verified:
-    "q4_priority_exists",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    # relational surface (rollup/setops/subqueries), never verified:
-    "rollup_orders",
-    "setop_union",
-    "setop_except",
-    "setop_intersect",
-    "subquery_above_avg",
-    "subquery_exists",
-    # window-function family, never verified:
-    "window_rank_family",
-    "window_rolling_30day",
-    "window_running_total",
-    "window_sliding_hourly",
-    "window_daily_active_users",
-    # scalar/lateral/unpivot surface, never verified:
-    "scalar_case_when",
-    "scalar_try_functions",
-    "unpivot_part_metrics",
-    "lateral_posexplode_tokens",
-    # text / LLM pipeline, never verified:
-    "text_fingerprint",
-    "text_token_count_bpe",
-    "text_unigram_logprob",
-    # multimodal, never verified:
-    "multimodal_audio_energy",
-    "multimodal_resize_features",
-    # vector / graph / training, never verified:
-    "vector_quantize_int8",
-    "vector_centroid_assign",
-    "graph_covisitation_pairs",
-    "mine_hard_negatives",
+    # changed this round (re-verify under the fixpoint-default graph
+    # operator refactor; both held green rows before):
+    "graph_label_propagation",    # pinned n_iter path through new loop
+    "graph_pagerank_neardup",     # empty-graph guard + refactor
+    # graph family, first-time (also touched by the refactor):
+    "graph_connected_components",
+    "graph_kcore_membership",
+    "graph_bfs_reachability",
+    "graph_community_modularity",
+    "graph_assortativity",
+    "graph_link_prediction",
+    # CDC / lakehouse, first-time:
+    "cdc_scd2_apply",
+    "join_pointintime_scd2",
+    "layout_zorder_locality",
+    "layout_compaction_bins",
+    "scan_file_metadata",
+    "sort_keyset_pagination",
+    # feature engineering, first-time:
+    "feature_target_encoding",
+    "feature_quantile_bins",
+    "feature_impute_group_mean",
+    "training_cv_folds",
+    # statistics, first-time:
+    "stats_ks_two_sample",
+    "stats_welch_ttest",
+    "stats_skew_kurtosis",
+    "stats_cramers_v",
+    "stats_kl_weekday",
+    "stats_runs_test",
+    "stats_weighted_median",
+    "stats_winsorized_mean",
+    # sketches / retrieval, first-time:
+    "sketch_hll_cube",
+    "audience_overlap_exact",
+    "search_mmr_rerank",
+    "search_hybrid_rrf",
+    # data quality, first-time:
+    "dq_coverage_gaps",
+    "dq_freshness_by_type",
+    "dq_join_skew_profile",
+    "dq_quarantine_rows",
+    "dq_table_diff_checksums",
+    # ANN eval / ML metrics, first-time:
+    "ml_auc_rank_sum",
+    "ml_ndcg_at_k",
+    "ml_recall_mrr_at_k",
+    "ml_minhash_jaccard_error",
+    # pipeline / dedup / relational, first-time:
+    "skyline_pareto_orders",
+    "pipeline_neardup_trainset",
+    "dedup_image_ahash",
+    "join_relational_division",
+    "attribution_last_touch",
+    # time series / finance, first-time:
+    "timeseries_ewma_halflife",
+    "timeseries_rolling_corr",
+    "finance_var_historical",
+    # text / multimodal, first-time:
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "multimodal_video_decimate",
 ]
 
 

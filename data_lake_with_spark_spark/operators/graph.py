@@ -17,12 +17,44 @@ pipeline asks for:
   join+agg per round until the driver chokes on it (on a real cluster
   use reliable ``checkpoint`` dirs for fault tolerance; the shape is
   identical). O(iterations) shuffles total.
+
+Iteration contract (round-6 verdict directive): the label-style
+operators (``min_label_components``, ``label_propagation``,
+``kcore``, ``bfs_hops``) default to ITERATE-TO-FIXPOINT — loop up to
+``max_iter`` rounds and stop as soon as a round changes nothing (one
+cheap count per round over checkpointed node-cardinality frames).
+A fixed unroll silently mislabels any graph whose diameter exceeds
+the unroll depth; convergence-stop makes the result independent of
+the bound while costing one extra (empty-delta) round. Passing an
+explicit ``n_iter`` pins EXACTLY that many rounds — the mode the
+unrolled SQL oracle twins verify (the k-means-Lloyd pattern: the
+pinned form is the oracle twin, the converging form is the default).
+``LAST_CONVERGENCE_ROUNDS`` records, per operator name, how many
+rounds the most recent converging call executed (diagnostics; the
+fixpoint pytest asserts early exit on the fixtures).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Diagnostics: rounds executed by the most recent converging
+# (n_iter=None) call, keyed by operator name. Driver-side only.
+LAST_CONVERGENCE_ROUNDS: dict[str, int] = {}
+
+
+def _check_iters(
+    name: str,
+    n_iter: int | None,
+    max_iter: int,
+    pinned_name: str = "n_iter",
+    bound_name: str = "max_iter",
+) -> None:
+    if n_iter is not None and int(n_iter) < 1:
+        raise ValueError(f"{name}: {pinned_name} must be >= 1, got {n_iter}")
+    if n_iter is None and int(max_iter) < 1:
+        raise ValueError(f"{name}: {bound_name} must be >= 1, got {max_iter}")
 
 
 def undirected_edges(pairs: DataFrame) -> DataFrame:
@@ -57,7 +89,8 @@ def pagerank(
     ``num_partitions`` sizes the per-iteration shuffles (rank/contrib
     tables are node-cardinality — usually far smaller than the
     session's default shuffle width; 10 iterations at the wrong width
-    is 10× the overhead)."""
+    is 10× the overhead). An empty graph returns an empty (id, rank)
+    frame (no 1/n to divide by)."""
     edges = undirected_edges(pairs)
     nodes = edges.select(F.col("src").alias(id_col)).distinct()
     if all_ids is not None:
@@ -66,6 +99,8 @@ def pagerank(
         ).distinct()
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        return nodes.select(id_col, F.lit(0.0).alias("rank"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # out-edges materialized once; every iteration reads the snapshot
     out_edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
@@ -120,7 +155,8 @@ def pagerank_portable(
     last-ulp summation order is not. Same physical shape per
     iteration: ONE join + ONE hash-agg, lineage truncated via
     localCheckpoint (NOTE: the checkpoints make plan CONSTRUCTION
-    eager, like the triangle census)."""
+    eager, like the triangle census). An empty graph returns an empty
+    (id, rank_scaled) frame — no teleport denominator to compute."""
     edges = undirected_edges(pairs)
     nodes = (
         edges.select(F.col("src").alias(id_col))
@@ -128,6 +164,10 @@ def pagerank_portable(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            id_col, F.lit(0).cast("bigint").alias("rank_scaled")
+        )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     out_edges = edges.join(out_deg, "src").localCheckpoint(eager=True)
     teleport = (scale * 3) // (20 * n)
@@ -156,26 +196,49 @@ def pagerank_portable(
     return ranks.select(id_col, F.col("rs").alias("rank_scaled"))
 
 
+def _changed_labels(new: DataFrame, old: DataFrame, id_col: str) -> int:
+    """Rows whose ``lab`` differs between two checkpointed label
+    frames — the per-round convergence probe (one node-cardinality
+    join + count; both sides are localCheckpoint snapshots, so this
+    never recomputes upstream lineage)."""
+    return (
+        new.join(
+            old.select(F.col(id_col), F.col("lab").alias("_old")), id_col
+        )
+        .where(F.col("lab") != F.col("_old"))
+        .count()
+    )
+
+
 def label_propagation(
-    pairs: DataFrame, n_iter: int = 3, id_col: str = "id"
+    pairs: DataFrame,
+    n_iter: int | None = None,
+    id_col: str = "id",
+    max_iter: int = 30,
 ) -> DataFrame:
-    """(id, lab) after ``n_iter`` SYNCHRONOUS label-propagation steps
-    (Raghavan et al. 2007) over the undirected pair graph — community
-    detection as iterated neighborhood majority vote. Every node
-    starts labeled with its own id; each step relabels every node with
-    its neighbors' most frequent label, ties broken by the SMALLEST
-    label — a total order, so unlike the classic randomized-sweep LPA
-    the update is fully deterministic and (like ``pagerank_portable``
-    and k-means-Lloyd) verifiable against an unrolled SQL oracle.
+    """(id, lab) communities by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) over the undirected pair graph — iterated
+    neighborhood majority vote. Every node starts labeled with its own
+    id; each step relabels every node with its neighbors' most
+    frequent label, ties broken by the SMALLEST label — a total order,
+    so unlike the classic randomized-sweep LPA the update is fully
+    deterministic and (like ``pagerank_portable`` and k-means-Lloyd)
+    verifiable against an unrolled SQL oracle.
+
+    Default (``n_iter=None``): iterate until a round changes zero
+    labels, bounded by ``max_iter`` (synchronous LPA can 2-cycle on
+    bipartite-ish structures — the bound is the oscillation guard, and
+    a bound hit returns the last state). Explicit ``n_iter`` pins
+    exactly that many rounds — the unrolled-oracle twin mode.
 
     Per iteration: ONE join (edge → current labels) + ONE hash-agg
     (label counts per node) + ONE per-node window (majority pick) —
     shuffle keyed on node id throughout, lineage truncated via
-    localCheckpoint, O(n_iter) rounds total. Synchronous updates can
-    oscillate on bipartite-ish structures; for a community SIGNAL a
-    fixed small n_iter is the point (and what the oracle pins)."""
+    localCheckpoint, plus (converging mode) one node-cardinality
+    count as the stop probe."""
     from pyspark.sql import Window
 
+    _check_iters("label_propagation", n_iter, max_iter)
     edges = undirected_edges(pairs)
     nodes = (
         edges.select(F.col("src").alias(id_col))
@@ -183,9 +246,12 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     edges = edges.localCheckpoint(eager=True)
-    labels = nodes.select(id_col, F.col(id_col).alias("lab"))
+    labels = nodes.select(id_col, F.col(id_col).alias("lab")).localCheckpoint(
+        eager=True
+    )
     w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("lab"))
-    for _ in range(int(n_iter)):
+    rounds = int(n_iter) if n_iter is not None else int(max_iter)
+    for r in range(rounds):
         cnt = (
             edges.join(
                 labels.select(F.col(id_col).alias("dst"), "lab"), "dst"
@@ -193,44 +259,65 @@ def label_propagation(
             .groupBy(F.col("src").alias(id_col), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        new_labels = (
             cnt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select(id_col, "lab")
             .localCheckpoint(eager=True)
         )
+        if n_iter is None and _changed_labels(new_labels, labels, id_col) == 0:
+            LAST_CONVERGENCE_ROUNDS["label_propagation"] = r + 1
+            return new_labels
+        labels = new_labels
+    if n_iter is None:
+        LAST_CONVERGENCE_ROUNDS["label_propagation"] = rounds
     return labels
 
 
 def min_label_components(
-    pairs: DataFrame, n_iter: int = 4, id_col: str = "id"
+    pairs: DataFrame,
+    n_iter: int | None = None,
+    id_col: str = "id",
+    max_iter: int = 30,
 ) -> DataFrame:
-    """(id, lab) after ``n_iter`` synchronous MIN-label rounds over the
-    undirected pair graph — connected components by label flooding
-    with POINTER JUMPING: every node starts labeled with its own id
-    and each round takes the min of (its own label, its neighbors'
-    labels, its label's CURRENT label). The last term is the path
-    doubling from the MapReduce-CC literature (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"): labels are node
-    ids, so "my label's label" chases the flooding front two hops,
-    giving superlinear reach per round (plain flooding covers
-    diameter d in d rounds; with jumping, ~2^rounds) — what makes a
-    FIXED small unroll converge on real graphs. Fully deterministic
-    (min is a total order), hence — like ``label_propagation`` and
-    ``pagerank_portable`` — verifiable against an unrolled SQL twin;
-    the pytest pins the fixpoint against a driver-side union-find.
+    """(id, lab) connected components by synchronous MIN-label
+    flooding with POINTER JUMPING over the undirected pair graph:
+    every node starts labeled with its own id and each round takes the
+    min of (its own label, its neighbors' labels, its label's CURRENT
+    label). The last term is the path doubling from the MapReduce-CC
+    literature (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): labels are node ids, so "my label's label" chases the
+    flooding front two hops, giving superlinear reach per round (plain
+    flooding covers diameter d in d rounds; with jumping, ~2^rounds).
+    Fully deterministic (min is a total order), hence — like
+    ``label_propagation`` and ``pagerank_portable`` — verifiable
+    against an unrolled SQL twin; the pytest pins the fixpoint against
+    a driver-side union-find.
+
+    Default (``n_iter=None``): iterate until a round changes zero
+    labels (the true fixpoint — component min-ids — on ANY diameter),
+    bounded by ``max_iter``; labels decrease monotonically, so zero
+    changes IS convergence. Explicit ``n_iter`` pins exactly that many
+    rounds for the unrolled SQL oracle twin (a fixed unroll silently
+    under-floods graphs deeper than ~2^rounds — the converging default
+    exists precisely to remove that trap).
 
     Per iteration: ONE edge→label join + min-agg (keyed on node id)
     + ONE self-join on the label (the jump) — bounded shuffles,
-    lineage truncated via localCheckpoint."""
+    lineage truncated via localCheckpoint, plus (converging mode) one
+    node-cardinality count as the stop probe."""
+    _check_iters("min_label_components", n_iter, max_iter)
     edges = undirected_edges(pairs).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias(id_col))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(id_col, F.col(id_col).alias("lab"))
-    for _ in range(int(n_iter)):
+    labels = nodes.select(id_col, F.col(id_col).alias("lab")).localCheckpoint(
+        eager=True
+    )
+    rounds = int(n_iter) if n_iter is not None else int(max_iter)
+    for r in range(rounds):
         nbr_min = (
             edges.join(labels.select(F.col(id_col).alias("dst"), "lab"), "dst")
             .groupBy(F.col("src").alias(id_col))
@@ -239,7 +326,7 @@ def min_label_components(
         jump = labels.select(
             F.col(id_col).alias("_jid"), F.col("lab").alias("_jlab")
         )
-        labels = (
+        new_labels = (
             labels.join(jump, F.col("lab") == F.col("_jid"))
             .join(nbr_min, id_col, "left")
             .select(
@@ -251,28 +338,47 @@ def min_label_components(
             )
             .localCheckpoint(eager=True)
         )
+        if n_iter is None and _changed_labels(new_labels, labels, id_col) == 0:
+            LAST_CONVERGENCE_ROUNDS["min_label_components"] = r + 1
+            return new_labels
+        labels = new_labels
+    if n_iter is None:
+        LAST_CONVERGENCE_ROUNDS["min_label_components"] = rounds
     return labels
 
 
 def bfs_hops(
-    pairs: DataFrame, source, n_hops: int = 3, id_col: str = "id"
+    pairs: DataFrame,
+    source,
+    n_hops: int | None = None,
+    id_col: str = "id",
+    max_hops: int = 30,
 ) -> DataFrame:
     """(id, hops) minimum hop distance from ``source`` over the
-    undirected pair graph, bounded at ``n_hops`` — breadth-first
-    reachability as iterated edge relaxation (Bellman-Ford on unit
-    weights): dist_k(v) = min(dist_{k-1}(v), 1 + min over neighbors).
-    Spark has no recursive CTE; the driver loop over lazy plans with
-    checkpoint-truncated lineage IS the recursion, one join + one
-    min-agg per hop (the PageRank/LPA shape), and the bounded unroll
-    is exactly what makes the SQL oracle expressible. Nodes beyond
+    undirected pair graph — breadth-first reachability as iterated
+    edge relaxation (Bellman-Ford on unit weights): dist_k(v) =
+    min(dist_{k-1}(v), 1 + min over neighbors). Spark has no recursive
+    CTE; the driver loop over lazy plans with checkpoint-truncated
+    lineage IS the recursion, one join + one min-agg per hop (the
+    PageRank/LPA shape).
+
+    Default (``n_hops=None``): relax until a round neither adds a node
+    nor improves a distance (frontier exhausted — full reachability on
+    any diameter), bounded by ``max_hops``. Explicit ``n_hops`` pins
+    the unroll — the SQL-oracle-expressible mode; nodes beyond
     ``n_hops`` are absent (a frontier cap, the BFS analog of a
-    LIMIT)."""
+    LIMIT). The stop probe is one (count, sum(hops)) agg per round:
+    the dist set only grows and hop values only decrease, so an
+    unchanged pair is exactly a fixpoint."""
+    _check_iters("bfs_hops", n_hops, max_hops, "n_hops", "max_hops")
     spark = pairs.sparkSession
     edges = undirected_edges(pairs).localCheckpoint(eager=True)
     dist = spark.createDataFrame(
         [(source, 0)], f"{id_col} bigint, hops int"
-    )
-    for _ in range(int(n_hops)):
+    ).localCheckpoint(eager=True)
+    rounds = int(n_hops) if n_hops is not None else int(max_hops)
+    state = (1, 0)  # (count, sum-of-hops) of the source-only frontier
+    for r in range(rounds):
         nxt = edges.join(
             dist.select(F.col(id_col).alias("src"), "hops"), "src"
         ).select(F.col("dst").alias(id_col), (F.col("hops") + 1).alias("hops"))
@@ -282,23 +388,53 @@ def bfs_hops(
             .agg(F.min("hops").cast("int").alias("hops"))
             .localCheckpoint(eager=True)
         )
+        if n_hops is None:
+            row = dist.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("hops"), F.lit(0)).alias("s"),
+            ).collect()[0]
+            new_state = (row["n"], row["s"])
+            if new_state == state:
+                LAST_CONVERGENCE_ROUNDS["bfs_hops"] = r + 1
+                return dist
+            state = new_state
+    if n_hops is None:
+        LAST_CONVERGENCE_ROUNDS["bfs_hops"] = rounds
     return dist
 
 
-def kcore(pairs: DataFrame, k: int = 2, n_iter: int = 6, id_col: str = "id") -> DataFrame:
-    """(id, degree) of nodes surviving ``n_iter`` rounds of k-core
-    peeling: repeatedly drop nodes whose degree within the CURRENT
-    subgraph is < k (Matula-Beck). Each removal can demote neighbors,
-    so peeling iterates; ``n_iter`` bounds the rounds (the pytest pins
-    the fixpoint at test scale — production would stop when a round
-    removes nothing). Deterministic — the peel set is a pure predicate
-    — hence SQL-unrollable like the other iterative operators.
-    Per round: one semi-join restriction of the edge list + one
-    degree hash-agg, both keyed on node id."""
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    n_iter: int | None = None,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, degree) of nodes surviving k-core peeling: repeatedly drop
+    nodes whose degree within the CURRENT subgraph is < k
+    (Matula-Beck). Each removal can demote neighbors, so peeling
+    iterates.
+
+    Default (``n_iter=None``): peel until a round removes nothing
+    (the exact k-core on any graph), bounded by ``max_iter``; the
+    alive set only shrinks, so an unchanged count IS the fixpoint and
+    the stop probe is one count per round over the checkpointed alive
+    set. Explicit ``n_iter`` pins exactly that many rounds — the
+    unrolled SQL oracle twin mode (a fixed unroll can leave
+    under-peeled nodes on long chains). Deterministic either way — the
+    peel set is a pure predicate. Per round: one semi-join restriction
+    of the edge list + one degree hash-agg, both keyed on node id."""
+    _check_iters("kcore", n_iter, max_iter)
     edges = undirected_edges(pairs).localCheckpoint(eager=True)
-    alive = edges.select(F.col("src").alias(id_col)).distinct()
+    alive = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive_n = alive.count() if n_iter is None else None
     deg = None
-    for _ in range(int(n_iter)):
+    rounds = int(n_iter) if n_iter is not None else int(max_iter)
+    for r in range(rounds):
         e = edges.join(
             alive.select(F.col(id_col).alias("src")), "src"
         ).join(alive.select(F.col(id_col).alias("dst")), "dst")
@@ -310,4 +446,13 @@ def kcore(pairs: DataFrame, k: int = 2, n_iter: int = 6, id_col: str = "id") -> 
             .select(id_col)
             .localCheckpoint(eager=True)
         )
+        if n_iter is None:
+            n = alive.count()
+            if n == alive_n:
+                LAST_CONVERGENCE_ROUNDS["kcore"] = r + 1
+                break
+            alive_n = n
+    else:
+        if n_iter is None:
+            LAST_CONVERGENCE_ROUNDS["kcore"] = rounds
     return deg.join(alive, id_col).select(id_col, "degree")

@@ -244,13 +244,25 @@ def versioned_append(
     os.makedirs(path, exist_ok=True)
     if enforce_schema:
         _check_schema_compatible(df, path)
-    _check_constraints(df, path)
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     try:
         writer.parquet(stage)
+        if table_constraints(path):
+            # Validate the STAGED parquet, not the input plan: the
+            # check re-reads the just-written columnar files instead of
+            # re-running the whole upstream computation a second time
+            # (which doubled every constrained append, including each
+            # streaming foreachBatch epoch). The explicit schema pins
+            # hive partition-column types to the written ones so
+            # constraint exprs on partition columns evaluate on the
+            # same values the writer saw. A violation aborts the stage
+            # before promotion — no version is ever committed.
+            _check_constraints(
+                df.sparkSession.read.schema(df.schema).parquet(stage), path
+            )
         if collect_stats and not partition_by:
             write_stats_manifest(stage)
         full = dict(meta or {})
@@ -1254,13 +1266,19 @@ def table_constraints(path: str) -> dict[str, str]:
 def _check_constraints(df: DataFrame, path: str) -> None:
     """One job validates ALL constraints: a single filtered count of
     rows failing ANY predicate (null = fail, matching Delta: a CHECK
-    must evaluate true). Runs before staging, so a violating batch
-    never becomes a version."""
+    must evaluate true). Runs against the STAGED delta before it is
+    promoted, so a violating batch never becomes a version. Tombstone
+    rows (``_tombstone = true``) are EXEMPT: their non-key columns are
+    all NULL by construction (versioned_delete/versioned_restore), and
+    Delta applies CHECK constraints to inserted data only, never to
+    delete markers."""
     from pyspark.sql import functions as F
 
     cons = table_constraints(path)
     if not cons:
         return
+    if TOMBSTONE in df.columns:
+        df = df.where(~F.coalesce(F.col(TOMBSTONE), F.lit(False)))
     bad = F.lit(False)
     for expr in cons.values():
         bad = bad | ~F.coalesce(F.expr(expr), F.lit(False))

@@ -830,3 +830,53 @@ def test_restore_to_version(spark, tmp_path):
         (r["id"], r["val"])
         for r in versioned_read_merged(spark, path, ["id"], version=1).collect()
     } == {(1, "a"), (2, "c"), (3, "d")}
+
+
+def test_delete_and_restore_on_constrained_table(spark, tmp_path):
+    """CHECK constraints must not block DELETE/RESTORE: tombstone rows
+    carry NULL non-key columns by construction, and Delta applies CHECK
+    constraints to inserted data only — so a constraint on a non-key
+    column is exempt for delete markers while still blocking genuinely
+    bad inserts on the same table."""
+    import pytest as _pytest
+
+    from data_lake_with_spark_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_table_constraint,
+        versioned_append,
+        versioned_delete,
+        versioned_read_merged,
+        versioned_restore,
+    )
+
+    path = str(tmp_path / "constrained_del")
+    add_table_constraint(path, "val_nonempty", "length(val) > 0")
+    versioned_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"), path
+    )  # v0
+    versioned_append(
+        spark.createDataFrame([(3, "c")], "id long, val string"), path
+    )  # v1
+
+    # DELETE commits despite val being NULL on the tombstone row.
+    v, n = versioned_delete(
+        spark, spark.createDataFrame([(2,)], "id long"), path, ["id"]
+    )
+    assert (v, n) == (2, 1)
+    assert {
+        (r["id"], r["val"])
+        for r in versioned_read_merged(spark, path, ["id"]).collect()
+    } == {(1, "a"), (3, "c")}
+
+    # RESTORE to v0 tombstones key 3 and re-adds key 2 — both legal.
+    versioned_restore(spark, path, ["id"], to_version=0)
+    assert {
+        (r["id"], r["val"])
+        for r in versioned_read_merged(spark, path, ["id"]).collect()
+    } == {(1, "a"), (2, "b")}
+
+    # The constraint still blocks real bad inserts (staged-read check).
+    with _pytest.raises(ConstraintViolationError):
+        versioned_append(
+            spark.createDataFrame([(9, "")], "id long, val string"), path
+        )

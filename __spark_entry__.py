@@ -8,6 +8,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in ``data_lake_with_spark_spark``; this module is
 a thin adapter over the query registry
 (``data_lake_with_spark_spark.plans.REGISTRY``).
+
+Lazy-construction contract: every ``queries()[name]`` call builds its
+plan with ZERO Spark jobs (enforced by
+``tests/test_lazy_construction.py``) EXCEPT the queries declared in
+``data_lake_with_spark_spark.plans.EAGER_QUERIES`` (re-exported here
+as ``EAGER_QUERIES``): iterative kernels that checkpoint per round and
+two-phase operators that collect a bounded driver artifact run real
+jobs at construction time.
 """
 
 from __future__ import annotations
@@ -24,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO_ROOT))
 
-from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
+from data_lake_with_spark_spark.plans import (  # noqa: E402
+    EAGER_QUERIES,  # noqa: F401  — contract surface, see module docstring
+    REGISTRY,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -71,6 +82,11 @@ DRIVER_WINDOW = [
     # training_length_buckets, training_quality_mixture,
     # training_split_counts, vector_near_pairs, window_cume_nth,
     # window_lag_gaps, window_ntile_first_last, window_users_to_date.
+    # Plus the round-7 additions in plans/extended_ops.py (sf0.01-gated
+    # at birth via CHANGED_THIS_ROUND): vector_topk_hamming,
+    # cdc_changelog_compact, ml_calibration_ece, stats_mann_whitney_u,
+    # training_tokenizer_fertility — and any later round-7 additions
+    # noted in that module.
     #
     # changed this round (re-verify under the fixpoint-default graph
     # operator refactor; both held green rows before):

@@ -66,6 +66,43 @@ HEADLINE = [
     "training_pack_sequences",
 ]
 
+# Second tier (round-6 verdict directive #3): the headline set above is
+# frozen for the cross-round trend, so the round-5/6 families get their
+# own measured set and a separate ``tier2_total``. One query per family
+# added since r02: graph, order statistics, skyline, CDC/SCD2, feature
+# binning, lakehouse layout, sketch-over-cube, diversified retrieval,
+# perceptual dedup, finance, composed training pipeline.
+TIER2 = [
+    "graph_connected_components",
+    "stats_exact_percentiles",
+    "skyline_pareto_orders",
+    "cdc_scd2_apply",
+    "join_pointintime_scd2",
+    "feature_quantile_bins",
+    "layout_zorder_locality",
+    "sketch_hll_cube",
+    "search_mmr_rerank",
+    "dedup_image_ahash",
+    "finance_var_historical",
+    "pipeline_trainset_stats",
+]
+
+
+def _cc_fullscale(spark, sf_dir: str):
+    """Scale-varying graph kernel (round-6 verdict directive #4): the
+    ORACLED graph queries cap their input at ``vec_id < 400`` for
+    deterministic oracle rows, so they exercise the same 400-node graph
+    at every sf and measure nothing about scale. This bench-only row
+    builds the near-dup graph over ALL embeddings (sf-proportional:
+    200 nodes at sf0.01, 2 000 at sf0.1) and runs connected components
+    to convergence — CC cost growth is visible across scale factors."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.graph import min_label_components
+    from data_lake_with_spark_spark.operators.similarity import lsh_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return min_label_components(lsh_near_pairs(emb, threshold=0.35))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +180,28 @@ def main() -> None:
         walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
         return total
 
+    # Tier-2 timing: one cold pass + two warm passes, reporting the
+    # per-query MIN of the warm pair (the steady-state floor — two
+    # passes bound the added wall-clock; the 28-query tier keeps the
+    # median-of-3 protocol for trend continuity). ``graph_cc_fullscale``
+    # is bench-only (not in the registry): the sf-proportional CC
+    # kernel, timed to convergence including its stop probes.
+    def run_tier2() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in TIER2:
+            q = REGISTRY[name]
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).toPandas()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _cc_fullscale(spark, sf_dir).toPandas()
+        timings["graph_cc_fullscale"] = round(time.perf_counter() - t0, 3)
+        return timings
+
+    t2_cold = run_tier2()
+    t2_passes = [run_tier2() for _ in range(2)]
+    t2_warm = {n: min(p[n] for p in t2_passes) for n in t2_passes[0]}
+
     shuffle_bytes: dict[str, int | None] = {}
     spill_bytes: dict[str, int | None] = {}
     for name in HEADLINE:
@@ -168,6 +227,7 @@ def main() -> None:
             {
                 "queries_min": warm_min,
                 "queries_cold": cold,
+                "tier2_cold": t2_cold,
                 "shuffle_bytes": shuffle_bytes,
                 "spill_bytes": spill_bytes,
             }
@@ -182,6 +242,8 @@ def main() -> None:
             "queries": warm,
             "min_total": round(sum(warm_min.values()), 3),
             "cold_total": round(sum(cold.values()), 3),
+            "tier2": t2_warm,
+            "tier2_total": round(sum(t2_warm.values()), 3),
             "sf": sf,
         }
     )

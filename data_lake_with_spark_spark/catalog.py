@@ -44,8 +44,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Inferred parquet schemas, keyed by (path, nanosAsLong setting): every
+# bare ``spark.read.parquet`` fires a small schema-inference job at
+# PLAN-CONSTRUCTION time, so building all 289 registered frames used to
+# run 289+ no-op jobs before any action. A table file's schema is a
+# property of the path (plus the nanos conf, which changes how
+# TIMESTAMP(NANOS) columns infer), so infer once per process and
+# construct every later scan with the explicit schema — zero jobs. The
+# cache never goes stale in practice (testdata paths are immutable
+# within a process); a changed conf or path simply misses to a fresh
+# inference.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    try:
+        nanos = str(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong"))
+    except Exception:
+        nanos = "false"
+    key = (path, nanos)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_ts(df, "ts")
     return df

@@ -11,6 +11,7 @@ from data_lake_with_spark_spark.plans.registry import REGISTRY, Query, register
 from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     analytics_ops,
     corpus_ops,
+    extended_ops,
     lakehouse_ops,
     reference_surface,
     relational,
@@ -24,4 +25,45 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     windows_batch,
 )
 
-__all__ = ["REGISTRY", "Query", "register"]
+# Queries whose CONSTRUCTION runs Spark jobs before any action on the
+# returned frame (the machine-readable deviation from the lazy
+# contract, round-6 verdict directive #5). Two causes, both inherent
+# to the algorithms: (a) iterative kernels that localCheckpoint each
+# round to truncate lineage (graph family, k-means/PCA/IVF codebook
+# training, bucketed-index builds), and (b) two-phase operators whose
+# phase 1 collects a bounded driver artifact (≤ a few hundred rows:
+# histogram boundaries, quantile cuts, greedy-MMR pool) that phase 2
+# embeds as literals. Every query NOT listed here builds its plan with
+# ZERO jobs — enforced by tests/test_lazy_construction.py. A harness
+# that wants to pre-construct all frames cheaply should skip these.
+EAGER_QUERIES: frozenset[str] = frozenset(
+    {
+        "corpus_clean_pipeline",
+        "decontaminate_bloom",
+        "dedup_cluster_keep_best",
+        "dedup_cluster_keep_min",
+        "feature_quantile_bins",
+        "graph_bfs_reachability",
+        "graph_community_modularity",
+        "graph_connected_components",
+        "graph_kcore_membership",
+        "graph_label_propagation",
+        "graph_pagerank_neardup",
+        "graph_triangle_count",
+        "join_bucketed_colocated",
+        "rag_chunk_retrieval_ivf",
+        "search_mmr_rerank",
+        "segment_rfm_distributed",
+        "sort_keyset_pagination",
+        "stats_exact_percentiles",
+        "text_bpe_tokenize",
+        "vector_kmeans_lloyd",
+        "vector_kmeans_silhouette",
+        "vector_pca_project",
+        "vector_topk_ivf",
+        "vector_topk_pca",
+        "vector_topk_pq",
+    }
+)
+
+__all__ = ["REGISTRY", "Query", "register", "EAGER_QUERIES"]

@@ -1,0 +1,441 @@
+"""Round-7 extended operators: binary-quantized ANN, changelog
+compaction, model calibration, rank statistics, tokenizer evaluation.
+
+Same discipline as the rest of the registry: integer-exact or
+deterministically-rounded outputs, full DuckDB oracles, no cartesian
+products (broadcast-of-bounded-queries only), no Python in the hot
+path. These extend the LLM-pipeline surface (SURVEY §2.10) beyond the
+reference's own operators (reference scope: /root/reference/etl.py —
+these have no counterpart there; they are the training-data-pipeline
+extensions the build brief mandates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions import text as TXT
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) vector quantization + Hamming-shortlist ANN
+# ---------------------------------------------------------------------------
+
+HAMMING_TOPK_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT vec_id, UNNEST(range(len(v))) AS dim,
+         v[UNNEST(range(len(v))) + 1] AS x
+  FROM e
+), codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dim < 32 AND x > 0
+                       THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END) AS BIGINT) AS code_lo,
+         CAST(SUM(CASE WHEN dim >= 32 AND x > 0
+                       THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END) AS BIGINT) AS code_hi
+  FROM comp GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, code_lo AS qlo, code_hi AS qhi
+  FROM codes WHERE vec_id < 10
+), ham AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.code_lo, q.qlo))
+              + bit_count(xor(c.code_hi, q.qhi)) AS INTEGER) AS hamming
+  FROM codes c, q WHERE c.vec_id <> q.query_id
+), shortlist AS (
+  SELECT query_id, neighbor_id, hamming
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming ASC, neighbor_id ASC) AS rn
+        FROM ham)
+  WHERE rn <= 15
+), scored AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         FLOOR(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               * 1e6 + 0.5) / 1e6 AS score
+  FROM shortlist s
+  JOIN e a ON a.vec_id = s.query_id
+  JOIN e b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, hamming, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "vector_topk_hamming",
+    oracle=HAMMING_TOPK_ORACLE,
+    tags=("vector", "llm", "approx", "topk", "quantize"),
+)
+def vector_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 64-dim float vectors collapse to a 64-bit
+    sign code (two 32-bit BIGINT halves — a single `1<<63` overflows
+    DuckDB's signed shift, and two int32 popcounts are how a columnar
+    engine would SIMD it anyway), Hamming top-15 shortlist per query by
+    XOR+popcount, exact cosine rerank to top-5. The memory story at
+    100 TB: 32× corpus compression (8 bytes/vector), the shortlist
+    scan touches only integer codes (queries broadcast, corpus never
+    shuffled until the ≤15-row-per-query rerank join), and every stage
+    is integer math — fully oracle-checkable, unlike float-score ANN.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    codes = comp.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("dim") < 32) & (F.col("x") > 0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), dim)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("code_lo"),
+        F.sum(
+            F.when(
+                (F.col("dim") >= 32) & (F.col("x") > 0),
+                F.expr("shiftleft(CAST(1 AS BIGINT), dim - 32)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("code_hi"),
+    )
+    q = codes.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code_lo").alias("qlo"),
+        F.col("code_hi").alias("qhi"),
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("code_lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        ham.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= 15)
+        .drop("rn")
+    )
+    from data_lake_with_spark_spark.functions.vector import dot, norm
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    b = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    score = dot(F.col("qv"), F.col("cv")) / (norm(F.col("qv")) * norm(F.col("cv")))
+    scored = (
+        shortlist.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            (F.floor(score * 1e6 + 0.5) / 1e6).alias("score"),
+        )
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "hamming",
+            "score",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction (net-effect per key)
+# ---------------------------------------------------------------------------
+
+CHANGELOG_COMPACT_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op
+  FROM events
+), ordered AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+         MIN(event_id) OVER (PARTITION BY user_id) AS first_event_id
+  FROM log
+)
+SELECT user_id,
+       CAST(n_changes AS INTEGER) AS n_changes,
+       first_event_id,
+       event_id AS last_event_id,
+       op AS last_op,
+       CASE WHEN op = 'D' THEN 'DELETE' ELSE 'UPSERT' END AS net,
+       CASE WHEN op = 'D' THEN NULL ELSE value END AS last_value
+FROM ordered
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "cdc_changelog_compact",
+    oracle=CHANGELOG_COMPACT_ORACLE,
+    tags=("cdc", "lakehouse"),
+)
+def cdc_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the Debezium/Flink-upsert primitive: a
+    keyed stream of I/U/D changes collapses to its NET effect (last
+    write wins; a trailing delete tombstones the key), so a downstream
+    MERGE applies one row per key instead of replaying every change.
+    The event log stands in as the changelog (signup=I, error=D, rest
+    =U), ordered by (ts, event_id). Plan: one window shuffle on the
+    key — the same shape a 1000-executor compactor would run, since
+    per-key change history co-locates under hash partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    key = W.partitionBy("user_id")
+    ordered = log.select(
+        "user_id",
+        "event_id",
+        "op",
+        "value",
+        F.row_number()
+        .over(key.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(key).cast("int").alias("n_changes"),
+        F.min("event_id").over(key).alias("first_event_id"),
+    )
+    return (
+        ordered.where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_changes",
+            "first_event_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("op").alias("last_op"),
+            F.when(F.col("op") == "D", F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT"))
+            .alias("net"),
+            F.when(F.col("op") == "D", F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model calibration (reliability bins + exact ECE numerator)
+# ---------------------------------------------------------------------------
+
+CALIBRATION_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 1000000 AS conf_ppm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+)
+SELECT CAST(conf_ppm // 100000 AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS positives,
+       CAST(SUM(conf_ppm) AS BIGINT) AS conf_sum_ppm,
+       CAST(ABS(SUM(label) * 1000000 - SUM(conf_ppm)) AS BIGINT) AS ece_num
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register(
+    "ml_calibration_ece",
+    oracle=CALIBRATION_ORACLE,
+    tags=("ml", "stats"),
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins with the EXACT expected-calibration-
+    error numerator: confidence in ppm (integer), 10 equal bins,
+    per-bin |positives·1e6 − Σconf| — ECE = Σ ece_num / (N·1e6) with
+    one float division left to the reader, so every emitted cell is
+    order-independent BIGINT math (the calibration readout every
+    quality-classifier training run ends with). Confidence is a
+    deterministic price-derived pseudo-score: the engine contract is
+    the binning + exact-gap math, not the toy score. One hash-agg on
+    a 10-value key — map-side combine makes it a broadcast-scale
+    shuffle at any corpus size."""
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("bigint") % 1000000
+        ).alias("conf_ppm"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    return (
+        scored.groupBy(
+            F.expr("CAST(conf_ppm div 100000 AS INT)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("positives"),
+            F.sum("conf_ppm").cast("bigint").alias("conf_sum_ppm"),
+            F.abs(
+                F.sum("label") * F.lit(1000000) - F.sum("conf_ppm")
+            )
+            .cast("bigint")
+            .alias("ece_num"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (one-vs-rest, distinct-value spine, average-rank ties)
+# ---------------------------------------------------------------------------
+
+MANN_WHITNEY_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(FLOOR(value * 1e6) AS BIGINT) AS v FROM events
+), spine AS (
+  SELECT v, COUNT(*) AS cnt FROM s GROUP BY v
+), ranked AS (
+  SELECT v, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumb
+  FROM spine
+), per_type AS (
+  SELECT event_type, v, COUNT(*) AS cnt_t FROM s GROUP BY event_type, v
+)
+SELECT p.event_type,
+       CAST(SUM(p.cnt_t) AS BIGINT) AS n,
+       CAST(SUM(p.cnt_t * (2 * r.cumb + r.cnt + 1))
+            - SUM(p.cnt_t) * (SUM(p.cnt_t) + 1) AS BIGINT) AS u2
+FROM per_type p JOIN ranked r ON p.v = r.v
+GROUP BY p.event_type
+ORDER BY p.event_type
+"""
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle=MANN_WHITNEY_ORACLE,
+    tags=("stats",),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (doubled, exact) for each event type against the
+    pooled sample — the nonparametric two-sample location test, via
+    the rank-sum identity with AVERAGE ranks over ties: doubled rank
+    sums (2·cum_before + cnt + 1 per distinct value) keep tie math in
+    BIGINT, u2 = 2·(R₁ − n₁(n₁+1)/2). Same 100 TB shape as
+    ml_auc_rank_sum: rows collapse to the distinct-score spine first
+    (hash-agg with map-side combine), the only ordered window runs
+    over distinct values, never rows."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", F.floor(F.col("value") * 1e6).cast("bigint").alias("v")
+    )
+    spine = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = spine.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("cumb"),
+    )
+    per_type = s.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_t")
+    )
+    return (
+        per_type.join(ranked, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_t").cast("bigint").alias("n"),
+            (
+                F.sum(F.col("cnt_t") * (2 * F.col("cumb") + F.col("cnt") + 1))
+                - F.sum("cnt_t") * (F.sum("cnt_t") + 1)
+            )
+            .cast("bigint")
+            .alias("u2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (tokens-per-word by language)
+# ---------------------------------------------------------------------------
+
+FERTILITY_ORACLE = r"""
+SELECT lang,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) * 1000000
+            // SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS fertility_ppm,
+       CAST(SUM(n_chars) * 1000000
+            // SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS chars_per_token_ppm
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "training_tokenizer_fertility",
+    oracle=FERTILITY_ORACLE,
+    tags=("training", "text", "llm"),
+)
+def training_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — tokens emitted per whitespace
+    word and characters per token, the readout that decides whether a
+    tokenizer taxes some languages with more tokens per word (fertility
+    > 1e6 ppm means sub-word splitting dominates). Integer ppm via
+    floor-division on BIGINT sums; one hash-agg on the language key."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "n_chars",
+        TXT.token_count("text").cast("bigint").alias("w"),
+        F.size(TXT.bpe_ish_tokens("text")).cast("bigint").alias("t"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+            F.expr("CAST(sum(t) * 1000000 div sum(w) AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+            F.expr(
+                "CAST(sum(n_chars) * 1000000 div sum(t) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )

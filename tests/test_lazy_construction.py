@@ -1,0 +1,42 @@
+"""Lazy-construction gate (round-6 verdict directive #5).
+
+``queries()[name]`` is contractually a PLAN BUILDER: a caller that
+constructs many frames (the driver enumerates all of them; notebooks
+compose them) must not pay cluster time until it runs an action. The
+deviations — iterative kernels that checkpoint per round, two-phase
+operators that collect bounded driver artifacts — are declared in
+``plans.EAGER_QUERIES``. This test warms the catalog's schema cache
+(schema inference is scan setup, not query work) and then asserts that
+constructing EVERY non-eager query fires ZERO Spark jobs.
+"""
+
+from __future__ import annotations
+
+from data_lake_with_spark_spark.catalog import TABLES, load_table
+from data_lake_with_spark_spark.plans import EAGER_QUERIES, REGISTRY
+
+
+def test_eager_set_names_are_registered():
+    assert EAGER_QUERIES <= set(REGISTRY), sorted(EAGER_QUERIES - set(REGISTRY))
+
+
+def test_non_eager_queries_construct_with_zero_jobs(spark, sf_dir):
+    for t in TABLES:
+        load_table(spark, sf_dir, t)  # populate the schema cache
+    sc = spark.sparkContext
+    offenders: dict[str, int] = {}
+    for name in sorted(set(REGISTRY) - EAGER_QUERIES):
+        group = f"lazy-gate-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            REGISTRY[name].spark(spark, sf_dir)
+        finally:
+            sc.setJobGroup("lazy-gate-idle", "idle")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if jobs:
+            offenders[name] = len(jobs)
+    assert not offenders, (
+        f"{len(offenders)} undeclared-eager queries ran jobs at plan "
+        f"construction: {offenders} — either make construction lazy or "
+        "add them to plans.EAGER_QUERIES"
+    )

@@ -34,6 +34,13 @@ CHANGED_THIS_ROUND = [
     "graph_kcore_membership",
     "graph_bfs_reachability",
     "graph_community_modularity",
+    # plans/extended_ops.py — NEW this round (queued for the round-8
+    # driver window; sf0.01-gated from birth here):
+    "vector_topk_hamming",
+    "cdc_changelog_compact",
+    "ml_calibration_ece",
+    "stats_mann_whitney_u",
+    "training_tokenizer_fertility",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -439,3 +439,409 @@ def training_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning simulation (min/max file skipping)
+# ---------------------------------------------------------------------------
+
+_ZONE_PREDS = [
+    (1, "1993-01-01", "1993-03-31"),
+    (2, "1995-06-01", "1995-08-31"),
+    (3, "1997-01-01", "1997-12-31"),
+]
+
+_ZONE_PREDS_SQL = ", ".join(
+    f"({i}, DATE '{lo}', DATE '{hi}')" for i, lo, hi in _ZONE_PREDS
+)
+
+ZONE_MAP_ORACLE = f"""
+WITH l AS (
+  SELECT l_orderkey // 4096 AS file_id, CAST(l_shipdate AS DATE) AS sd
+  FROM lineitem
+), zone AS (
+  SELECT file_id, MIN(sd) AS mn, MAX(sd) AS mx, COUNT(*) AS cnt
+  FROM l GROUP BY file_id
+), preds AS (SELECT * FROM (VALUES {_ZONE_PREDS_SQL}) AS t(pred_id, lo, hi)),
+files AS (
+  SELECT p.pred_id,
+         CAST(COUNT(*) AS BIGINT) AS files_total,
+         CAST(SUM(CASE WHEN z.mx < p.lo OR z.mn > p.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS files_pruned,
+         CAST(SUM(CASE WHEN z.mx < p.lo OR z.mn > p.hi THEN 0 ELSE z.cnt END) AS BIGINT)
+           AS rows_scanned
+  FROM zone z CROSS JOIN preds p
+  GROUP BY p.pred_id
+), matched AS (
+  SELECT p.pred_id, CAST(COUNT(*) AS BIGINT) AS rows_matched
+  FROM l JOIN preds p ON l.sd >= p.lo AND l.sd <= p.hi
+  GROUP BY p.pred_id
+)
+SELECT f.pred_id, f.files_total, f.files_pruned, f.rows_scanned,
+       COALESCE(m.rows_matched, 0) AS rows_matched,
+       CASE WHEN f.rows_scanned > 0
+            THEN CAST(COALESCE(m.rows_matched, 0) * 1000000 // f.rows_scanned AS BIGINT)
+            ELSE NULL END AS scan_efficiency_ppm
+FROM files f LEFT JOIN matched m USING (pred_id)
+ORDER BY f.pred_id
+"""
+
+
+@register(
+    "layout_zone_map_pruning",
+    oracle=ZONE_MAP_ORACLE,
+    tags=("layout", "lakehouse"),
+)
+def layout_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping simulation — the quantitative
+    readout behind every lakehouse layout decision: rows land in
+    synthetic 4096-order-key files (the natural ingest clustering),
+    each file publishes a [min,max] ship-date zone map, and each probe
+    predicate reports files pruned, rows scanned vs matched, and scan
+    efficiency in ppm. This is exactly what parquet row-group /
+    Delta-file skipping does at 100 TB — the query quantifies how much
+    a date-clustered layout saves per predicate (compare with
+    layout_zorder_locality, which measures multi-column clustering).
+    One hash-agg for zone maps + one broadcast range probe; the
+    3-predicate frame is a bounded broadcast multiplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    preds = spark.createDataFrame(
+        [(i, lo, hi) for i, lo, hi in _ZONE_PREDS], "pred_id int, lo string, hi string"
+    ).select("pred_id", F.col("lo").cast("date"), F.col("hi").cast("date"))
+    l = li.select(
+        F.expr("l_orderkey div 4096").alias("file_id"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    zone = l.groupBy("file_id").agg(
+        F.min("sd").alias("mn"), F.max("sd").alias("mx"), F.count(F.lit(1)).alias("cnt")
+    )
+    pruned = (F.col("mx") < F.col("lo")) | (F.col("mn") > F.col("hi"))
+    files = (
+        zone.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("files_total"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias("files_pruned"),
+            F.sum(F.when(pruned, 0).otherwise(F.col("cnt")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+    )
+    matched = (
+        l.join(
+            F.broadcast(preds),
+            (F.col("sd") >= F.col("lo")) & (F.col("sd") <= F.col("hi")),
+        )
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    return (
+        files.join(matched, "pred_id", "left")
+        .select(
+            "pred_id",
+            "files_total",
+            "files_pruned",
+            "rows_scanned",
+            F.coalesce(F.col("rows_matched"), F.lit(0)).cast("bigint").alias(
+                "rows_matched"
+            ),
+            F.when(
+                F.col("rows_scanned") > 0,
+                F.expr(
+                    "CAST(coalesce(rows_matched, 0) * 1000000 div rows_scanned AS BIGINT)"
+                ),
+            ).alias("scan_efficiency_ppm"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (3-hop, exact rational weights) on the near-dup graph
+# ---------------------------------------------------------------------------
+
+HARMONIC_ORACLE = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), p1 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM ed
+), p2 AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst
+  FROM p1 a JOIN ed b ON a.dst = b.src
+  WHERE a.src <> b.dst
+), p3 AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst
+  FROM p2 a JOIN ed b ON a.dst = b.src
+  WHERE a.src <> b.dst
+), dist AS (
+  SELECT src, dst, MIN(d) AS d FROM (
+    SELECT src, dst, 1 AS d FROM p1
+    UNION ALL SELECT src, dst, 2 FROM p2
+    UNION ALL SELECT src, dst, 3 FROM p3
+  ) GROUP BY src, dst
+)
+SELECT src AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_reach_3hop,
+       CAST(SUM(12 // d) AS BIGINT) AS harmonic12
+FROM dist
+GROUP BY src
+ORDER BY id
+"""
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=HARMONIC_ORACLE,
+    tags=("graph", "llm"),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop harmonic centrality on the near-dup graph: Σ 1/d over
+    nodes within distance 3, kept exact by scoring in twelfths
+    (12/d ∈ {12, 6, 4} — the lcm trick, no float accumulation). The
+    truncated-horizon form is the one that actually runs at scale
+    (full harmonic centrality needs all-pairs distances; bounded-hop
+    harmonic over a k-NN graph is the standard centrality readout for
+    dedup-cluster hubs). Distances come from three unrolled
+    frontier-expansion joins with DISTINCT collapse between rounds —
+    each level shuffles on node keys only; no cartesian. Input capped
+    at vec_id < 400 like the other oracled graph queries (the same
+    cap is in the oracle; bench measures kernels on the
+    sf-proportional graph instead)."""
+    from data_lake_with_spark_spark.operators.similarity import lsh_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = lsh_near_pairs(emb, threshold=0.35)
+    ed = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+    p1 = ed.distinct()
+    p2 = (
+        p1.alias("a")
+        .join(ed.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .where(F.col("a.src") != F.col("b.dst"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )
+    p3 = (
+        p2.alias("a")
+        .join(ed.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .where(F.col("a.src") != F.col("b.dst"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )
+    dist = (
+        p1.withColumn("d", F.lit(1))
+        .unionAll(p2.withColumn("d", F.lit(2)))
+        .unionAll(p3.withColumn("d", F.lit(3)))
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    return (
+        dist.groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reach_3hop"),
+            F.sum(F.expr("12 div d")).cast("bigint").alias("harmonic12"),
+        )
+        .orderBy("id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup by DCT pHash
+# ---------------------------------------------------------------------------
+
+
+def _dct_coeff(u: int, x: int) -> int:
+    import math
+
+    return int(math.floor(math.cos((2 * x + 1) * u * math.pi / 16) * 1024 + 0.5))
+
+
+_DCT_VALUES = ", ".join(
+    f"({u}, {x}, {_dct_coeff(u, x)})" for u in range(5) for x in range(8)
+)
+
+# 25-bit hash → 4 pigeonhole bands (lossless for hamming ≤ 3):
+# (band, right-shift, mask).
+_PHASH_BANDS = [(0, 0, 127), (1, 7, 63), (2, 13, 63), (3, 19, 63)]
+
+_PHASH_BANDS_SQL = ", ".join(f"({k}, {s}, {m})" for k, s, m in _PHASH_BANDS)
+
+PHASH_ORACLE = f"""
+WITH lead AS (
+  SELECT doc_id, doc_id - doc_id % 25 AS lead_id FROM documents
+), base AS (
+  SELECT doc_id AS lead_id,
+         md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z') AS h
+  FROM documents
+), m AS (
+  SELECT l.doc_id, b.h FROM lead l JOIN base b USING (lead_id)
+), px AS (
+  SELECT doc_id, i, i // 8 AS x, i % 8 AS y,
+         CASE WHEN i = doc_id % 64
+              THEN ((strpos('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)
+                  + (doc_id % 7) * 16) % 256
+              ELSE (strpos('0123456789abcdef', substr(h, 2 * i + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(h, 2 * i + 2, 1)) - 1)
+         END AS p
+  FROM m, UNNEST(range(64)) AS u(i)
+), ctab AS (SELECT * FROM (VALUES {_DCT_VALUES}) AS t(u, x, c)),
+d AS MATERIALIZED (
+  SELECT px.doc_id, cu.u, cv.u AS v,
+         CAST(SUM(px.p * cu.c * cv.c) AS BIGINT) AS dc
+  FROM px JOIN ctab cu ON cu.x = px.x JOIN ctab cv ON cv.x = px.y
+  GROUP BY px.doc_id, cu.u, cv.u
+), rk AS (
+  SELECT doc_id, u, v, dc,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dc, u, v) AS rn
+  FROM d
+), med AS (
+  SELECT doc_id, SUM(CASE WHEN rn = 13 THEN dc END) AS c13 FROM rk GROUP BY doc_id
+), ph AS MATERIALIZED (
+  SELECT rk.doc_id,
+         CAST(SUM(CASE WHEN rk.dc > med.c13
+                       THEN (CAST(1 AS BIGINT) << (5 * rk.u + rk.v))
+                       ELSE 0 END) AS BIGINT) AS ph
+  FROM rk JOIN med USING (doc_id) GROUP BY rk.doc_id
+), bands AS (
+  SELECT doc_id, ph, b.k, (ph >> b.s) & b.m AS key
+  FROM ph CROSS JOIN (SELECT * FROM (VALUES {_PHASH_BANDS_SQL}) AS t(k, s, m)) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.ph AS ha, b.ph AS hb
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "dedup_image_phash",
+    oracle=PHASH_ORACLE,
+    tags=("dedup", "multimodal", "llm", "approx"),
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE dedup by DCT pHash — the frequency-domain
+    upgrade of dedup_image_ahash: each 8×8 raster runs a 2-D DCT-II
+    with a ×1024-quantized cosine table (the dft_coefficients trick:
+    the constants are computed once driver-side and embedded
+    identically in the plan and the oracle, so every coefficient is
+    exact BIGINT math), the 5×5 low-frequency block thresholds
+    against its own median coefficient into a 25-bit hash, and
+    candidate pairs come from a 4-band pigeonhole join (lossless for
+    hamming ≤ 3) with exact popcount verify. pHash survives
+    brightness/contrast shifts that flip aHash bits because the
+    comparison basis is spectral shape, not raw pixel mean. Same
+    synthetic perturbed-raster corpus as aHash (20 base images, 25
+    single-pixel variants each). Plan: pixels and hashes are
+    per-row JVM byte/HOF math; the only joins are two broadcast
+    cosine-table joins (40 rows) and the banded bucket equi-join —
+    never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    lead = docs.select("doc_id", F.expr("doc_id - doc_id % 25").alias("lead_id"))
+    base = docs.select(
+        F.col("doc_id").alias("lead_id"),
+        F.concat(
+            F.md5("text"),
+            F.md5(F.concat("text", F.lit("x"))),
+            F.md5(F.concat("text", F.lit("y"))),
+            F.md5(F.concat("text", F.lit("z"))),
+        ).alias("h"),
+    )
+    m = lead.join(F.broadcast(base), "lead_id").select("doc_id", "h")
+    px = m.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 63), i -> CAST(IF(i = doc_id % 64, "
+                "(conv(substr(h, 2 * i + 1, 2), 16, 10) + (doc_id % 7) * 16) % 256, "
+                "conv(substr(h, 2 * i + 1, 2), 16, 10)) AS BIGINT))"
+            )
+        ).alias("i", "p"),
+    ).select(
+        "doc_id",
+        F.expr("i div 8").alias("x"),
+        (F.col("i") % 8).alias("y"),
+        "p",
+    )
+    ctab = spark.createDataFrame(
+        [(u, x, _dct_coeff(u, x)) for u in range(5) for x in range(8)],
+        "u int, x int, c bigint",
+    )
+    cu = ctab.select(F.col("u"), F.col("x"), F.col("c").alias("cu"))
+    cv = ctab.select(
+        F.col("u").alias("v"), F.col("x").alias("y"), F.col("c").alias("cvv")
+    )
+    d = (
+        px.join(F.broadcast(cu), "x")
+        .join(F.broadcast(cv), "y")
+        .groupBy("doc_id", "u", "v")
+        .agg(F.sum(F.col("p") * F.col("cu") * F.col("cvv")).cast("bigint").alias("dc"))
+    )
+    w_doc = W.partitionBy("doc_id")
+    rk = d.select(
+        "doc_id",
+        "u",
+        "v",
+        "dc",
+        F.row_number().over(w_doc.orderBy("dc", "u", "v")).alias("rn"),
+    )
+    med = rk.withColumn(
+        "c13", F.sum(F.when(F.col("rn") == 13, F.col("dc"))).over(w_doc)
+    )
+    ph = med.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("dc") > F.col("c13"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), 5 * u + v)"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("ph")
+    )
+    bands = ph.select(
+        "doc_id",
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ph", s).bitwiseAND(F.lit(mask))
+                    for _, s, mask in _PHASH_BANDS
+                ]
+            )
+        ).alias("k", "key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.ph").alias("ha"),
+            F.col("b.ph").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a_id", "b_id", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
+    )

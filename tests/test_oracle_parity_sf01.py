@@ -41,6 +41,9 @@ CHANGED_THIS_ROUND = [
     "ml_calibration_ece",
     "stats_mann_whitney_u",
     "training_tokenizer_fertility",
+    "layout_zone_map_pruning",
+    "graph_harmonic_centrality",
+    "dedup_image_phash",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

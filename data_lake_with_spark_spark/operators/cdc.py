@@ -86,3 +86,88 @@ def salted_sum(
     salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(F.sum(value_col).alias("_psum"))
     return partial.groupBy(*keys).agg(F.sum("_psum").alias(f"sum_{value_col}"))
+
+
+CHANGELOG_STATE_COLS = [
+    "user_id",
+    "n_changes",
+    "first_event_id",
+    "last_event_id",
+    "last_ts",
+    "last_op",
+    "net",
+    "last_value",
+]
+
+
+def compact_changelog(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Fold a micro-batch of I/U/D changelog rows into last-write-wins
+    net-effect state — the incremental twin of the
+    ``cdc_changelog_compact`` query (same semantics: the newest row
+    per key by (ts, event_id) decides op/net/value, a trailing delete
+    tombstones the key, n_changes counts every folded change).
+
+    ``batch`` rows: (user_id, event_id, ts, op ∈ 'I'/'U'/'D', value).
+    ``state``: a prior result of this fold (or None). The fold is
+    ASSOCIATIVE over batch boundaries because the state keeps the last
+    (ts, event_id) — merging state with a new batch re-runs the same
+    newest-row-wins rule over one state row + the batch's compacted
+    row per key, so any batch split of the changelog produces the
+    same final state as one shot (pinned by pytest batch-equality).
+    Shuffle shape per refresh: one window keyed on user_id over
+    micro-batch-sized input + the state rows of TOUCHED keys only
+    after the union — O(changes), never a base-table rescan."""
+    key_w = W.partitionBy("user_id")
+    compacted = (
+        batch.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "op",
+            "value",
+            F.row_number()
+            .over(key_w.orderBy(F.desc("ts"), F.desc("event_id")))
+            .alias("rn"),
+            F.count(F.lit(1)).over(key_w).cast("bigint").alias("n_changes"),
+            F.min("event_id").over(key_w).alias("first_event_id"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_changes",
+            "first_event_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("op").alias("last_op"),
+            F.when(F.col("op") == "D", F.lit("DELETE"))
+            .otherwise(F.lit("UPSERT"))
+            .alias("net"),
+            F.when(F.col("op") == "D", F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("last_value"),
+        )
+    )
+    if state is None:
+        return compacted.select(*CHANGELOG_STATE_COLS)
+    merged = state.select(*CHANGELOG_STATE_COLS).unionByName(compacted)
+    return (
+        merged.select(
+            *CHANGELOG_STATE_COLS,
+            F.row_number()
+            .over(key_w.orderBy(F.desc("last_ts"), F.desc("last_event_id")))
+            .alias("rn"),
+            F.sum("n_changes").over(key_w).cast("bigint").alias("_n"),
+            F.min("first_event_id").over(key_w).alias("_f"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("_n").alias("n_changes"),
+            F.col("_f").alias("first_event_id"),
+            "last_event_id",
+            "last_ts",
+            "last_op",
+            "net",
+            "last_value",
+        )
+    )

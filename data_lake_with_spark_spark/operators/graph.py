@@ -317,6 +317,20 @@ def min_label_components(
         eager=True
     )
     rounds = int(n_iter) if n_iter is not None else int(max_iter)
+
+    def _sig(frame: DataFrame):
+        # Monotone convergence signature: labels only ever DECREASE, so
+        # the label sum is strictly decreasing until the fixpoint and
+        # "sum unchanged" ⟺ "no label changed". One narrow agg on the
+        # checkpointed frame — no join, unlike the generic
+        # _changed_labels probe LPA still needs (its labels are not
+        # monotone). decimal(38,0) keeps the sum exact at any node
+        # count × id magnitude.
+        return frame.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    sig = _sig(labels) if n_iter is None else None
     for r in range(rounds):
         nbr_min = (
             edges.join(labels.select(F.col(id_col).alias("dst"), "lab"), "dst")
@@ -338,9 +352,12 @@ def min_label_components(
             )
             .localCheckpoint(eager=True)
         )
-        if n_iter is None and _changed_labels(new_labels, labels, id_col) == 0:
-            LAST_CONVERGENCE_ROUNDS["min_label_components"] = r + 1
-            return new_labels
+        if n_iter is None:
+            new_sig = _sig(new_labels)
+            if new_sig == sig:
+                LAST_CONVERGENCE_ROUNDS["min_label_components"] = r + 1
+                return new_labels
+            sig = new_sig
         labels = new_labels
     if n_iter is None:
         LAST_CONVERGENCE_ROUNDS["min_label_components"] = rounds

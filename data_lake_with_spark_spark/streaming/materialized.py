@@ -353,3 +353,45 @@ def stream_maintain_extrema_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_changelog_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    query_name: str = "changelog_view",
+    checkpoint: str | None = None,
+):
+    """Streaming changelog compaction: per-key last-write-wins
+    net-effect state (operators/cdc.py:compact_changelog) advanced one
+    micro-batch at a time — the Debezium/Flink-upsert sink as a
+    materialized view, and the streaming twin of the
+    ``cdc_changelog_compact`` batch query (pytest pins final state ==
+    the one-shot compaction of all changes, under any batch split).
+    n_changes makes the epoch guard load-bearing (counts double on
+    replay); checkpointed runs are exactly-once via the same
+    epoch-with-version commit as every other view here."""
+    from data_lake_with_spark_spark.operators import cdc as CDC
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        V.versioned_append(
+            CDC.compact_changelog(cur, batch_df),
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

@@ -587,3 +587,67 @@ def test_stream_maintained_extrema_freshness(spark, sf_dir, tmp_path):
     ), "re-fold should inflate counts without the guard"
     assert V.current_version(state) == v_before
     assert MV.applied_epoch(state) == before
+
+
+def test_stream_maintained_changelog_compaction(spark, sf_dir, tmp_path):
+    """Streaming changelog compaction == the one-shot batch query:
+    the events-derived I/U/D log split into three ARBITRARY
+    micro-batches (event_id % 3 — later changes can arrive in earlier
+    batches, pinning that the last-write-wins fold is commutative over
+    batch splits, not merely associative) must maintain exactly the
+    net-effect state cdc_changelog_compact computes in one shot."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.cdc import compact_changelog
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    src = str(tmp_path / "cl_changes")
+    for i in range(3):
+        # spark-written chunks (micros timestamps; pandas would write
+        # TIMESTAMP(NANOS) and break the declared stream schema)
+        log.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "cl_view")
+    ckpt = str(tmp_path / "cl_ckpt")
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = MV.stream_maintain_changelog_view(
+        stream, state, query_name="cl_mv", checkpoint=ckpt
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    def rows(df):
+        return {
+            (
+                r["user_id"],
+                r["n_changes"],
+                r["first_event_id"],
+                r["last_event_id"],
+                r["last_op"],
+                r["net"],
+                r["last_value"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(MV.read_view(spark, state))
+    assert got == rows(compact_changelog(None, log))
+    # and the registered batch query (authoritative: DuckDB-oracled)
+    assert got == rows(REGISTRY["cdc_changelog_compact"].spark(spark, sf_dir))
+    # one committed version per non-empty micro-batch
+    assert V.current_version(state) == 2

@@ -216,3 +216,25 @@ def test_ivf_bucketed_layout_exchange_free_rerank(spark, sf_dir, tmp_path):
         assert n_hash_exchanges == 1, f"expected 1 data shuffle, plan:\n{final_plan}"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_hamming_topk_recall_vs_brute_force(spark, sf_dir):
+    """Binary (sign-bit) quantization + Hamming-60 shortlist + exact
+    rerank must recover most exact top-5 neighbors. Measured 0.70 at
+    sf0.001/sf0.01 — the honest 1-bit/dim number on near-isotropic
+    vectors (the rerank makes precision exact, so recall is the only
+    quality axis); floor pinned at 0.6."""
+    from data_lake_with_spark_spark.operators.similarity import brute_force_topk
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = REGISTRY["vector_topk_hamming"].spark(spark, sf_dir).collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())

@@ -44,6 +44,8 @@ CHANGED_THIS_ROUND = [
     "layout_zone_map_pruning",
     "graph_harmonic_centrality",
     "dedup_image_phash",
+    "vector_topk_asymmetric",
+    "dq_referential_integrity",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -395,3 +395,66 @@ def stream_maintain_changelog_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+def stream_maintain_topk_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+    query_name: str = "topk_view",
+    checkpoint: str | None = None,
+):
+    """Streaming per-group top-k leaderboard: the state is the k
+    highest-``order_col`` rows per group (ties broken by ``id_col``
+    ascending — a total order, so the state is unique). Top-k over a
+    max-monoid is exactly mergeable — topk(A ∪ B) = topk(topk(A) ∪
+    topk(B)) — so each refresh folds the micro-batch's own top-k into
+    the ≤k retained rows per group and the final state equals the
+    one-shot window query over all rows regardless of batch split
+    (pytest-pinned). Unlike count-based "heavy hitters" (which need
+    count-min + candidates), max-based top-k needs no sketch: the
+    state IS exact at O(groups·k) size — the leaderboard shape every
+    monitoring pipeline maintains."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = W.partitionBy(*group_cols).orderBy(
+            F.desc(order_col), F.asc(id_col)
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    cols = [*group_cols, id_col, order_col]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        fresh = topk(batch_df.select(*cols))
+        merged = fresh if cur is None else topk(cur.select(*cols).unionByName(fresh))
+        V.versioned_append(
+            merged,
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

@@ -651,3 +651,49 @@ def test_stream_maintained_changelog_compaction(spark, sf_dir, tmp_path):
     assert got == rows(REGISTRY["cdc_changelog_compact"].spark(spark, sf_dir))
     # one committed version per non-empty micro-batch
     assert V.current_version(state) == 2
+
+
+def test_stream_maintained_topk_leaderboard(spark, sf_dir, tmp_path):
+    """Per-type top-5-by-value leaderboard maintained from arbitrary
+    micro-batch splits must equal the one-shot window query: top-k
+    over a max-monoid is exactly mergeable (topk(A∪B) =
+    topk(topk(A)∪topk(B))), so the O(groups·k) state needs no
+    sketch. Split by event_id % 3 — later winners arrive in earlier
+    batches and vice versa."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    src = str(tmp_path / "tk_changes")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "tk_view")
+    ckpt = str(tmp_path / "tk_ckpt")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = MV.stream_maintain_topk_view(
+        stream, state, ["event_type"], "value", "event_id",
+        k=5, query_name="tk_mv", checkpoint=ckpt,
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    want = {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in MV.read_view(spark, state).collect()
+    }
+    assert got == want

@@ -61,6 +61,96 @@ def asof_join(
     return filled.where(F.col("_is_left") == 1).select(*out_cols)
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    right_cols: list[str],
+    suffix: str = "_near",
+) -> DataFrame:
+    """As-of NEAREST join (pandas ``merge_asof(direction='nearest')``):
+    for each left row, the right row in the same ``by`` group with the
+    smallest |right_ts − left_ts|; ties resolve BACKWARD (the
+    at-or-before candidate), then to the smallest ``right_id`` — a
+    total order, so the result is unique and oracle-checkable.
+
+    Two interleaved-window passes over ONE union of both sides (the
+    asof_join trick, run in both directions — still one shuffle on
+    ``by``, two sorts):
+
+    - backward: ``last(payload ignorenulls)`` over rows ≤ current,
+      ordered (ts, right-before-left, right_id DESC) — right rows at
+      the left row's own ts are inside the frame (inclusive bound) and
+      the LAST right row in sort order at the winning ts is the
+      smallest id;
+    - forward: ``first(payload ignorenulls)`` over rows ≥ current,
+      ordered (ts, left-before-right, right_id ASC) — the mirror.
+
+    Pass INTEGER ts columns (epoch ms) so the tie resolution happens
+    at one well-defined resolution on every engine. Adds
+    ``<right_ts><suffix>``, ``<right_id><suffix>``, ``right_cols``
+    with ``suffix``, plus ``_delta`` (|Δts|) and ``_direction``
+    ('backward'/'forward', NULL when the group has no right rows)."""
+    payload = F.struct(
+        F.col(right_ts).alias("_pts"),
+        F.col(right_id).alias("_pid"),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(by),
+        F.col(right_ts).alias("_ats"),
+        F.col(right_id).alias("_rid"),
+        payload.alias("_rpay"),
+        F.lit(0).alias("_is_left"),
+    )
+    l = (
+        left.withColumn("_ats", F.col(left_ts))
+        .withColumn("_is_left", F.lit(1))
+        .withColumn("_rid", F.lit(None).cast(r.schema["_rid"].dataType))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w_b = (
+        W.partitionBy(by)
+        .orderBy(F.asc("_ats"), F.asc("_is_left"), F.desc("_rid"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # forward: left rows (_is_left=1) must sort BEFORE right rows at
+    # equal ts so same-ts right rows land in the following frame
+    w_f = (
+        W.partitionBy(by)
+        .orderBy(F.asc("_ats"), F.desc("_is_left"), F.asc("_rid"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    filled = u.withColumn(
+        "_bpay", F.last("_rpay", ignorenulls=True).over(w_b)
+    ).withColumn("_fpay", F.first("_rpay", ignorenulls=True).over(w_f))
+    bdelta = F.col("_ats") - F.col("_bpay._pts")
+    fdelta = F.col("_fpay._pts") - F.col("_ats")
+    use_backward = F.col("_bpay").isNotNull() & (
+        F.col("_fpay").isNull() | (bdelta <= fdelta)
+    )
+    pick = F.when(use_backward, F.col("_bpay")).otherwise(F.col("_fpay"))
+    direction = F.when(F.col("_bpay").isNull() & F.col("_fpay").isNull(), F.lit(None).cast("string")).when(
+        use_backward, F.lit("backward")
+    ).otherwise(F.lit("forward"))
+    out_cols = (
+        [F.col(c) for c in left.columns]
+        + [
+            pick["_pts"].alias(f"{right_ts}{suffix}"),
+            pick["_pid"].alias(f"{right_id}{suffix}"),
+        ]
+        + [pick[c].alias(f"{c}{suffix}") for c in right_cols]
+        + [
+            F.abs(F.col("_ats") - pick["_pts"]).alias("_delta"),
+            direction.alias("_direction"),
+        ]
+    )
+    return filled.where(F.col("_is_left") == 1).select(*out_cols)
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -1098,3 +1098,188 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (integer state, truncating division)
+# ---------------------------------------------------------------------------
+
+HOLT_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1, 2
+), series AS (
+  SELECT prio, list(STRUCT_PACK(x := x, l := CAST(NULL AS BIGINT),
+                                t := CAST(NULL AS BIGINT))
+                    ORDER BY mth) AS arr,
+         COUNT(*) AS n_periods
+  FROM m GROUP BY prio
+), folded AS (
+  SELECT prio, n_periods,
+         list_reduce(arr, (acc, e) -> CASE
+           WHEN acc.l IS NULL THEN
+             -- acc is the RAW first element (list_reduce seeds with
+             -- it): initialize l=acc.x, t=0 AND fold e in the same
+             -- step, or the second period would be silently dropped
+             STRUCT_PACK(
+               x := e.x,
+               l := (e.x + 3 * acc.x) // 4,
+               t := ((e.x + 3 * acc.x) // 4 - acc.x) // 8)
+           ELSE
+             STRUCT_PACK(
+               x := e.x,
+               l := (e.x + 3 * (acc.l + acc.t)) // 4,
+               t := (7 * acc.t + ((e.x + 3 * (acc.l + acc.t)) // 4 - acc.l)) // 8)
+           END) AS s
+  FROM series
+)
+SELECT prio,
+       CAST(n_periods AS BIGINT) AS n_periods,
+       CAST(COALESCE(s.l, s.x) AS BIGINT) AS level_cents,
+       CAST(COALESCE(s.t, 0) AS BIGINT) AS trend_cents,
+       CAST(COALESCE(s.l, s.x) + COALESCE(s.t, 0) AS BIGINT) AS forecast_1,
+       CAST(COALESCE(s.l, s.x) + 3 * COALESCE(s.t, 0) AS BIGINT) AS forecast_3
+FROM folded
+ORDER BY prio
+"""
+
+
+@register(
+    "timeseries_holt_forecast",
+    oracle=HOLT_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) with
+    α=1/4, β=1/8 in PURE INTEGER arithmetic: the recurrence
+    l' = (x + 3(l+t)) div 4, t' = (7t + (l'−l)) div 8 over the
+    monthly revenue series (cents) — both engines truncate integer
+    division toward zero, so the sequential fold is bit-identical and
+    the classically-unoracleable recursive smoother becomes fully
+    oracled (the EWMA→Holt step the dashboard forecast needs). The
+    fold itself is a per-group JVM HOF over the collected month
+    series — bounded by CALENDAR length (≤ ~84 elements), not row
+    count, so collect_list here is the two-phase bounded-artifact
+    pattern, distributed-safe at any fact-table size (the heavy
+    work — the monthly rollup — is one hash-agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mth"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+    )
+    series = m.groupBy("prio").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(mth, x))), "
+            "e -> named_struct('x', e.x, 'l', CAST(NULL AS BIGINT), "
+            "'t', CAST(NULL AS BIGINT)))"
+        ).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+    )
+    fold = (
+        "aggregate(slice(arr, 2, size(arr) - 1), "
+        "named_struct('x', arr[0].x, 'l', arr[0].x, 't', CAST(0 AS BIGINT)), "
+        "(acc, e) -> named_struct("
+        "'x', e.x, "
+        "'l', (e.x + 3 * (acc.l + acc.t)) div 4, "
+        "'t', (7 * acc.t + ((e.x + 3 * (acc.l + acc.t)) div 4 - acc.l)) div 8))"
+    )
+    return (
+        series.select(
+            "prio",
+            "n_periods",
+            F.expr(fold).alias("s"),
+        )
+        .select(
+            "prio",
+            "n_periods",
+            F.col("s.l").cast("bigint").alias("level_cents"),
+            F.col("s.t").cast("bigint").alias("trend_cents"),
+            (F.col("s.l") + F.col("s.t")).cast("bigint").alias("forecast_1"),
+            (F.col("s.l") + 3 * F.col("s.t")).cast("bigint").alias("forecast_3"),
+        )
+        .orderBy("prio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join
+# ---------------------------------------------------------------------------
+
+ASOF_NEAREST_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS cts_ms
+  FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.event_id, p.user_id, p.ts_ms, c.click_id, c.cts_ms,
+         ABS(p.ts_ms - c.cts_ms) AS delta_ms,
+         CASE WHEN c.cts_ms <= p.ts_ms THEN 0 ELSE 1 END AS fwd
+  FROM p JOIN c USING (user_id)
+), best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                 ORDER BY delta_ms, fwd, click_id) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.ts_ms,
+       b.click_id, b.cts_ms AS click_ts_ms, b.delta_ms,
+       CASE WHEN b.click_id IS NULL THEN NULL
+            WHEN b.fwd = 0 THEN 'backward' ELSE 'forward' END AS direction
+FROM p LEFT JOIN best b ON b.event_id = p.event_id
+ORDER BY p.event_id
+"""
+
+
+@register(
+    "join_asof_nearest",
+    oracle=ASOF_NEAREST_ORACLE,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    each purchase paired with the user's closest click in EITHER
+    direction — |delta| minimized, ties to the backward candidate then
+    the smallest click id (a total order, hence fully oracled against
+    a dumb all-candidates ranking). The engine runs the
+    union+interleaved-window trick in both directions over one shuffle
+    on the user key (operators/joins.py:asof_join_nearest) — no
+    candidate explosion, unlike the oracle's O(pairs) formulation.
+    Timestamps compared as epoch-ms integers so tie resolution has one
+    well-defined resolution on every engine."""
+    from data_lake_with_spark_spark.functions.time import epoch_ms
+    from data_lake_with_spark_spark.operators.joins import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", epoch_ms("ts").alias("ts_ms")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        epoch_ms("ts").alias("cts_ms"),
+    )
+    joined = asof_join_nearest(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts_ms",
+        right_ts="cts_ms",
+        right_id="click_id",
+        right_cols=[],
+        suffix="_n",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("click_id_n").alias("click_id"),
+        F.col("cts_ms_n").alias("click_ts_ms"),
+        F.col("_delta").cast("bigint").alias("delta_ms"),
+        F.col("_direction").alias("direction"),
+    ).orderBy("event_id")

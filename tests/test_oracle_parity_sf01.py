@@ -46,6 +46,8 @@ CHANGED_THIS_ROUND = [
     "dedup_image_phash",
     "vector_topk_asymmetric",
     "dq_referential_integrity",
+    "timeseries_holt_forecast",
+    "join_asof_nearest",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -1283,3 +1283,207 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_delta").cast("bigint").alias("delta_ms"),
         F.col("_direction").alias("direction"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping payoff: z-order vs linear layout under the same predicates
+# ---------------------------------------------------------------------------
+
+_PV_BITS = 6  # 64 buckets/dim, 64 files per layout — matches layout_zorder_locality
+
+
+def _pv_morton_sql(bp: str, bs: str, bits: int) -> str:
+    parts = []
+    for j in range(bits):
+        parts.append(f"((({bp} >> {j}) & 1) << {2 * j})")
+        parts.append(f"((({bs} >> {j}) & 1) << {2 * j + 1})")
+    return " | ".join(parts)
+
+
+# (pred_id, pk_lo8, pk_hi8, sk_lo8, sk_hi8) — bounds in eighths of each
+# key range, materialized to inclusive [lo, hi] against the global
+# min/max so both engines derive identical literal predicates.
+_PV_PREDS = [(1, 0, 1, 0, 1), (2, 2, 3, 4, 5), (3, 0, 8, 3, 4)]
+
+_PV_PREDS_SQL = ", ".join(f"({p}, {a}, {b}, {c}, {d})" for p, a, b, c, d in _PV_PREDS)
+
+PRUNE_VS_ORACLE = f"""
+WITH r AS (
+  SELECT MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax,
+         MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+), preds AS (
+  SELECT pid,
+         pmin + ((pmax - pmin + 1) * plo8) // 8 AS plo,
+         CASE WHEN phi8 = 8 THEN pmax
+              ELSE pmin + ((pmax - pmin + 1) * phi8) // 8 - 1 END AS phi,
+         smin + ((smax - smin + 1) * slo8) // 8 AS slo,
+         CASE WHEN shi8 = 8 THEN smax
+              ELSE smin + ((smax - smin + 1) * shi8) // 8 - 1 END AS shi
+  FROM (VALUES {_PV_PREDS_SQL}) AS t(pid, plo8, phi8, slo8, shi8), r
+), rows_keyed AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         ((l_orderkey - omin) * 64) // (omax - omin + 1) AS fl,
+         (({_pv_morton_sql(f"((l_partkey - pmin) * {1 << _PV_BITS}) // (pmax - pmin + 1)",
+                           f"((l_suppkey - smin) * {1 << _PV_BITS}) // (smax - smin + 1)",
+                           _PV_BITS)})) >> {_PV_BITS} AS fz
+  FROM lineitem, r
+), zlin AS (
+  SELECT fl, MIN(pk) AS mnp, MAX(pk) AS mxp, MIN(sk) AS mns, MAX(sk) AS mxs,
+         COUNT(*) AS cnt
+  FROM rows_keyed GROUP BY fl
+), zz AS (
+  SELECT fz, MIN(pk) AS mnp, MAX(pk) AS mxp, MIN(sk) AS mns, MAX(sk) AS mxs,
+         COUNT(*) AS cnt
+  FROM rows_keyed GROUP BY fz
+), lin AS (
+  SELECT p.pid,
+         CAST(SUM(CASE WHEN z.mnp <= p.phi AND z.mxp >= p.plo
+                        AND z.mns <= p.shi AND z.mxs >= p.slo
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_linear,
+         CAST(SUM(CASE WHEN z.mnp <= p.phi AND z.mxp >= p.plo
+                        AND z.mns <= p.shi AND z.mxs >= p.slo
+                       THEN z.cnt ELSE 0 END) AS BIGINT) AS rows_scanned_linear
+  FROM zlin z CROSS JOIN preds p GROUP BY p.pid
+), zord AS (
+  SELECT p.pid,
+         CAST(SUM(CASE WHEN z.mnp <= p.phi AND z.mxp >= p.plo
+                        AND z.mns <= p.shi AND z.mxs >= p.slo
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned_zorder,
+         CAST(SUM(CASE WHEN z.mnp <= p.phi AND z.mxp >= p.plo
+                        AND z.mns <= p.shi AND z.mxs >= p.slo
+                       THEN z.cnt ELSE 0 END) AS BIGINT) AS rows_scanned_zorder
+  FROM zz z CROSS JOIN preds p GROUP BY p.pid
+), m AS (
+  SELECT p.pid, CAST(COUNT(*) AS BIGINT) AS rows_matched
+  FROM rows_keyed k JOIN preds p
+    ON k.pk >= p.plo AND k.pk <= p.phi AND k.sk >= p.slo AND k.sk <= p.shi
+  GROUP BY p.pid
+)
+SELECT l.pid AS pred_id, l.files_scanned_linear, l.rows_scanned_linear,
+       z.files_scanned_zorder, z.rows_scanned_zorder,
+       COALESCE(m.rows_matched, 0) AS rows_matched
+FROM lin l JOIN zord z ON l.pid = z.pid LEFT JOIN m ON m.pid = l.pid
+ORDER BY pred_id
+"""
+
+
+@register(
+    "layout_pruning_zorder_vs_linear",
+    oracle=PRUNE_VS_ORACLE,
+    tags=("layout", "lakehouse"),
+)
+def layout_pruning_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE data-skipping payoff readout: the same 2-D predicates
+    probed against zone maps of two 64-file layouts of lineitem —
+    ingest-linear (order-key ranges) vs z-ordered on
+    (l_partkey, l_suppkey) (the layout_zorder_locality morton key).
+    Linear files have tight ORDER-key spans but full part/supp spans,
+    so every file survives a part x supp predicate (scan all rows);
+    z-ordered files own key-space hyper-rectangles, so most files
+    prune. files/rows_scanned per layout + rows_matched quantify
+    exactly what OPTIMIZE ZORDER BY buys — the before/after a
+    lakehouse operator looks at before paying for a re-cluster. All
+    map-side key math (one min/max stats broadcast), two ≤64-row zone
+    aggregations, a 3-row broadcast predicate probe."""
+    from data_lake_with_spark_spark.operators.zorder import morton_from_buckets
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    rng = li.agg(
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    nb = 1 << _PV_BITS
+    keyed = li.crossJoin(F.broadcast(rng)).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.expr("((l_orderkey - omin) * 64) div (omax - omin + 1)").alias("fl"),
+        F.expr(f"((l_partkey - pmin) * {nb}) div (pmax - pmin + 1)").alias("bp"),
+        F.expr(f"((l_suppkey - smin) * {nb}) div (smax - smin + 1)").alias("bs"),
+    )
+    keyed = keyed.withColumn(
+        "fz",
+        F.shiftright(
+            morton_from_buckets([F.col("bp"), F.col("bs")], bits=_PV_BITS), _PV_BITS
+        ),
+    )
+    preds = (
+        spark.createDataFrame(
+            _PV_PREDS, "pid int, plo8 int, phi8 int, slo8 int, shi8 int"
+        )
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "pid",
+            F.expr("pmin + ((pmax - pmin + 1) * plo8) div 8").alias("plo"),
+            F.expr(
+                "CASE WHEN phi8 = 8 THEN pmax "
+                "ELSE pmin + ((pmax - pmin + 1) * phi8) div 8 - 1 END"
+            ).alias("phi"),
+            F.expr("smin + ((smax - smin + 1) * slo8) div 8").alias("slo"),
+            F.expr(
+                "CASE WHEN shi8 = 8 THEN smax "
+                "ELSE smin + ((smax - smin + 1) * shi8) div 8 - 1 END"
+            ).alias("shi"),
+        )
+    )
+    overlap = (
+        (F.col("mnp") <= F.col("phi"))
+        & (F.col("mxp") >= F.col("plo"))
+        & (F.col("mns") <= F.col("shi"))
+        & (F.col("mxs") >= F.col("slo"))
+    )
+
+    def zone_probe(file_col: str, fsuffix: str):
+        zone = keyed.groupBy(file_col).agg(
+            F.min("pk").alias("mnp"),
+            F.max("pk").alias("mxp"),
+            F.min("sk").alias("mns"),
+            F.max("sk").alias("mxs"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        return (
+            zone.crossJoin(F.broadcast(preds))
+            .groupBy("pid")
+            .agg(
+                F.sum(F.when(overlap, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"files_scanned_{fsuffix}"),
+                F.sum(F.when(overlap, F.col("cnt")).otherwise(0))
+                .cast("bigint")
+                .alias(f"rows_scanned_{fsuffix}"),
+            )
+        )
+
+    lin = zone_probe("fl", "linear")
+    zord = zone_probe("fz", "zorder")
+    matched = (
+        keyed.join(
+            F.broadcast(preds),
+            (F.col("pk") >= F.col("plo"))
+            & (F.col("pk") <= F.col("phi"))
+            & (F.col("sk") >= F.col("slo"))
+            & (F.col("sk") <= F.col("shi")),
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_matched"))
+    )
+    return (
+        lin.join(zord, "pid")
+        .join(matched, "pid", "left")
+        .select(
+            F.col("pid").alias("pred_id"),
+            "files_scanned_linear",
+            "rows_scanned_linear",
+            "files_scanned_zorder",
+            "rows_scanned_zorder",
+            F.coalesce(F.col("rows_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_matched"),
+        )
+        .orderBy("pred_id")
+    )

@@ -48,6 +48,7 @@ CHANGED_THIS_ROUND = [
     "dq_referential_integrity",
     "timeseries_holt_forecast",
     "join_asof_nearest",
+    "layout_pruning_zorder_vs_linear",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

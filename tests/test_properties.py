@@ -341,3 +341,113 @@ def test_png_mixed_per_row_filters_property(data):
         + _chunk(b"IEND", b"")
     )
     assert decode_png_bytes(png) == (w, h, ch, raster)
+
+
+@st.composite
+def asof_nearest_case(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = draw(st.lists(st.integers(0, 2), min_size=n_left, max_size=n_left))
+    lts = draw(st.lists(st.integers(0, 100), min_size=n_left, max_size=n_left))
+    rkeys = draw(st.lists(st.integers(0, 2), min_size=n_right, max_size=n_right))
+    rts = draw(st.lists(st.integers(0, 100), min_size=n_right, max_size=n_right))
+    return keys, lts, rkeys, rts
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_nearest_case())
+def test_asof_join_nearest_matches_bruteforce(spark, case):
+    """asof_join_nearest (two interleaved-window passes) vs the obvious
+    O(n^2) per-row argmin with the SAME documented tie rule (min
+    |delta|, then backward, then smallest right id) — duplicate right
+    timestamps and exact cross-direction ties included on purpose."""
+    from data_lake_with_spark_spark.operators.joins import asof_join_nearest
+
+    keys, lts, rkeys, rts = case
+    left_pd = pd.DataFrame(
+        {"k": keys, "lid": range(len(keys)), "lt": lts}
+    )
+    right_pd = pd.DataFrame({"k": rkeys, "rid": range(len(rkeys)), "rt": rts})
+
+    def brute(row):
+        cand = right_pd[right_pd["k"] == row["k"]]
+        if cand.empty:
+            return (None, None, None)
+        c = cand.assign(
+            delta=(cand["rt"] - row["lt"]).abs(),
+            fwd=(cand["rt"] > row["lt"]).astype(int),
+        ).sort_values(["delta", "fwd", "rid"])
+        b = c.iloc[0]
+        return (int(b["rid"]), int(b["delta"]), "forward" if b["fwd"] else "backward")
+
+    expected = {
+        int(r["lid"]): brute(r) for _, r in left_pd.iterrows()
+    }
+
+    left = spark.createDataFrame(left_pd.astype({"k": "int64", "lt": "int64"}))
+    right = (
+        spark.createDataFrame(right_pd.astype({"k": "int64", "rt": "int64", "rid": "int64"}))
+        if len(right_pd)
+        else spark.createDataFrame([], "k bigint, rid bigint, rt bigint")
+    )
+    got = asof_join_nearest(
+        left, right, by="k", left_ts="lt", right_ts="rt",
+        right_id="rid", right_cols=[],
+    ).collect()
+    for r in got:
+        rid = None if r["rid_near"] is None else int(r["rid_near"])
+        delta = None if r["_delta"] is None else int(r["_delta"])
+        assert (rid, delta, r["_direction"]) == expected[int(r["lid"])], (
+            r["lid"], rid, delta, r["_direction"], expected[int(r["lid"])]
+        )
+
+
+@st.composite
+def changelog_case(draw):
+    n = draw(st.integers(1, 30))
+    users = draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+    ops = draw(st.lists(st.sampled_from(["I", "U", "D"]), min_size=n, max_size=n))
+    split = draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    return users, ts, ops, split
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(changelog_case())
+def test_compact_changelog_split_invariance(spark, case):
+    """Folding the changelog through ANY 4-way batch split (including
+    empty batches and out-of-order arrival — batch b gets arbitrary
+    rows) must equal the one-shot compaction: the state keeps the
+    winning (ts, event_id), so the fold is commutative+associative
+    over splits. Duplicate (user, ts) rows included on purpose —
+    event_id breaks the tie."""
+    from data_lake_with_spark_spark.operators.cdc import compact_changelog
+
+    users, ts, ops, split = case
+    rows = [
+        (int(u), int(i),
+         (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(t))).to_pydatetime(),
+         str(o), float(i))
+        for i, (u, t, o) in enumerate(zip(users, ts, ops))
+    ]
+    schema = "user_id bigint, event_id bigint, ts timestamp, op string, value double"
+    full = spark.createDataFrame(rows, schema)
+
+    def canon(df):
+        return {
+            (r["user_id"], r["n_changes"], r["first_event_id"],
+             r["last_event_id"], r["last_op"], r["net"], r["last_value"])
+            for r in df.collect()
+        }
+
+    want = canon(compact_changelog(None, full))
+    state = None
+    for b in range(4):
+        batch_rows = [rows[i] for i in range(len(rows)) if split[i] == b]
+        if not batch_rows:
+            continue
+        state = compact_changelog(state, spark.createDataFrame(batch_rows, schema))
+        # checkpoint the fold like the streaming sink's versioned
+        # write does (keeps the lineage bounded across folds)
+        state = state.localCheckpoint(eager=True)
+    assert state is not None and canon(state) == want

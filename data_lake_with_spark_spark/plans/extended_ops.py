@@ -1487,3 +1487,206 @@ def layout_pruning_zorder_vs_linear(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("pred_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate by source (dedup diagnostics slice)
+# ---------------------------------------------------------------------------
+
+from data_lake_with_spark_spark.plans.llm_ops import (  # noqa: E402
+    MINHASH_PORTABLE_ORACLE,
+    _mh_near_pairs,
+)
+
+DEDUP_RATE_ORACLE = f"""
+WITH pairs AS (
+{MINHASH_PORTABLE_ORACLE}
+), dup AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a_id AS doc_id FROM pairs
+    UNION ALL SELECT b_id AS doc_id FROM pairs)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "training_dedup_rate_by_source",
+    oracle=DEDUP_RATE_ORACLE,
+    tags=("training", "dedup", "dq", "llm"),
+)
+def training_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate sliced by source — the dedup DIAGNOSTIC a
+    corpus curator reads before deciding which feeds to throttle:
+    fraction of each source's documents participating in at least one
+    verified near-dup pair (the portable MinHash pipeline at Jaccard
+    >= 0.5, so the readout is fully oracled end-to-end through the
+    LSH). A source with dup_ppm an order of magnitude above the
+    corpus average is a crawler trap or a mirror. Plan: the shared
+    _mh_near_pairs front end + one distinct + one broadcast-sized
+    per-source agg."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _mh_near_pairs(docs, threshold=0.5)
+    dup = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionAll(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.expr(
+                "CAST(sum(coalesce(is_dup, 0)) * 1000000 div count(1) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between sources
+# ---------------------------------------------------------------------------
+
+JS_ORACLE = """
+WITH r AS (
+  SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+), cell AS (
+  SELECT source, ((n_chars - mn) * 10) // (mx - mn + 1) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, r GROUP BY 1, 2
+), n AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY source
+), grid AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb, g.bucket,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM n a JOIN n b ON a.source < b.source
+  CROSS JOIN (SELECT DISTINCT bucket FROM cell) g
+  LEFT JOIN cell ca ON ca.source = a.source AND ca.bucket = g.bucket
+  LEFT JOIN cell cb ON cb.source = b.source AND cb.bucket = g.bucket
+  WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0
+), scored AS (
+  SELECT src_a, src_b, na, nb,
+         CASE WHEN ca > 0 THEN ca * (
+           CAST(FLOOR(ln(CAST(ca AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(FLOOR(ln(CAST(na AS DOUBLE)) * 1e6) AS BIGINT)
+           + CAST(FLOOR(ln(CAST(2 AS DOUBLE) * na * nb) * 1e6) AS BIGINT)
+           - CAST(FLOOR(ln(CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na) * 1e6) AS BIGINT)
+         ) ELSE 0 END AS wa,
+         CASE WHEN cb > 0 THEN cb * (
+           CAST(FLOOR(ln(CAST(cb AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(FLOOR(ln(CAST(nb AS DOUBLE)) * 1e6) AS BIGINT)
+           + CAST(FLOOR(ln(CAST(2 AS DOUBLE) * na * nb) * 1e6) AS BIGINT)
+           - CAST(FLOOR(ln(CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na) * 1e6) AS BIGINT)
+         ) ELSE 0 END AS wb
+  FROM grid
+)
+SELECT src_a, src_b,
+       FLOOR((CAST(SUM(wa) AS BIGINT) * 1.0 / na / 2
+              + CAST(SUM(wb) AS BIGINT) * 1.0 / nb / 2) / 1e6 * 1e6 + 0.5) / 1e6
+         AS js_divergence
+FROM scored GROUP BY src_a, src_b, na, nb
+ORDER BY src_a, src_b
+"""
+
+
+@register(
+    "stats_jensen_shannon",
+    oracle=JS_ORACLE,
+    tags=("stats", "quality", "llm"),
+)
+def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of
+    sources over their document-length-decile distributions — the
+    SYMMETRIC, bounded drift metric (JS = KL(P||M)/2 + KL(Q||M)/2,
+    M the even mixture) corpus monitoring prefers over raw KL because
+    it tolerates zero cells and orders pairs stably. Mixture
+    log-probs stay exact: ln M = ln(ca*nb + cb*na) - ln(2*na*nb) —
+    integer arguments only — and every per-cell log is QUANTIZED to
+    an integer before summation (the stats_kl_weekday trick), so the
+    pair scores are engine-identical. Plan: one (source, decile)
+    hash-agg; the pair grid is sources^2 x 10 cells — broadcast-scale
+    regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    cell = (
+        docs.crossJoin(F.broadcast(r))
+        .select(
+            "source",
+            F.expr("((n_chars - mn) * 10) div (mx - mn + 1)").alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = cell.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    buckets = cell.select("bucket").distinct()
+    a = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    b = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    ca = cell.select(
+        F.col("source").alias("src_a"), "bucket", F.col("c").alias("ca")
+    )
+    cb = cell.select(
+        F.col("source").alias("src_b"), "bucket", F.col("c").alias("cb")
+    )
+    grid = (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .crossJoin(F.broadcast(buckets))
+        .join(ca, ["src_a", "bucket"], "left")
+        .join(cb, ["src_b", "bucket"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "na",
+            "nb",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .where(F.col("ca") + F.col("cb") > 0)
+    )
+    lq = lambda col: F.floor(F.log(col) * 1e6).cast("long")  # noqa: E731
+    ln_m_num = lq(F.col("ca").cast("double") * F.col("nb") + F.col("cb").cast("double") * F.col("na"))
+    ln_2nanb = lq(F.lit(2.0) * F.col("na") * F.col("nb"))
+    wa = F.when(
+        F.col("ca") > 0,
+        F.col("ca")
+        * (lq(F.col("ca").cast("double")) - lq(F.col("na").cast("double")) + ln_2nanb - ln_m_num),
+    ).otherwise(F.lit(0))
+    wb = F.when(
+        F.col("cb") > 0,
+        F.col("cb")
+        * (lq(F.col("cb").cast("double")) - lq(F.col("nb").cast("double")) + ln_2nanb - ln_m_num),
+    ).otherwise(F.lit(0))
+    return (
+        grid.select("src_a", "src_b", "na", "nb", wa.alias("wa"), wb.alias("wb"))
+        .groupBy("src_a", "src_b", "na", "nb")
+        .agg(
+            (
+                F.floor(
+                    (
+                        F.sum("wa").cast("bigint") * 1.0 / F.col("na") / 2
+                        + F.sum("wb").cast("bigint") * 1.0 / F.col("nb") / 2
+                    )
+                    / 1e6
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("js_divergence")
+        )
+        .select("src_a", "src_b", "js_divergence")
+        .orderBy("src_a", "src_b")
+    )

@@ -49,6 +49,8 @@ CHANGED_THIS_ROUND = [
     "timeseries_holt_forecast",
     "join_asof_nearest",
     "layout_pruning_zorder_vs_linear",
+    "training_dedup_rate_by_source",
+    "stats_jensen_shannon",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

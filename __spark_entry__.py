@@ -82,7 +82,7 @@ DRIVER_WINDOW = [
     # training_length_buckets, training_quality_mixture,
     # training_split_counts, vector_near_pairs, window_cume_nth,
     # window_lag_gaps, window_ntile_first_last, window_users_to_date.
-    # Plus the fifteen round-7 additions in plans/extended_ops.py
+    # Plus the sixteen round-7 additions in plans/extended_ops.py
     # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
     # vector_topk_hamming, vector_topk_asymmetric,
     # cdc_changelog_compact, ml_calibration_ece, stats_mann_whitney_u,
@@ -90,7 +90,8 @@ DRIVER_WINDOW = [
     # graph_harmonic_centrality, dedup_image_phash,
     # dq_referential_integrity, timeseries_holt_forecast,
     # join_asof_nearest, layout_pruning_zorder_vs_linear,
-    # training_dedup_rate_by_source, stats_jensen_shannon.
+    # training_dedup_rate_by_source, stats_jensen_shannon,
+    # vector_topk_ivfpq_portable.
     #
     # changed this round (re-verify under the fixpoint-default graph
     # operator refactor; both held green rows before):

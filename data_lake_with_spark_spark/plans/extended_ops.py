@@ -1690,3 +1690,153 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_a", "src_b", "js_divergence")
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed ANN (the production FAISS-style architecture), portable
+# ---------------------------------------------------------------------------
+
+IVFPQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT vec_id, UNNEST(range(len(v))) AS dim,
+         CAST(FLOOR(v[UNNEST(range(len(v))) + 1] * 1000 + 0.5) AS BIGINT) AS x
+  FROM e
+), coarse AS (
+  SELECT vec_id - 26 AS cell, dim, x AS cx FROM comp
+  WHERE vec_id >= 26 AND vec_id < 34
+), d2c AS (
+  SELECT comp.vec_id, coarse.cell,
+         SUM((comp.x - coarse.cx) * (comp.x - coarse.cx)) AS d
+  FROM comp JOIN coarse ON comp.dim = coarse.dim
+  GROUP BY comp.vec_id, coarse.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d2c) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d2c WHERE vec_id < 10) WHERE rn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), lm AS (
+  SELECT vec_id - 10 AS c, dim, x AS lx FROM comp WHERE vec_id >= 10 AND vec_id < 26
+), d2 AS (
+  SELECT comp.vec_id, lm.c, comp.dim // 8 AS j,
+         SUM((comp.x - lm.lx) * (comp.x - lm.lx)) AS d
+  FROM comp JOIN lm ON comp.dim = lm.dim
+  GROUP BY comp.vec_id, lm.c, comp.dim // 8
+), codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM d2) WHERE rn = 1
+), dtable AS (
+  SELECT vec_id AS query_id, j, c, d FROM d2 WHERE vec_id < 10
+), adc AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(SUM(t.d) AS BIGINT) AS d2_adc
+  FROM cand cd
+  JOIN codes k ON k.vec_id = cd.neighbor_id
+  JOIN dtable t ON t.query_id = cd.query_id AND t.j = k.j AND t.c = k.code
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, d2_adc
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2_adc ASC, neighbor_id ASC) AS rnk
+      FROM adc)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "vector_topk_ivfpq_portable",
+    oracle=IVFPQ_ORACLE,
+    tags=("vector", "llm", "approx", "topk", "ivf", "pq"),
+)
+def vector_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ COMPOSED — the production ANN architecture (FAISS
+    IVFPQ): a coarse quantizer (8 landmark cells, vec_id 26-33) prunes
+    the corpus to the query's nprobe=2 nearest cells, then PQ
+    asymmetric-distance scoring (the 16-landmark 8-subspace codebook
+    from vector_topk_pq_portable, vec_id 10-25) ranks only the
+    surviving candidates — coarse pruning bounds WORK, product codes
+    bound MEMORY, and with portable integer components every stage is
+    bit-reproducible in SQL (completes the portable-twin sweep with
+    the two-level composition the separate IVF and PQ queries stop
+    short of). Plan: one explode, broadcast landmark joins, hash-aggs
+    for assignment/codes, a cell-keyed candidate equi-join, and the
+    broadcast ADC table join — candidates per query are nprobe/ncells
+    of the corpus, never all of it; no vector payload moves after the
+    explode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "vec_id", "dim", (F.floor(F.col("x") * 1000 + 0.5)).cast("bigint").alias("x")
+    )
+    coarse = comp.where((F.col("vec_id") >= 26) & (F.col("vec_id") < 34)).select(
+        (F.col("vec_id") - 26).alias("cell"), "dim", F.col("x").alias("cx")
+    )
+    d2c = (
+        comp.join(F.broadcast(coarse), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d"))
+    )
+    w_cell = W.partitionBy("vec_id").orderBy("d", "cell")
+    assign = (
+        d2c.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        d2c.where(F.col("vec_id") < 10)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    lm = comp.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 26)).select(
+        (F.col("vec_id") - 10).alias("c"), "dim", F.col("x").alias("lx")
+    )
+    d2 = (
+        comp.join(F.broadcast(lm), "dim")
+        .groupBy("vec_id", "c", (F.col("dim") / 8).cast("int").alias("j"))
+        .agg(F.sum((F.col("x") - F.col("lx")) * (F.col("x") - F.col("lx"))).alias("d"))
+    )
+    w_code = W.partitionBy("vec_id", "j").orderBy("d", "c")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("c").alias("code"))
+    )
+    dtable = d2.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("c").alias("code"), "d"
+    )
+    adc = (
+        cand.join(codes, cand.neighbor_id == codes.vec_id)
+        .join(F.broadcast(dtable), ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").cast("bigint").alias("d2_adc"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.asc("d2_adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "d2_adc",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -51,6 +51,7 @@ CHANGED_THIS_ROUND = [
     "layout_pruning_zorder_vs_linear",
     "training_dedup_rate_by_source",
     "stats_jensen_shannon",
+    "vector_topk_ivfpq_portable",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

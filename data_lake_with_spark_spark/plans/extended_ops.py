@@ -1768,7 +1768,13 @@ def vector_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound MEMORY, and with portable integer components every stage is
     bit-reproducible in SQL (completes the portable-twin sweep with
     the two-level composition the separate IVF and PQ queries stop
-    short of). Plan: one explode, broadcast landmark joins, hash-aggs
+    short of). Like the other *_portable twins this PROVES THE
+    ALGORITHM, not retrieval quality: arbitrary-landmark codebooks on
+    near-isotropic unnormalized vectors measure ~0.15 recall@5 vs
+    exact cosine — production quality comes from k-means-trained
+    codebooks (vector_topk_pq / vector_topk_ivf, the rows-only fast
+    paths) and from residual encoding, neither of which changes the
+    plan shape verified here. Plan: one explode, broadcast landmark joins, hash-aggs
     for assignment/codes, a cell-keyed candidate equi-join, and the
     broadcast ADC table join — candidates per query are nprobe/ncells
     of the corpus, never all of it; no vector payload moves after the

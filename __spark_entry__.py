@@ -82,7 +82,7 @@ DRIVER_WINDOW = [
     # training_length_buckets, training_quality_mixture,
     # training_split_counts, vector_near_pairs, window_cume_nth,
     # window_lag_gaps, window_ntile_first_last, window_users_to_date.
-    # Plus the sixteen round-7 additions in plans/extended_ops.py
+    # Plus the eighteen round-7 additions in plans/extended_ops.py
     # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
     # vector_topk_hamming, vector_topk_asymmetric,
     # cdc_changelog_compact, ml_calibration_ece, stats_mann_whitney_u,
@@ -91,7 +91,7 @@ DRIVER_WINDOW = [
     # dq_referential_integrity, timeseries_holt_forecast,
     # join_asof_nearest, layout_pruning_zorder_vs_linear,
     # training_dedup_rate_by_source, stats_jensen_shannon,
-    # vector_topk_ivfpq_portable.
+    # vector_topk_ivfpq_portable, join_interval_overlap, dq_bloom_fpp.
     #
     # changed this round (re-verify under the fixpoint-default graph
     # operator refactor; both held green rows before):

@@ -1846,3 +1846,214 @@ def vector_topk_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (both sides are intervals)
+# ---------------------------------------------------------------------------
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH s AS (
+  SELECT user_id, strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+         CAST(epoch_ms(MIN(ts)) AS BIGINT) AS s_start,
+         CAST(epoch_ms(MAX(ts)) AS BIGINT) AS s_end
+  FROM events GROUP BY 1, 2
+), inc AS (
+  SELECT event_id AS incident_id,
+         CAST(epoch_ms(ts) AS BIGINT) AS i_start,
+         CAST(epoch_ms(ts) AS BIGINT) + 600000 AS i_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.day, i.incident_id,
+       CAST(LEAST(s.s_end, i.i_end) - GREATEST(s.s_start, i.i_start) AS BIGINT)
+         AS overlap_ms
+FROM s JOIN inc i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+ORDER BY s.user_id, s.day, i.incident_id
+"""
+
+
+@register(
+    "join_interval_overlap",
+    oracle=INTERVAL_OVERLAP_ORACLE,
+    tags=("join", "range", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — both sides are intervals (unlike the
+    point-vs-band range joins): each user's daily activity span
+    [first event, last event] against every global error-incident
+    window [error ts, +10 min], emitting the exact overlap in ms.
+    Engine strategy: explode each interval into the day-width time
+    buckets it covers (activity spans ≤ 2 buckets by construction,
+    incident windows ≤ 2), equi-join on bucket, DISTINCT-collapse the
+    double-bucket duplicates, verify the exact overlap predicate —
+    the O(Σ bucket²) blocking discipline of every near-dup join,
+    never the O(n·m) theta join the oracle runs. At 100 TB the
+    bucket is also the physical partition key, and bucket width is
+    tuned to the p99 interval length."""
+    from data_lake_with_spark_spark.functions.time import epoch_ms
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.min(epoch_ms("ts")).alias("s_start"),
+            F.max(epoch_ms("ts")).alias("s_end"),
+        )
+    )
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        epoch_ms("ts").alias("i_start"),
+        (epoch_ms("ts") + 600000).alias("i_end"),
+    )
+    day_ms = 86_400_000
+    sb = s.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {day_ms}"), F.expr(f"s_end div {day_ms}")
+            )
+        ).alias("bucket"),
+    )
+    ib = inc.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"i_start div {day_ms}"), F.expr(f"i_end div {day_ms}")
+            )
+        ).alias("bucket"),
+    )
+    return (
+        sb.join(ib, "bucket")
+        .where(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+        .select(
+            "user_id",
+            "day",
+            "incident_id",
+            (
+                F.least("s_end", "i_end") - F.greatest("s_start", "i_start")
+            ).cast("bigint").alias("overlap_ms"),
+        )
+        .distinct()
+        .orderBy("user_id", "day", "incident_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive calibration
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+BLOOM_FPP_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_members, MAX(key) AS mx FROM members
+), bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substring(md5(CAST(m.key AS VARCHAR) || ':' || CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM members m CROSS JOIN (SELECT UNNEST(range({_BLOOM_K})) AS i) h
+), probes AS (
+  SELECT mx + 1 + UNNEST(range(1000)) AS key FROM stats
+), probe_hits AS (
+  SELECT p.key,
+         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM probes p
+  CROSS JOIN (SELECT UNNEST(range({_BLOOM_K})) AS i) h
+  LEFT JOIN bits b
+    ON b.pos = CAST('0x' || substring(md5(CAST(p.key AS VARCHAR) || ':' || CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT)
+               % {_BLOOM_M}
+  GROUP BY p.key
+)
+SELECT s.n_members,
+       CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+       CAST(1000 AS BIGINT) AS n_probes,
+       (SELECT CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+        FROM probe_hits) AS false_positives,
+       (SELECT CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END) * 1000000
+                    // 1000 AS BIGINT)
+        FROM probe_hits) AS fpp_ppm
+FROM stats s
+"""
+
+
+@register(
+    "dq_bloom_fpp",
+    oracle=BLOOM_FPP_ORACLE,
+    tags=("dq", "sketch"),
+)
+def dq_bloom_fpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive calibration — the measured check
+    behind every bloom-indexed point-read path (sources/versioned.py's
+    bloom indexes included): build an m=4096, k=3 filter over the
+    distinct order custkeys with md5-derived positions (portable, so
+    the whole filter state is oracle-checkable), probe 1000 keys
+    KNOWN to be absent (max+1..), and report the measured
+    false-positive rate in ppm alongside the occupancy that drives
+    it. A measured fpp far above (1 - e^(-kn/m))^k means the hash
+    family is clustering — the calibration a storage engine runs
+    before trusting absence proofs. Plan: one distinct, one
+    bits-per-key explode into a ≤m-row DISTINCT bit set (broadcast),
+    1000 probe rows join it — nothing scales with the fact table
+    beyond the first distinct."""
+    orders = _t(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    stats = members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("key").alias("mx"),
+    )
+    hseq = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    pos = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("key"), F.col("i"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+    bits = members.select("key", hseq).select(pos.alias("pos")).distinct()
+    probes = stats.select(
+        F.explode(
+            F.sequence(F.col("mx") + 1, F.col("mx") + 1000)
+        ).alias("key")
+    )
+    probe_hits = (
+        probes.select("key", hseq)
+        .select("key", pos.alias("pos"))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    fp = probe_hits.agg(
+        F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_positives")
+    )
+    nbits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    return (
+        stats.select("n_members")
+        .crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_members",
+            F.lit(_BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+            "bits_set",
+            F.lit(1000).cast("bigint").alias("n_probes"),
+            "false_positives",
+            F.expr("CAST(false_positives * 1000000 div 1000 AS BIGINT)").alias(
+                "fpp_ppm"
+            ),
+        )
+    )

@@ -52,6 +52,8 @@ CHANGED_THIS_ROUND = [
     "training_dedup_rate_by_source",
     "stats_jensen_shannon",
     "vector_topk_ivfpq_portable",
+    "join_interval_overlap",
+    "dq_bloom_fpp",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

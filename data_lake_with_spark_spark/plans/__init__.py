@@ -12,6 +12,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     analytics_ops,
     corpus_ops,
     extended_ops,
+    extended_ops2,
     lakehouse_ops,
     reference_surface,
     relational,

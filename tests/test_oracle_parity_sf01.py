@@ -54,6 +54,11 @@ CHANGED_THIS_ROUND = [
     "vector_topk_ivfpq_portable",
     "join_interval_overlap",
     "dq_bloom_fpp",
+    # plans/extended_ops2.py — NEW this round (continuation session):
+    "cohort_retention_matrix",
+    "interval_coalesce_spans",
+    "ml_average_precision",
+    "ml_gain_lift_deciles",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

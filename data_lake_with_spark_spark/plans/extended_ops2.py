@@ -396,3 +396,460 @@ def ml_gain_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(cum_pos * tot_n * 1000000 DIV (cum_n * tot_pos) AS BIGINT)"
         ).alias("lift_ppm"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds scaled to 2**32 (driver-quantized constants
+# embedded identically in the Spark plan and the oracle SQL — the
+# quantized-transcendental pattern): P(X<=k) for k = 0..5.
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+_POIS_B = 40  # bootstrap replicas
+
+def _pois_case_sql(hexpr: str) -> str:
+    branches = " ".join(
+        f"WHEN {hexpr} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+POISSON_BOOTSTRAP_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), reps AS (
+  SELECT UNNEST(range({_POIS_B})) AS b
+), weighted AS (
+  SELECT r.b,
+         {_pois_case_sql(
+             "CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) "
+             "|| '#pb' || CAST(r.b AS VARCHAR)), 1, 8) AS BIGINT)"
+         )} AS w,
+         cents
+  FROM base, reps r
+), means AS (
+  SELECT b,
+         CAST(SUM(w * cents) * 1000000 // SUM(w) AS BIGINT) AS mean_micro
+  FROM weighted GROUP BY b
+), ranked AS (
+  SELECT mean_micro,
+         ROW_NUMBER() OVER (ORDER BY mean_micro, b) AS rn
+  FROM means
+), point AS (
+  SELECT CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT) AS point_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM base
+)
+SELECT p.point_micro,
+       (SELECT mean_micro FROM ranked WHERE rn = 2) AS ci_lo_micro,
+       (SELECT mean_micro FROM ranked WHERE rn = {_POIS_B - 1}) AS ci_hi_micro,
+       CAST({_POIS_B} AS INTEGER) AS n_replicas,
+       p.n_rows
+FROM point p
+"""
+
+
+@register(
+    "stats_poisson_bootstrap_ci",
+    oracle=POISSON_BOOTSTRAP_ORACLE,
+    tags=("stats", "bootstrap", "sampling"),
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value — THE distributed
+    bootstrap (Chamandy et al., Google 2012): instead of resampling n
+    rows with replacement (impossible without global coordination),
+    each row enters replica b with weight ~ Poisson(1), independently
+    and statelessly. Weights here are DETERMINISTIC — inverse-CDF over
+    a 32-bit md5 hash of (row, replica) against driver-quantized
+    Poisson(1) CDF thresholds — so the whole sketch is reproducible
+    and fully oracled. 40 replicas; CI = 2nd / 39th order statistic of
+    the replica means (~95%); means in exact integer micro-cents
+    (truncating div matches engines).
+
+    Scale shape: one map-side ×40 fan-out (a literal range join, no
+    data shuffle grows with B), one hash-agg to 40 rows with map-side
+    combine — each executor contributes 40 partial (Σwx, Σw) pairs, so
+    shuffle bytes are O(B·partitions), independent of row count. The
+    order statistics run on a 40-row frame. At 100 TB the cents sums
+    exceed BIGINT around 10¹⁸·micro — swap the two products to
+    DECIMAL(38,0) (the dsum pattern in plans/parity.py) with no shape
+    change.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    reps = spark.range(_POIS_B).select(F.col("id").cast("int").alias("b"))
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '#pb', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    branches = " ".join(f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "b", F.expr(f"CASE {branches} ELSE 6 END").alias("w"), "cents"
+    )
+    means = weighted.groupBy("b").agg(
+        F.expr("CAST(SUM(w * cents) * 1000000 DIV SUM(w) AS BIGINT)").alias(
+            "mean_micro"
+        )
+    )
+    ranked = means.select(
+        "mean_micro",
+        F.row_number().over(W.orderBy("mean_micro", "b")).alias("rn"),
+    )
+    point = o.agg(
+        F.expr("CAST(SUM(cents) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "point_micro"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    lo = ranked.where(F.col("rn") == 2).select(
+        F.col("mean_micro").alias("ci_lo_micro")
+    )
+    hi = ranked.where(F.col("rn") == _POIS_B - 1).select(
+        F.col("mean_micro").alias("ci_hi_micro")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point_micro",
+            "ci_lo_micro",
+            "ci_hi_micro",
+            F.lit(_POIS_B).cast("int").alias("n_replicas"),
+            "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (co-purchase cosine top-k)
+# ---------------------------------------------------------------------------
+
+ITEM_ITEM_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM op GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), sym AS (
+  SELECT i AS part_id, j AS neighbor_id, co FROM pairs
+  UNION ALL
+  SELECT j AS part_id, i AS neighbor_id, co FROM pairs
+), scored AS (
+  SELECT s.part_id, s.neighbor_id, s.co,
+         ni.n_orders AS n_i, nj.n_orders AS n_j,
+         FLOOR(s.co / sqrt(ni.n_orders * nj.n_orders) * 1e6 + 0.5) / 1e6
+           AS cosine
+  FROM sym s
+  JOIN n ni ON ni.l_partkey = s.part_id
+  JOIN n nj ON nj.l_partkey = s.neighbor_id
+  WHERE s.co >= 2
+)
+SELECT part_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, co, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY part_id
+        ORDER BY co * co * 1000000000000 // (n_i * n_j) DESC,
+                 neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY part_id, rank
+"""
+
+
+@register(
+    "recsys_item_item_topk",
+    oracle=ITEM_ITEM_ORACLE,
+    tags=("analytics", "recsys", "join", "topk"),
+)
+def recsys_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 co-purchase neighbors
+    per part by cosine over the order-incidence vectors — cos(i,j) =
+    co(i,j)/√(nᵢ·nⱼ), the classic Amazon item-to-item recommender.
+    Ranking is INTEGER-exact: cosine is monotone in co²·10¹² div
+    (nᵢ·nⱼ) for non-negative co-counts, so the top-k order never
+    depends on float precision; the reported cosine rounds a single
+    deterministic sqrt on integer inputs. Pairs need co ≥ 2 (singleton
+    co-occurrence is noise).
+
+    Scale shape: pair generation is a SELF-JOIN ON THE ORDER KEY — the
+    per-order basket bounds the blow-up (Σ basket², never n²), which
+    is exactly how co-occurrence is mined at 100 TB; a pathological
+    mega-basket is capped upstream in real pipelines (and AQE
+    skew-splits the join here). Then one hash-agg per (i,j), a ×2
+    mirror, two broadcast-sized joins against the part-frequency
+    frame, and a per-item top-k window partitioned by item. No
+    all-pairs product anywhere.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    sym = pairs.select(
+        F.col("i").alias("part_id"), F.col("j").alias("neighbor_id"), "co"
+    ).unionAll(
+        pairs.select(
+            F.col("j").alias("part_id"), F.col("i").alias("neighbor_id"), "co"
+        )
+    )
+    ni = n.select(
+        F.col("l_partkey").alias("part_id"), F.col("n_orders").alias("n_i")
+    )
+    nj = n.select(
+        F.col("l_partkey").alias("neighbor_id"), F.col("n_orders").alias("n_j")
+    )
+    scored = (
+        sym.where(F.col("co") >= 2)
+        .join(ni, "part_id")
+        .join(nj, "neighbor_id")
+        .select(
+            "part_id",
+            "neighbor_id",
+            "co",
+            "n_i",
+            "n_j",
+            pround(F.col("co") / F.sqrt(F.col("n_i") * F.col("n_j")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("part_id").orderBy(
+        F.expr("co * co * 1000000000000 DIV (n_i * n_j)").desc(),
+        F.asc("neighbor_id"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("part_id", "neighbor_id", "rank", "co", "cosine")
+        .orderBy("part_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving-average crossover signals
+# ---------------------------------------------------------------------------
+
+SMA_CROSSOVER_ORACLE = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), win AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         CAST(SUM(cents) OVER (ORDER BY day
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum5,
+         CAST(SUM(cents) OVER (ORDER BY day
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum20
+  FROM daily
+), sig AS (
+  SELECT day, rn, sum5, sum20,
+         CASE WHEN sum5 * 4 > sum20 THEN 1
+              WHEN sum5 * 4 < sum20 THEN -1 ELSE 0 END AS signal
+  FROM win WHERE rn >= 20
+), flips AS (
+  SELECT day, sum5, sum20, signal,
+         LAG(signal) OVER (ORDER BY day) AS prev
+  FROM sig
+)
+SELECT day,
+       CASE WHEN signal = 1 THEN 'golden' ELSE 'death' END AS direction,
+       CAST(sum5 // 5 AS BIGINT) AS sma5_cents,
+       CAST(sum20 // 20 AS BIGINT) AS sma20_cents
+FROM flips
+WHERE prev IS NOT NULL AND signal * prev = -1
+ORDER BY day
+"""
+
+
+@register(
+    "finance_sma_crossover",
+    oracle=SMA_CROSSOVER_ORACLE,
+    tags=("finance", "timeseries", "window"),
+)
+def finance_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden/death-cross detector on the daily revenue series: SMA-5
+    vs SMA-20, emitting the days where the fast average strictly
+    crosses the slow one. The comparison is CROSS-MULTIPLIED
+    (sum5·4 vs sum20) so the signal is pure BIGINT — no division, no
+    float averages, no epsilon; the reported SMAs divide once with
+    engine-matching truncation. A 20-day warmup (rn ≥ 20) excludes
+    partially-filled windows, and only strict sign flips
+    (signal·prev = −1) fire — a flat day parks the state rather than
+    double-firing.
+
+    Scale shape: one hash-agg collapses the fact table to the daily
+    spine (map-side combine; cents summed as BIGINT so the result is
+    order-independent), then three windows over the CALENDAR-BOUNDED
+    spine (~2.5k rows for 7 years — constant in data volume, only the
+    first agg sees the 100 TB). The unpartitioned window is fine
+    precisely because its input is calendar-sized, not data-sized.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format(F.date_trunc("day", "l_shipdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w5 = W.orderBy("day").rowsBetween(-4, 0)
+    w20 = W.orderBy("day").rowsBetween(-19, 0)
+    win = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.sum("cents").over(w5).cast("bigint").alias("sum5"),
+        F.sum("cents").over(w20).cast("bigint").alias("sum20"),
+    )
+    sig = win.where(F.col("rn") >= 20).select(
+        "day",
+        "sum5",
+        "sum20",
+        F.when(F.col("sum5") * 4 > F.col("sum20"), 1)
+        .when(F.col("sum5") * 4 < F.col("sum20"), -1)
+        .otherwise(0)
+        .alias("signal"),
+    )
+    flips = sig.select(
+        "day",
+        "sum5",
+        "sum20",
+        "signal",
+        F.lag("signal").over(W.orderBy("day")).alias("prev"),
+    )
+    return (
+        flips.where(
+            F.col("prev").isNotNull() & (F.col("signal") * F.col("prev") == -1)
+        )
+        .select(
+            "day",
+            F.when(F.col("signal") == 1, "golden")
+            .otherwise("death")
+            .alias("direction"),
+            F.expr("CAST(sum5 DIV 5 AS BIGINT)").alias("sma5_cents"),
+            F.expr("CAST(sum20 DIV 20 AS BIGINT)").alias("sma20_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Columnar-encoding advisor (lakehouse layout)
+# ---------------------------------------------------------------------------
+
+ENCODING_ADVISOR_ORACLE = """
+WITH vals AS (
+  SELECT 'l_returnflag' AS col_name, l_returnflag AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+), per_val AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(len(val) AS BIGINT) AS vlen
+  FROM vals GROUP BY col_name, val
+), per_col AS (
+  SELECT col_name,
+         CAST(COUNT(*) AS BIGINT) AS ndv,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(vlen * cnt) AS BIGINT) AS plain_bytes,
+         CAST(SUM(vlen) + 2 * SUM(cnt) AS BIGINT) AS dict_bytes
+  FROM per_val GROUP BY col_name
+)
+SELECT col_name, n, ndv,
+       CAST(ndv * 1000000 // n AS BIGINT) AS distinct_ppm,
+       plain_bytes, dict_bytes,
+       CASE WHEN dict_bytes < plain_bytes THEN 'DICTIONARY'
+            ELSE 'PLAIN' END AS recommendation
+FROM per_col
+ORDER BY col_name
+"""
+
+
+@register(
+    "layout_encoding_advisor",
+    oracle=ENCODING_ADVISOR_ORACLE,
+    tags=("layout", "lakehouse", "stats"),
+)
+def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: per column, exact NDV, the distinct
+    ratio, and a byte model comparing PLAIN (Σ value lengths) against
+    DICTIONARY (Σ distinct-value lengths + 2-byte codes) — the
+    decision a parquet writer's encoding chooser makes, surfaced as a
+    table-maintenance audit. Needing Σ length over DISTINCT values
+    (not just an NDV count) forces the two-level agg: collapse to
+    (col, value, count) first, then fold per column — the same
+    two-phase shape as two_phase_count_distinct, so no
+    distinct-within-agg blowup.
+
+    Scale shape: a 6-way map-side unpivot (stack — column count, not
+    row count, multiplies), one hash-agg keyed (col, value) with
+    map-side combine, then a 6-group fold. Per-(col,value) cardinality
+    is the dictionary-page size a writer would build anyway; a
+    high-NDV column's first agg is the honest cost of asking for exact
+    NDV — swap in HLL (operators/sketches.py) when approximate is
+    acceptable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr(
+            "stack(6, "
+            "'l_returnflag', l_returnflag, "
+            "'l_linestatus', l_linestatus, "
+            "'l_shipdate', date_format(l_shipdate, 'yyyy-MM-dd HH:mm:ss'), "
+            "'l_partkey', CAST(l_partkey AS STRING), "
+            "'l_orderkey', CAST(l_orderkey AS STRING), "
+            "'l_linenumber', CAST(l_linenumber AS STRING)"
+            ") AS (col_name, val)"
+        )
+    )
+    per_val = vals.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).withColumn("vlen", F.length("val").cast("bigint"))
+    per_col = per_val.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("vlen") * F.col("cnt")).cast("bigint").alias("plain_bytes"),
+        (F.sum("vlen") + 2 * F.sum("cnt")).cast("bigint").alias("dict_bytes"),
+    )
+    return per_col.select(
+        "col_name",
+        "n",
+        "ndv",
+        F.expr("CAST(ndv * 1000000 DIV n AS BIGINT)").alias("distinct_ppm"),
+        "plain_bytes",
+        "dict_bytes",
+        F.when(F.col("dict_bytes") < F.col("plain_bytes"), "DICTIONARY")
+        .otherwise("PLAIN")
+        .alias("recommendation"),
+    ).orderBy("col_name")

@@ -59,6 +59,10 @@ CHANGED_THIS_ROUND = [
     "interval_coalesce_spans",
     "ml_average_precision",
     "ml_gain_lift_deciles",
+    "stats_poisson_bootstrap_ci",
+    "recsys_item_item_topk",
+    "finance_sma_crossover",
+    "layout_encoding_advisor",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -853,3 +853,318 @@ def layout_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("PLAIN")
         .alias("recommendation"),
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked k-nearest-neighbors (spatial)
+# ---------------------------------------------------------------------------
+
+KNN_GRID_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lat'), 1, 8)
+              AS BIGINT) % 180000000 AS x,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lon'), 1, 8)
+              AS BIGINT) % 360000000 AS y
+  FROM customer WHERE c_custkey < 1500
+), q AS (
+  SELECT id, x, y FROM pts WHERE id < 20
+), offs AS (
+  SELECT dx.dx, dy.dy
+  FROM (SELECT UNNEST([-1, 0, 1]) AS dx) dx,
+       (SELECT UNNEST([-1, 0, 1]) AS dy) dy
+), qcells AS (
+  SELECT q.id AS query_id, q.x AS qx, q.y AS qy,
+         q.x // 20000000 + o.dx AS cx,
+         q.y // 20000000 + o.dy AS cy
+  FROM q, offs o
+), cand AS (
+  SELECT qc.query_id, qc.qx, qc.qy, p.id AS neighbor_id, p.x, p.y
+  FROM qcells qc
+  JOIN pts p ON p.x // 20000000 = qc.cx AND p.y // 20000000 = qc.cy
+  WHERE p.id <> qc.query_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST((qx - x) * (qx - x) + (qy - y) * (qy - y) AS BIGINT) AS dist2
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, dist2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "spatial_knn_grid",
+    oracle=KNN_GRID_ORACLE,
+    tags=("spatial", "join", "topk"),
+)
+def spatial_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked k-nearest-neighbors: each query point's 3×3 cell
+    neighborhood (cell edge 20M micro-degrees) supplies candidates via
+    a plain hash join on the cell key, then exact integer squared
+    distance ranks the top-5 — the S2/H3-cell kNN shape production geo
+    systems run. Shortlist semantics are explicit: neighbors beyond
+    the 3×3 ring are out of scope by contract (a sparse cell would
+    trigger ring expansion in a production variant), and the oracle
+    applies the identical ring, so the check is exact, not
+    approximate. Coordinates are the same portable md5 micro-degree
+    points as spatial_grid_near_pairs.
+
+    Scale shape: queries fan out ×9 map-side (cell offsets are a
+    literal array explode, no shuffle), the candidate join is an
+    equi-join on (cx, cy) — O(q·9·density), never q·n — and the
+    per-query top-k window partitions on query_id. The corpus is
+    never shuffled; only cell-matched candidates move.
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+
+    def coord(salt: str, mod: int):
+        return F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING),"
+            f" '{salt}')), 1, 8), 16, 10) AS BIGINT), {mod})"
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord("lat", 180000000).alias("x"),
+        coord("lon", 360000000).alias("y"),
+    )
+    cell = 20000000
+    home = pts.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x DIV {cell}").alias("cx"),
+        F.expr(f"y DIV {cell}").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    qcells = (
+        pts.where(F.col("id") < 20)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.expr(f"x DIV {cell}") + F.lit(dx)).alias("cx"),
+                            (F.expr(f"y DIV {cell}") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx, dy in offsets
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("query_id", "qx", "qy", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    )
+    cand = qcells.join(home, ["cx", "cy"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            (F.col("qx") - F.col("bx")) * (F.col("qx") - F.col("bx"))
+            + (F.col("qy") - F.col("by")) * (F.col("qy") - F.col("by"))
+        )
+        .cast("bigint")
+        .alias("dist2"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "dist2")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE analog)
+# ---------------------------------------------------------------------------
+
+PATTERN_REGEX_ORACLE = """
+WITH coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'C' WHEN 'signup' THEN 'S'
+              WHEN 'error' THEN 'E' WHEN 'view' THEN 'V'
+              WHEN 'purchase' THEN 'P' ELSE 'X' END AS ch
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(ch, '' ORDER BY ts, event_id) AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM coded GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(path, 'V[CE]*P')) AS BIGINT) AS n_matches
+FROM paths
+WHERE len(regexp_extract_all(path, 'V[CE]*P')) >= 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_pattern_regex",
+    oracle=PATTERN_REGEX_ORACLE,
+    tags=("analytics", "sequence", "events"),
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's
+    event history becomes a single-character-per-event string in exact
+    (ts, event_id) order, and a regex counts occurrences of
+    view→(clicks|errors)*→purchase ('V[CE]*P') — the
+    funnel-with-wildcards query SQL's MATCH_RECOGNIZE exists for,
+    expressed with two engine-portable primitives (ordered string
+    aggregation + regexp_extract_all). The character class [CE]
+    excludes both anchors, so greedy-vs-longest regex semantics
+    coincide and Java regex (Spark) and RE2 (DuckDB) count
+    identically — the determinism condition for cross-engine pattern
+    queries.
+
+    Scale shape: one shuffle on user_id; the ordered path build is
+    array_sort(collect_list(struct)) inside the hash-agg (no window
+    pass), and the regex runs once per USER, not per event. Per-user
+    path length is bounded by that user's event count — the same skew
+    bound as any per-user sessionization, AQE-splittable.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "signup", "S")
+        .when(F.col("event_type") == "error", "E")
+        .when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "purchase", "P")
+        .otherwise("X")
+        .alias("ch"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("ch")))
+    )
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda x: x["ch"]), "").alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    n_matches = F.size(F.regexp_extract_all("path", F.lit("V[CE]*P"), F.lit(0))).cast(
+        "bigint"
+    )
+    return (
+        paths.select("user_id", "n_events", n_matches.alias("n_matches"))
+        .where(F.col("n_matches") >= 1)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information (event_type × weekday)
+# ---------------------------------------------------------------------------
+
+MUTUAL_INFO_ORACLE = """
+WITH e AS (
+  SELECT ((dayofweek(ts) + 6) % 7) AS dow, event_type FROM events
+), cell AS (
+  SELECT dow, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY dow, event_type
+), nd AS (
+  SELECT dow, CAST(SUM(c) AS BIGINT) AS n FROM cell GROUP BY dow
+), gl AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS gc FROM cell GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS gn FROM cell
+), scored AS (
+  SELECT cell.c,
+         CAST(FLOOR(ln(CAST(cell.c AS DOUBLE)) * 1e6) AS BIGINT)
+         + CAST(FLOOR(ln(CAST(tot.gn AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(FLOOR(ln(CAST(nd.n AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(FLOOR(ln(CAST(gl.gc AS DOUBLE)) * 1e6) AS BIGINT) AS dlp,
+         CAST(FLOOR(ln(CAST(gl.gc AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(FLOOR(ln(CAST(tot.gn AS DOUBLE)) * 1e6) AS BIGINT) AS lpx,
+         CAST(FLOOR(ln(CAST(nd.n AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(FLOOR(ln(CAST(tot.gn AS DOUBLE)) * 1e6) AS BIGINT) AS lpy,
+         gl.gc, nd.n, tot.gn
+  FROM cell
+  JOIN nd USING (dow)
+  JOIN gl USING (event_type)
+  CROSS JOIN tot
+)
+SELECT CAST(MAX(gn) AS BIGINT) AS n_events,
+       FLOOR(CAST(SUM(c * dlp) AS BIGINT) * 1.0 / MAX(gn) / 1e6 * 1e6 + 0.5)
+         / 1e6 AS mutual_information,
+       FLOOR(-CAST(SUM(c * lpx) AS BIGINT) * 1.0 / MAX(gn) / 1e6 * 1e6 + 0.5)
+         / 1e6 AS h_x,
+       FLOOR(-CAST(SUM(c * lpy) AS BIGINT) * 1.0 / MAX(gn) / 1e6 * 1e6 + 0.5)
+         / 1e6 AS h_y
+FROM scored
+"""
+
+
+@register(
+    "stats_mutual_information",
+    oracle=MUTUAL_INFO_ORACLE,
+    tags=("stats", "quality"),
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and weekday, with the two
+    marginal entropies — the dependence screen feature-selection
+    pipelines run over every (feature, target) pair. Transcendentals
+    use the repo's quantized-log discipline (stats_kl_weekday,
+    stats_cramers_v precedent): every ln(count) quantizes to an exact
+    BIGINT micro-nat FIRST, cell contributions sum as integers
+    (order-independent), and the single float division happens at the
+    1-row readout — so the metric is bit-stable across engines and
+    partitionings. MI here is computed from the same quantized terms
+    as the entropies, so MI ≤ min(H_X, H_Y) holds in the quantized
+    arithmetic too.
+
+    Scale shape: one hash-agg to the (type × dow) cell table (35
+    cells — map-side combine does all the work), marginals and total
+    derive from the CELL table (no second scan of the fact table),
+    then broadcast joins among frames of ≤35 rows. Only the first agg
+    touches the 100 TB.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.dayofweek("ts") + 6) % 7).alias("dow"), "event_type"
+    )
+    cell = ev.groupBy("dow", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = cell.groupBy("dow").agg(F.sum("c").cast("bigint").alias("n"))
+    gl = cell.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = cell.agg(F.sum("c").cast("bigint").alias("gn"))
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    scored = (
+        cell.join(nd, "dow")
+        .join(gl, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "gn",
+            (
+                qln(F.col("c")) + qln(F.col("gn")) - qln(F.col("n")) - qln(F.col("gc"))
+            ).alias("dlp"),
+            (qln(F.col("gc")) - qln(F.col("gn"))).alias("lpx"),
+            (qln(F.col("n")) - qln(F.col("gn"))).alias("lpy"),
+        )
+    )
+    return scored.agg(
+        F.max("gn").cast("bigint").alias("n_events"),
+        pround(
+            F.sum(F.col("c") * F.col("dlp")).cast("bigint") / F.max("gn") / 1e6, 6
+        ).alias("mutual_information"),
+        pround(
+            -F.sum(F.col("c") * F.col("lpx")).cast("bigint") / F.max("gn") / 1e6, 6
+        ).alias("h_x"),
+        pround(
+            -F.sum(F.col("c") * F.col("lpy")).cast("bigint") / F.max("gn") / 1e6, 6
+        ).alias("h_y"),
+    )

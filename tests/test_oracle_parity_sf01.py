@@ -63,6 +63,9 @@ CHANGED_THIS_ROUND = [
     "recsys_item_item_topk",
     "finance_sma_crossover",
     "layout_encoding_advisor",
+    "spatial_knn_grid",
+    "events_pattern_regex",
+    "stats_mutual_information",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

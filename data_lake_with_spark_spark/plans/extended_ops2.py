@@ -1168,3 +1168,446 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum(F.col("c") * F.col("lpy")).cast("bigint") / F.max("gn") / 1e6, 6
         ).alias("h_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(trim(text), '\s+')) AS tok,
+           UNNEST(range(len(string_split_regex(trim(text), '\s+')))) AS pos
+    FROM documents
+  ) u
+  WHERE u.tok <> ''
+), flagged AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+), islanded AS (
+  SELECT doc_id, tok, pos, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT doc_id, tok, pos, island FROM islanded WHERE is_stop = 0
+), sized AS (
+  SELECT doc_id, island, tok, pos,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, island) AS BIGINT) AS plen
+  FROM islands
+), wstats AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM sized GROUP BY tok
+), wscore AS (
+  SELECT tok, CAST(degree * 1000000 // freq AS BIGINT) AS wsc FROM wstats
+), phrases AS (
+  SELECT s.doc_id, s.island,
+         string_agg(s.tok, ' ' ORDER BY s.pos) AS phrase,
+         CAST(SUM(w.wsc) AS BIGINT) AS score_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM sized s JOIN wscore w ON w.tok = s.tok
+  GROUP BY s.doc_id, s.island
+), agg AS (
+  SELECT phrase, MAX(n_words) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         MAX(score_micro) AS score_micro
+  FROM phrases GROUP BY phrase
+)
+SELECT phrase, CAST(n_words AS BIGINT) AS n_words, n_occurrences, score_micro
+FROM (SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score_micro DESC, phrase ASC) AS rn FROM agg)
+WHERE rn <= 20
+ORDER BY score_micro DESC, phrase ASC
+"""
+
+
+@register(
+    "text_rake_keywords",
+    oracle=RAKE_ORACLE,
+    tags=("text", "llm", "keywords"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency over the WHOLE corpus (degree = Σ length of the
+    phrases it appears in — co-occurrence reach; frequency = raw
+    count), and a phrase scores the sum of its words' scores. Word
+    scores quantize to exact micro units (degree·10⁶ div freq), so
+    phrase scores are BIGINT sums — the global top-20 is bit-stable.
+    Identical phrase strings share identical token multisets, hence
+    identical scores, so the cross-doc phrase collapse is exact.
+
+    Scale shape: tokenization is a map-side explode; island ids come
+    from one window keyed (doc, pos) — the same single-shuffle
+    gaps-and-islands kernel as interval_coalesce_spans; word stats are
+    one hash-agg over tokens; the word-score join back onto phrase
+    members broadcasts the vocabulary (corpus vocab ≪ corpus); the
+    final top-20 windows over DISTINCT phrases. No step carries
+    per-document state beyond the phrase run itself.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    flagged = toks.withColumn(
+        "is_stop", F.when(F.col("tok").isin("a", "the"), 1).otherwise(0)
+    )
+    w_isl = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("is_stop").over(w_isl)).where(
+        F.col("is_stop") == 0
+    )
+    sized = islands.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id", "island")).cast("bigint"),
+    )
+    wstats = sized.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    wscore = wstats.select(
+        "tok", F.expr("CAST(degree * 1000000 DIV freq AS BIGINT)").alias("wsc")
+    )
+    joined = sized.join(F.broadcast(wscore), "tok")
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok"))))
+    phrases = joined.groupBy("doc_id", "island").agg(
+        F.array_join(F.transform(ordered, lambda x: x["tok"]), " ").alias("phrase"),
+        F.sum("wsc").cast("bigint").alias("score_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score_micro").alias("score_micro"),
+    )
+    w_top = W.orderBy(F.desc("score_micro"), F.asc("phrase"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= 20)
+        .select("phrase", "n_words", "n_occurrences", "score_micro")
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (exact integer moments)
+# ---------------------------------------------------------------------------
+
+ANOVA_ORACLE = """
+WITH x AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(q) AS BIGINT) AS s_g,
+         CAST(SUM(q * q) AS BIGINT) AS ss_g
+  FROM x GROUP BY grp
+), terms AS (
+  SELECT grp, n_g, s_g, ss_g,
+         CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g
+                    * 1000000.0) AS BIGINT) AS term_micro
+  FROM g
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS BIGINT) AS ssq,
+         CAST(SUM(term_micro) AS BIGINT) AS sum_terms,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM terms
+)
+SELECT n, k,
+       CAST(sum_terms
+            - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                         * 1000000.0) AS BIGINT) AS BIGINT) AS ssb_micro,
+       CAST(ssq * 1000000 - sum_terms AS BIGINT) AS ssw_micro,
+       FLOOR((CAST(sum_terms - FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                                     * 1000000.0) AS DOUBLE) / (k - 1))
+             / (CAST(ssq * 1000000 - sum_terms AS DOUBLE) / (n - k))
+             * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+FROM tot
+"""
+
+
+@register(
+    "stats_anova_oneway",
+    oracle=ANOVA_ORACLE,
+    tags=("stats",),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of line-item quantity across return-flag groups:
+    between/within sums of squares from EXACT integer group moments
+    (n, Σx, Σx² as BIGINT — quantity is integral, so the moments are
+    order-independent), each group's Σ²/n quantized to micro units
+    with an identical double expression shape on both engines
+    (correctly-rounded IEEE division is deterministic; the floor
+    boundary is the same everywhere), then F = (SSB/df₁)/(SSW/df₂)
+    with one rounded readout. Completes the parametric-test family
+    next to stats_welch_ttest (two groups, unequal variance) with the
+    k-group equal-variance omnibus.
+
+    Scale shape: ONE hash-agg with map-side combine produces the
+    k-row moment table (k = 3); everything after is arithmetic on k
+    rows. The moment sums exceed BIGINT only past ~10¹⁵ rows — swap
+    to DECIMAL(38,0) (dsum) at that point, same plan.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = li.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("q").cast("bigint").alias("s_g"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss_g"),
+    )
+    terms = g.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.floor(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g")
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    tot = terms.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ssq"),
+        F.sum("term_micro").cast("bigint").alias("sum_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    grand_micro = F.floor(
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n") * 1000000.0
+    ).cast("bigint")
+    ssb = (F.col("sum_terms") - grand_micro).cast("bigint")
+    ssw = (F.col("ssq") * 1000000 - F.col("sum_terms")).cast("bigint")
+    return tot.select(
+        "n",
+        "k",
+        ssb.alias("ssb_micro"),
+        ssw.alias("ssw_micro"),
+        pround(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump best split by Gini impurity
+# ---------------------------------------------------------------------------
+
+BEST_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+), g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS p
+  FROM s GROUP BY score
+), cum AS (
+  SELECT score,
+         CAST(SUM(cnt) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+         CAST(SUM(p) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+         CAST(SUM(p) OVER () AS BIGINT) AS ptot
+  FROM g
+), scored AS (
+  SELECT score AS split_at, nl, n - nl AS nr,
+         (pl * pl + (nl - pl) * (nl - pl)) * 1000000 // nl
+         + ((ptot - pl) * (ptot - pl)
+            + ((n - nl) - (ptot - pl)) * ((n - nl) - (ptot - pl)))
+           * 1000000 // (n - nl) AS goodness_micro,
+         n, ptot
+  FROM cum WHERE nl < n
+)
+SELECT split_at, nl AS n_left, nr AS n_right, goodness_micro,
+       FLOOR((CAST(n AS DOUBLE) - CAST(goodness_micro AS DOUBLE) / 1000000.0)
+             / n * 1000000.0 + 0.5) / 1000000.0 AS weighted_gini
+FROM (SELECT *, ROW_NUMBER() OVER (
+        ORDER BY goodness_micro DESC, split_at ASC) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+@register(
+    "ml_best_split_gini",
+    oracle=BEST_SPLIT_ORACLE,
+    tags=("training", "stats", "ml"),
+)
+def ml_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learner: the exact best binary split of a
+    numeric feature by weighted Gini impurity — the inner loop of
+    every tree ensemble, run once, distributed. Over the
+    distinct-score spine ascending, cumulative (n, positives) give
+    each candidate split's left/right class counts; minimizing
+    weighted impurity equals maximizing Σ_side (pos² + neg²)/n_side,
+    which quantizes to exact BIGINT micro units (truncating div) — so
+    the argmax split is bit-deterministic, no float impurity
+    comparisons. Readout reports the winning threshold, both side
+    sizes, and the achieved weighted Gini.
+
+    Scale shape: identical to ml_auc_rank_sum — one hash-agg to the
+    distinct-value spine, one ordered window over the spine (not the
+    corpus), one top-1 selection. A tree trainer evaluating f features
+    runs f of these in one pass by unpivoting features first; the
+    per-feature math is this exact kernel.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w_cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("score").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = g.select(
+        "score",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("nl"),
+        F.sum("p").over(w_cum).cast("bigint").alias("pl"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+        F.sum("p").over(w_all).cast("bigint").alias("ptot"),
+    )
+    scored = cum.where(F.col("nl") < F.col("n")).select(
+        F.col("score").alias("split_at"),
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("nr"),
+        F.expr(
+            "(pl * pl + (nl - pl) * (nl - pl)) * 1000000 DIV nl"
+            " + ((ptot - pl) * (ptot - pl)"
+            "    + ((n - nl) - (ptot - pl)) * ((n - nl) - (ptot - pl)))"
+            "   * 1000000 DIV (n - nl)"
+        ).alias("goodness_micro"),
+        "n",
+    )
+    w_top = W.orderBy(F.desc("goodness_micro"), F.asc("split_at"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select(
+            "split_at",
+            "n_left",
+            F.col("nr").alias("n_right"),
+            "goodness_micro",
+            pround(
+                (
+                    F.col("n").cast("double")
+                    - F.col("goodness_micro").cast("double") / 1000000.0
+                )
+                / F.col("n"),
+                6,
+            ).alias("weighted_gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-column advisor (lakehouse layout)
+# ---------------------------------------------------------------------------
+
+PARTITION_ADVISOR_ORACLE = """
+WITH vals AS (
+  SELECT 'l_returnflag' AS col_name, l_returnflag AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'ship_month', strftime(l_shipdate, '%Y-%m') FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+), per_val AS (
+  SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY col_name, val
+), per_col AS (
+  SELECT col_name,
+         CAST(COUNT(*) AS BIGINT) AS ndv,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(MAX(cnt) AS BIGINT) AS max_part_rows
+  FROM per_val GROUP BY col_name
+)
+SELECT col_name, n, ndv, max_part_rows,
+       CAST(max_part_rows * ndv * 1000000 // n AS BIGINT) AS skew_ppm,
+       CASE WHEN ndv < 3 THEN 'TOO_FEW_PARTITIONS'
+            WHEN ndv > 1000 THEN 'TOO_MANY_PARTITIONS'
+            WHEN max_part_rows * ndv * 1000000 // n > 3000000 THEN 'SKEWED'
+            ELSE 'OK' END AS verdict
+FROM per_col
+ORDER BY col_name
+"""
+
+
+@register(
+    "layout_partition_advisor",
+    oracle=PARTITION_ADVISOR_ORACLE,
+    tags=("layout", "lakehouse", "stats"),
+)
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor: for each candidate partition key,
+    exact cardinality, the largest partition's row count, and skew as
+    max/avg in ppm — then the verdict a table-layout reviewer gives
+    (too few partitions to prune, too many files, skewed, or OK), on
+    integer thresholds so the audit is deterministic. Month-derived
+    keys are evaluated as their own candidate (ship_month), the usual
+    fix for a too-granular timestamp key.
+
+    Scale shape: map-side 4-way unpivot, one (col, value) hash-agg
+    with map-side combine — per-value counts ARE the partition sizes
+    a writer would produce — then a 4-group fold. The same two-level
+    shape as layout_encoding_advisor; both are one-scan table audits.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr(
+            "stack(4, "
+            "'l_returnflag', l_returnflag, "
+            "'l_linestatus', l_linestatus, "
+            "'ship_month', date_format(l_shipdate, 'yyyy-MM'), "
+            "'l_suppkey', CAST(l_suppkey AS STRING)"
+            ") AS (col_name, val)"
+        )
+    )
+    per_val = vals.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_col = per_val.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.max("cnt").cast("bigint").alias("max_part_rows"),
+    )
+    skew = F.expr("CAST(max_part_rows * ndv * 1000000 DIV n AS BIGINT)")
+    return per_col.select(
+        "col_name",
+        "n",
+        "ndv",
+        "max_part_rows",
+        skew.alias("skew_ppm"),
+        F.when(F.col("ndv") < 3, "TOO_FEW_PARTITIONS")
+        .when(F.col("ndv") > 1000, "TOO_MANY_PARTITIONS")
+        .when(skew > 3000000, "SKEWED")
+        .otherwise("OK")
+        .alias("verdict"),
+    ).orderBy("col_name")

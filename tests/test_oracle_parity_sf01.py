@@ -66,6 +66,10 @@ CHANGED_THIS_ROUND = [
     "spatial_knn_grid",
     "events_pattern_regex",
     "stats_mutual_information",
+    "text_rake_keywords",
+    "stats_anova_oneway",
+    "ml_best_split_gini",
+    "layout_partition_advisor",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -1130,7 +1130,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches the 100 TB.
     """
     ev = _t(spark, sf_dir, "events").select(
-        ((F.dayofweek("ts") + 6) % 7).alias("dow"), "event_type"
+        ((F.dayofweek("ts") + 5) % 7).alias("dow"), "event_type"
     )
     cell = ev.groupBy("dow", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")

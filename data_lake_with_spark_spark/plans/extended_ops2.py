@@ -1611,3 +1611,352 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("OK")
         .alias("verdict"),
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (score drift)
+# ---------------------------------------------------------------------------
+
+PSI_ORACLE = """
+WITH s AS (
+  SELECT CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || 'psi'), 1, 8)
+              AS BIGINT) % 2 AS side,
+         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS sc
+  FROM embeddings
+), binned AS (
+  SELECT side,
+         CASE WHEN sc < -200000 THEN 0 WHEN sc < -100000 THEN 1
+              WHEN sc < 0 THEN 2 WHEN sc < 100000 THEN 3
+              WHEN sc < 200000 THEN 4 ELSE 5 END AS bin
+  FROM s
+), cell AS (
+  SELECT bin,
+         CAST(COUNT_IF(side = 0) AS BIGINT) AS n_expected,
+         CAST(COUNT_IF(side = 1) AS BIGINT) AS n_actual
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(n_expected) AS BIGINT) AS ne,
+         CAST(SUM(n_actual) AS BIGINT) AS na
+  FROM cell
+), ppm AS (
+  SELECT bin, n_expected, n_actual,
+         CAST(n_expected * 1000000 // ne AS BIGINT) AS expected_ppm,
+         CAST(n_actual * 1000000 // na AS BIGINT) AS actual_ppm
+  FROM cell CROSS JOIN tot
+)
+SELECT CAST(bin AS INTEGER) AS bin, n_expected, n_actual,
+       expected_ppm, actual_ppm,
+       FLOOR(CAST((expected_ppm - actual_ppm)
+                  * (CAST(FLOOR(ln(CAST(expected_ppm AS DOUBLE)) * 1e6) AS BIGINT)
+                     - CAST(FLOOR(ln(CAST(actual_ppm AS DOUBLE)) * 1e6) AS BIGINT))
+                  AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS contribution
+FROM ppm ORDER BY bin
+"""
+
+
+@register(
+    "ml_psi_score_drift",
+    oracle=PSI_ORACLE,
+    tags=("training", "stats", "drift", "ml"),
+)
+def ml_psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between an 'expected' and an 'actual'
+    score population (portable md5 split stands in for
+    train-time-vs-serving-time) over 6 FIXED score bins: per bin,
+    PSI contribution = (p−q)·ln(p/q) with probabilities as exact
+    integer ppm and logs quantized to micro-nats (the shared 10⁶
+    ppm factor cancels inside the log difference, so ln(p_ppm) −
+    ln(q_ppm) IS ln(p/q)). The model-monitoring drift metric every
+    deployed scorer tracks; >0.2 total conventionally triggers
+    retraining. Fixed bin edges (not quantiles) keep a bin's identity
+    stable as the corpus grows — the same stability argument as
+    training_quality_mixture.
+
+    Scale shape: one scan, one 12-cell hash-agg (6 bins × 2 sides
+    folded map-side), then arithmetic on ≤6 rows. The split hash and
+    binning are per-row column math — nothing shuffles but the tiny
+    cell table.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), 'psi')),"
+            " 1, 8), 16, 10) AS BIGINT), 2)"
+        ).alias("side"),
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("sc"),
+    )
+    binned = s.select(
+        "side",
+        F.when(F.col("sc") < -200000, 0)
+        .when(F.col("sc") < -100000, 1)
+        .when(F.col("sc") < 0, 2)
+        .when(F.col("sc") < 100000, 3)
+        .when(F.col("sc") < 200000, 4)
+        .otherwise(5)
+        .alias("bin"),
+    )
+    cell = binned.groupBy("bin").agg(
+        F.count_if(F.col("side") == 0).cast("bigint").alias("n_expected"),
+        F.count_if(F.col("side") == 1).cast("bigint").alias("n_actual"),
+    )
+    tot = cell.agg(
+        F.sum("n_expected").cast("bigint").alias("ne"),
+        F.sum("n_actual").cast("bigint").alias("na"),
+    )
+    ppm = cell.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        F.expr("CAST(n_expected * 1000000 DIV ne AS BIGINT)").alias("expected_ppm"),
+        F.expr("CAST(n_actual * 1000000 DIV na AS BIGINT)").alias("actual_ppm"),
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    term = (F.col("expected_ppm") - F.col("actual_ppm")) * (
+        qln(F.col("expected_ppm")) - qln(F.col("actual_ppm"))
+    )
+    return ppm.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_expected",
+        "n_actual",
+        "expected_ppm",
+        "actual_ppm",
+        pround(term.cast("double") / 1e12, 6).alias("contribution"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# STL-style seasonal decomposition (trend + dow seasonal + residual)
+# ---------------------------------------------------------------------------
+
+STL_DOW_ORACLE = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+         ((dayofweek(o_orderdate) + 6) % 7) AS dow,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT day, dow, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS n_days,
+         CAST(SUM(cents) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7
+  FROM daily
+), trended AS (
+  SELECT day, dow, cents,
+         CAST(sum7 * 1000000 // 7 AS BIGINT) AS trend_micro,
+         CAST(cents * 1000000 - sum7 * 1000000 // 7 AS BIGINT) AS detr_micro
+  FROM win WHERE rn >= 4 AND rn <= n_days - 3
+), seasonal AS (
+  SELECT dow,
+         CAST(SUM(detr_micro) // COUNT(*) AS BIGINT) AS seasonal_micro
+  FROM trended GROUP BY dow
+)
+SELECT t.day, CAST(t.dow AS INTEGER) AS dow, t.cents,
+       t.trend_micro, s.seasonal_micro,
+       CAST(t.detr_micro - s.seasonal_micro AS BIGINT) AS residual_micro
+FROM trended t JOIN seasonal s ON s.dow = t.dow
+ORDER BY t.day
+"""
+
+
+@register(
+    "timeseries_stl_dow",
+    oracle=STL_DOW_ORACLE,
+    tags=("timeseries", "stats", "window"),
+)
+def timeseries_stl_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily revenue series:
+    trend = centered 7-day moving average (full windows only — the
+    3-day edges are excluded, not padded), seasonal = per-weekday mean
+    of the detrended series, residual = the rest. Every component
+    lives in exact micro-cents (trend is sum7·10⁶ div 7 — truncating
+    div matches engines), so decompose-then-recompose is bit-exact:
+    cents·10⁶ = trend + seasonal + residual + the seasonal-mean
+    truncation remainder, all BIGINT. The additive-decomposition
+    X-11/STL shape with integer arithmetic in place of loess.
+
+    Scale shape: one hash-agg collapses orders to the calendar-bounded
+    daily spine; the centered window, the 7-row seasonal agg, and the
+    broadcast seasonal join all run on spine-sized data (~2.5k rows,
+    constant in data volume). Only the first agg sees the fact table.
+    """
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day"),
+        ((F.dayofweek("o_orderdate") + 5) % 7).alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    w_all = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    win = daily.select(
+        "day",
+        "dow",
+        "cents",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+        F.sum("cents").over(w7).cast("bigint").alias("sum7"),
+    )
+    trended = win.where(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n_days") - 3)
+    ).select(
+        "day",
+        "dow",
+        "cents",
+        F.expr("CAST(sum7 * 1000000 DIV 7 AS BIGINT)").alias("trend_micro"),
+        F.expr("CAST(cents * 1000000 - sum7 * 1000000 DIV 7 AS BIGINT)").alias(
+            "detr_micro"
+        ),
+    )
+    seasonal = trended.groupBy("dow").agg(
+        F.expr("CAST(SUM(detr_micro) DIV COUNT(*) AS BIGINT)").alias(
+            "seasonal_micro"
+        )
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            "cents",
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("detr_micro") - F.col("seasonal_micro"))
+            .cast("bigint")
+            .alias("residual_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+HEAPS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), doc_tokens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks GROUP BY doc_id
+), first_seen AS (
+  SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+), new_types AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY first_doc
+), curve AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.n_toks) OVER (ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v
+  FROM doc_tokens d LEFT JOIN new_types nt ON nt.doc_id = d.doc_id
+), logs AS (
+  SELECT CAST(FLOOR(ln(CAST(cum_n AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(cum_v AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM curve
+), moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(MAX(x) AS BIGINT) AS max_x, CAST(MAX(y) AS BIGINT) AS max_y
+  FROM logs
+)
+SELECT m AS n_points,
+       FLOOR((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS beta,
+       max_x AS log_tokens_micro, max_y AS log_vocab_micro
+FROM moments
+"""
+
+
+@register(
+    "text_heaps_law",
+    oracle=HEAPS_ORACLE,
+    tags=("text", "llm", "stats"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent for the corpus: vocabulary grows as
+    V(n) ≈ K·n^β, and β comes from an OLS fit of ln V against ln n
+    over the cumulative (tokens-seen, types-seen) curve — the
+    vocabulary-growth diagnostic that tells a tokenizer/dedup pipeline
+    whether a corpus is saturating (β falling) or still yielding new
+    types. The curve needs distinct-so-far at every prefix — computed
+    WITHOUT any per-prefix distinct: each type's first-occurrence doc
+    (one min-agg) turns into new-types-per-doc, and two cumulative
+    sums over the doc spine reconstruct the exact curve. Log moments
+    quantize to micro-nats (BIGINT products, DECIMAL(38,0)
+    accumulation) so the regression inputs are order-independent;
+    the one float slope division uses identical expression shape on
+    both engines.
+
+    Scale shape: token explode (map-side), two hash-aggs (per-doc
+    counts, per-type min), then windows over the DOC spine — at 100 TB
+    the spine is millions of rows against billions of tokens, and the
+    checkpointed curve could be further decimated (every k-th doc)
+    without changing the estimator.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    doc_tokens = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w_cum = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    curve = (
+        doc_tokens.join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w_cum).cast("bigint").alias("cum_n"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w_cum)
+            .cast("bigint")
+            .alias("cum_v"),
+        )
+    )
+    logs = curve.select(
+        F.floor(F.log(F.col("cum_n").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("cum_v").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    moments = logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.max("x").cast("bigint").alias("max_x"),
+        F.max("y").cast("bigint").alias("max_y"),
+    )
+    beta = (
+        F.col("m").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("m").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return moments.select(
+        F.col("m").alias("n_points"),
+        pround(beta, 6).alias("beta"),
+        F.col("max_x").alias("log_tokens_micro"),
+        F.col("max_y").alias("log_vocab_micro"),
+    )

@@ -70,6 +70,9 @@ CHANGED_THIS_ROUND = [
     "stats_anova_oneway",
     "ml_best_split_gini",
     "layout_partition_advisor",
+    "ml_psi_score_drift",
+    "timeseries_stl_dow",
+    "text_heaps_law",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -92,6 +92,16 @@ DRIVER_WINDOW = [
     # join_asof_nearest, layout_pruning_zorder_vs_linear,
     # training_dedup_rate_by_source, stats_jensen_shannon,
     # vector_topk_ivfpq_portable, join_interval_overlap, dq_bloom_fpp.
+    # Plus the eighteen continuation-session additions in
+    # plans/extended_ops2.py (also sf0.01-gated at birth):
+    # cohort_retention_matrix, interval_coalesce_spans,
+    # ml_average_precision, ml_gain_lift_deciles,
+    # stats_poisson_bootstrap_ci, recsys_item_item_topk,
+    # finance_sma_crossover, layout_encoding_advisor,
+    # layout_partition_advisor, spatial_knn_grid, events_pattern_regex,
+    # stats_mutual_information, text_rake_keywords, stats_anova_oneway,
+    # ml_best_split_gini, ml_psi_score_drift, timeseries_stl_dow,
+    # text_heaps_law.
     #
     # changed this round (re-verify under the fixpoint-default graph
     # operator refactor; both held green rows before):

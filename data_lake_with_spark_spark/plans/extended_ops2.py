@@ -608,13 +608,26 @@ def recsys_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
     )
+    # Mirror via explode, not UNION: a union of two renamed projections
+    # re-executes the whole pair-mining subtree (renamed projections
+    # defeat ReuseExchange — ARCHITECTURE.md lesson); exploding each
+    # pair into its two directions computes the pairs ONCE.
     sym = pairs.select(
-        F.col("i").alias("part_id"), F.col("j").alias("neighbor_id"), "co"
-    ).unionAll(
-        pairs.select(
-            F.col("j").alias("part_id"), F.col("i").alias("neighbor_id"), "co"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("part_id"),
+                    F.col("j").alias("neighbor_id"),
+                    F.col("co").alias("co"),
+                ),
+                F.struct(
+                    F.col("j").alias("part_id"),
+                    F.col("i").alias("neighbor_id"),
+                    F.col("co").alias("co"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.part_id", "e.neighbor_id", "e.co")
     ni = n.select(
         F.col("l_partkey").alias("part_id"), F.col("n_orders").alias("n_i")
     )

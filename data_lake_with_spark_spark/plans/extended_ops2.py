@@ -1973,3 +1973,88 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_x").alias("log_tokens_micro"),
         F.col("max_y").alias("log_vocab_micro"),
     )
+
+
+@register(
+    "ml_gain_lift_distributed",
+    oracle=GAIN_LIFT_ORACLE,
+    tags=("training", "stats", "ranking", "scale-twin"),
+)
+def ml_gain_lift_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_gain_lift_deciles' SCALE twin, pinned to the IDENTICAL
+    oracle: the global NTILE(10) reconstructed with NO global sort —
+    distinct scores form the band frame, strictly-better bands cumsum
+    their counts into a broadcast carry (and the full-frame band sum
+    supplies N, so construction stays lazy — no driver count), each
+    row's exact global rank = carry + within-band row_number
+    (hash-partitioned by score, tie-broken by vec_id exactly like the
+    oracle's ORDER BY), and the decile comes from NTILE's
+    first-N%10-buckets-take-ceil arithmetic. The per-row work shuffles
+    once on the score key; nothing ever sorts in a single task. This
+    is the segment_rfm_distributed two-level pattern applied to model
+    evaluation — the form you run when the scored population is 10¹¹
+    rows.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+    )
+    band_cnt = s.groupBy("score").agg(F.count(F.lit(1)).alias("_bn"))
+    w_before = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy(F.desc("score")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    carry = band_cnt.select(
+        "score",
+        F.coalesce(F.sum("_bn").over(w_before), F.lit(0)).alias("_carry"),
+        F.sum("_bn").over(w_all).cast("bigint").alias("_n"),
+    )
+    w_in = W.partitionBy("score").orderBy(F.asc("vec_id"))
+    ranked = s.join(F.broadcast(carry), "score").select(
+        "pos",
+        "_n",
+        (F.col("_carry") + F.row_number().over(w_in)).alias("_rank"),
+    )
+    n_tiles = 10
+    size_small = F.expr(f"_n div {n_tiles}")
+    n_big = F.col("_n") % n_tiles
+    size_big = size_small + 1
+    cutoff = n_big * size_big
+    decile = (
+        F.when(
+            F.col("_rank") <= cutoff,
+            ((F.col("_rank") - 1) / size_big).cast("int") + 1,
+        ).otherwise(
+            (n_big + (F.col("_rank") - cutoff - 1) / size_small).cast("int") + 1
+        )
+    ).alias("decile")
+    m = ranked.select(decile, "pos").groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_tot = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = m.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w_cum).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(w_tot).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(w_tot).cast("bigint").alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        F.expr("CAST(cum_pos * 1000000 DIV tot_pos AS BIGINT)").alias("capture_ppm"),
+        F.expr(
+            "CAST(cum_pos * tot_n * 1000000 DIV (cum_n * tot_pos) AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).orderBy("decile")

@@ -73,6 +73,7 @@ CHANGED_THIS_ROUND = [
     "ml_psi_score_drift",
     "timeseries_stl_dow",
     "text_heaps_law",
+    "ml_gain_lift_distributed",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

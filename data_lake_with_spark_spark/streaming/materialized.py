@@ -458,3 +458,113 @@ def stream_maintain_topk_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+
+PSI_DEFAULT_EDGES = (-200000, -100000, 0, 100000, 200000)
+
+
+def psi_bin(score_col: str, edges=PSI_DEFAULT_EDGES):
+    """Fixed-edge bin assignment for a micro-scaled score column —
+    map-side column math, identical to the one-shot
+    ml_psi_score_drift binning (fixed edges, not quantiles, so a
+    row's bin never depends on the rest of the stream — the property
+    that makes the PSI state mergeable at all)."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for i, e in enumerate(edges):
+        cond = F.col(score_col) < F.lit(int(e))
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    return expr.otherwise(len(edges)).alias("bin")
+
+
+def stream_maintain_psi_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    score_col: str,
+    side_col: str,
+    edges=PSI_DEFAULT_EDGES,
+    query_name: str = "psi_view",
+    checkpoint: str | None = None,
+):
+    """Streaming population-stability monitor: per-(side, bin) COUNTS
+    are the whole state (bins from fixed edges, so counts merge across
+    micro-batches with the plain additive fold), and PSI derives at
+    READ time from the live state — the model-drift readout every
+    deployed scorer wants continuously, maintained in O(changes) per
+    batch with 2·(len(edges)+1) state rows total. Same epoch-guard /
+    checkpoint contract as stream_maintain_view; deletes retract
+    counts through the signed delta, so a sliding-window deployment
+    (expire old scores as deletes) keeps PSI over a moving window."""
+    binned = changes_stream.withColumn("bin", psi_bin(score_col, edges)).select(
+        side_col, "bin", "_change_type"
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_changes(
+            state_path,
+            batch_df,
+            epoch_id if checkpoint is not None else None,
+            [side_col, "bin"],
+            [],
+        )
+
+    w = binned.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
+def read_psi_drift(
+    spark: SparkSession,
+    state_path: str,
+    side_col: str = "side",
+    version: int | None = None,
+) -> DataFrame:
+    """PSI per bin from a psi-view state (side 0 = expected, 1 =
+    actual): integer ppm probabilities, micro-nat quantized logs, one
+    rounded contribution per bin — arithmetic identical to the batch
+    ml_psi_score_drift query (batch-equality pytest-pinned). Pure
+    column math over ≤ 2·n_bins state rows; pin ``version`` to read
+    the drift as of any past refresh."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.plans.parity import pround
+
+    state = read_view(spark, state_path, version)
+    cell = state.groupBy("bin").agg(
+        F.sum(F.when(F.col(side_col) == 0, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_expected"),
+        F.sum(F.when(F.col(side_col) == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_actual"),
+    )
+    tot = cell.agg(
+        F.sum("n_expected").cast("bigint").alias("ne"),
+        F.sum("n_actual").cast("bigint").alias("na"),
+    )
+    ppm = cell.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        F.expr("CAST(n_expected * 1000000 DIV ne AS BIGINT)").alias("expected_ppm"),
+        F.expr("CAST(n_actual * 1000000 DIV na AS BIGINT)").alias("actual_ppm"),
+    )
+
+    def qln(col):
+        return F.floor(F.log(col.cast("double")) * 1e6).cast("bigint")
+
+    term = (F.col("expected_ppm") - F.col("actual_ppm")) * (
+        qln(F.col("expected_ppm")) - qln(F.col("actual_ppm"))
+    )
+    return ppm.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_expected",
+        "n_actual",
+        "expected_ppm",
+        "actual_ppm",
+        pround(term.cast("double") / 1e12, 6).alias("contribution"),
+    ).orderBy("bin")

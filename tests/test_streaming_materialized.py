@@ -697,3 +697,90 @@ def test_stream_maintained_topk_leaderboard(spark, sf_dir, tmp_path):
         for r in MV.read_view(spark, state).collect()
     }
     assert got == want
+
+
+def test_stream_maintained_psi_drift(spark, sf_dir, tmp_path):
+    """The streamed PSI view must equal the one-shot
+    ml_psi_score_drift query EXACTLY (same bins, same ppm, same
+    rounded contributions) after folding the same rows through 3
+    uneven micro-batches — per-(side, bin) counts are a plain
+    additive state, so split shape can't matter; and re-folding a
+    batch must be caught by nothing here (no epochs without
+    checkpoint) yet produce a different state — proving the count
+    state is NOT replay-idempotent and the epoch guard is
+    load-bearing in checkpointed deployments."""
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    from data_lake_with_spark_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            F.expr(
+                "pmod(CAST(conv(substring(md5(concat(CAST(vec_id AS STRING),"
+                " 'psi')), 1, 8), 16, 10) AS BIGINT), 2)"
+            ).alias("side"),
+            F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .toPandas()
+    )
+    rows["_change_type"] = "insert"
+
+    src = tmp_path / "psi_changes"
+    src.mkdir()
+    splits = (rows.iloc[:7], rows.iloc[7:11], rows.iloc[11:])
+    for i, part in enumerate(splits):
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("side", T.LongType(), True),
+            T.StructField("score_micro", T.LongType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "psi_view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_psi_view(
+        stream, state, "score_micro", "side", query_name="psi_mv"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    got = [
+        (r["bin"], r["n_expected"], r["n_actual"], r["expected_ppm"],
+         r["actual_ppm"], r["contribution"])
+        for r in MV.read_psi_drift(spark, state).collect()
+    ]
+    want = [
+        (r["bin"], r["n_expected"], r["n_actual"], r["expected_ppm"],
+         r["actual_ppm"], r["contribution"])
+        for r in REGISTRY["ml_psi_score_drift"].spark(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 6
+
+    # count state is not replay-idempotent: refolding batch 0 must
+    # change n_rows totals (the epoch guard exists for exactly this)
+    before = {
+        (r["side"], r["bin"]): r["n_rows"]
+        for r in MV.read_view(spark, state).collect()
+    }
+    batch0 = spark.createDataFrame(splits[0], schema)
+    refold = ivm.maintain(
+        MV.read_view(spark, state),
+        batch0.withColumn("bin", MV.psi_bin("score_micro")).select(
+            "side", "bin", "_change_type"
+        ),
+        ["side", "bin"],
+        [],
+    )
+    after = {(r["side"], r["bin"]): r["n_rows"] for r in refold.collect()}
+    assert sum(after.values()) == sum(before.values()) + len(splits[0])

@@ -2058,3 +2058,272 @@ def ml_gain_lift_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(cum_pos * tot_n * 1000000 DIV (cum_n * tot_pos) AS BIGINT)"
         ).alias("lift_ppm"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (customer churn)
+# ---------------------------------------------------------------------------
+
+KAPLAN_MEIER_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx
+  FROM orders
+), cust AS (
+  SELECT o_custkey, MIN(midx) AS fm, MAX(midx) AS lm FROM o GROUP BY o_custkey
+), mx AS (SELECT MAX(lm) AS maxm FROM cust),
+starts AS (SELECT fm AS midx, CAST(COUNT(*) AS BIGINT) AS n_start FROM cust GROUP BY fm),
+ends_all AS (SELECT lm AS midx, CAST(COUNT(*) AS BIGINT) AS n_end FROM cust GROUP BY lm),
+events AS (
+  SELECT lm AS midx, CAST(COUNT(*) AS BIGINT) AS d
+  FROM cust CROSS JOIN mx WHERE lm < maxm GROUP BY lm
+), spine AS (SELECT DISTINCT midx FROM o),
+j AS (
+  SELECT s.midx,
+         COALESCE(st.n_start, 0) AS n_start,
+         COALESCE(en.n_end, 0) AS n_end,
+         COALESCE(ev.d, 0) AS d
+  FROM spine s
+  LEFT JOIN starts st ON st.midx = s.midx
+  LEFT JOIN ends_all en ON en.midx = s.midx
+  LEFT JOIN events ev ON ev.midx = s.midx
+), risked AS (
+  SELECT midx, d,
+         CAST(SUM(n_start) OVER (ORDER BY midx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - COALESCE(SUM(n_end) OVER (ORDER BY midx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM j
+), packed AS (
+  SELECT list(STRUCT_PACK(midx := midx, n_risk := n_risk, d := d) ORDER BY midx) AS arr
+  FROM risked
+), folded AS (
+  SELECT arr,
+         list_transform(range(1, len(arr) + 1),
+           k -> CASE WHEN k = 1
+                THEN 1000000 * (arr[1].n_risk - arr[1].d) // arr[1].n_risk
+                ELSE list_reduce(
+                  list_transform(list_slice(arr, 1, k),
+                    e -> STRUCT_PACK(n_risk := e.n_risk, d := e.d, s := CAST(NULL AS BIGINT))),
+                  (acc, e) -> STRUCT_PACK(n_risk := e.n_risk, d := e.d,
+                    s := CASE WHEN acc.s IS NULL
+                         THEN (1000000 * (acc.n_risk - acc.d) // acc.n_risk)
+                              * (e.n_risk - e.d) // e.n_risk
+                         ELSE acc.s * (e.n_risk - e.d) // e.n_risk END)).s
+                END) AS surv
+  FROM packed
+)
+SELECT printf('%04d-%02d', CAST(u.e.midx // 12 AS INTEGER),
+              CAST(u.e.midx % 12 + 1 AS INTEGER)) AS month,
+       u.e.n_risk AS n_risk, u.e.d AS n_events,
+       CAST(surv[u.i] AS BIGINT) AS survival_ppm
+FROM folded,
+     LATERAL (SELECT UNNEST(arr) AS e, UNNEST(range(1, len(arr)+1)) AS i) u
+ORDER BY month
+"""
+
+
+@register(
+    "stats_kaplan_meier",
+    oracle=KAPLAN_MEIER_ORACLE,
+    tags=("stats", "survival", "cohort"),
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for customer lifetime: a customer
+    enters at their first-order month, "dies" at their last-order
+    month, and is RIGHT-CENSORED (not an event) when that last month
+    is the observation edge — the textbook churn-survival setup. The
+    risk set per month is two cumulative sums over the month spine
+    (entries so far minus exits before now — no per-customer scan per
+    month), and S(t) = Π(1 − dᵤ/nᵤ) runs as an EXACT INTEGER fold:
+    S' = S·(n−d) div n in ppm, sequential by nature, bounded by
+    CALENDAR length — the same two-phase bounded-artifact pattern as
+    timeseries_holt_forecast. Spark folds once with an
+    array-accumulator HOF (O(months)); the oracle mirrors with
+    per-prefix folds (O(months²) — DuckDB 1.0's list_reduce drops
+    list-typed accumulator members, so the oracle re-folds each
+    prefix; same truncation sequence, bit-identical results).
+
+    Scale shape: one hash-agg per customer (min/max month), three
+    spine-keyed aggs, windows and the fold over the ~80-row spine.
+    Only the first agg sees the fact table.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("midx"),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min("midx").alias("fm"), F.max("midx").alias("lm")
+    )
+    maxm = cust.agg(F.max("lm").alias("maxm"))
+    cust2 = cust.crossJoin(F.broadcast(maxm))
+    starts = cust2.groupBy(F.col("fm").alias("midx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_start")
+    )
+    ends_all = cust2.groupBy(F.col("lm").alias("midx")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_end")
+    )
+    events = (
+        cust2.where(F.col("lm") < F.col("maxm"))
+        .groupBy(F.col("lm").alias("midx"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    spine = o.select("midx").distinct()
+    j = (
+        spine.join(starts, "midx", "left")
+        .join(ends_all, "midx", "left")
+        .join(events, "midx", "left")
+        .select(
+            "midx",
+            F.coalesce("n_start", F.lit(0)).alias("n_start"),
+            F.coalesce("n_end", F.lit(0)).alias("n_end"),
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+        )
+    )
+    w_cum = W.orderBy("midx").rowsBetween(W.unboundedPreceding, 0)
+    w_prev = W.orderBy("midx").rowsBetween(W.unboundedPreceding, -1)
+    risked = j.select(
+        "midx",
+        "d",
+        (
+            F.sum("n_start").over(w_cum)
+            - F.coalesce(F.sum("n_end").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    packed = risked.agg(
+        F.array_sort(F.collect_list(F.struct("midx", "n_risk", "d"))).alias("arr")
+    )
+    folded = packed.select(
+        "arr",
+        F.expr(
+            "aggregate(arr, named_struct('s', CAST(1000000 AS BIGINT),"
+            " 'o', CAST(array() AS ARRAY<BIGINT>)), "
+            "(acc, e) -> named_struct("
+            "'s', acc.s * (e.n_risk - e.d) div e.n_risk, "
+            "'o', concat(acc.o, array(acc.s * (e.n_risk - e.d) div e.n_risk))))"
+        ).alias("f"),
+    )
+    return (
+        folded.select(
+            F.posexplode(F.arrays_zip(F.col("arr"), F.col("f.o"))).alias("i", "z")
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                (F.col("z.arr.midx") / 12).cast("int"),
+                (F.col("z.arr.midx") % 12 + 1).cast("int"),
+            ).alias("month"),
+            F.col("z.arr.n_risk").alias("n_risk"),
+            F.col("z.arr.d").alias("n_events"),
+            F.col("z.o").cast("bigint").alias("survival_ppm"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity detection segments (multimodal)
+# ---------------------------------------------------------------------------
+
+AUDIO_VAD_ORACLE = """
+WITH s AS (
+  SELECT doc_id, UNNEST(range(64)) AS i FROM documents WHERE doc_id < 200
+), pcm AS (
+  SELECT doc_id, i // 8 AS frame_idx,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+  FROM s
+), frames AS (
+  SELECT doc_id, frame_idx,
+         CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+  FROM pcm GROUP BY doc_id, frame_idx
+), flagged AS (
+  SELECT doc_id, frame_idx, energy,
+         CASE WHEN energy > 6900000000 THEN 1 ELSE 0 END AS active
+  FROM frames
+), islanded AS (
+  SELECT doc_id, frame_idx, energy, active,
+         SUM(1 - active) OVER (PARTITION BY doc_id ORDER BY frame_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), segs AS (
+  SELECT doc_id, island,
+         CAST(MIN(frame_idx) AS INTEGER) AS start_frame,
+         CAST(MAX(frame_idx) AS INTEGER) AS end_frame,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(energy) AS BIGINT) AS energy_sum
+  FROM islanded WHERE active = 1
+  GROUP BY doc_id, island
+)
+SELECT doc_id AS media_id, start_frame, end_frame, n_frames, energy_sum
+FROM segs WHERE n_frames >= 2
+ORDER BY media_id, start_frame
+"""
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle=AUDIO_VAD_ORACLE,
+    tags=("multimodal", "llm", "decode"),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection (E5): decode real WAV
+    bytes, frame the PCM (8 samples/frame), per-frame energy (exact
+    Σv²), threshold, then coalesce consecutive active frames into
+    segments and keep runs of ≥ 2 frames — the decode → feature →
+    gate → segment pipeline an audio data curator runs before ASR,
+    composed entirely from this repo's existing kernels (stdlib WAV
+    decode, integer frame energy, the gaps-and-islands run detector —
+    islands keyed on the running count of INACTIVE frames, so each
+    active run gets a stable id). All arithmetic integral, so the
+    analytic PCM oracle hash-matches.
+
+    Scale shape: decode and framing are map-side (posexplode of the
+    decoded array), one hash-agg per (media, frame), one window keyed
+    per media for the run ids, one agg per run. Media files
+    parallelize by row; nothing global.
+    """
+    from data_lake_with_spark_spark.operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = MM.attach_wav_payloads(docs, "doc_id")
+    dec = MM.decode_media(media)
+    frames = (
+        dec.select("media_id", F.posexplode("values").alias("i", "v"))
+        .select(
+            "media_id",
+            (F.col("i") / 8).cast("int").alias("frame_idx"),
+            F.col("v").cast("bigint").alias("v"),
+        )
+        .groupBy("media_id", "frame_idx")
+        .agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("energy"))
+    )
+    flagged = frames.withColumn(
+        "active", F.when(F.col("energy") > 6900000000, 1).otherwise(0)
+    )
+    w_isl = (
+        W.partitionBy("media_id")
+        .orderBy("frame_idx")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islanded = flagged.withColumn(
+        "island", F.sum(1 - F.col("active")).over(w_isl)
+    )
+    segs = (
+        islanded.where(F.col("active") == 1)
+        .groupBy("media_id", "island")
+        .agg(
+            F.min("frame_idx").cast("int").alias("start_frame"),
+            F.max("frame_idx").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("energy").cast("bigint").alias("energy_sum"),
+        )
+    )
+    return (
+        segs.where(F.col("n_frames") >= 2)
+        .select("media_id", "start_frame", "end_frame", "n_frames", "energy_sum")
+        .orderBy("media_id", "start_frame")
+    )

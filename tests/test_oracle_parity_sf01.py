@@ -74,6 +74,8 @@ CHANGED_THIS_ROUND = [
     "timeseries_stl_dow",
     "text_heaps_law",
     "ml_gain_lift_distributed",
+    "stats_kaplan_meier",
+    "multimodal_audio_vad",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

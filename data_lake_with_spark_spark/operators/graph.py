@@ -473,3 +473,71 @@ def kcore(
         if n_iter is None:
             LAST_CONVERGENCE_ROUNDS["kcore"] = rounds
     return deg.join(alive, id_col).select(id_col, "degree")
+
+
+def sssp_weighted(
+    pairs: DataFrame,
+    source,
+    n_iter: int | None = None,
+    id_col: str = "id",
+    cost_col: str = "cost",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, dist) minimum WEIGHTED distance from ``source`` over the
+    undirected pair graph with non-negative integer edge costs —
+    Bellman-Ford as iterated relaxation: dist_k(v) = min(dist_{k-1}(v),
+    min over edges (dist(u) + cost(u,v))). The weighted generalization
+    of ``bfs_hops`` (same driver loop over checkpoint-truncated lazy
+    plans, one join + one min-agg per round).
+
+    Default (``n_iter=None``): relax to fixpoint bounded by
+    ``max_iter`` — the stop probe is one (count, sum(dist)) agg per
+    round, monotone because the reached set only grows and distances
+    only decrease (non-negative costs), so an unchanged pair is
+    exactly a fixpoint. Explicit ``n_iter`` pins the unroll — the
+    SQL-oracle-expressible mode; nodes further than ``n_iter`` edges
+    from the source are absent (the frontier cap)."""
+    _check_iters("sssp_weighted", n_iter, max_iter)
+    spark = pairs.sparkSession
+    fwd = pairs.select(
+        F.col("a_id").alias("src"),
+        F.col("b_id").alias("dst"),
+        F.col(cost_col).cast("bigint").alias("_cost"),
+    )
+    rev = pairs.select(
+        F.col("b_id").alias("src"),
+        F.col("a_id").alias("dst"),
+        F.col(cost_col).cast("bigint").alias("_cost"),
+    )
+    edges = fwd.unionAll(rev).localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(source, 0)], f"{id_col} bigint, dist bigint"
+    ).localCheckpoint(eager=True)
+    rounds = int(n_iter) if n_iter is not None else int(max_iter)
+    state = (1, 0)
+    for r in range(rounds):
+        nxt = edges.join(
+            dist.select(F.col(id_col).alias("src"), "dist"), "src"
+        ).select(
+            F.col("dst").alias(id_col),
+            (F.col("dist") + F.col("_cost")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy(id_col)
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if n_iter is None:
+            row = dist.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dist"), F.lit(0)).alias("s"),
+            ).collect()[0]
+            new_state = (row["n"], row["s"])
+            if new_state == state:
+                LAST_CONVERGENCE_ROUNDS["sssp_weighted"] = r + 1
+                return dist
+            state = new_state
+    if n_iter is None:
+        LAST_CONVERGENCE_ROUNDS["sssp_weighted"] = rounds
+    return dist

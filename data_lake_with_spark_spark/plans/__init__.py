@@ -45,6 +45,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "dedup_cluster_keep_min",
         "feature_quantile_bins",
         "graph_bfs_reachability",
+        "graph_sssp_weighted",
         "graph_community_modularity",
         "graph_connected_components",
         "graph_kcore_membership",

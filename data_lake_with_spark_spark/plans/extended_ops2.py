@@ -2327,3 +2327,189 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "start_frame", "end_frame", "n_frames", "energy_sum")
         .orderBy("media_id", "start_frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger-band breakouts (integer-exact, sqrt-free)
+# ---------------------------------------------------------------------------
+
+BOLLINGER_ORACLE = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), win AS (
+  SELECT day, cents,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         CAST(SUM(cents) OVER (ORDER BY day
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s20,
+         SUM(CAST(cents AS HUGEINT) * cents) OVER (ORDER BY day
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss20
+  FROM daily
+), scored AS (
+  SELECT day, cents, s20, ss20,
+         (20 * cents - s20) AS dev20,
+         80 * ss20 - 4 * CAST(s20 AS HUGEINT) * s20 AS var400x4
+  FROM win WHERE rn >= 20
+)
+SELECT day, cents,
+       CAST(s20 // 20 AS BIGINT) AS sma20_cents,
+       CASE WHEN dev20 > 0 THEN 'above' ELSE 'below' END AS direction
+FROM scored
+WHERE CAST(dev20 AS HUGEINT) * dev20 > var400x4
+ORDER BY day
+"""
+
+
+@register(
+    "finance_bollinger_breakouts",
+    oracle=BOLLINGER_ORACLE,
+    tags=("finance", "timeseries", "window"),
+)
+def finance_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout days (daily revenue outside SMA20 ±
+    2σ) with NO square root and NO floats: the band test
+    |x − μ| > 2σ cross-multiplies to (20x − s)² > 80·Σx² − 4s² —
+    population variance over the 20-day window in pure integers (the
+    same moments trick as stats_anova_oneway, squared to kill the
+    sqrt). Both sides are exact DECIMAL(38,0)-range integers, so the
+    breakout set is bit-deterministic — a float-banded version flips
+    edge days per partitioning; this one can't. Warmup excludes the
+    first 19 partially-filled windows.
+
+    Scale shape: one hash-agg to the calendar-bounded daily spine
+    (exact BIGINT cents, order-independent), two sliding sums in ONE
+    window pass over the spine, map-side breakout filter. Only the
+    first agg sees the fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_format(F.date_trunc("day", "l_shipdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w20 = W.orderBy("day").rowsBetween(-19, 0)
+    win = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.sum("cents").over(w20).cast("bigint").alias("s20"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .over(w20)
+        .alias("ss20"),
+    )
+    scored = win.where(F.col("rn") >= 20).select(
+        "day",
+        "cents",
+        "s20",
+        (20 * F.col("cents") - F.col("s20")).alias("dev20"),
+        (
+            F.lit(80).cast("decimal(38,0)") * F.col("ss20")
+            - F.lit(4).cast("decimal(38,0)")
+            * (F.col("s20").cast("decimal(38,0)") * F.col("s20"))
+        ).alias("var400x4"),
+    )
+    return (
+        scored.where(
+            F.col("dev20").cast("decimal(38,0)") * F.col("dev20")
+            > F.col("var400x4")
+        )
+        .select(
+            "day",
+            "cents",
+            F.expr("CAST(s20 DIV 20 AS BIGINT)").alias("sma20_cents"),
+            F.when(F.col("dev20") > 0, "above").otherwise("below").alias(
+                "direction"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def _sssp_oracle(n_iter: int = 4) -> str:
+    """Unrolled weighted Bellman-Ford twin over the covisitation graph
+    (cost = 1000 div co-window count: stronger ties are cheaper) —
+    extends the unrolled-iterative oracle family (PageRank, LPA, BFS,
+    CC) with weighted relaxation."""
+    head = """WITH w AS (
+  SELECT DISTINCT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, user_id
+  FROM events
+), pairs AS (
+  SELECT a.user_id AS u, b.user_id AS v,
+         CAST(1000 // COUNT(*) AS BIGINT) AS cost
+  FROM w a JOIN w b ON a.win = b.win AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), ed AS (
+  SELECT u AS src, v AS dst, cost FROM pairs
+  UNION ALL SELECT v, u, cost FROM pairs
+), d0 AS (
+  SELECT MIN(src) AS id, CAST(0 AS BIGINT) AS dist FROM ed
+)"""
+    ctes = [head]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f""", d{k} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT ed.dst AS id, d{k - 1}.dist + ed.cost AS dist
+    FROM ed JOIN d{k - 1} ON ed.src = d{k - 1}.id
+  ) GROUP BY id
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT id AS user_id, CAST(dist AS BIGINT) AS dist FROM d{n_iter}"
+        "\nORDER BY dist, user_id"
+    )
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=_sssp_oracle(4),
+    tags=("graph", "events", "iterative"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the covisitation
+    graph — edge cost 1000 div co-window-count, so frequently
+    co-active users are 'closer' — within 4 relaxation rounds of the
+    smallest node id. Bellman-Ford as the driver loop over
+    checkpoint-truncated lazy plans (operators/graph.py:sssp_weighted,
+    the weighted sibling of bfs_hops: one edge join + one min-agg per
+    round); the converging default iterates to fixpoint, the pinned
+    n_iter=4 registered here is what the unrolled SQL oracle can
+    express — the fifth member of the unrolled-iterative family.
+    Source selection is a bounded driver action; eager like the BFS.
+
+    Scale shape per round: one shuffle keyed on the frontier join key
+    and one min-agg — O(rounds) shuffles total, each proportional to
+    edges incident to the reached set, never all-pairs.
+    """
+    from data_lake_with_spark_spark.operators.graph import sssp_weighted
+
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        F.floor(F.unix_timestamp("ts") / 300).cast("bigint").alias("win"),
+        "user_id",
+    ).distinct()
+    a = w.select("win", F.col("user_id").alias("a_id"))
+    b = w.select("win", F.col("user_id").alias("b_id"))
+    pairs = (
+        a.join(b, "win")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") >= 3)
+        .select("a_id", "b_id", F.expr("CAST(1000 DIV nw AS BIGINT)").alias("cost"))
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    source = pairs.agg(F.min("a_id")).first()[0]
+    dist = sssp_weighted(pairs, int(source), n_iter=4, id_col="user_id")
+    return dist.select("user_id", "dist").orderBy("dist", "user_id")

@@ -109,3 +109,22 @@ def test_pagerank_empty_graph_returns_empty_frame(spark):
     assert flt.columns == ["id", "rank"] and flt.count() == 0
     por = G.pagerank_portable(empty)
     assert por.columns == ["id", "rank_scaled"] and por.count() == 0
+
+
+def test_sssp_weighted_default_reaches_past_pinned_horizon(spark):
+    # Weighted path 0-1-...-14 with cost 5 per hop, plus an expensive
+    # shortcut 0-14 at cost 100: true dist(14) = min(70, 100) = 70,
+    # which needs 14 relaxation rounds — deeper than the registered
+    # pinned unroll of 4. The converging default must find it AND must
+    # use the shortcut as an upper bound until relaxation beats it.
+    edges = [(i, i + 1, 5) for i in range(14)] + [(0, 14, 100)]
+    pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint, cost bigint")
+    dist = {r["id"]: r["dist"] for r in G.sssp_weighted(pairs, 0).collect()}
+    assert dist == {i: 5 * i for i in range(14)} | {14: 70}
+    assert G.LAST_CONVERGENCE_ROUNDS["sssp_weighted"] < 30
+    # The pinned-4 twin caps the frontier: node 14 is reachable only
+    # via the costly shortcut inside 4 rounds.
+    pinned = {
+        r["id"]: r["dist"] for r in G.sssp_weighted(pairs, 0, n_iter=4).collect()
+    }
+    assert pinned[14] == 100 and pinned[4] == 20 and 10 not in pinned

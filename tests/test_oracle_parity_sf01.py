@@ -76,6 +76,8 @@ CHANGED_THIS_ROUND = [
     "ml_gain_lift_distributed",
     "stats_kaplan_meier",
     "multimodal_audio_vad",
+    "finance_bollinger_breakouts",
+    "graph_sssp_weighted",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions.time import epoch_ms
 from data_lake_with_spark_spark.plans.parity import pround
 from data_lake_with_spark_spark.plans.registry import register
 
@@ -2513,3 +2514,418 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = pairs.agg(F.min("a_id")).first()[0]
     dist = sssp_weighted(pairs, int(source), n_iter=4, id_col="user_id")
     return dist.select("user_id", "dist").orderBy("dist", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Learning curve: AUC at nested sample fractions
+# ---------------------------------------------------------------------------
+
+LEARNING_CURVE_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || 'lc'), 1, 8)
+              AS BIGINT) AS h
+  FROM embeddings
+), fr AS (
+  SELECT * FROM (VALUES (25, 1073741824), (50, 2147483648), (100, 4294967296))
+           AS v(frac_pct, thr)
+), member AS (
+  SELECT fr.frac_pct, s.score, s.pos
+  FROM s JOIN fr ON s.h < fr.thr
+), g AS (
+  SELECT frac_pct, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM member GROUP BY frac_pct, score
+), r AS (
+  SELECT frac_pct, p, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (PARTITION BY frac_pct ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM g
+)
+SELECT CAST(frac_pct AS INTEGER) AS frac_pct,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(cnt) - SUM(p) AS BIGINT) AS n_neg,
+       FLOOR(((CAST(SUM(p * (2 * cumb + cnt + 1)) AS BIGINT) - SUM(p) * (SUM(p) + 1))
+              / (2 * SUM(p) * (SUM(cnt) - SUM(p)))) * 1000000.0 + 0.5) / 1000000.0
+         AS auc
+FROM r GROUP BY frac_pct ORDER BY frac_pct
+"""
+
+
+@register(
+    "ml_learning_curve_auc",
+    oracle=LEARNING_CURVE_ORACLE,
+    tags=("training", "stats", "ml", "sampling"),
+)
+def ml_learning_curve_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve readout: exact AUC at NESTED 25% / 50% / 100%
+    sample fractions — nested by construction (membership is a hash
+    threshold, so the 25% set ⊂ 50% ⊂ 100%), which is how a real
+    scaling study holds data composition fixed while growing size. One
+    scan fans rows into their fractions (a 3-row literal broadcast
+    join on the hash inequality — map-side, ×matching-fractions), then
+    the Mann-Whitney rank-sum AUC runs per fraction over
+    fraction-partitioned distinct-score spines. Content-addressed
+    sampling (md5) keeps the curve reproducible across engines and
+    runs.
+
+    Scale shape: the ml_auc_rank_sum shape with frac_pct prepended to
+    every key — one hash-agg to the (fraction × score) spine, windows
+    partitioned per fraction, 3-row readout.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1e6)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), 'lc')),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    fr = spark.createDataFrame(
+        [(25, 1 << 30), (50, 1 << 31), (100, 1 << 32)], "frac_pct int, thr bigint"
+    )
+    member = s.join(F.broadcast(fr), s.h < fr.thr).select("frac_pct", "score", "pos")
+    g = member.groupBy("frac_pct", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w = (
+        W.partitionBy("frac_pct")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "frac_pct",
+        "p",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("cumb"),
+    )
+    r2 = F.sum(F.col("p") * (2 * F.col("cumb") + F.col("cnt") + 1)).cast("bigint")
+    return (
+        r.groupBy("frac_pct")
+        .agg(
+            F.sum("p").cast("bigint").alias("n_pos"),
+            (F.sum("cnt") - F.sum("p")).cast("bigint").alias("n_neg"),
+            pround(
+                (r2 - F.sum("p") * (F.sum("p") + 1))
+                / (2 * F.sum("p") * (F.sum("cnt") - F.sum("p"))),
+                6,
+            ).alias("auc"),
+        )
+        .select(
+            F.col("frac_pct").cast("int").alias("frac_pct"),
+            "n_pos",
+            "n_neg",
+            "auc",
+        )
+        .orderBy("frac_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_U_ORACLE = """
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS cts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT event_id AS touch_id, user_id, event_type,
+         CAST(epoch_ms(ts) AS BIGINT) AS tts
+  FROM events WHERE event_type <> 'purchase'
+), path AS (
+  SELECT c.conv_id, t.touch_id, t.event_type, t.tts,
+         CAST(COUNT(*) OVER (PARTITION BY c.conv_id) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY t.tts, t.touch_id) AS posn
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tts < c.cts AND t.tts >= c.cts - 604800000
+), credited AS (
+  SELECT conv_id, event_type,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN posn = 1 THEN 400000
+              WHEN posn = n THEN 400000
+              ELSE 200000 // (n - 2) END AS credit_ppm
+  FROM path
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_ppm) AS BIGINT) AS total_credit_ppm
+FROM credited GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "attribution_position_based",
+    oracle=ATTRIBUTION_U_ORACLE,
+    tags=("analytics", "attribution", "window"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase distributes credit over the user's touches in the
+    preceding 7 days — 40% to the first touch, 40% to the last, 20%
+    split across the middles (integer ppm with truncating div; the
+    sub-ppm remainder is deliberately unassigned rather than
+    float-smeared). The standard upgrade from last-touch attribution
+    (attribution_last_touch) when first-touch discovery matters.
+    Positions are total-ordered by (ts, event_id), so credit
+    assignment is deterministic under ties.
+
+    Scale shape: one bounded-range join (user key + 7-day window — the
+    join_range_within pattern, never user-cartesian across time), two
+    windows partitioned per conversion, one hash-agg per channel. A
+    user's path length bounds the per-conversion work.
+    """
+    ev = _t(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        epoch_ms("ts").alias("cts"),
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        "event_type",
+        epoch_ms("ts").alias("tts"),
+    )
+    path = (
+        conv.join(touch, "user_id")
+        .where(
+            (F.col("tts") < F.col("cts"))
+            & (F.col("tts") >= F.col("cts") - 604800000)
+        )
+        .select(
+            "conv_id",
+            "touch_id",
+            "event_type",
+            F.count(F.lit(1))
+            .over(W.partitionBy("conv_id"))
+            .cast("bigint")
+            .alias("n"),
+            F.row_number()
+            .over(W.partitionBy("conv_id").orderBy("tts", "touch_id"))
+            .alias("posn"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when(F.col("posn") == 1, 400000)
+        .when(F.col("posn") == F.col("n"), 400000)
+        .otherwise(F.expr("200000 DIV (n - 2)"))
+    )
+    return (
+        path.select("event_type", credit.alias("credit_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_ppm").cast("bigint").alias("total_credit_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-population drift (centroid shift)
+# ---------------------------------------------------------------------------
+
+EMBEDDING_DRIFT_ORACLE = """
+WITH s AS (
+  SELECT CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || 'emb'), 1, 8)
+              AS BIGINT) % 2 AS side,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), comp AS (
+  SELECT side, UNNEST(range(len(v))) AS dim,
+         CAST(FLOOR(v[UNNEST(range(len(v))) + 1] * 1e6) AS BIGINT) AS x
+  FROM s
+), dims AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN side = 0 THEN x ELSE 0 END)
+              // COUNT_IF(side = 0) AS BIGINT) AS mean_a,
+         CAST(SUM(CASE WHEN side = 1 THEN x ELSE 0 END)
+              // COUNT_IF(side = 1) AS BIGINT) AS mean_b
+  FROM comp GROUP BY dim
+), scored AS (
+  SELECT dim, mean_a, mean_b,
+         (mean_a - mean_b) * (mean_a - mean_b) AS d2
+  FROM dims
+)
+, tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+         CAST(SUM(d2) AS BIGINT) AS l2sq_micro2,
+         CAST(MAX(d2) AS BIGINT) AS worst_d2
+  FROM scored
+), worst AS (
+  SELECT CAST(dim AS INTEGER) AS worst_dim
+  FROM (SELECT dim, ROW_NUMBER() OVER (ORDER BY d2 DESC, dim ASC) AS rn
+        FROM scored) WHERE rn = 1
+)
+SELECT t.n_dims, t.l2sq_micro2, w.worst_dim, t.worst_d2
+FROM tot t CROSS JOIN worst w
+"""
+
+
+@register(
+    "ml_embedding_drift",
+    oracle=EMBEDDING_DRIFT_ORACLE,
+    tags=("training", "stats", "drift", "vector"),
+)
+def ml_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-population drift: centroid shift between two md5
+    halves of the corpus (train-time vs serving-time stand-in) — per
+    dimension, micro-scaled integer means (truncating div matches
+    engines), squared differences summed exactly, plus the
+    worst-drifting dimension (deterministic tie-break toward the
+    lower dim index). The vector companion of ml_psi_score_drift: PSI
+    watches a scalar score; this watches the representation itself.
+
+    Scale shape: posexplode to (side, dim) components — map-side —
+    then ONE hash-agg keyed by dim (64 groups, both sides folded in
+    one pass via conditional sums), then arithmetic on 64 rows. The
+    100 TB cost is one scan + one tiny-keyed agg.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), 'emb')),"
+            " 1, 8), 16, 10) AS BIGINT), 2)"
+        ).alias("side"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xd"),
+    ).select("side", "dim", F.floor(F.col("xd") * 1e6).cast("bigint").alias("x"))
+    dims = s.groupBy("dim").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN side = 0 THEN x ELSE 0 END)"
+            " DIV count_if(side = 0) AS BIGINT)"
+        ).alias("mean_a"),
+        F.expr(
+            "CAST(SUM(CASE WHEN side = 1 THEN x ELSE 0 END)"
+            " DIV count_if(side = 1) AS BIGINT)"
+        ).alias("mean_b"),
+    )
+    scored = dims.select(
+        "dim",
+        ((F.col("mean_a") - F.col("mean_b")) * (F.col("mean_a") - F.col("mean_b")))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("d2").cast("bigint").alias("l2sq_micro2"),
+        F.expr("CAST(max_by(dim, struct(d2, -dim)) AS INTEGER)").alias("worst_dim"),
+        F.max("d2").cast("bigint").alias("worst_d2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation of two daily series
+# ---------------------------------------------------------------------------
+
+XCORR_ORACLE = """
+WITH rev AS (
+  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+), ord AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT UNNEST([-2, -1, 0, 1, 2]) AS lag
+), m AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r.x) AS HUGEINT) AS sx,
+         CAST(SUM(o.y) AS HUGEINT) AS sy,
+         SUM(CAST(r.x AS HUGEINT) * o.y) AS sxy,
+         SUM(CAST(r.x AS HUGEINT) * r.x) AS sxx,
+         SUM(CAST(o.y AS HUGEINT) * o.y) AS syy
+  FROM lags l
+  JOIN rev r ON TRUE
+  JOIN ord o ON o.day = r.day + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n,
+       FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr
+FROM m ORDER BY lag
+"""
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle=XCORR_ORACLE,
+    tags=("timeseries", "stats"),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between daily revenue and daily
+    order volume at lags −2..+2 — the does-X-anticipate-Y diagnostic
+    behind demand forecasting. Moments per lag are EXACT wide-integer
+    sums (DECIMAL(38,0) products, order-independent); the Pearson
+    readout divides once per lag with sqrt — which, unlike ln/exp, is
+    IEEE-correctly-rounded and therefore bit-identical across engines
+    on identical integer inputs. The lag shift is a 5-row literal
+    fan-out joined on the shifted day key (map-side ×5), not five
+    passes.
+
+    Scale shape: two hash-aggs collapse both fact tables to their
+    calendar-bounded daily spines; the lag join and moment agg run on
+    spine-sized data. Only the first aggs see the 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        F.date_trunc("day", "l_shipdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    o = _t(spark, sf_dir, "orders")
+    ordd = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    lags = spark.createDataFrame([(-2,), (-1,), (0,), (1,), (2,)], "lag int")
+    joined = (
+        rev.crossJoin(F.broadcast(lags))
+        .join(
+            ordd.select(F.col("day").alias("oday"), "y"),
+            F.expr("oday = date_add(day, lag)"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        pround(num / den, 6).alias("corr"),
+    ).orderBy("lag")

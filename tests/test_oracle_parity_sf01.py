@@ -78,6 +78,10 @@ CHANGED_THIS_ROUND = [
     "multimodal_audio_vad",
     "finance_bollinger_breakouts",
     "graph_sssp_weighted",
+    "ml_learning_curve_auc",
+    "attribution_position_based",
+    "ml_embedding_drift",
+    "timeseries_cross_correlation",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

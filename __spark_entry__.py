@@ -101,7 +101,11 @@ DRIVER_WINDOW = [
     # layout_partition_advisor, spatial_knn_grid, events_pattern_regex,
     # stats_mutual_information, text_rake_keywords, stats_anova_oneway,
     # ml_best_split_gini, ml_psi_score_drift, timeseries_stl_dow,
-    # text_heaps_law.
+    # text_heaps_law. Plus the third-continuation-session additions in
+    # plans/extended_ops3.py (sf0.01-gated at birth):
+    # attribution_shapley, stats_wilson_ci, dq_fd_discovery, and the
+    # rest listed in tests/test_oracle_parity_sf01.py
+    # CHANGED_THIS_ROUND.
     #
     # changed this round (re-verify under the fixpoint-default graph
     # operator refactor; both held green rows before):

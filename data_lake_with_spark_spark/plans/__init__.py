@@ -13,6 +13,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     corpus_ops,
     extended_ops,
     extended_ops2,
+    extended_ops3,
     lakehouse_ops,
     reference_surface,
     relational,

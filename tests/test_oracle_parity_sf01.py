@@ -82,6 +82,11 @@ CHANGED_THIS_ROUND = [
     "attribution_position_based",
     "ml_embedding_drift",
     "timeseries_cross_correlation",
+    # plans/extended_ops3.py — NEW this round (third continuation
+    # session; sf0.01-gated from birth here):
+    "attribution_shapley",
+    "stats_wilson_ci",
+    "dq_fd_discovery",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

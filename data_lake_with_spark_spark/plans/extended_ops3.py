@@ -320,3 +320,289 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl", "fd")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) — positional near-dup detection
+# ---------------------------------------------------------------------------
+
+WINNOWING_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(norm) - 15 + 1), i ->
+           CAST('0x' || substring(md5(substring(norm, i, 16)), 1, 8) AS BIGINT)
+         ) AS hs
+  FROM d WHERE length(norm) >= 23
+), f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - 8 + 2), j ->
+           list_min(list_slice(hs, j, j + 7)))) AS fps
+  FROM h
+), e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM f
+), rare AS (
+  SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 8
+), er AS (
+  SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM er GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT p.doc_a, p.doc_b, p.shared_fps,
+       sa.n_fps AS size_a, sb.n_fps AS size_b,
+       CAST(p.shared_fps * 1000000 // LEAST(sa.n_fps, sb.n_fps) AS BIGINT)
+         AS containment_ppm
+FROM pairs p
+JOIN sz sa ON p.doc_a = sa.doc_id
+JOIN sz sb ON p.doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=WINNOWING_ORACLE,
+    tags=("text", "dedup", "winnowing"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing near-dup detection (Schleimer et al. 2003):
+    16-char k-gram rolling hashes (portable 32-bit md5 prefix), window
+    w = 8 min-selection — the winnowing guarantee picks ≥1 fingerprint
+    per w consecutive grams, so any shared run ≥ k+w−1 chars yields a
+    shared fingerprint — then an inverted-index self-join reports doc
+    pairs sharing ≥3 fingerprints with containment ppm. Fingerprints
+    with document frequency > 8 are dropped FIRST (template
+    boilerplate: on this corpus the cap cuts candidate pairs ~700×
+    without touching genuine near-dup families — the standard
+    heavy-hitter discipline of plagiarism/near-dup indexes).
+
+    Complements the hash-bucket families (dedup_minhash_lsh,
+    dedup_simhash): winnowing is positional, so it localizes WHERE the
+    overlap is and catches contained excerpts MinHash dilutes.
+
+    Scale shape: hashing and window-min selection are per-row HOF
+    column math (zero shuffle, whole-stage codegen); the posting index
+    shuffles once on fingerprint, and the df ≤ 8 cap bounds every
+    posting list, so the pair fanout is ≤ C(8,2) per fingerprint —
+    Σ postings², never corpus². No cartesian anywhere.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fps = (
+        docs.select(
+            "doc_id",
+            F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("norm"),
+        )
+        .where(F.length("norm") >= 23)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, length(norm) - 15), i -> "
+                "CAST(conv(substring(md5(substring(norm, i, 16)), 1, 8), 16, 10)"
+                " AS BIGINT))"
+            ).alias("hs"),
+        )
+        # Barrier: materialize the per-position hash array ONCE before
+        # the window-min fan-out references it ~m times — without it,
+        # CollapseProject inlines the m-term md5 transform into every
+        # window min (O(m²) md5 calls per document; the ARCHITECTURE.md
+        # HOF expression-duplication lesson).
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(hs) - 7), j -> "
+                "array_min(slice(hs, j, 8))))"
+            ).alias("fps"),
+        )
+    )
+    # explode_outer, not explode: InferFiltersFromGenerate turns an
+    # inner explode into a `size(fps) > 0` filter that Catalyst pushes
+    # below the repartition barrier, re-inlining the O(m²) md5 window
+    # expression into the scan stage (observed: the single pre-shuffle
+    # task runs ~80k md5+regexp evaluations PER ROW and never
+    # finishes). Outer generate infers nothing; the barrier holds, and
+    # the null guard filters on the generated column, above the
+    # Generate. Every doc with norm ≥ 23 chars has ≥1 fingerprint, so
+    # semantics are unchanged.
+    e = fps.select("doc_id", F.explode_outer("fps").alias("fp")).where(
+        F.col("fp").isNotNull()
+    )
+    rare = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 8)
+    er = e.join(rare.select("fp"), "fp")
+    sz = er.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"))
+    a = er.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = er.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+    )
+    return (
+        pairs.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fps", "size_a"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fps", "size_b"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared_fps", "size_a", "size_b",
+            F.expr("shared_fps * 1000000 div least(size_a, size_b)")
+            .cast("bigint").alias("containment_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-item recommender (transition matrix with Laplace smoothing)
+# ---------------------------------------------------------------------------
+
+MARKOV_NEXT_ITEM_ORACLE = """
+WITH spend AS (
+  SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, p.p_brand,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS brand_spend
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate, p.p_brand
+), dom AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, p_brand
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey
+             ORDER BY brand_spend DESC, p_brand ASC
+           ) AS brn
+    FROM spend
+  ) WHERE brn = 1
+), seq AS (
+  SELECT o_custkey, p_brand,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+         ) AS rn
+  FROM dom
+), tr AS (
+  SELECT a.p_brand AS cur_brand, b.p_brand AS next_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq a JOIN seq b
+    ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+  GROUP BY a.p_brand, b.p_brand
+), v AS (
+  SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS vocab FROM part
+), tot AS (
+  SELECT cur_brand, SUM(n_trans) AS row_tot FROM tr GROUP BY cur_brand
+), scored AS (
+  SELECT tr.cur_brand, tr.next_brand, tr.n_trans,
+         CAST((tr.n_trans + 1) * 1000000 // (tot.row_tot + v.vocab) AS BIGINT)
+           AS prob_ppm,
+         ROW_NUMBER() OVER (
+           PARTITION BY tr.cur_brand
+           ORDER BY tr.n_trans DESC, tr.next_brand ASC
+         ) AS rnk
+  FROM tr JOIN tot ON tr.cur_brand = tot.cur_brand CROSS JOIN v
+)
+SELECT cur_brand, next_brand, n_trans, prob_ppm, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 3
+ORDER BY cur_brand, rnk
+"""
+
+
+@register(
+    "recsys_markov_next_item",
+    oracle=MARKOV_NEXT_ITEM_ORACLE,
+    tags=("recsys", "markov", "sequence"),
+)
+def recsys_markov_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-item recommender: each order is
+    represented by its dominant brand (argmax of exact-decimal brand
+    spend within the basket, tie-break brand asc — the per-line
+    sequence would be ill-defined: this dataset has duplicate
+    (orderkey, linenumber) rows, so any line-level ROW_NUMBER ties
+    nondeterministically); per-customer order sequences (total order
+    by orderdate + unique orderkey) then yield brand→brand transition
+    counts, and Laplace-smoothed conditional probability P(next|cur) =
+    (N+1)/(rowtotal+|V|) in exact truncating ppm ranks the top-3
+    recommendations per antecedent brand (tie-break: count desc,
+    brand asc). The "customers who bought X next bought Y" baseline —
+    the sequence-aware sibling of recsys_item_item_topk's co-purchase
+    cosine.
+
+    Scale shape: one fact-sized join pipeline (lineitem⋈orders,
+    broadcast part), a per-order spend agg with map-side combine, ONE
+    window shuffle on the customer key for sequencing, then the lag
+    self-join stays in the same partitioning (AQE reuses the
+    exchange); transition/total aggregates collapse to |brands|² ≤ 625
+    rows, and the vocabulary scalar broadcasts. At 100 TB only the
+    basket agg and the sequencing window are data-sized, and both
+    partition cleanly on their keys.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    spend = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("brand_spend"))
+    )
+    dom = (
+        spend.withColumn(
+            "brn",
+            F.row_number().over(
+                W.partitionBy("o_orderkey").orderBy(
+                    F.desc("brand_spend"), F.asc("p_brand")
+                )
+            ),
+        )
+        .where(F.col("brn") == 1)
+        .drop("brn", "brand_spend")
+    )
+    seq = dom.select(
+        "o_custkey",
+        "p_brand",
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    nxt = seq.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("p_brand").alias("next_brand"),
+        (F.col("rn") - 1).alias("prev_rn"),
+    )
+    tr = (
+        seq.join(
+            nxt,
+            (seq.o_custkey == nxt.ck) & (seq.rn == nxt.prev_rn),
+        )
+        .groupBy(F.col("p_brand").alias("cur_brand"), "next_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    vocab = p.agg(F.countDistinct("p_brand").cast("bigint").alias("vocab"))
+    tot = tr.groupBy("cur_brand").agg(F.sum("n_trans").alias("row_tot"))
+    scored = (
+        tr.join(tot, "cur_brand")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "cur_brand",
+            "next_brand",
+            "n_trans",
+            F.expr("(n_trans + 1) * 1000000 div (row_tot + vocab)")
+            .cast("bigint")
+            .alias("prob_ppm"),
+            F.row_number()
+            .over(
+                W.partitionBy("cur_brand").orderBy(
+                    F.desc("n_trans"), F.asc("next_brand")
+                )
+            )
+            .cast("bigint")
+            .alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+    return scored.orderBy("cur_brand", "rnk")

@@ -87,6 +87,8 @@ CHANGED_THIS_ROUND = [
     "attribution_shapley",
     "stats_wilson_ci",
     "dq_fd_discovery",
+    "text_winnowing_fingerprints",
+    "recsys_markov_next_item",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -58,6 +58,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "search_mmr_rerank",
         "segment_rfm_distributed",
         "sort_keyset_pagination",
+        "spatial_dbscan_grid",
         "stats_exact_percentiles",
         "text_bpe_tokenize",
         "vector_kmeans_lloyd",

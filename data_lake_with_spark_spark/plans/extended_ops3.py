@@ -606,3 +606,156 @@ def recsys_markov_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
     )
     return scored.orderBy("cur_brand", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Grid-density DBSCAN (GriDBSCAN phase 1: dense-cell clustering)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_CELL = 20_000_000  # micro-degree cell edge (matches spatial_knn_grid)
+_DBSCAN_MINPTS = 3
+_DBSCAN_ROUNDS = 8  # pointer-jumping reach ~2^8 ≥ any dense-cell path here
+
+_DBSCAN_OFFSETS = ", ".join(
+    f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+)
+
+
+def _dbscan_oracle(n_iter: int = _DBSCAN_ROUNDS) -> str:
+    head = f"""WITH pts AS MATERIALIZED (
+  SELECT c_custkey AS id,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lat'), 1, 8)
+              AS BIGINT) % 180000000 AS x,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || 'lon'), 1, 8)
+              AS BIGINT) % 360000000 AS y
+  FROM customer WHERE c_custkey < 1500
+), cells AS MATERIALIZED (
+  SELECT x // {_DBSCAN_CELL} AS cx, y // {_DBSCAN_CELL} AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+), dense AS MATERIALIZED (
+  SELECT cx, cy, cx * 1000 + cy AS cid, n FROM cells WHERE n >= {_DBSCAN_MINPTS}
+), off(dx, dy) AS (VALUES {_DBSCAN_OFFSETS}),
+pairs AS MATERIALIZED (
+  SELECT a.cid AS a_id, b.cid AS b_id
+  FROM dense a JOIN off ON TRUE
+  JOIN dense b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+  WHERE a.cid < b.cid
+), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL SELECT b_id, a_id FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS lab FROM ed
+)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(LEAST(l.lab, pj.lab), MIN(n.lab)) AS lab
+  FROM l{i - 1} l
+  JOIN l{i - 1} pj ON pj.id = l.lab
+  JOIN ed ON ed.src = l.id
+  JOIN l{i - 1} n ON n.id = ed.dst
+  GROUP BY l.id, l.lab, pj.lab
+)"""
+        )
+    return "".join(ctes) + f"""
+, clustered AS (
+  SELECT COALESCE(l.lab, d.cid) AS cluster, d.n
+  FROM dense d LEFT JOIN l{n_iter} l ON l.id = d.cid
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM clustered GROUP BY cluster
+UNION ALL
+SELECT -1, 0, CAST(COALESCE(SUM(n), 0) AS BIGINT)
+FROM cells WHERE n < {_DBSCAN_MINPTS}
+ORDER BY n_points DESC, cluster
+"""
+
+
+@register(
+    "spatial_dbscan_grid",
+    oracle=_dbscan_oracle(),
+    tags=("spatial", "clustering", "iterative"),
+)
+def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density DBSCAN (the GriDBSCAN / DBSCAN-on-cells phase 1):
+    points land in fixed 20M-micro-degree cells, cells with ≥ minPts
+    points are core, and clusters are the connected components of the
+    8-neighborhood adjacency graph over core cells (pointer-jumping
+    min-label flooding, pinned 8 rounds — the unrolled oracle-twin
+    mode of operators/graph.py:min_label_components); isolated core
+    cells cluster alone and sub-threshold cells report as the noise
+    row (cluster = −1). Same portable md5 micro-degree coordinates as
+    spatial_knn_grid. This is how density clustering actually scales:
+    the per-cell histogram replaces DBSCAN's per-point ε-range query,
+    so no point-to-point join ever happens.
+
+    Scale shape: one cell-histogram shuffle with map-side combine
+    (O(points) scan, O(cells) state); the adjacency join fans each
+    core cell out ×9 map-side (literal offsets) and equi-joins on the
+    neighbor cell key; the CC kernel then runs on the DENSE-CELL graph
+    — ≤ grid-size nodes regardless of point count, which is the whole
+    point of gridding at 100 TB.
+    """
+    from data_lake_with_spark_spark.operators.graph import min_label_components
+
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1500)
+
+    def coord(salt: str, mod: int):
+        return F.expr(
+            "pmod(CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING),"
+            f" '{salt}')), 1, 8), 16, 10) AS BIGINT), {mod})"
+        )
+
+    pts = cust.select(
+        coord("lat", 180000000).alias("x"), coord("lon", 360000000).alias("y")
+    )
+    cells = (
+        pts.select(
+            F.expr(f"x div {_DBSCAN_CELL}").alias("cx"),
+            F.expr(f"y div {_DBSCAN_CELL}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dense = cells.where(F.col("n") >= _DBSCAN_MINPTS).select(
+        "cx", "cy", (F.col("cx") * 1000 + F.col("cy")).alias("cid"), "n"
+    )
+    off = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    probes = dense.crossJoin(F.broadcast(off)).select(
+        F.col("cid").alias("a_id"),
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        (F.col("cy") + F.col("dy")).alias("ny"),
+    )
+    pairs = (
+        probes.join(
+            dense.select(
+                F.col("cx").alias("nx"), F.col("cy").alias("ny"),
+                F.col("cid").alias("b_id"),
+            ),
+            ["nx", "ny"],
+        )
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    labels = min_label_components(pairs, n_iter=_DBSCAN_ROUNDS)
+    clustered = dense.join(
+        labels.select(F.col("id").alias("cid"), "lab"), "cid", "left"
+    ).select(F.coalesce("lab", "cid").alias("cluster"), "n")
+    clusters = clustered.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_points"),
+    )
+    noise = cells.where(F.col("n") < _DBSCAN_MINPTS).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points")
+    ).select(
+        F.lit(-1).cast("bigint").alias("cluster"),
+        F.lit(0).cast("bigint").alias("n_cells"),
+        "n_points",
+    )
+    return clusters.unionByName(noise).orderBy(F.desc("n_points"), "cluster")

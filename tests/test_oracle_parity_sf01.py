@@ -89,6 +89,7 @@ CHANGED_THIS_ROUND = [
     "dq_fd_discovery",
     "text_winnowing_fingerprints",
     "recsys_markov_next_item",
+    "spatial_dbscan_grid",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

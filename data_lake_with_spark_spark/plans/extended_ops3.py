@@ -759,3 +759,477 @@ def spatial_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
     )
     return clusters.unionByName(noise).orderBy(F.desc("n_points"), "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (exact weighted PAV via the minimax formula)
+# ---------------------------------------------------------------------------
+
+ISOTONIC_ORACLE = """
+WITH scored AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 1000000 AS conf_ppm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+), bins AS (
+  SELECT CAST(conf_ppm // 50000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+), idxd AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bin) AS idx,
+         SUM(n) OVER (ORDER BY bin) AS cum_n,
+         SUM(pos) OVER (ORDER BY bin) AS cum_pos
+  FROM bins
+), seg AS (
+  SELECT j.idx AS ji, k.idx AS ki,
+         CAST((k.cum_pos - j.cum_pos + j.pos) * 1000000
+              // (k.cum_n - j.cum_n + j.n) AS BIGINT) AS wavg_ppm
+  FROM idxd j JOIN idxd k ON j.idx <= k.idx
+), inner_min AS (
+  SELECT seg.ji, i.idx AS ii, MIN(seg.wavg_ppm) AS wmin
+  FROM seg JOIN idxd i ON seg.ki >= i.idx AND seg.ji <= i.idx
+  GROUP BY seg.ji, i.idx
+), iso AS (
+  SELECT ii AS idx, CAST(MAX(wmin) AS BIGINT) AS iso_ppm
+  FROM inner_min GROUP BY ii
+)
+SELECT b.bin, b.n, b.pos,
+       CAST(b.pos * 1000000 // b.n AS BIGINT) AS raw_ppm,
+       iso.iso_ppm
+FROM idxd b JOIN iso ON b.idx = iso.idx
+ORDER BY b.bin
+"""
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=ISOTONIC_ORACLE,
+    tags=("ml", "calibration", "isotonic"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of the
+    reliability curve — the sklearn IsotonicRegression / Zadrozny-Elkan
+    calibrator — solved EXACTLY via the minimax characterization of
+    weighted L2 isotonic regression: ŷᵢ = max_{j≤i} min_{k≥i}
+    wavg(y, [j..k]). Same score/label convention as
+    ml_calibration_ece (price-derived confidence ppm, status-F label),
+    20 reliability bins. Segment averages are truncating-ppm
+    rationals; floor is monotone, so min/max of floored averages IS
+    the floored exact solution — bit-exact, no float accumulation.
+    Where ml_calibration_ece MEASURES miscalibration, this query FITS
+    the correction a serving system would apply.
+
+    Scale shape: one data-sized hash-agg (20-bin histogram, map-side
+    combine); everything after runs on the ≤20-row bin frame — the
+    O(B³) minimax enumeration is 1 330 tiny rows of broadcast joins,
+    independent of data size. The classic two-phase bounded-artifact
+    pattern, kept fully lazy (the bin frame never hits the driver).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bins = (
+        orders.select(
+            (F.floor(F.col("o_totalprice") * 100).cast("bigint") % 1000000).alias(
+                "conf_ppm"
+            ),
+            (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+        )
+        .groupBy(F.expr("conf_ppm div 50000").cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    idxd = bins.select(
+        "bin", "n", "pos",
+        F.row_number().over(W.orderBy("bin")).alias("idx"),
+        F.sum("n").over(wb).alias("cum_n"),
+        F.sum("pos").over(wb).alias("cum_pos"),
+    )
+    j = idxd.select(
+        F.col("idx").alias("ji"), F.col("n").alias("jn"),
+        F.col("pos").alias("jpos"), F.col("cum_n").alias("jcn"),
+        F.col("cum_pos").alias("jcp"),
+    )
+    k = idxd.select(
+        F.col("idx").alias("ki"), F.col("cum_n").alias("kcn"),
+        F.col("cum_pos").alias("kcp"),
+    )
+    seg = j.join(F.broadcast(k), F.col("ji") <= F.col("ki")).select(
+        "ji", "ki",
+        F.expr("(kcp - jcp + jpos) * 1000000 div (kcn - jcn + jn)")
+        .cast("bigint").alias("wavg_ppm"),
+    )
+    spine = idxd.select(F.col("idx").alias("ii"))
+    inner_min = (
+        seg.join(
+            F.broadcast(spine),
+            (F.col("ki") >= F.col("ii")) & (F.col("ji") <= F.col("ii")),
+        )
+        .groupBy("ji", "ii")
+        .agg(F.min("wavg_ppm").alias("wmin"))
+    )
+    iso = inner_min.groupBy(F.col("ii").alias("idx")).agg(
+        F.max("wmin").cast("bigint").alias("iso_ppm")
+    )
+    return (
+        idxd.join(iso, "idx")
+        .select(
+            "bin", "n", "pos",
+            F.expr("pos * 1000000 div n").cast("bigint").alias("raw_ppm"),
+            "iso_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-safe variant)
+# ---------------------------------------------------------------------------
+
+TARGET_ENC_OOF_ORACLE = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(((l.l_orderkey * 2654435761) % 4294967296) % 5 AS BIGINT) AS fold,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), bf AS (
+  SELECT p_brand, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_bf,
+         CAST(SUM(ret) AS BIGINT) AS r_bf
+  FROM j GROUP BY p_brand, fold
+), tot AS (
+  SELECT p_brand, fold, n_bf, r_bf,
+         SUM(n_bf) OVER (PARTITION BY p_brand) AS n_b,
+         SUM(r_bf) OVER (PARTITION BY p_brand) AS r_b,
+         SUM(n_bf) OVER (PARTITION BY fold) AS n_f,
+         SUM(r_bf) OVER (PARTITION BY fold) AS r_f,
+         SUM(n_bf) OVER () AS n_all,
+         SUM(r_bf) OVER () AS r_all
+  FROM bf
+)
+SELECT p_brand, fold,
+       CAST(n_b - n_bf AS BIGINT) AS n_other,
+       FLOOR((
+         (CAST(r_b - r_bf AS DOUBLE)
+          + 50.0 * (CAST(r_all - r_f AS DOUBLE) / CAST(n_all - n_f AS DOUBLE)))
+         / (CAST(n_b - n_bf AS DOUBLE) + 50.0)
+       ) * 1e6 + 0.5) / 1e6 AS target_enc_oof
+FROM tot
+ORDER BY p_brand, fold
+"""
+
+
+@register(
+    "feature_target_encoding_oof",
+    oracle=TARGET_ENC_OOF_ORACLE,
+    tags=("ml", "feature", "encoding"),
+)
+def feature_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD m-estimate target encoding — the leakage-safe form
+    of feature_target_encoding: a row in fold f is encoded using only
+    the OTHER folds' statistics, enc = (r₋f + m·prior₋f)/(n₋f + m)
+    with m = 50 and the prior itself fold-excluded. Folds are the
+    content-addressed multiplicative hash of the order key
+    (training_cv_folds' split), so rows of one order share a fold and
+    order-level leakage is closed too. Emits the (brand, fold)
+    encoding table a trainer would join onto its features.
+
+    Scale shape: broadcast part dim onto lineitem (no fact shuffle),
+    ONE (brand, fold) hash-agg with map-side combine; every subtraction
+    after that runs on the |brands|×k ≤ 125-row partial frame via
+    windows — the fold-exclusion trick (total − fold part) never
+    rescans the data, which is what makes OOF encoding O(1) extra
+    work at 100 TB.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_returnflag"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.expr("((l_orderkey * 2654435761) % 4294967296) % 5")
+        .cast("bigint").alias("fold"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+    )
+    bf = j.groupBy("p_brand", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bf"),
+        F.sum("ret").cast("bigint").alias("r_bf"),
+    )
+    tot = bf.select(
+        "p_brand", "fold", "n_bf", "r_bf",
+        F.sum("n_bf").over(W.partitionBy("p_brand")).alias("n_b"),
+        F.sum("r_bf").over(W.partitionBy("p_brand")).alias("r_b"),
+        F.sum("n_bf").over(W.partitionBy("fold")).alias("n_f"),
+        F.sum("r_bf").over(W.partitionBy("fold")).alias("r_f"),
+        F.sum("n_bf").over(W.partitionBy()).alias("n_all"),
+        F.sum("r_bf").over(W.partitionBy()).alias("r_all"),
+    )
+    prior = (F.col("r_all") - F.col("r_f")).cast("double") / (
+        F.col("n_all") - F.col("n_f")
+    ).cast("double")
+    enc = (
+        (F.col("r_b") - F.col("r_bf")).cast("double") + F.lit(50.0) * prior
+    ) / ((F.col("n_b") - F.col("n_bf")).cast("double") + F.lit(50.0))
+    return tot.select(
+        "p_brand", "fold",
+        (F.col("n_b") - F.col("n_bf")).cast("bigint").alias("n_other"),
+        pround(enc, 6).alias("target_enc_oof"),
+    ).orderBy("p_brand", "fold")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (MASE)
+# ---------------------------------------------------------------------------
+
+MASE_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+), spine AS (
+  SELECT unnest(generate_series(0,
+           date_diff('day', (SELECT d0 FROM bounds), (SELECT d1 FROM bounds))
+         )) AS idx
+), prio AS (
+  SELECT DISTINCT o_orderpriority FROM orders
+), grid AS (
+  SELECT p.o_orderpriority, s.idx FROM prio p JOIN spine s ON TRUE
+), daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', (SELECT d0 FROM bounds), o_orderdate) AS idx,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+), series AS (
+  SELECT g.o_orderpriority, g.idx, COALESCE(d.y, 0) AS y
+  FROM grid g LEFT JOIN daily d
+    ON g.o_orderpriority = d.o_orderpriority AND g.idx = d.idx
+), lagged AS (
+  SELECT o_orderpriority, idx, y,
+         LAG(y, 7) OVER (PARTITION BY o_orderpriority ORDER BY idx) AS y7,
+         LAG(y, 1) OVER (PARTITION BY o_orderpriority ORDER BY idx) AS y1
+  FROM series
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(y - y7)) AS BIGINT) AS mae_model_sum,
+       CAST(SUM(ABS(y - y1)) AS BIGINT) AS mae_naive_sum,
+       CAST(SUM(ABS(y - y7)) * 1000000 // SUM(ABS(y - y1)) AS BIGINT) AS mase_ppm
+FROM lagged WHERE idx >= 7
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "ml_forecast_backtest_mase",
+    oracle=MASE_ORACLE,
+    tags=("ml", "timeseries", "forecast"),
+)
+def ml_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest with MASE (mean absolute scaled error,
+    Hyndman-Koehler): per order priority, the weekly seasonal-naive
+    forecast ŷ(t) = y(t−7) over the zero-filled complete daily spine,
+    scored against the one-step naive ŷ(t) = y(t−1) — MASE < 1 means
+    the seasonal model beats the naive benchmark. Counts are integers,
+    so both MAE sums are exact and the ratio is truncating ppm: the
+    whole backtest is bit-exact with no float in sight. The model-
+    selection gate a forecasting pipeline runs before promoting a
+    seasonal model.
+
+    Scale shape: one (priority, day) hash-agg with map-side combine;
+    the spine is a broadcast literal sequence off a 1-row bounds agg
+    (never a data-sized generate), the zero-fill is a broadcast-right
+    join onto the tiny grid, and the lag windows partition per
+    priority over ≤ years×365 rows each. Only the daily histogram
+    stage ever sees the fact table.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("idx")
+    )
+    prio = orders.select("o_orderpriority").distinct()
+    grid = prio.crossJoin(F.broadcast(spine))
+    daily = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "o_orderpriority",
+            F.datediff("o_orderdate", "d0").cast("bigint").alias("idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    series = grid.join(daily, ["o_orderpriority", "idx"], "left").select(
+        "o_orderpriority", "idx", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    wl = W.partitionBy("o_orderpriority").orderBy("idx")
+    lagged = series.select(
+        "o_orderpriority", "idx", "y",
+        F.lag("y", 7).over(wl).alias("y7"),
+        F.lag("y", 1).over(wl).alias("y1"),
+    ).where(F.col("idx") >= 7)
+    return (
+        lagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("y") - F.col("y7"))).cast("bigint").alias("mae_model_sum"),
+            F.sum(F.abs(F.col("y") - F.col("y1"))).cast("bigint").alias("mae_naive_sum"),
+        )
+        .select(
+            "o_orderpriority", "n_days", "mae_model_sum", "mae_naive_sum",
+            F.expr("mae_model_sum * 1000000 div mae_naive_sum")
+            .cast("bigint").alias("mase_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control over per-nation proportion z-tests
+# ---------------------------------------------------------------------------
+
+# Driver-quantized two-sided normal tail: p_two_ppm[b] =
+# round(2·(1−Φ(b/20))·1e6) for z buckets b = 0..99 (z ≥ 5 → bucket
+# 99). Computed ONCE at module load with math.erf and embedded as the
+# same literal list in the Spark plan and the oracle SQL — the
+# dft_coefficients driver-quantized-constants pattern, which keeps
+# libm's ln/exp/erf differences out of the data path entirely.
+import math as _math
+
+_BH_PTAB = [
+    round(2.0 * (1.0 - 0.5 * (1.0 + _math.erf((b / 20.0) / _math.sqrt(2.0)))) * 1e6)
+    for b in range(100)
+]
+_BH_PTAB_SQL = "[" + ", ".join(str(v) for v in _BH_PTAB) + "]"
+_BH_ALPHA_PPM = 50_000  # α = 0.05
+
+STATS_FDR_BH_ORACLE = f"""
+WITH per AS (
+  SELECT n.n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k_f
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), gtot AS (
+  SELECT SUM(n_orders) AS n_all, SUM(k_f) AS k_all FROM per
+), z AS (
+  SELECT per.n_name, per.n_orders, per.k_f,
+         (CAST(per.k_f AS DOUBLE) / CAST(per.n_orders AS DOUBLE)
+          - CAST(gtot.k_all AS DOUBLE) / CAST(gtot.n_all AS DOUBLE))
+         / sqrt((CAST(gtot.k_all AS DOUBLE) / CAST(gtot.n_all AS DOUBLE))
+                * (1.0 - CAST(gtot.k_all AS DOUBLE) / CAST(gtot.n_all AS DOUBLE))
+                / CAST(per.n_orders AS DOUBLE)) AS zv
+  FROM per CROSS JOIN gtot
+), pv AS (
+  SELECT n_name, n_orders, k_f, zv,
+         ({_BH_PTAB_SQL})[
+           CAST(LEAST(FLOOR(ABS(zv) * 20.0), 99.0) AS INTEGER) + 1
+         ] AS p_ppm
+  FROM z
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_ppm, n_name) AS rnk,
+         COUNT(*) OVER () AS m
+  FROM pv
+), kmax AS (
+  SELECT COALESCE(MAX(CASE WHEN p_ppm * m <= rnk * {_BH_ALPHA_PPM}
+                           THEN rnk ELSE 0 END), 0) AS kv
+  FROM ranked
+)
+SELECT r.n_name, r.n_orders, r.k_f,
+       FLOOR(r.zv * 1e4 + 0.5) / 1e4 AS z,
+       CAST(r.p_ppm AS BIGINT) AS p_ppm,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       r.rnk <= k.kv AS rejected
+FROM ranked r CROSS JOIN kmax k
+ORDER BY rnk, n_name
+"""
+
+
+@register(
+    "stats_fdr_bh",
+    oracle=STATS_FDR_BH_ORACLE,
+    tags=("stats", "fdr", "multiple-testing"),
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control across 25 simultaneous
+    two-proportion z-tests (each nation's order-fulfillment rate vs
+    the global rate): p-values come from a driver-quantized two-sided
+    normal-tail table (z bucketed at 0.05 — the quantized-
+    transcendentals pattern; z itself is sqrt-and-divide doubles,
+    IEEE-identical across engines), then the step-up rule rejects
+    ranks 1..k* where k* = max{r : p(r)·m ≤ r·α} — evaluated in PURE
+    INTEGER arithmetic (p_ppm·m vs r·α_ppm), so the multiple-testing
+    decision is bit-exact. The dashboard-wide "which segments really
+    deviate" screen that a naive per-test α would flood with false
+    positives.
+
+    Scale shape: one fact-sized join + 25-group hash-agg with map-side
+    combine; everything downstream (z, table lookup, ranking, the k*
+    scalar) runs on the 25-row test frame via windows and a broadcast
+    scalar join.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint").alias("k_f"),
+        )
+    )
+    glob = per.agg(
+        F.sum("n_orders").alias("n_all"), F.sum("k_f").alias("k_all")
+    )
+    p0 = F.col("k_all").cast("double") / F.col("n_all").cast("double")
+    zv = (
+        F.col("k_f").cast("double") / F.col("n_orders").cast("double") - p0
+    ) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n_orders").cast("double"))
+    ptab = F.array(*[F.lit(v) for v in _BH_PTAB])
+    pv = (
+        per.crossJoin(F.broadcast(glob))
+        .select("n_name", "n_orders", "k_f", zv.alias("zv"))
+        .select(
+            "n_name", "n_orders", "k_f", "zv",
+            F.element_at(
+                ptab,
+                (F.least(F.floor(F.abs(F.col("zv")) * 20.0), F.lit(99.0)))
+                .cast("int") + 1,
+            ).alias("p_ppm"),
+        )
+    )
+    ranked = pv.select(
+        "*",
+        F.row_number().over(W.orderBy("p_ppm", "n_name")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_ppm") * F.col("m")
+                    <= F.col("rnk") * F.lit(_BH_ALPHA_PPM),
+                    F.col("rnk"),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("kv")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name", "n_orders", "k_f",
+            pround(F.col("zv"), 4).alias("z"),
+            F.col("p_ppm").cast("bigint").alias("p_ppm"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            (F.col("rnk") <= F.col("kv")).alias("rejected"),
+        )
+        .orderBy("rnk", "n_name")
+    )

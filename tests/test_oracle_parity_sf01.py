@@ -90,6 +90,10 @@ CHANGED_THIS_ROUND = [
     "text_winnowing_fingerprints",
     "recsys_markov_next_item",
     "spatial_dbscan_grid",
+    "ml_isotonic_calibration",
+    "feature_target_encoding_oof",
+    "ml_forecast_backtest_mase",
+    "stats_fdr_bh",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -1233,3 +1233,422 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across groups (vigintile mapping table)
+# ---------------------------------------------------------------------------
+
+QUANTILE_NORMALIZE_ORACLE = """
+WITH ranked AS (
+  SELECT c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         NTILE(20) OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+         ) AS vigintile
+  FROM customer
+), per AS (
+  SELECT c_mktsegment, CAST(vigintile AS BIGINT) AS vigintile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) * 10000 // COUNT(*) AS BIGINT) AS group_avg_ud
+  FROM ranked GROUP BY 1, 2
+)
+SELECT c_mktsegment AS mktsegment, vigintile, n, group_avg_ud,
+       CAST(SUM(group_avg_ud) OVER (PARTITION BY vigintile)
+            // COUNT(*) OVER (PARTITION BY vigintile) AS BIGINT) AS ref_ud
+FROM per
+ORDER BY mktsegment, vigintile
+"""
+
+
+@register(
+    "feature_quantile_normalize",
+    oracle=QUANTILE_NORMALIZE_ORACLE,
+    tags=("ml", "feature", "normalization"),
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization mapping table (the microarray/batch-
+    effect standard, Bolstad et al.): per segment, account balances
+    split into 20 equal-count vigintiles (total order: value then
+    key), each vigintile's group mean in exact micro-dollars
+    (cents·10⁴, truncating div), and the REFERENCE distribution = the
+    cross-segment mean of those vigintile means — replacing each
+    group's vigintile values with ref_ud forces every segment onto the
+    identical distribution while preserving within-group ranks.
+    Emitted as the (group, vigintile) → reference lookup a feature
+    pipeline would broadcast-join onto its rows. Integer end-to-end:
+    the averaged averages are integer-div rationals, so no float
+    accumulation order can leak in.
+
+    Scale shape: ONE window shuffle partitioned on the segment key
+    (NTILE), one (segment, vigintile) hash-agg with map-side combine,
+    then windows over the 100-row mapping table. The normalization
+    APPLY step (not materialized here) is a broadcast join — nothing
+    data-sized moves twice.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    ranked = cust.select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.ntile(20)
+        .over(W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey"))
+        .alias("vigintile"),
+    )
+    per = ranked.groupBy(
+        "c_mktsegment", F.col("vigintile").cast("bigint").alias("vigintile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("SUM(cents) * 10000 div COUNT(*)").cast("bigint").alias("group_avg_ud"),
+    )
+    wv = W.partitionBy("vigintile")
+    return per.select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "vigintile", "n", "group_avg_ud",
+        (
+            F.sum("group_avg_ud").over(wv) / F.count(F.lit(1)).over(wv)
+        ).cast("bigint").alias("ref_ud"),
+    ).orderBy("mktsegment", "vigintile")
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out data valuation
+# ---------------------------------------------------------------------------
+
+LOSO_SOURCE_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_docs) AS n_all, SUM(chars_sum) AS chars_all FROM per
+)
+SELECT per.source, per.n_docs,
+       CAST(tot.chars_all * 1000000 // tot.n_all AS BIGINT) AS mean_all_uchar,
+       CAST((tot.chars_all - per.chars_sum) * 1000000
+            // (tot.n_all - per.n_docs) AS BIGINT) AS mean_without_uchar,
+       CAST((tot.chars_all - per.chars_sum) * 1000000
+            // (tot.n_all - per.n_docs)
+            - tot.chars_all * 1000000 // tot.n_all AS BIGINT) AS delta_uchar
+FROM per CROSS JOIN tot
+ORDER BY delta_uchar DESC, source
+"""
+
+
+@register(
+    "training_loso_source_value",
+    oracle=LOSO_SOURCE_ORACLE,
+    tags=("training", "data-valuation", "llm"),
+)
+def training_loso_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation: for each document source,
+    the corpus-level metric (mean doc length, exact micro-chars)
+    recomputed WITHOUT that source, and the signed delta vs the full
+    corpus — a positive delta means dropping the source RAISES corpus
+    quality, the cheap first pass of data-valuation sweeps (LOO is the
+    m=1 truncation of Data Shapley) that decides which crawl sources
+    earn their tokens in the training mixture. Pure sufficient-
+    statistic algebra: leave-out means come from (total − part), never
+    a rescan per source.
+
+    Scale shape: one source-keyed hash-agg with map-side combine over
+    the corpus, a 1-row total broadcast back onto the ≤|sources| frame
+    — the entire sweep over k sources costs ONE scan, not k scans,
+    which is the only way LOO valuation survives a 100 TB corpus.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("chars_sum").alias("chars_all")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs",
+            F.expr("chars_all * 1000000 div n_all")
+            .cast("bigint").alias("mean_all_uchar"),
+            F.expr(
+                "(chars_all - chars_sum) * 1000000 div (n_all - n_docs)"
+            ).cast("bigint").alias("mean_without_uchar"),
+            F.expr(
+                "(chars_all - chars_sum) * 1000000 div (n_all - n_docs)"
+                " - chars_all * 1000000 div n_all"
+            ).cast("bigint").alias("delta_uchar"),
+        )
+        .orderBy(F.desc("delta_uchar"), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HMM Viterbi sequence scoring (max-sum DP in integer micro-nats)
+# ---------------------------------------------------------------------------
+
+# 2-state HMM (Active / Idle) over the 5 event types. All parameters
+# are driver-quantized integer micro-nat log-probs (round(ln(p)·1e6))
+# computed once here and embedded as identical literals in the Spark
+# plan and the oracle SQL — Viterbi is max-plus only, so the DP is
+# exact integer arithmetic (no logsumexp, which would NOT be portable).
+def _lp(x: float) -> int:
+    return round(_math.log(x) * 1e6)
+
+
+# emission probs by event code 1..5 = click, view, signup, error, purchase
+_HMM_EM_A = [_lp(p) for p in (0.30, 0.30, 0.05, 0.05, 0.30)]
+_HMM_EM_I = [_lp(p) for p in (0.18, 0.30, 0.10, 0.40, 0.02)]
+_HMM_T = {k: _lp(p) for k, p in
+          dict(aa=0.80, ai=0.20, ia=0.30, ii=0.70).items()}
+_HMM_EMA_SQL = "[" + ", ".join(map(str, _HMM_EM_A)) + "]"
+_HMM_EMI_SQL = "[" + ", ".join(map(str, _HMM_EM_I)) + "]"
+_HMM_CODE_SQL = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+    "WHEN 'signup' THEN 3 WHEN 'error' THEN 4 ELSE 5 END"
+)
+
+HMM_VITERBI_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS tms, event_id,
+         {_HMM_CODE_SQL} AS code
+  FROM events
+), seqs AS (
+  SELECT user_id,
+         list(code ORDER BY tms, event_id) AS codes
+  FROM ev GROUP BY user_id
+), em AS (
+  SELECT user_id, len(codes) AS n_events,
+         list_transform(codes, c -> {{'a': ({_HMM_EMA_SQL})[c],
+                                      'i': ({_HMM_EMI_SQL})[c]}}) AS elems
+  FROM seqs
+), vit AS (
+  SELECT user_id, n_events,
+         list_reduce(elems, (acc, e) -> {{
+           'a': e.a + greatest(acc.a + ({_HMM_T['aa']}),
+                               acc.i + ({_HMM_T['ia']})),
+           'i': e.i + greatest(acc.a + ({_HMM_T['ai']}),
+                               acc.i + ({_HMM_T['ii']}))
+         }}) AS v
+  FROM em
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(v.a AS BIGINT) AS score_active,
+       CAST(v.i AS BIGINT) AS score_idle,
+       CAST(greatest(v.a, v.i) AS BIGINT) AS viterbi_score,
+       CASE WHEN v.a >= v.i THEN 'active' ELSE 'idle' END AS best_state
+FROM vit
+ORDER BY user_id
+"""
+
+
+@register(
+    "sequence_hmm_viterbi",
+    oracle=HMM_VITERBI_ORACLE,
+    tags=("sequence", "hmm", "ml"),
+)
+def sequence_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi scoring of a 2-state HMM (Active/Idle) over each user's
+    event sequence: the max-sum DP v_s(t) = em_s(x_t) + max_r(v_r(t−1)
+    + trans_{r→s}) folds left over the time-ordered sequence, in PURE
+    INTEGER micro-nat log-probs (driver-quantized parameters; max-plus
+    never needs logsumexp, so Viterbi — unlike the forward algorithm —
+    is exactly portable). Emits both terminal state scores, the
+    Viterbi path score, and the decoded final state — the
+    sequence-labeling primitive behind engagement-state segmentation,
+    session intent tagging, and anomalous-trajectory screens. Uniform
+    initial distribution drops out as a constant shift. Sequences are
+    total-ordered by (ts, event_id), so the fold is deterministic
+    under timestamp ties.
+
+    Scale shape: ONE user-keyed shuffle (the sort-within-group
+    collect); the DP itself is a per-row HOF fold in whole-stage
+    codegen — zero further shuffles, state size O(states) per row.
+    Per-user sequence length bounds memory exactly like the other
+    collect_list sequence ops (document-bounded, not table-bounded).
+    """
+    from data_lake_with_spark_spark.functions.time import epoch_ms
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        epoch_ms("ts").alias("tms"),
+        "event_id",
+        F.expr(_HMM_CODE_SQL).alias("code"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(tms, event_id, code))),"
+            " x -> x.code)"
+        ).alias("codes")
+    )
+    ema = "array(" + ", ".join(f"{v}L" for v in _HMM_EM_A) + ")"
+    emi = "array(" + ", ".join(f"{v}L" for v in _HMM_EM_I) + ")"
+    elems = (
+        f"transform(codes, c -> named_struct("
+        f"'a', element_at({ema}, c), 'i', element_at({emi}, c)))"
+    )
+    vit = (
+        f"aggregate(slice({elems}, 2, size(codes) - 1), "
+        f"named_struct('a', element_at({elems}, 1).a, "
+        f"'i', element_at({elems}, 1).i), "
+        f"(acc, e) -> named_struct("
+        f"'a', e.a + greatest(acc.a + ({_HMM_T['aa']}L), "
+        f"acc.i + ({_HMM_T['ia']}L)), "
+        f"'i', e.i + greatest(acc.a + ({_HMM_T['ai']}L), "
+        f"acc.i + ({_HMM_T['ii']}L))))"
+    )
+    scored = seqs.select(
+        "user_id",
+        F.size("codes").cast("bigint").alias("n_events"),
+        F.expr(vit).alias("v"),
+    )
+    return scored.select(
+        "user_id", "n_events",
+        F.col("v.a").cast("bigint").alias("score_active"),
+        F.col("v.i").cast("bigint").alias("score_idle"),
+        F.greatest("v.a", "v.i").cast("bigint").alias("viterbi_score"),
+        F.when(F.col("v.a") >= F.col("v.i"), F.lit("active"))
+        .otherwise(F.lit("idle")).alias("best_state"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (exact order-statistic quantile)
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(((o_orderkey * 2654435761) % 4294967296) % 5 AS BIGINT) AS fold
+  FROM orders
+), pred AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred_cents
+  FROM base WHERE fold <= 2 GROUP BY o_orderpriority
+), cal AS (
+  SELECT b.o_orderpriority, ABS(b.cents - p.pred_cents) AS resid, b.o_orderkey
+  FROM base b JOIN pred p ON b.o_orderpriority = p.o_orderpriority
+  WHERE b.fold = 3
+), calr AS (
+  SELECT o_orderpriority, resid,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY resid, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_cal
+  FROM cal
+), q AS (
+  SELECT o_orderpriority, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         CAST(MAX(CASE WHEN rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
+                       THEN resid END) AS BIGINT) AS q_cents
+  FROM calr GROUP BY o_orderpriority
+), test AS (
+  SELECT b.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(b.cents - p.pred_cents) <= q.q_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM base b
+  JOIN pred p ON b.o_orderpriority = p.o_orderpriority
+  JOIN q ON b.o_orderpriority = q.o_orderpriority
+  WHERE b.fold = 4
+  GROUP BY b.o_orderpriority
+)
+SELECT p.o_orderpriority, p.n_train, p.pred_cents,
+       q.n_cal, q.q_cents, t.n_test,
+       CAST(t.covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+FROM pred p
+JOIN q ON p.o_orderpriority = q.o_orderpriority
+JOIN test t ON p.o_orderpriority = t.o_orderpriority
+ORDER BY p.o_orderpriority
+"""
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=CONFORMAL_ORACLE,
+    tags=("ml", "conformal", "uncertainty"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; the
+    distribution-free uncertainty wrapper production ML now ships):
+    folds 0-2 fit the point model (per-priority mean price, exact
+    integer cents), fold 3 is the calibration set whose absolute
+    residuals yield the conformal radius q = the ⌈0.9·(n+1)⌉-th
+    smallest residual (EXACT order statistic via ranked window —
+    ceil in integer arithmetic, capped at n_cal), and fold 4 measures
+    empirical coverage of pred ± q, which conformal theory guarantees
+    ≥ 90% in expectation. Folds are the content-addressed hash split
+    (training_cv_folds), so train/cal/test are disjoint and
+    reproducible. Integer end-to-end: cents, ranks, and coverage ppm.
+
+    Scale shape: one scan feeds three fold-filtered branches; the
+    model and radius collapse to ≤|priorities| rows broadcast back;
+    the only data-sized shuffles are the per-priority hash-aggs and
+    ONE ranked window over the calibration fold (1/5 of the data),
+    partitioned on the group key.
+    """
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"),
+        F.expr("((o_orderkey * 2654435761) % 4294967296) % 5")
+        .cast("bigint").alias("fold"),
+    )
+    pred = (
+        base.where(F.col("fold") <= 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.expr("SUM(cents) div COUNT(*)").cast("bigint").alias("pred_cents"),
+        )
+    )
+    cal = (
+        base.where(F.col("fold") == 3)
+        .join(F.broadcast(pred), "o_orderpriority")
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("resid"),
+        )
+    )
+    wp = W.partitionBy("o_orderpriority")
+    calr = cal.select(
+        "o_orderpriority", "resid",
+        F.row_number().over(wp.orderBy("resid", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_cal"),
+    )
+    q = calr.groupBy("o_orderpriority").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.least(
+                    (9 * (F.col("n_cal") + 1) + 9) / F.lit(10),
+                    F.col("n_cal").cast("double"),
+                ).cast("bigint"),
+                F.col("resid"),
+            )
+        ).cast("bigint").alias("q_cents"),
+    )
+    test = (
+        base.where(F.col("fold") == 4)
+        .join(F.broadcast(pred), "o_orderpriority")
+        .join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                (F.abs(F.col("cents") - F.col("pred_cents")) <= F.col("q_cents"))
+                .cast("int")
+            ).cast("bigint").alias("covered"),
+        )
+    )
+    return (
+        pred.join(q, "o_orderpriority")
+        .join(test, "o_orderpriority")
+        .select(
+            "o_orderpriority", "n_train", "pred_cents", "n_cal", "q_cents",
+            "n_test",
+            F.expr("covered * 1000000 div n_test")
+            .cast("bigint").alias("coverage_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -94,6 +94,10 @@ CHANGED_THIS_ROUND = [
     "feature_target_encoding_oof",
     "ml_forecast_backtest_mase",
     "stats_fdr_bh",
+    "feature_quantile_normalize",
+    "training_loso_source_value",
+    "sequence_hmm_viterbi",
+    "ml_conformal_interval",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

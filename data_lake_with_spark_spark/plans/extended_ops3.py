@@ -1652,3 +1652,300 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity risk audit (privacy profiling of quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+KANONYMITY_ORACLE = """
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS gsize
+  FROM customer
+  GROUP BY 1, 2, 3
+), bucketed AS (
+  SELECT CASE WHEN gsize = 1 THEN '1'
+              WHEN gsize = 2 THEN '2'
+              WHEN gsize <= 4 THEN '3-4'
+              WHEN gsize <= 9 THEN '5-9'
+              ELSE '10+' END AS k_bucket,
+         CASE WHEN gsize = 1 THEN 1 WHEN gsize = 2 THEN 2
+              WHEN gsize <= 4 THEN 3 WHEN gsize <= 9 THEN 4
+              ELSE 5 END AS ord,
+         gsize
+  FROM qi
+), tot AS (
+  SELECT SUM(gsize) AS n_rows_all FROM qi
+)
+SELECT b.k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(b.gsize) AS BIGINT) AS n_rows,
+       CAST(SUM(b.gsize) * 1000000 // t.n_rows_all AS BIGINT) AS rows_share_ppm,
+       b.k_bucket IN ('1', '2', '3-4') AS at_risk_k5
+FROM bucketed b CROSS JOIN tot t
+GROUP BY b.k_bucket, b.ord, t.n_rows_all
+ORDER BY b.ord
+"""
+
+
+@register(
+    "pii_risk_kanonymity",
+    oracle=KANONYMITY_ORACLE,
+    tags=("dq", "privacy", "pii"),
+)
+def pii_risk_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit (Sweeney): group rows by the
+    quasi-identifier tuple (nation, segment, $1000 balance band) and
+    histogram the equivalence-class sizes — classes smaller than k = 5
+    re-identify their members against any external dataset sharing the
+    QIs, so the audit reports group counts, row counts, and the exact
+    ppm share of rows at risk per size bucket. The release gate a
+    training-data pipeline runs before shipping user-derived tables;
+    complements pii_redact (which scrubs direct identifiers — this
+    measures the INDIRECT ones).
+
+    Scale shape: one QI-keyed hash-agg with map-side combine, then a
+    five-bucket rollup of the group-size frame and a 1-row total
+    broadcast — O(distinct QI tuples) state, one data-sized scan.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey", "c_mktsegment",
+        F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) div 100000")
+        .alias("bal_band"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("gsize"))
+    bucketed = qi.select(
+        "gsize",
+        F.when(F.col("gsize") == 1, "1")
+        .when(F.col("gsize") == 2, "2")
+        .when(F.col("gsize") <= 4, "3-4")
+        .when(F.col("gsize") <= 9, "5-9")
+        .otherwise("10+").alias("k_bucket"),
+        F.when(F.col("gsize") == 1, 1)
+        .when(F.col("gsize") == 2, 2)
+        .when(F.col("gsize") <= 4, 3)
+        .when(F.col("gsize") <= 9, 4)
+        .otherwise(5).alias("ord"),
+    )
+    tot = qi.agg(F.sum("gsize").alias("n_rows_all"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("k_bucket", "ord", "n_rows_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("gsize").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "k_bucket", "n_groups", "n_rows",
+            F.expr("n_rows * 1000000 div n_rows_all")
+            .cast("bigint").alias("rows_share_ppm"),
+            F.col("k_bucket").isin("1", "2", "3-4").alias("at_risk_k5"),
+        )
+        .orderBy("ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (SPRT) A/B monitor
+# ---------------------------------------------------------------------------
+
+# Wald SPRT for Bernoulli conversion, H0: p = 0.30 vs H1: p = 0.35,
+# α = β = 0.05. Per-observation LLR increments and the decision
+# boundaries ±ln(19), all driver-quantized integer micro-nats.
+_SPRT_LLR_SUCCESS = _lp(0.35) - _lp(0.30)
+_SPRT_LLR_FAILURE = _lp(0.65) - _lp(0.70)
+_SPRT_BOUND = round(_math.log(19.0) * 1e6)
+
+AB_SPRT_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id % 2 AS arm, epoch_ms(ts) AS tms, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN {_SPRT_LLR_SUCCESS} ELSE {_SPRT_LLR_FAILURE} END AS llr_inc
+  FROM events
+), cum AS (
+  SELECT arm, tms, event_id, llr_inc,
+         SUM(llr_inc) OVER (PARTITION BY arm ORDER BY tms, event_id
+                            ROWS UNBOUNDED PRECEDING) AS llr,
+         ROW_NUMBER() OVER (PARTITION BY arm ORDER BY tms, event_id) AS n
+  FROM obs
+), crossings AS (
+  SELECT arm, MIN(CASE WHEN llr >= {_SPRT_BOUND} THEN n END) AS first_h1,
+         MIN(CASE WHEN llr <= -{_SPRT_BOUND} THEN n END) AS first_h0,
+         MAX(n) AS n_obs
+  FROM cum GROUP BY arm
+), final AS (
+  SELECT c.arm, c.llr AS final_llr
+  FROM cum c JOIN crossings x ON c.arm = x.arm AND c.n = x.n_obs
+)
+SELECT x.arm, CAST(x.n_obs AS BIGINT) AS n_obs,
+       CAST(f.final_llr AS BIGINT) AS final_llr,
+       CASE WHEN COALESCE(x.first_h1, x.n_obs + 1)
+                 < COALESCE(x.first_h0, x.n_obs + 1) THEN 'h1'
+            WHEN COALESCE(x.first_h0, x.n_obs + 1)
+                 < COALESCE(x.first_h1, x.n_obs + 1) THEN 'h0'
+            ELSE 'continue' END AS decision,
+       CAST(LEAST(COALESCE(x.first_h1, x.n_obs + 1),
+                  COALESCE(x.first_h0, x.n_obs + 1)) AS BIGINT) AS decision_at
+FROM crossings x JOIN final f ON x.arm = f.arm
+ORDER BY x.arm
+"""
+
+
+@register(
+    "ab_sprt_monitor",
+    oracle=AB_SPRT_ORACLE,
+    tags=("stats", "ab-test", "sequential"),
+)
+def ab_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over each experiment
+    arm's event stream (H0: conversion = 0.30 vs H1: 0.35, α = β =
+    0.05): per-observation log-likelihood increments accumulate in
+    order, and the arm decides at the FIRST crossing of ±ln 19 —
+    Wald's guarantee is that this stops ~half as early as the
+    fixed-horizon test (ab_test_conversion) at the same error rates,
+    which is why experimentation platforms monitor sequentially.
+    Increments and boundaries are driver-quantized integer micro-nats;
+    the cumulative sum, crossing search, and decision are exact
+    integer window/agg arithmetic over the (ts, event_id) total order.
+    decision_at is n_obs+1 when no boundary was hit ('continue').
+
+    Scale shape: ONE arm-keyed window shuffle for the ordered cumsum
+    (running-total frame, no re-sort for the rank — same window), one
+    arm agg for the crossing minima, and a 2-row self-join for the
+    final LLR. Arms partition the stream, so the monitor scales with
+    per-arm traffic exactly like window_running_total.
+    """
+    from data_lake_with_spark_spark.functions.time import epoch_ms
+
+    obs = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        epoch_ms("ts").alias("tms"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_LLR_SUCCESS))
+        .otherwise(F.lit(_SPRT_LLR_FAILURE)).alias("llr_inc"),
+    )
+    wo = W.partitionBy("arm").orderBy("tms", "event_id")
+    cum = obs.select(
+        "arm",
+        F.sum("llr_inc").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("llr"),
+        F.row_number().over(wo).alias("n"),
+    )
+    crossings = cum.groupBy("arm").agg(
+        F.min(F.when(F.col("llr") >= _SPRT_BOUND, F.col("n"))).alias("first_h1"),
+        F.min(F.when(F.col("llr") <= -_SPRT_BOUND, F.col("n"))).alias("first_h0"),
+        F.max("n").alias("n_obs"),
+    )
+    final = cum.join(
+        crossings.select("arm", F.col("n_obs").alias("n")), ["arm", "n"]
+    ).select("arm", F.col("llr").alias("final_llr"))
+    h1 = F.coalesce("first_h1", F.col("n_obs") + 1)
+    h0 = F.coalesce("first_h0", F.col("n_obs") + 1)
+    return (
+        crossings.join(final, "arm")
+        .select(
+            "arm",
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("final_llr").cast("bigint").alias("final_llr"),
+            F.when(h1 < h0, "h1").when(h0 < h1, "h0")
+            .otherwise("continue").alias("decision"),
+            F.least(h1, h0).cast("bigint").alias("decision_at"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing (hashing-trick) collision audit
+# ---------------------------------------------------------------------------
+
+FEATURE_HASHING_ORACLE = """
+WITH feats AS (
+  SELECT 'brand=' || p_brand AS feat FROM part
+  UNION ALL SELECT 'type=' || p_type FROM part
+  UNION ALL SELECT 'size=' || CAST(p_size AS VARCHAR) FROM part
+), fc AS (
+  SELECT feat, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST('0x' || substring(md5(feat), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM feats GROUP BY feat
+), per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows
+  FROM fc GROUP BY bucket
+), tot AS (
+  SELECT SUM(n_feats) AS f_all, SUM(n_rows) AS r_all FROM per_bucket
+)
+SELECT CAST(b.n_feats AS BIGINT) AS collision_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(b.n_feats) AS BIGINT) AS n_features,
+       CAST(SUM(b.n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(b.n_rows) * 1000000 // t.r_all AS BIGINT) AS rows_share_ppm
+FROM per_bucket b CROSS JOIN tot t
+GROUP BY b.n_feats, t.r_all
+ORDER BY collision_degree
+"""
+
+
+@register(
+    "feature_hashing_audit",
+    oracle=FEATURE_HASHING_ORACLE,
+    tags=("ml", "feature", "hashing"),
+)
+def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit: the part table's categorical
+    features (brand, type, size — ~225 distinct feature strings) map
+    through a 256-bucket portable hash (md5-32bit mod 256, the
+    Weinberger et al. feature-hashing layer), and the audit histograms
+    buckets by collision degree — how many distinct features share
+    each bucket and what ppm of training rows ride on collided
+    buckets. The dimensionality-vs-collision tradeoff check run before
+    fixing a hashed feature space's width.
+
+    Scale shape: per-feature row counts are hash-aggs with map-side
+    combine (feature cardinality state, not row count); bucket
+    assignment is map-side arithmetic on the ≤|features| frame;
+    everything after runs on ≤256 rows. The audit never shuffles the
+    fact table — at 100 TB the only data-sized stages are the three
+    column scans feeding the per-feature counts.
+    """
+    part = _t(spark, sf_dir, "part")
+    feats = (
+        part.select(F.concat(F.lit("brand="), "p_brand").alias("feat"))
+        .unionAll(part.select(F.concat(F.lit("type="), "p_type").alias("feat")))
+        .unionAll(
+            part.select(
+                F.concat(F.lit("size="), F.col("p_size").cast("string")).alias("feat")
+            )
+        )
+    )
+    fc = feats.groupBy("feat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).select(
+        "feat", "n_rows",
+        (
+            F.expr("CAST(conv(substring(md5(feat), 1, 8), 16, 10) AS BIGINT)") % 256
+        ).alias("bucket"),
+    )
+    per_bucket = fc.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+    tot = per_bucket.agg(F.sum("n_rows").alias("r_all"))
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n_feats").alias("collision_degree"), "r_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("n_feats").cast("bigint").alias("n_features"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("collision_degree").cast("bigint").alias("collision_degree"),
+            "n_buckets", "n_features", "n_rows",
+            F.expr("n_rows * 1000000 div r_all")
+            .cast("bigint").alias("rows_share_ppm"),
+        )
+        .orderBy("collision_degree")
+    )

@@ -98,6 +98,9 @@ CHANGED_THIS_ROUND = [
     "training_loso_source_value",
     "sequence_hmm_viterbi",
     "ml_conformal_interval",
+    "pii_risk_kanonymity",
+    "ab_sprt_monitor",
+    "feature_hashing_audit",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

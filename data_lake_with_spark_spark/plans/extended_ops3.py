@@ -1949,3 +1949,298 @@ def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("collision_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (exact integer moments)
+# ---------------------------------------------------------------------------
+
+AB_CUPED_ORACLE = """
+WITH bounds AS (
+  SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2 AS mid FROM events
+), per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN epoch_ms(ts) < b.mid THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_ms(ts) >= b.mid
+                        AND event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events CROSS JOIN bounds b
+  GROUP BY user_id
+), pooled AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM per_user
+), arms AS (
+  SELECT arm, CAST(COUNT(*) AS HUGEINT) AS n_a,
+         CAST(SUM(x) AS HUGEINT) AS sx_a, CAST(SUM(y) AS HUGEINT) AS sy_a
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm,
+       CAST(a.n_a AS BIGINT) AS n_users,
+       CAST(a.sy_a * 1000000 // a.n_a AS BIGINT) AS raw_mean_ppm,
+       CAST((a.sy_a * (p.n * p.sxx - p.sx * p.sx) * p.n
+             - (p.n * p.sxy - p.sx * p.sy) * (a.sx_a * p.n - p.sx * a.n_a))
+            * 1000000
+            // (a.n_a * (p.n * p.sxx - p.sx * p.sx) * p.n)
+            AS BIGINT) AS cuped_mean_ppm,
+       CAST((p.n * p.sxy - p.sx * p.sy) * (p.n * p.sxy - p.sx * p.sy)
+            * 1000000
+            // ((p.n * p.sxx - p.sx * p.sx) * (p.n * p.syy - p.sy * p.sy))
+            AS BIGINT) AS var_reduction_ppm
+FROM arms a CROSS JOIN pooled p
+ORDER BY a.arm
+"""
+
+
+@register(
+    "ab_cuped_adjustment",
+    oracle=AB_CUPED_ORACLE,
+    tags=("stats", "ab-test", "cuped"),
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the standard
+    experimentation-platform trick): each user's pre-period activity X
+    (events before the timeline midpoint) adjusts their post-period
+    conversion count Y via θ = cov(X,Y)/var(X), cutting metric
+    variance by ρ² without biasing the treatment contrast. Everything
+    is EXACT: the moments are integer sums, θ never materializes as a
+    float — the adjusted mean is the single cross-multiplied rational
+    [Sy_a·varX·n − cov·(Sx_a·n − Sx·n_a)] / (n_a·varX·n) evaluated in
+    DECIMAL(38,0)/HUGEINT (int64 would overflow at driver scale — the
+    widen-before-multiply rule), truncated once to ppm. Reports per
+    arm: raw mean, CUPED-adjusted mean, and the achieved ρ² variance
+    reduction.
+
+    Scale shape: one user-keyed hash-agg with map-side combine (the
+    only data-sized shuffle), a 1-row pooled-moment agg and a 2-row
+    arm agg broadcast together; the adjustment itself is scalar
+    arithmetic. The timeline midpoint is a 1-row bounds agg broadcast
+    into the scan.
+    """
+    from data_lake_with_spark_spark.functions.time import epoch_ms
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", epoch_ms("ts").alias("tms"), "event_type"
+    )
+    bounds = ev.agg(
+        F.expr("(MIN(tms) + MAX(tms)) div 2").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("tms") < F.col("mid")).cast("int"))
+            .cast("bigint").alias("x"),
+            F.sum(
+                ((F.col("tms") >= F.col("mid"))
+                 & (F.col("event_type") == "purchase")).cast("int")
+            ).cast("bigint").alias("y"),
+        )
+        .select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    d = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast(d).alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d).alias("n_a"),
+        F.sum("x").cast(d).alias("sx_a"),
+        F.sum("y").cast(d).alias("sy_a"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n_a").cast("bigint").alias("n_users"),
+            F.expr("sy_a * 1000000 div n_a").cast("bigint").alias("raw_mean_ppm"),
+            F.expr(
+                "(sy_a * (n * sxx - sx * sx) * n"
+                " - (n * sxy - sx * sy) * (sx_a * n - sx * n_a)) * 1000000"
+                " div (n_a * (n * sxx - sx * sx) * n)"
+            ).cast("bigint").alias("cuped_mean_ppm"),
+            F.expr(
+                "(n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
+                " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ).cast("bigint").alias("var_reduction_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization timeout sensitivity (multi-config, one scan)
+# ---------------------------------------------------------------------------
+
+_SESSION_TIMEOUTS_S = [300, 900, 1800, 3600]
+
+SESSION_SENSITIVITY_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS gap_ms
+  FROM events
+), agg AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN gap_ms > {t * 1000} THEN 1 ELSE 0 END)"
+             f" AS BIGINT) AS brk_{t}" for t in _SESSION_TIMEOUTS_S)}
+  FROM g
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({t} AS BIGINT) AS timeout_sec,"
+    f" CAST(n_users + brk_{t} AS BIGINT) AS n_sessions,"
+    f" CAST(n_events * 1000000 // (n_users + brk_{t}) AS BIGINT)"
+    f" AS events_per_session_ppm FROM agg" for t in _SESSION_TIMEOUTS_S)}
+ORDER BY timeout_sec
+"""
+
+
+@register(
+    "sessionize_timeout_sensitivity",
+    oracle=SESSION_SENSITIVITY_ORACLE,
+    tags=("analytics", "session", "config-sweep"),
+)
+def sessionize_timeout_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-timeout sensitivity sweep: the session count at idle
+    timeouts 5/15/30/60 min, all from ONE scan — per user, sessions(T)
+    = 1 + #(gaps > T), so the whole curve is four conditional counts
+    over the same lag-gap frame (no re-sessionization per config).
+    The calibration readout that picks a sessionization timeout by
+    showing where the session count stabilizes; pairs with
+    window_session_5min, which materializes the chosen config.
+
+    Scale shape: ONE user-keyed window shuffle for the ordered lag,
+    one global agg with map-side combine carrying all four counters at
+    once; the per-config fan-out is a 4-row literal unpivot of the
+    1-row aggregate. Sweeping k configs costs k counters, not k scans.
+    """
+    from data_lake_with_spark_spark.functions.time import epoch_ms
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", epoch_ms("ts").alias("tms"), "event_id"
+    )
+    g = ev.select(
+        "user_id",
+        (
+            F.col("tms")
+            - F.lag("tms").over(W.partitionBy("user_id").orderBy("tms", "event_id"))
+        ).alias("gap_ms"),
+    )
+    agg = g.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        *[
+            F.sum((F.col("gap_ms") > t * 1000).cast("int"))
+            .cast("bigint").alias(f"brk_{t}")
+            for t in _SESSION_TIMEOUTS_S
+        ],
+    )
+    stack = ", ".join(
+        f"{t}L, n_users + brk_{t}" for t in _SESSION_TIMEOUTS_S
+    )
+    return (
+        agg.select(
+            "n_events",
+            F.expr(
+                f"stack({len(_SESSION_TIMEOUTS_S)}, {stack})"
+                " AS (timeout_sec, n_sessions)"
+            ),
+        )
+        .select(
+            F.col("timeout_sec").cast("bigint").alias("timeout_sec"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.expr("n_events * 1000000 div n_sessions")
+            .cast("bigint").alias("events_per_session_ppm"),
+        )
+        .orderBy("timeout_sec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration curve (Lorenz deciles)
+# ---------------------------------------------------------------------------
+
+LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM rev
+), per AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM ranked GROUP BY decile
+), tot AS (
+  SELECT SUM(revenue_cents) AS all_cents FROM per
+)
+SELECT p.decile, p.n_customers, p.revenue_cents,
+       CAST(SUM(p.revenue_cents) OVER (ORDER BY p.decile) * 1000000
+            // t.all_cents AS BIGINT) AS cum_share_ppm
+FROM per p CROSS JOIN tot t
+ORDER BY p.decile
+"""
+
+
+@register(
+    "finance_lorenz_revenue",
+    oracle=LORENZ_ORACLE,
+    tags=("finance", "analytics", "concentration"),
+)
+def finance_lorenz_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Lorenz) curve: customers ranked by
+    lifetime revenue (exact integer cents), cut into equal-count
+    deciles (total order: revenue desc, key), each decile's revenue
+    and the cumulative top-k% share in exact ppm — the "top 10% of
+    customers drive X% of revenue" readout; the curve whose area
+    complement is the Gini that score_user_gini_diversity computes on
+    a different domain. Integer end-to-end.
+
+    Scale shape: one customer-keyed hash-agg with map-side combine,
+    ONE global NTILE window (range-partitioned sort over the customer
+    aggregate — |customers| rows, not |orders|), then windows over
+    the 10-row decile frame with a broadcast total.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint").alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.ntile(10).over(W.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    per = ranked.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    tot = per.agg(F.sum("revenue_cents").alias("all_cents"))
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers", "revenue_cents",
+            F.expr(
+                "SUM(revenue_cents) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " * 1000000 div all_cents"
+            ).cast("bigint").alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -101,6 +101,9 @@ CHANGED_THIS_ROUND = [
     "pii_risk_kanonymity",
     "ab_sprt_monitor",
     "feature_hashing_audit",
+    "ab_cuped_adjustment",
+    "sessionize_timeout_sensitivity",
+    "finance_lorenz_revenue",
 ]
 
 NAMES = sorted(set(ROTATION) | set(CHANGED_THIS_ROUND))

@@ -541,3 +541,89 @@ def sssp_weighted(
     if n_iter is None:
         LAST_CONVERGENCE_ROUNDS["sssp_weighted"] = rounds
     return dist
+
+
+def ktruss(
+    pairs: DataFrame,
+    k: int = 3,
+    n_iter: int | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(a_id, b_id, support) edges of the k-truss: the maximal
+    subgraph where EVERY edge closes ≥ k−2 triangles — a cohesion
+    filter strictly stronger than k-core (Cohen 2008), the standard
+    "keep only socially-reinforced links" cleanup before community
+    extraction on noisy similarity graphs. Computed by support
+    peeling: each round counts per-edge triangle support (common
+    neighbors of the endpoints WITHIN the surviving graph) and drops
+    edges below k−2; removing an edge can only lower其他 edges'
+    support, so the edge set shrinks monotonically and "no edge
+    dropped" is the fixpoint.
+
+    Default (``n_iter=None``): peel to fixpoint bounded by
+    ``max_iter`` (the monotone edge-count probe — one cheap count per
+    round on the checkpointed frame). Explicit ``n_iter`` pins exactly
+    that many peel rounds for the unrolled SQL oracle twin. Either
+    way, ``support`` in the output is recomputed on the FINAL edge
+    set (at fixpoint every reported support is ≥ k−2; in pinned mode
+    an unconverged edge may report lower — the twin applies the same
+    semantics).
+
+    Per round: one edge→adjacency double join keyed on the endpoint
+    ids + one hash-agg (the triangle count), one filter — bounded
+    keyed shuffles, lineage truncated via localCheckpoint. Triangle
+    work is Σ_edge min-degree, the standard distributed-truss cost.
+    """
+    _check_iters("ktruss", n_iter, max_iter)
+    min_sup = int(k) - 2
+    if min_sup < 1:
+        raise ValueError(f"ktruss: k must be >= 3, got {k}")
+    edges = (
+        pairs.select("a_id", "b_id").distinct().localCheckpoint(eager=True)
+    )
+
+    def _support(e: DataFrame) -> DataFrame:
+        und = undirected_edges(
+            e.select(F.col("a_id"), F.col("b_id"))
+        )
+        u1 = und.select(F.col("src").alias("a_id"), F.col("dst").alias("c1"))
+        u2 = und.select(F.col("src").alias("b_id"), F.col("dst").alias("c2"))
+        return (
+            e.join(u1, "a_id")
+            .join(u2, "b_id")
+            .where(F.col("c1") == F.col("c2"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+
+    rounds = int(n_iter) if n_iter is not None else int(max_iter)
+    n_edges = edges.count() if n_iter is None else None
+    for r in range(rounds):
+        survivors = (
+            edges.join(
+                _support(edges).where(F.col("support") >= min_sup)
+                .select("a_id", "b_id"),
+                ["a_id", "b_id"],
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges = survivors
+        if n_iter is None:
+            n2 = edges.count()
+            if n2 == n_edges:
+                LAST_CONVERGENCE_ROUNDS["ktruss"] = r + 1
+                break
+            n_edges = n2
+    else:
+        if n_iter is None:
+            LAST_CONVERGENCE_ROUNDS["ktruss"] = rounds
+    # Edges with zero support in the final graph vanish from the
+    # support join; report them explicitly only in pinned mode (left
+    # join, support 0) so both modes' outputs are total over edges.
+    return (
+        edges.join(_support(edges), ["a_id", "b_id"], "left")
+        .select(
+            "a_id", "b_id",
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+        )
+    )

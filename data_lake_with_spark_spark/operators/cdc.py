@@ -114,9 +114,13 @@ def compact_changelog(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     newest-row-wins rule over one state row + the batch's compacted
     row per key, so any batch split of the changelog produces the
     same final state as one shot (pinned by pytest batch-equality).
-    Shuffle shape per refresh: one window keyed on user_id over
-    micro-batch-sized input + the state rows of TOUCHED keys only
-    after the union — O(changes), never a base-table rescan."""
+    Shuffle shape per refresh: one window keyed on user_id over the
+    micro-batch, then prior state splits on the batch's distinct key
+    set (broadcast-able semi/anti joins) — only TOUCHED keys' state
+    rows enter the merge window, untouched rows pass through
+    unchanged. Window/shuffle work is O(changes); the untouched
+    passthrough is a narrow scan (the state rewrite itself is
+    O(state) I/O, as for any full-snapshot view)."""
     key_w = W.partitionBy("user_id")
     compacted = (
         batch.select(
@@ -149,8 +153,12 @@ def compact_changelog(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     )
     if state is None:
         return compacted.select(*CHANGELOG_STATE_COLS)
-    merged = state.select(*CHANGELOG_STATE_COLS).unionByName(compacted)
-    return (
+    state = state.select(*CHANGELOG_STATE_COLS)
+    batch_keys = batch.select("user_id").distinct()
+    touched = state.join(batch_keys, "user_id", "left_semi")
+    untouched = state.join(batch_keys, "user_id", "left_anti")
+    merged = touched.unionByName(compacted)
+    resolved = (
         merged.select(
             *CHANGELOG_STATE_COLS,
             F.row_number()
@@ -171,3 +179,4 @@ def compact_changelog(state: DataFrame | None, batch: DataFrame) -> DataFrame:
             "last_value",
         )
     )
+    return untouched.unionByName(resolved)

@@ -556,7 +556,7 @@ def ktruss(
     extraction on noisy similarity graphs. Computed by support
     peeling: each round counts per-edge triangle support (common
     neighbors of the endpoints WITHIN the surviving graph) and drops
-    edges below k−2; removing an edge can only lower其他 edges'
+    edges below k−2; removing an edge can only lower other edges'
     support, so the edge set shrinks monotonically and "no edge
     dropped" is the fixpoint.
 

@@ -1654,15 +1654,17 @@ WITH s AS (
   FROM cell
 ), ppm AS (
   SELECT bin, n_expected, n_actual,
-         CAST(n_expected * 1000000 // ne AS BIGINT) AS expected_ppm,
-         CAST(n_actual * 1000000 // na AS BIGINT) AS actual_ppm
+         CAST(n_expected * 1000000 // GREATEST(ne, 1) AS BIGINT) AS expected_ppm,
+         CAST(n_actual * 1000000 // GREATEST(na, 1) AS BIGINT) AS actual_ppm
   FROM cell CROSS JOIN tot
 )
 SELECT CAST(bin AS INTEGER) AS bin, n_expected, n_actual,
        expected_ppm, actual_ppm,
        FLOOR(CAST((expected_ppm - actual_ppm)
-                  * (CAST(FLOOR(ln(CAST(expected_ppm AS DOUBLE)) * 1e6) AS BIGINT)
-                     - CAST(FLOOR(ln(CAST(actual_ppm AS DOUBLE)) * 1e6) AS BIGINT))
+                  * (CAST(FLOOR(ln(CAST(GREATEST(expected_ppm, 1) AS DOUBLE)) * 1e6)
+                          AS BIGINT)
+                     - CAST(FLOOR(ln(CAST(GREATEST(actual_ppm, 1) AS DOUBLE)) * 1e6)
+                            AS BIGINT))
                   AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS contribution
 FROM ppm ORDER BY bin
 """
@@ -1684,7 +1686,11 @@ def ml_psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployed scorer tracks; >0.2 total conventionally triggers
     retraining. Fixed bin edges (not quantiles) keep a bin's identity
     stable as the corpus grows — the same stability argument as
-    training_quality_mixture.
+    training_quality_mixture. Zero-count protection: ppm values are
+    clamped to ≥1 inside the log (standard epsilon smoothing) and the
+    side totals to ≥1 under the division, so an empty bin or a
+    vanished population yields a LARGE FINITE contribution instead of
+    silently going NULL exactly when drift is most extreme.
 
     Scale shape: one scan, one 12-cell hash-agg (6 bins × 2 sides
     folded map-side), then arithmetic on ≤6 rows. The split hash and
@@ -1723,12 +1729,19 @@ def ml_psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_expected",
         "n_actual",
-        F.expr("CAST(n_expected * 1000000 DIV ne AS BIGINT)").alias("expected_ppm"),
-        F.expr("CAST(n_actual * 1000000 DIV na AS BIGINT)").alias("actual_ppm"),
+        F.expr(
+            "CAST(n_expected * 1000000 DIV GREATEST(ne, 1) AS BIGINT)"
+        ).alias("expected_ppm"),
+        F.expr(
+            "CAST(n_actual * 1000000 DIV GREATEST(na, 1) AS BIGINT)"
+        ).alias("actual_ppm"),
     )
 
     def qln(col):
-        return F.floor(F.log(col.cast("double")) * 1e6).cast("bigint")
+        # clamp to >= 1 ppm before the log: ln(1) = 0, never NULL
+        return F.floor(
+            F.log(F.greatest(col, F.lit(1)).cast("double")) * 1e6
+        ).cast("bigint")
 
     term = (F.col("expected_ppm") - F.col("actual_ppm")) * (
         qln(F.col("expected_ppm")) - qln(F.col("actual_ppm"))

@@ -417,7 +417,22 @@ def stream_maintain_topk_view(
     (pytest-pinned). Unlike count-based "heavy hitters" (which need
     count-min + candidates), max-based top-k needs no sketch: the
     state IS exact at O(groups·k) size — the leaderboard shape every
-    monitoring pipeline maintains."""
+    monitoring pipeline maintains.
+
+    INSERT-ONLY contract: a max-monoid leaderboard cannot retract —
+    once a row falls out of the retained ≤k state, the information to
+    undo a later delete is gone. When the input carries a CDF-style
+    ``_change_type`` column, ``insert``/``update_postimage`` rows are
+    folded, ``update_preimage`` rows are dropped (they are the
+    pre-state, never foldable — folding them would double-count every
+    update), and a ``delete`` row RAISES (ValueError, failing the
+    micro-batch) instead of being silently folded in as an insert and
+    corrupting the leaderboard. Note the residual update caveat: an
+    update that LOWERS a retained row's ``order_col`` cannot retract
+    the old value either, so under such feeds the state is an upper
+    bound; it is exact for insert-only or value-monotone feeds. Route
+    delete-bearing / non-monotone changefeeds to a recount-capable
+    view (stream_maintain_view's signed counts) instead."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -434,6 +449,18 @@ def stream_maintain_topk_view(
     cols = [*group_cols, id_col, order_col]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if "_change_type" in batch_df.columns:
+            deletes = batch_df.where(F.col("_change_type") == "delete")
+            if not deletes.isEmpty():
+                raise ValueError(
+                    "stream_maintain_topk_view is insert-only: a max-monoid"
+                    " top-k state cannot retract. Got delete rows in the"
+                    " changes stream — maintain a signed-count view"
+                    " (stream_maintain_view) for retractable feeds."
+                )
+            batch_df = batch_df.where(
+                F.col("_change_type").isin("insert", "update_postimage")
+            )
         if batch_df.isEmpty():
             return
         eid = epoch_id if checkpoint is not None else None
@@ -526,9 +553,13 @@ def read_psi_drift(
     """PSI per bin from a psi-view state (side 0 = expected, 1 =
     actual): integer ppm probabilities, micro-nat quantized logs, one
     rounded contribution per bin — arithmetic identical to the batch
-    ml_psi_score_drift query (batch-equality pytest-pinned). Pure
-    column math over ≤ 2·n_bins state rows; pin ``version`` to read
-    the drift as of any past refresh."""
+    ml_psi_score_drift query (batch-equality pytest-pinned), including
+    its zero-count smoothing: ppm clamps to ≥1 inside the log and the
+    side totals to ≥1 under the division, so a bin that empties on one
+    side (drift at its most extreme) reports a large finite
+    contribution instead of NULL. Pure column math over ≤ 2·n_bins
+    state rows; pin ``version`` to read the drift as of any past
+    refresh."""
     from pyspark.sql import functions as F
 
     from data_lake_with_spark_spark.plans.parity import pround
@@ -550,12 +581,19 @@ def read_psi_drift(
         "bin",
         "n_expected",
         "n_actual",
-        F.expr("CAST(n_expected * 1000000 DIV ne AS BIGINT)").alias("expected_ppm"),
-        F.expr("CAST(n_actual * 1000000 DIV na AS BIGINT)").alias("actual_ppm"),
+        F.expr(
+            "CAST(n_expected * 1000000 DIV GREATEST(ne, 1) AS BIGINT)"
+        ).alias("expected_ppm"),
+        F.expr(
+            "CAST(n_actual * 1000000 DIV GREATEST(na, 1) AS BIGINT)"
+        ).alias("actual_ppm"),
     )
 
     def qln(col):
-        return F.floor(F.log(col.cast("double")) * 1e6).cast("bigint")
+        # clamp to >= 1 ppm before the log: ln(1) = 0, never NULL
+        return F.floor(
+            F.log(F.greatest(col, F.lit(1)).cast("double")) * 1e6
+        ).cast("bigint")
 
     term = (F.col("expected_ppm") - F.col("actual_ppm")) * (
         qln(F.col("expected_ppm")) - qln(F.col("actual_ppm"))

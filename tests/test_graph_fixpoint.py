@@ -128,3 +128,53 @@ def test_sssp_weighted_default_reaches_past_pinned_horizon(spark):
         r["id"]: r["dist"] for r in G.sssp_weighted(pairs, 0, n_iter=4).collect()
     }
     assert pinned[14] == 100 and pinned[4] == 20 and 10 not in pinned
+
+
+def test_ktruss_default_peels_cascade_to_fixpoint(spark):
+    # K4 {0,1,2,3} (every edge closes 2 triangles — a 4-truss) plus a
+    # weakly attached pair {4,5}: triangles (2,3,4) and (2,4,5). Round
+    # 1 drops (3,4)/(2,5)/(4,5) (support 1 < 2); that REDUCES (2,4)'s
+    # support 2 → 0, so round 2 drops it — a two-round cascade a
+    # pinned 1-round peel misses. Fixpoint for k=4 = the K4 alone,
+    # every surviving edge reporting support 2.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(2, 4), (3, 4), (2, 5), (4, 5)]
+    pairs = _pairs(spark, k4 + tail)
+    got = {
+        (r["a_id"], r["b_id"]): r["support"]
+        for r in G.ktruss(pairs, k=4).collect()
+    }
+    assert got == {(a, b): 2 for a, b in k4}
+    assert G.LAST_CONVERGENCE_ROUNDS["ktruss"] <= 4
+    # Pinned 1-round twin under-peels: the cascaded edge (2,4) survives
+    # with its (now sub-threshold) support recomputed on the final set.
+    pinned = {
+        (r["a_id"], r["b_id"]): r["support"]
+        for r in G.ktruss(pairs, k=4, n_iter=1).collect()
+    }
+    assert (2, 4) in pinned and pinned != got
+
+
+def test_ktruss_k3_keeps_triangles_drops_bridges(spark):
+    # Two triangles sharing vertex 2 plus a bridge edge (5, 9): the
+    # 3-truss (support >= 1) is exactly the two triangles; the bridge
+    # closes no triangle and dies in round 1.
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(2, 3), (3, 4), (2, 4)]
+    pairs = _pairs(spark, tri1 + tri2 + [(5, 9)])
+    got = {
+        (r["a_id"], r["b_id"]): r["support"]
+        for r in G.ktruss(pairs, k=3).collect()
+    }
+    assert got == {(a, b): 1 for a, b in tri1 + tri2}
+    assert G.LAST_CONVERGENCE_ROUNDS["ktruss"] <= 3
+
+
+def test_ktruss_guards(spark):
+    pairs = _pairs(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        G.ktruss(pairs, k=2)
+    with pytest.raises(ValueError, match="n_iter"):
+        G.ktruss(pairs, n_iter=0)
+    with pytest.raises(ValueError, match="max_iter"):
+        G.ktruss(pairs, max_iter=0)

@@ -6,6 +6,7 @@ version. Final state must equal the single-shot fold of all changes
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
@@ -784,3 +785,62 @@ def test_stream_maintained_psi_drift(spark, sf_dir, tmp_path):
     )
     after = {(r["side"], r["bin"]): r["n_rows"] for r in refold.collect()}
     assert sum(after.values()) == sum(before.values()) + len(splits[0])
+
+
+def test_stream_topk_insert_only_contract(spark, sf_dir, tmp_path):
+    """The top-k view's insert-only contract (round-7 ADVICE): with a
+    CDF-style _change_type column, update_postimage rows fold like
+    inserts, update_preimage rows never do (they'd double-fold every
+    update), and a delete row fails the stream loudly instead of being
+    silently folded in as an insert."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .limit(500)
+    )
+    # every row twice: once as a bogus preimage with an inflated value
+    # (must be ignored), once as the real postimage
+    changes = ev.select(
+        "event_type", "event_id",
+        (F.col("value") + 1e9).alias("value"),
+        F.lit("update_preimage").alias("_change_type"),
+    ).unionByName(
+        ev.withColumn("_change_type", F.lit("update_postimage"))
+    )
+    src = str(tmp_path / "tkc_changes")
+    changes.coalesce(1).write.parquet(src)
+    state = str(tmp_path / "tkc_view")
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = MV.stream_maintain_topk_view(
+        stream, state, ["event_type"], "value", "event_id", k=3,
+        query_name="tkc_mv",
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    want = {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .collect()
+    }
+    got = {
+        (r["event_type"], r["event_id"], r["value"])
+        for r in MV.read_view(spark, state).collect()
+    }
+    assert got == want  # preimages ignored: no 1e9-inflated values
+
+    # a delete row must fail the micro-batch, not corrupt the state
+    deletes = ev.limit(1).withColumn("_change_type", F.lit("delete"))
+    src2 = str(tmp_path / "tkd_changes")
+    deletes.coalesce(1).write.parquet(src2)
+    stream2 = spark.readStream.schema(deletes.schema).parquet(src2)
+    q2 = MV.stream_maintain_topk_view(
+        stream2, str(tmp_path / "tkd_view"), ["event_type"], "value",
+        "event_id", k=3, query_name="tkd_mv",
+    )
+    with pytest.raises(Exception, match="insert-only"):
+        q2.awaitTermination(600)

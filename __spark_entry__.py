@@ -48,127 +48,134 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # in sorted order and are covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-7 rotation: the entire round-6 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r06.json, durable in git), so all
-    # unchanged r6 rows rotate out and the window carries 48
-    # FIRST-TIME queries — never driver-hash-verified in any round's
-    # CORRECTNESS file (computed from the union of r01–r06: 109 oracled
-    # queries had no row; this window takes 48, leaving ~61 queued for
-    # round 8) — plus the two previously-verified graph queries whose
-    # engine changed this round (operators/graph.py now defaults to
-    # iterate-to-fixpoint; the registered queries pin n_iter and must
-    # be re-verified under the refactored loop).
+    # Round-8 rotation: the entire round-7 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r07.json, durable in git), so all
+    # 50 rows rotate out and this window takes 50 of the 126 oracled
+    # queries never driver-verified in any round (union of r01-r07),
+    # leading with the families a user hits most (round-7 verdict
+    # directive #1): A/B + funnel analytics, the q2/q20 TPC-H tail,
+    # join hints/range/as-of, subqueries, text, timeseries, spatial,
+    # multimodal, scalar functions, windows.
     #
-    # ROUND-8 ROTATION QUEUE (never driver-verified after this round,
-    # rotate in once this window's rows are durable): ab_test_conversion,
-    # activity_dow_hour_matrix, agg_mode_deterministic,
-    # agg_regression_trend, anomaly_mad_daily, anomaly_rate_bursts,
-    # dim_calendar_spine, events_transition_entropy, features_lag_purchases,
-    # finance_ohlc_hourly, funnel_conversion_latency, funnel_unordered_set,
-    # growth_top_parts_yoy, inventory_capped_balance, join_hint_merge,
-    # join_hint_shuffle_hash, join_range_outer_5min, ml_threshold_metrics,
-    # multimodal_audio_clip, multimodal_bytestats_arrow,
-    # multimodal_frame_sample, orders_interarrival_gaps,
-    # orders_ship_delay_stats, q2_min_cost_supplier,
-    # q20_heavy_promo_suppliers, regression_theil_sen,
-    # sample_stratified_topk, scalar_* (4), score_user_gini_diversity,
-    # segment_abc_* (2), segment_rfm_distributed, sequence_bigram_support,
-    # spatial_* (2), stats_spearman_corr, stats_table_profile,
-    # subquery_(not_)in_nations, supplier_nation_share,
-    # text_decontaminate, text_lang_profile, text_ngram_novelty,
-    # text_top_tokens, text_vocab_coverage, text_vocab_oov,
-    # timeseries_autocorrelation, timeseries_interpolate_linear,
-    # timeseries_seasonality_dow, timeseries_twap_daily,
-    # training_length_buckets, training_quality_mixture,
-    # training_split_counts, vector_near_pairs, window_cume_nth,
-    # window_lag_gaps, window_ntile_first_last, window_users_to_date.
-    # Plus the eighteen round-7 additions in plans/extended_ops.py
-    # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
-    # vector_topk_hamming, vector_topk_asymmetric,
-    # cdc_changelog_compact, ml_calibration_ece, stats_mann_whitney_u,
-    # training_tokenizer_fertility, layout_zone_map_pruning,
-    # graph_harmonic_centrality, dedup_image_phash,
-    # dq_referential_integrity, timeseries_holt_forecast,
-    # join_asof_nearest, layout_pruning_zorder_vs_linear,
-    # training_dedup_rate_by_source, stats_jensen_shannon,
-    # vector_topk_ivfpq_portable, join_interval_overlap, dq_bloom_fpp.
-    # Plus the eighteen continuation-session additions in
-    # plans/extended_ops2.py (also sf0.01-gated at birth):
-    # cohort_retention_matrix, interval_coalesce_spans,
-    # ml_average_precision, ml_gain_lift_deciles,
-    # stats_poisson_bootstrap_ci, recsys_item_item_topk,
-    # finance_sma_crossover, layout_encoding_advisor,
-    # layout_partition_advisor, spatial_knn_grid, events_pattern_regex,
-    # stats_mutual_information, text_rake_keywords, stats_anova_oneway,
-    # ml_best_split_gini, ml_psi_score_drift, timeseries_stl_dow,
-    # text_heaps_law. Plus the third-continuation-session additions in
-    # plans/extended_ops3.py (sf0.01-gated at birth):
-    # attribution_shapley, stats_wilson_ci, dq_fd_discovery, and the
-    # rest listed in tests/test_oracle_parity_sf01.py
-    # CHANGED_THIS_ROUND.
+    # DRAIN PLAN (round-7 verdict directive #2): the queue stood at
+    # 126 entering round 8. This round drains 50 and caps new
+    # registrations well below the drain rate (<= 20/round), so the
+    # queue shrinks monotonically: ~76+new after r8, under ~50 after
+    # r9, empty by ~r10. Until it empties, every queued query is ALSO
+    # re-verified at driver scale each round by the widened sf0.01
+    # local gate (tests/test_oracle_parity_sf01.py computes the
+    # never-driver-verified set from the CORRECTNESS_r*.json files and
+    # includes all of it), so the only remaining gap is which harness
+    # ran it, never which scale.
     #
-    # changed this round (re-verify under the fixpoint-default graph
-    # operator refactor; both held green rows before):
-    "graph_label_propagation",    # pinned n_iter path through new loop
-    "graph_pagerank_neardup",     # empty-graph guard + refactor
-    # graph family, first-time (also touched by the refactor):
-    "graph_connected_components",
-    "graph_kcore_membership",
-    "graph_bfs_reachability",
-    "graph_community_modularity",
-    "graph_assortativity",
-    "graph_link_prediction",
+    # ROUND-9 ROTATION QUEUE (never driver-verified after this round;
+    # rotate in once this window's rows are durable):
+    # ab/attribution: attribution_position_based, attribution_shapley;
+    # anomaly/agg: anomaly_mad_daily, anomaly_rate_bursts,
+    #   agg_mode_deterministic, agg_regression_trend,
+    #   activity_dow_hour_matrix, dim_calendar_spine;
+    # events/sequence: events_pattern_regex, events_transition_entropy,
+    #   sequence_bigram_support, sequence_hmm_viterbi,
+    #   sessionize_timeout_sensitivity, recsys_markov_next_item,
+    #   recsys_item_item_topk;
+    # features/training: features_lag_purchases, feature_hashing_audit,
+    #   feature_quantile_normalize, feature_target_encoding_oof,
+    #   training_dedup_rate_by_source, training_length_buckets,
+    #   training_loso_source_value, training_quality_mixture,
+    #   training_split_counts, training_tokenizer_fertility,
+    #   sample_stratified_topk, score_user_gini_diversity;
+    # finance/inventory/orders: finance_bollinger_breakouts,
+    #   finance_lorenz_revenue, finance_ohlc_hourly,
+    #   finance_sma_crossover, inventory_capped_balance,
+    #   orders_interarrival_gaps, orders_ship_delay_stats,
+    #   growth-adjacent segment_abc_distributed, segment_abc_pareto,
+    #   segment_rfm_distributed;
+    # graph/vector: graph_harmonic_centrality, graph_sssp_weighted,
+    #   vector_topk_asymmetric, vector_topk_hamming,
+    #   vector_topk_ivfpq_portable;
+    # interval/cohort: interval_coalesce_spans, cohort_retention_matrix;
+    # layout/dq: layout_encoding_advisor, layout_partition_advisor,
+    #   layout_pruning_zorder_vs_linear, layout_zone_map_pruning,
+    #   dq_bloom_fpp, dq_fd_discovery, dq_referential_integrity,
+    #   pii_risk_kanonymity;
+    # ml/stats: ml_average_precision, ml_best_split_gini,
+    #   ml_calibration_ece, ml_conformal_interval, ml_embedding_drift,
+    #   ml_forecast_backtest_mase, ml_gain_lift_deciles,
+    #   ml_gain_lift_distributed, ml_isotonic_calibration,
+    #   ml_learning_curve_auc, ml_threshold_metrics,
+    #   regression_theil_sen, stats_anova_oneway, stats_fdr_bh,
+    #   stats_jensen_shannon, stats_kaplan_meier, stats_mann_whitney_u,
+    #   stats_mutual_information, stats_poisson_bootstrap_ci,
+    #   stats_spearman_corr, stats_table_profile, stats_wilson_ci;
+    # text/timeseries tail: text_winnowing_fingerprints,
+    #   timeseries_cross_correlation;
+    # plus anything newly registered in round 8 (sf0.01-gated at birth
+    # via CHANGED_THIS_ROUND).
+    #
+    # changed this round (window discipline: engine or oracle edits
+    # re-enter the window even when previously verified):
+    "ml_psi_score_drift",          # zero-count epsilon smoothing (ADVICE)
     # CDC / lakehouse, first-time:
-    "cdc_scd2_apply",
-    "join_pointintime_scd2",
-    "layout_zorder_locality",
-    "layout_compaction_bins",
-    "scan_file_metadata",
-    "sort_keyset_pagination",
-    # feature engineering, first-time:
-    "feature_target_encoding",
-    "feature_quantile_bins",
-    "feature_impute_group_mean",
-    "training_cv_folds",
-    # statistics, first-time:
-    "stats_ks_two_sample",
-    "stats_welch_ttest",
-    "stats_skew_kurtosis",
-    "stats_cramers_v",
-    "stats_kl_weekday",
-    "stats_runs_test",
-    "stats_weighted_median",
-    "stats_winsorized_mean",
-    # sketches / retrieval, first-time:
-    "sketch_hll_cube",
-    "audience_overlap_exact",
-    "search_mmr_rerank",
-    "search_hybrid_rrf",
-    # data quality, first-time:
-    "dq_coverage_gaps",
-    "dq_freshness_by_type",
-    "dq_join_skew_profile",
-    "dq_quarantine_rows",
-    "dq_table_diff_checksums",
-    # ANN eval / ML metrics, first-time:
-    "ml_auc_rank_sum",
-    "ml_ndcg_at_k",
-    "ml_recall_mrr_at_k",
-    "ml_minhash_jaccard_error",
-    # pipeline / dedup / relational, first-time:
-    "skyline_pareto_orders",
-    "pipeline_neardup_trainset",
-    "dedup_image_ahash",
-    "join_relational_division",
-    "attribution_last_touch",
-    # time series / finance, first-time:
-    "timeseries_ewma_halflife",
-    "timeseries_rolling_corr",
-    "finance_var_historical",
-    # text / multimodal, first-time:
-    "text_bigram_logprob",
-    "text_char_entropy",
-    "multimodal_video_decimate",
+    "cdc_changelog_compact",
+    "dedup_image_phash",
+    # A/B testing + funnels, first-time:
+    "ab_test_conversion",
+    "ab_cuped_adjustment",
+    "ab_sprt_monitor",
+    "funnel_conversion_latency",
+    "funnel_unordered_set",
+    # TPC-H tail + relational, first-time:
+    "q2_min_cost_supplier",
+    "q20_heavy_promo_suppliers",
+    "supplier_nation_share",
+    "growth_top_parts_yoy",
+    # join strategies / temporal joins, first-time:
+    "join_hint_merge",
+    "join_hint_shuffle_hash",
+    "join_range_outer_5min",
+    "join_asof_nearest",
+    "join_interval_overlap",
+    # subqueries, first-time:
+    "subquery_in_nations",
+    "subquery_not_in_nations",
+    # text analysis, first-time:
+    "text_decontaminate",
+    "text_lang_profile",
+    "text_ngram_novelty",
+    "text_top_tokens",
+    "text_vocab_coverage",
+    "text_vocab_oov",
+    "text_rake_keywords",
+    "text_heaps_law",
+    # time series, first-time:
+    "timeseries_autocorrelation",
+    "timeseries_interpolate_linear",
+    "timeseries_seasonality_dow",
+    "timeseries_twap_daily",
+    "timeseries_holt_forecast",
+    "timeseries_stl_dow",
+    # spatial, first-time:
+    "spatial_dbscan_grid",
+    "spatial_grid_near_pairs",
+    "spatial_knn_grid",
+    "spatial_pyramid_rollup",
+    # multimodal, first-time:
+    "multimodal_audio_clip",
+    "multimodal_audio_vad",
+    "multimodal_bytestats_arrow",
+    "multimodal_frame_sample",
+    # scalar function surface, first-time:
+    "scalar_date_arithmetic",
+    "scalar_null_handling",
+    "scalar_regexp_extract",
+    "scalar_string_funcs",
+    # window function surface, first-time:
+    "window_cume_nth",
+    "window_lag_gaps",
+    "window_ntile_first_last",
+    "window_users_to_date",
+    # vectors, first-time:
+    "vector_near_pairs",
 ]
 
 

@@ -104,6 +104,30 @@ def _cc_fullscale(spark, sf_dir: str):
     return min_label_components(lsh_near_pairs(emb, threshold=0.35))
 
 
+def _neardup_fullscale(spark, sf_dir: str):
+    """Scale-varying embedding near-dup (round-7 verdict directive #3):
+    the ORACLED dedup_embedding_cosine pins ``vec_id < 400`` for
+    deterministic oracle rows, so its headline-bench row measures
+    constant work while sf grows. This bench-only row runs the
+    LSH-banded near-pair generator + keep-first-occurrence dedup over
+    ALL embeddings (sf-proportional: 200 vectors at sf0.01, 2 000 at
+    sf0.1) at the same oracled threshold — the candidate-generation
+    cost that dominates 100 TB embedding dedup is finally visible
+    across scale factors."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.similarity import lsh_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dupes = (
+        lsh_near_pairs(emb, threshold=0.35)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dupes, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -196,6 +220,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _cc_fullscale(spark, sf_dir).toPandas()
         timings["graph_cc_fullscale"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _neardup_fullscale(spark, sf_dir).toPandas()
+        timings["neardup_fullscale"] = round(time.perf_counter() - t0, 3)
         return timings
 
     t2_cold = run_tier2()

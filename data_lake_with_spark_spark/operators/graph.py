@@ -571,16 +571,21 @@ def ktruss(
 
     Per round: one edge→adjacency double join keyed on the endpoint
     ids + one hash-agg (the triangle count), one filter — bounded
-    keyed shuffles, lineage truncated via localCheckpoint. Triangle
-    work is Σ_edge min-degree, the standard distributed-truss cost.
+    keyed shuffles. Fixpoint mode truncates lineage per round via
+    localCheckpoint (it runs jobs anyway for the stop probe); pinned
+    mode builds the unrolled plan LAZILY — small pinned round counts
+    stay within Catalyst's comfort zone and the query registers
+    without joining EAGER_QUERIES. Triangle work is Σ_edge
+    min-degree, the standard distributed-truss cost.
     """
     _check_iters("ktruss", n_iter, max_iter)
     min_sup = int(k) - 2
     if min_sup < 1:
         raise ValueError(f"ktruss: k must be >= 3, got {k}")
-    edges = (
-        pairs.select("a_id", "b_id").distinct().localCheckpoint(eager=True)
-    )
+    lazy = n_iter is not None
+    edges = pairs.select("a_id", "b_id").distinct()
+    if not lazy:
+        edges = edges.localCheckpoint(eager=True)
 
     def _support(e: DataFrame) -> DataFrame:
         und = undirected_edges(
@@ -599,14 +604,13 @@ def ktruss(
     rounds = int(n_iter) if n_iter is not None else int(max_iter)
     n_edges = edges.count() if n_iter is None else None
     for r in range(rounds):
-        survivors = (
-            edges.join(
-                _support(edges).where(F.col("support") >= min_sup)
-                .select("a_id", "b_id"),
-                ["a_id", "b_id"],
-            )
-            .localCheckpoint(eager=True)
+        survivors = edges.join(
+            _support(edges).where(F.col("support") >= min_sup)
+            .select("a_id", "b_id"),
+            ["a_id", "b_id"],
         )
+        if not lazy:
+            survivors = survivors.localCheckpoint(eager=True)
         edges = survivors
         if n_iter is None:
             n2 = edges.count()

@@ -2249,3 +2249,90 @@ def finance_lorenz_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: k-truss edges (triangle-support peeling) — round 8
+# ---------------------------------------------------------------------------
+
+
+def _ktruss_oracle(k: int = 3, n_iter: int = 2) -> str:
+    """Unrolled SQL twin of ``operators/graph.py:ktruss`` pinned to
+    ``n_iter`` peel rounds over the deterministic vec_id<400 near-dup
+    graph: per round, per-edge triangle support = common neighbors of
+    the endpoints WITHIN the surviving edge set, drop edges below
+    k−2; final support recomputed on the last edge set (left join,
+    COALESCE 0 — identical to the operator's pinned-mode output)."""
+    min_sup = int(k) - 2
+    head = """WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 400
+), p AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND FLOOR((list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.35
+), e0 AS MATERIALIZED (SELECT DISTINCT a_id, b_id FROM p)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", u{i - 1} AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM e{i - 1}
+  UNION ALL SELECT b_id, a_id FROM e{i - 1}
+), s{i} AS MATERIALIZED (
+  SELECT g.a_id, g.b_id, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e{i - 1} g
+  JOIN u{i - 1} x ON x.src = g.a_id
+  JOIN u{i - 1} y ON y.src = g.b_id AND y.dst = x.dst
+  GROUP BY g.a_id, g.b_id
+), e{i} AS MATERIALIZED (
+  SELECT a_id, b_id FROM s{i} WHERE support >= {min_sup}
+)"""
+        )
+    return "".join(ctes) + (
+        f""", uf AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM e{n_iter}
+  UNION ALL SELECT b_id, a_id FROM e{n_iter}
+), sf AS MATERIALIZED (
+  SELECT g.a_id, g.b_id, CAST(COUNT(*) AS BIGINT) AS support
+  FROM e{n_iter} g
+  JOIN uf x ON x.src = g.a_id
+  JOIN uf y ON y.src = g.b_id AND y.dst = x.dst
+  GROUP BY g.a_id, g.b_id
+)
+SELECT g.a_id, g.b_id, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM e{n_iter} g LEFT JOIN sf s USING (a_id, b_id)
+ORDER BY a_id, b_id"""
+    )
+
+
+@register(
+    "graph_ktruss_edges",
+    oracle=_ktruss_oracle(3, 2),
+    tags=("graph", "dedup", "llm", "iterative"),
+)
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the near-dup graph by triangle-support peeling
+    (2 unrolled rounds): edges that close at least one triangle in the
+    surviving subgraph — the cohesion filter strictly stronger than
+    k-core (Cohen 2008) that drops incidental pairwise matches while
+    keeping socially-reinforced duplicate clusters intact, the
+    standard cleanup before community extraction on noisy similarity
+    graphs. ``operators/graph.py:ktruss`` pinned to n_iter=2 (the
+    unrolled-oracle twin mode; the converging default is pytest-pinned
+    in tests/test_graph_fixpoint.py). Pinned mode builds its plan
+    lazily — no checkpoint jobs, so this query stays out of
+    EAGER_QUERIES. Per round: one adjacency double join + one
+    hash-agg, Σ_edge min-degree triangle work — the distributed-truss
+    cost, bucketed-join shaped at 100 TB."""
+    from data_lake_with_spark_spark.operators import similarity as SIM
+    from data_lake_with_spark_spark.operators.graph import ktruss
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    return (
+        ktruss(pairs, k=3, n_iter=2)
+        .select("a_id", "b_id", F.col("support").cast("bigint").alias("support"))
+        .orderBy("a_id", "b_id")
+    )

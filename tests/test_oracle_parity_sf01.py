@@ -40,6 +40,10 @@ CHANGED_THIS_ROUND = [
     # round-7 ADVICE fix: PSI zero-count epsilon smoothing changed the
     # engine AND the oracle (ppm clamped to >= 1 inside the log):
     "ml_psi_score_drift",
+    # NEW this round (sf0.01-gated at birth): triangle-support peeling
+    # over the near-dup graph, backing the previously unregistered
+    # ktruss operator:
+    "graph_ktruss_edges",
 ]
 
 

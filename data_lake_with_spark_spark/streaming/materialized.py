@@ -606,3 +606,144 @@ def read_psi_drift(
         "actual_ppm",
         pround(term.cast("double") / 1e12, 6).alias("contribution"),
     ).orderBy("bin")
+
+
+def stream_dedup_neardup_view(
+    docs_stream: DataFrame,
+    state_path: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "neardup_view",
+    checkpoint: str | None = None,
+):
+    """Streaming near-dup dedup-at-ingest — the LLM training-data
+    admission gate run continuously: every arriving document is tested
+    against EVERYTHING already ingested (plus earlier docs in its own
+    micro-batch) and the state records a verdict per doc: ``kept``
+    or ``dup_of`` the smallest-id witness it collided with.
+
+    Scale design — the state is SIGNATURES ONLY, never text:
+    per doc, ``num_hashes`` MinHash values (xxhash64 shingle minima —
+    the same family as operators/dedup.py:minhash_signatures) plus
+    ``bands`` banded bucket hashes, i.e. O(docs · num_hashes · 8 B)
+    total. Candidates come from a band-hash equi-join (new posting ×
+    state posting — never all-pairs); verification is the
+    signature-agreement count (matching MinHash positions estimate
+    Jaccard; the integer cutoff ceil(threshold · num_hashes) makes the
+    verdict exact arithmetic, replay-stable, and text-free). Per
+    refresh the shuffle is the banded candidate join; the state
+    rewrite is O(state) I/O like every full-snapshot view here.
+
+    SMALLER-ID-WITNESS contract: a doc is a dup iff it collides with a
+    smaller-id doc — previously ingested or earlier in its own batch —
+    exactly the batch rule "drop every doc with a smaller-id match"
+    (dropped docs still witness). Each arriving doc's verdict therefore
+    equals the one-shot computation REGARDLESS of batch split; the one
+    streaming limitation is that an already-admitted doc cannot be
+    retracted when a smaller-id duplicate arrives later (its verdict
+    row stays ``kept``), so full state equality with the one-shot run
+    holds when arrival order equals id order (contiguous splits) —
+    pytest-pinned. Same epoch-guard / versioned-commit contract as the
+    other views.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators.dedup import minhash_signatures
+
+    min_agree = math.ceil(threshold * num_hashes)
+    rows_per_band = num_hashes // bands
+
+    def signature_frame(batch_df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(
+            batch_df.select(id_col, text_col), num_hashes, n, id_col, text_col
+        )
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col("id").alias("doc_id"),
+            F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+            F.array(*band_cols).alias("bands"),
+        )
+
+    def posting(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id", "sig", F.posexplode("bands").alias("band", "val")
+        )
+
+    def agree_count(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        fresh = signature_frame(batch_df)
+        new_post = posting(fresh).alias("n")
+
+        def scored(witness_post) -> DataFrame:
+            return new_post.join(
+                witness_post,
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.val") == F.col("o.val"))
+                & (F.col("n.doc_id") > F.col("o.doc_id")),
+            ).select(
+                F.col("n.doc_id").alias("doc_id"),
+                F.col("o.doc_id").alias("witness"),
+                agree_count(F.col("n.sig"), F.col("o.sig")).alias("agree"),
+            )
+
+        # intra-batch witnesses: smaller-id docs of the same batch;
+        # state witnesses: everything previously ingested (state ids
+        # precede all batch ids under the first-arrival contract, so
+        # the same doc_id > witness guard applies to both sides)
+        cands = scored(posting(fresh.select("doc_id", "sig", "bands")).alias("o"))
+        if cur is not None:
+            cands = cands.unionByName(
+                scored(posting(cur.select("doc_id", "sig", "bands")).alias("o"))
+            )
+        matches = (
+            cands.where(F.col("agree") >= min_agree)
+            .groupBy("doc_id")
+            .agg(F.min("witness").alias("dup_of"))
+        )
+        verdicts = fresh.join(matches, "doc_id", "left").select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "sig",
+            "bands",
+        )
+        new_state = verdicts if cur is None else cur.unionByName(verdicts)
+        V.versioned_append(
+            new_state,
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = docs_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

@@ -844,3 +844,97 @@ def test_stream_topk_insert_only_contract(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="insert-only"):
         q2.awaitTermination(600)
+
+
+def test_stream_dedup_neardup_first_arrival(spark, sf_dir, tmp_path):
+    """Streaming near-dup dedup-at-ingest == the one-shot batch rule
+    when arrival order equals id order: 3 CONTIGUOUS id-range
+    micro-batches of the documents table must produce exactly the
+    verdicts of the one-shot computation (a doc is dup iff it shares a
+    MinHash band with a smaller-id doc AND their signatures agree on
+    >= ceil(t*k) positions; dup_of = the smallest such witness,
+    dropped docs still witness). State is signatures only — the test
+    also pins that the view never persists text."""
+    import math
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.dedup import minhash_signatures
+
+    num_hashes, bands, threshold, n = 16, 4, 0.5, 3
+    rows_per_band = num_hashes // bands
+    min_agree = math.ceil(threshold * num_hashes)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # one-shot expected, from the same public primitives
+    sig = minhash_signatures(docs, num_hashes, n, "doc_id", "text")
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    frame = sig.select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*band_cols).alias("bands"),
+    )
+    post = frame.select("doc_id", "sig", F.posexplode("bands").alias("band", "val"))
+    agree = F.aggregate(
+        F.zip_with("n_sig", "o_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("witness"),
+            F.col("a.sig").alias("n_sig"),
+            F.col("b.sig").alias("o_sig"),
+        )
+        .withColumn("agree", agree)
+        .where(F.col("agree") >= min_agree)
+        .groupBy("doc_id")
+        .agg(F.min("witness").alias("dup_of"))
+    )
+    want = {
+        r["doc_id"]: r["dup_of"]
+        for r in frame.join(pairs, "doc_id", "left").collect()
+    }
+    assert any(v is not None for v in want.values()), "corpus has no near-dups"
+
+    # stream the same docs in 3 contiguous id ranges (arrival == id order)
+    src = tmp_path / "nd_changes"
+    src.mkdir()
+    pdf = docs.toPandas().sort_values("doc_id")
+    cuts = [0, 170, 340, len(pdf)]
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[cuts[i]:cuts[i + 1]], preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+    state = str(tmp_path / "nd_view")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_dedup_neardup_view(
+        stream, state, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, n=n, query_name="nd_mv",
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    view = MV.read_view(spark, state)
+    assert "text" not in view.columns  # signatures only, never text
+    got = {r["doc_id"]: r["dup_of"] for r in view.collect()}
+    assert got == want
+    kept = {r["doc_id"] for r in view.where("kept").collect()}
+    assert kept == {d for d, w in want.items() if w is None}

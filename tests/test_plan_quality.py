@@ -483,3 +483,21 @@ def test_welch_ttest_single_aggregate(spark, sf_dir):
     plan must read events exactly once."""
     p = plan_of(spark, sf_dir, "stats_welch_ttest")
     assert p.count("FileScan parquet") == 1, p
+
+
+def test_changelog_merge_splits_state_on_touched_keys(spark):
+    """compact_changelog's merge claims O(changes) shuffle: prior state
+    must split on the batch's key set via semi/anti joins so untouched
+    state rows bypass the merge window. The plan must contain exactly
+    those joins and exactly ONE Window (over the batch compaction +
+    touched-key merge), never a Window over the full unioned state."""
+    from data_lake_with_spark_spark.operators.cdc import compact_changelog
+
+    batch_schema = "user_id bigint, event_id bigint, ts bigint, op string, value double"
+    b1 = spark.createDataFrame([(1, 10, 100, "I", 1.0), (2, 11, 101, "U", 2.0)], batch_schema)
+    state = compact_changelog(None, b1)
+    b2 = spark.createDataFrame([(2, 12, 102, "D", None)], batch_schema)
+    merged = compact_changelog(state, b2)
+    p = merged._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p

@@ -938,3 +938,89 @@ def test_stream_dedup_neardup_first_arrival(spark, sf_dir, tmp_path):
     assert got == want
     kept = {r["doc_id"] for r in view.where("kept").collect()}
     assert kept == {d for d, w in want.items() if w is None}
+
+
+def test_stream_dedup_neardup_out_of_order_is_conservative(spark, sf_dir, tmp_path):
+    """Out-of-order arrival (doc_id % 3 splits — smaller-id witnesses
+    can arrive AFTER the docs they would have caught): the smaller-id-
+    witness guard means a doc is only marked dup against witnesses
+    already seen, so streamed dup verdicts must be a SUBSET of the
+    one-shot dups (never a false dup), kept a superset, and every
+    streamed dup_of must agree with a real one-shot collision."""
+    import math
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.dedup import minhash_signatures
+
+    num_hashes, bands, threshold, n = 16, 4, 0.5, 3
+    rows_per_band = num_hashes // bands
+    min_agree = math.ceil(threshold * num_hashes)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures(docs, num_hashes, n, "doc_id", "text")
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    frame = sig.select(
+        F.col("id").alias("doc_id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(*band_cols).alias("bands"),
+    )
+    post = frame.select("doc_id", "sig", F.posexplode("bands").alias("band", "val"))
+    agree = F.aggregate(
+        F.zip_with("n_sig", "o_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    oneshot_pairs = {
+        (r["doc_id"], r["witness"])
+        for r in post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("witness"),
+            F.col("a.sig").alias("n_sig"),
+            F.col("b.sig").alias("o_sig"),
+        )
+        .withColumn("agree", agree)
+        .where(F.col("agree") >= min_agree)
+        .select("doc_id", "witness")
+        .collect()
+    }
+    oneshot_dups = {d for d, _ in oneshot_pairs}
+    assert oneshot_dups, "corpus has no near-dups"
+
+    src = tmp_path / "ooo_changes"
+    src.mkdir()
+    pdf = docs.toPandas()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(pdf[pdf.doc_id % 3 == i], preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+    state = str(tmp_path / "ooo_view")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_dedup_neardup_view(
+        stream, state, threshold=threshold, num_hashes=num_hashes,
+        bands=bands, n=n, query_name="ooo_mv",
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    got = {r["doc_id"]: r["dup_of"] for r in MV.read_view(spark, state).collect()}
+    got_dups = {d for d, w in got.items() if w is not None}
+    assert got_dups <= oneshot_dups  # never a false dup
+    for d, w in got.items():
+        if w is not None:
+            assert (d, w) in oneshot_pairs  # every verdict cites a real collision

@@ -501,3 +501,52 @@ def test_changelog_merge_splits_state_on_touched_keys(spark):
     p = merged._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "LeftSemi" in p, p
     assert "LeftAnti" in p, p
+
+
+def test_funnel_latency_broadcasts_purchases_no_cartesian(spark, sf_dir):
+    """funnel_conversion_latency: the range-conditioned signup→purchase
+    join must be a broadcast hash join on user_id (range predicate as
+    join residual), never a cartesian/nested-loop or a sort-merge."""
+    p = plan_of(spark, sf_dir, "funnel_conversion_latency")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_not_in_subquery_plans_broadcast_anti(spark, sf_dir):
+    """subquery_not_in_nations: NOT IN over the filtered customer set
+    must plan as a broadcast LEFT ANTI on the 25-row nation side."""
+    p = plan_of(spark, sf_dir, "subquery_not_in_nations")
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_twap_single_scan_single_window(spark, sf_dir):
+    """timeseries_twap_daily: one events scan, one window (the lead()
+    segment-end), one keyed shuffle feeding it — the time-weighted
+    average must not rescan or re-shuffle per day."""
+    p = plan_of(spark, sf_dir, "timeseries_twap_daily")
+    assert p.count("FileScan parquet") == 1, p
+    assert p.count("Window ") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ab_conversion_broadcasts_converters(spark, sf_dir):
+    """ab_test_conversion: the converted-users side (distinct purchase
+    user_ids) must broadcast onto the arm assignment, not shuffle it."""
+    p = plan_of(spark, sf_dir, "ab_test_conversion")
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_q20_aggregates_before_joining_dims(spark, sf_dir):
+    """q20_heavy_promo_suppliers: the per-(supp,part) quantity rollup
+    must reduce lineitem FIRST (one keyed shuffle), then broadcast the
+    part and supplier dims onto the reduced frame; the shipdate year
+    filter must reach the parquet scan."""
+    p = plan_of(spark, sf_dir, "q20_heavy_promo_suppliers")
+    scan = next(l for l in p.splitlines() if "lineitem.parquet" in l)
+    assert "l_shipdate" in scan.split("ReadSchema")[0], scan
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p

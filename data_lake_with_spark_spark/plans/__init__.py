@@ -14,6 +14,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     extended_ops,
     extended_ops2,
     extended_ops3,
+    extended_ops4,
     lakehouse_ops,
     reference_surface,
     relational,

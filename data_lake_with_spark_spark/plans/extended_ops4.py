@@ -1,0 +1,331 @@
+"""Round-8 batch: FIFO lot allocation and two ML evaluation metrics
+(Brier decomposition, Cohen's kappa).
+
+Same registry discipline as plans/extended_ops.py..3: integer-exact or
+deterministically-rounded outputs, full DuckDB oracles, no cartesian
+products, no Python in the hot path. Training-pipeline /
+product-analytics extensions beyond the reference's own surface
+(reference scope: /root/reference/etl.py — no counterpart there).
+Registered under the round-7 verdict's ≤20/round cap; each entry is
+sf0.01-gated at birth via tests/test_oracle_parity_sf01.py
+CHANGED_THIS_ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Portable deterministic hash shared verbatim by both engines: the
+# first 8 hex chars of md5(key || salt) as a BIGINT (the PSI/A-B
+# split idiom, plans/extended_ops2.py PSI_ORACLE).
+def _h(col, salt: str):
+    return F.expr(
+        f"CAST(conv(substring(md5(concat(CAST({col} AS STRING), '{salt}')),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _h_sql(col: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR) || '{salt}'), 1, 8)"
+        " AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inventory: FIFO lot allocation via running sums (no iteration)
+# ---------------------------------------------------------------------------
+
+FIFO_ORACLE = """
+WITH flows AS (
+  SELECT event_type, event_id, ts,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS mu
+  FROM events
+), demand AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(CASE WHEN mu < 0 THEN -mu END), 0) AS BIGINT)
+           AS total_out
+  FROM flows GROUP BY event_type
+), lots AS (
+  SELECT event_type, event_id, mu AS qty,
+         CAST(COALESCE(SUM(mu) OVER (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM flows WHERE mu > 0
+)
+SELECT l.event_type, l.event_id, l.qty,
+       CAST(LEAST(l.qty, GREATEST(d.total_out - l.cum_before, 0)) AS BIGINT)
+         AS consumed,
+       CAST(l.qty - LEAST(l.qty, GREATEST(d.total_out - l.cum_before, 0))
+            AS BIGINT) AS remaining,
+       CASE WHEN d.total_out - l.cum_before >= l.qty THEN 'CONSUMED'
+            WHEN d.total_out - l.cum_before > 0 THEN 'PARTIAL'
+            ELSE 'OPEN' END AS status
+FROM lots l JOIN demand d USING (event_type)
+ORDER BY l.event_type, l.event_id
+"""
+
+
+@register(
+    "inventory_fifo_allocation",
+    oracle=FIFO_ORACLE,
+    tags=("inventory", "window", "finance"),
+)
+def inventory_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching WITHOUT iteration: positive event values are
+    inflow lots (ordered by ts, event_id), negative values aggregate
+    to a per-type total demand, and each lot's consumption falls out
+    of interval arithmetic — a lot covering cumulative range
+    [cum_before, cum_before+qty) against demand D consumes
+    clamp(D − cum_before, 0, qty). The cost-basis / lot-accounting
+    primitive usually written as a procedural loop, expressed as one
+    running-sum window + a broadcast of per-type demand — the
+    closed-form that makes FIFO tractable at 100 TB (a loop over lots
+    is not).
+
+    Exact integer micro-units end to end; statuses CONSUMED / PARTIAL
+    / OPEN partition the lots at the demand frontier.
+    """
+    flows = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("mu"),
+    )
+    demand = flows.groupBy("event_type").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("mu") < 0, -F.col("mu"))), F.lit(0)
+        ).cast("bigint").alias("total_out")
+    )
+    lots = flows.where(F.col("mu") > 0).select(
+        "event_type",
+        "event_id",
+        F.col("mu").alias("qty"),
+        F.coalesce(
+            F.sum("mu").over(
+                W.partitionBy("event_type")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("cum_before"),
+    )
+    open_demand = F.col("total_out") - F.col("cum_before")
+    consumed = F.least(F.col("qty"), F.greatest(open_demand, F.lit(0)))
+    return (
+        lots.join(F.broadcast(demand), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "qty",
+            consumed.cast("bigint").alias("consumed"),
+            (F.col("qty") - consumed).cast("bigint").alias("remaining"),
+            F.when(open_demand >= F.col("qty"), "CONSUMED")
+            .when(open_demand > 0, "PARTIAL")
+            .otherwise("OPEN")
+            .alias("status"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML eval: Murphy decomposition of the Brier score
+# ---------------------------------------------------------------------------
+
+BRIER_ORACLE = f"""
+WITH s AS (
+  SELECT {_h_sql('event_id', 'brp')} % 1000 AS p_ppt,
+         CASE WHEN {_h_sql('event_id', 'bry')} % 1000
+                   < {_h_sql('event_id', 'brp')} % 1000
+              THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT p_ppt // 100 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(p_ppt) AS BIGINT) AS sum_p_ppt,
+         CAST(SUM(y) AS BIGINT) AS sum_y
+  FROM s GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(sum_y) * 1000000 // SUM(n) AS BIGINT) AS ybar_ppm
+  FROM b
+), c AS (
+  SELECT bin, n,
+         CAST(sum_p_ppt * 1000 // n AS BIGINT) AS mean_p_ppm,
+         CAST(sum_y * 1000000 // n AS BIGINT) AS mean_y_ppm,
+         n_total, ybar_ppm
+  FROM b CROSS JOIN g
+)
+SELECT CAST(bin AS INTEGER) AS bin, n, mean_p_ppm, mean_y_ppm,
+       CAST(n * (mean_p_ppm - mean_y_ppm) * (mean_p_ppm - mean_y_ppm)
+            AS BIGINT) AS reliability_num,
+       CAST(n * (mean_y_ppm - ybar_ppm) * (mean_y_ppm - ybar_ppm)
+            AS BIGINT) AS resolution_num,
+       CAST(ybar_ppm * (1000000 - ybar_ppm) AS BIGINT) AS uncertainty_ppm2
+FROM c ORDER BY bin
+"""
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=BRIER_ORACLE,
+    tags=("ml", "stats", "calibration"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — Brier = reliability −
+    resolution + uncertainty — over 10 fixed prediction bins: the
+    probabilistic-forecast diagnostic that separates miscalibration
+    (reliability: bin mean prediction vs bin outcome rate) from
+    discrimination (resolution: bin outcome rate vs base rate). The
+    companion readout to ml_calibration_ece (which reports only the
+    reliability axis). Portable scores: prediction p = md5 permille,
+    outcome drawn well-calibrated (y = [second hash < p]), so
+    reliability is near-zero by construction and resolution is
+    non-trivial — both falsifiable.
+
+    Numerators stay exact BIGINTs (n · Δppm², ≤1e17 at sf1); the
+    reader divides by n_total·1e12 off-engine. One scan, one 10-cell
+    hash-agg, one broadcast of the 1-row base rate — the shuffle is
+    10 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        (_h("event_id", "brp") % 1000).alias("p_ppt"),
+        F.when(
+            (_h("event_id", "bry") % 1000) < (_h("event_id", "brp") % 1000),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    b = s.groupBy(F.expr("p_ppt DIV 100").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_ppt").cast("bigint").alias("sum_p_ppt"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )
+    g = b.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.expr("CAST(SUM(sum_y) * 1000000 DIV SUM(n) AS BIGINT)").alias(
+            "ybar_ppm"
+        ),
+    )
+    c = b.crossJoin(F.broadcast(g)).select(
+        "bin",
+        "n",
+        F.expr("CAST(sum_p_ppt * 1000 DIV n AS BIGINT)").alias("mean_p_ppm"),
+        F.expr("CAST(sum_y * 1000000 DIV n AS BIGINT)").alias("mean_y_ppm"),
+        "ybar_ppm",
+    )
+    dp = F.col("mean_p_ppm") - F.col("mean_y_ppm")
+    dr = F.col("mean_y_ppm") - F.col("ybar_ppm")
+    return c.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "mean_p_ppm",
+        "mean_y_ppm",
+        (F.col("n") * dp * dp).cast("bigint").alias("reliability_num"),
+        (F.col("n") * dr * dr).cast("bigint").alias("resolution_num"),
+        (F.col("ybar_ppm") * (F.lit(1000000) - F.col("ybar_ppm")))
+        .cast("bigint")
+        .alias("uncertainty_ppm2"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# ML eval: Cohen's kappa between two deterministic raters
+# ---------------------------------------------------------------------------
+
+KAPPA_ORACLE = f"""
+WITH r AS (
+  SELECT CASE WHEN {_h_sql('event_id', 'ka')} % 1000 < 500 THEN 1 ELSE 0 END
+           AS a,
+         CASE WHEN {_h_sql('event_id', 'ka')} % 1000
+                   + {_h_sql('event_id', 'kb')} % 200 - 100 < 500
+              THEN 1 ELSE 0 END AS b
+  FROM events
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+         CAST(SUM(a) AS BIGINT) AS a1,
+         CAST(SUM(b) AS BIGINT) AS b1
+  FROM r
+), p AS (
+  SELECT n, agree,
+         CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+         CAST((a1 * 1000000 // n) * (b1 * 1000000 // n)
+              // 1000000
+              + ((n - a1) * 1000000 // n) * ((n - b1) * 1000000 // n)
+              // 1000000 AS BIGINT) AS pe_ppm
+  FROM m
+)
+SELECT n, agree, po_ppm, pe_ppm,
+       CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT)
+         AS kappa_micro
+FROM p
+"""
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle=KAPPA_ORACLE,
+    tags=("ml", "stats", "agreement"),
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    raters, κ = (p_o − p_e)/(1 − p_e) — the standard label-quality
+    readout when two annotators (or model generations) label the same
+    corpus. Raters are deterministic md5 functions, the second a
+    noisy copy of the first (score + uniform ±100 permille), so the
+    marginals differ and κ lands strictly between 0 and 1 — both
+    terms falsifiable.
+
+    Exact integer ppm arithmetic throughout (expected agreement from
+    ppm marginal products, floor division — identical on both
+    engines). One scan, one 4-counter fold; the whole reduction is a
+    single map-side-combined aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ha = _h("event_id", "ka") % 1000
+    hb = _h("event_id", "kb") % 200
+    r = ev.select(
+        F.when(ha < 500, 1).otherwise(0).alias("a"),
+        F.when(ha + hb - 100 < 500, 1).otherwise(0).alias("b"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum("a").cast("bigint").alias("a1"),
+        F.sum("b").cast("bigint").alias("b1"),
+    )
+    p = m.select(
+        "n",
+        "agree",
+        F.expr("CAST(agree * 1000000 DIV n AS BIGINT)").alias("po_ppm"),
+        F.expr(
+            "CAST((a1 * 1000000 DIV n) * (b1 * 1000000 DIV n) DIV 1000000"
+            " + ((n - a1) * 1000000 DIV n) * ((n - b1) * 1000000 DIV n)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("pe_ppm"),
+    )
+    return p.select(
+        "n",
+        "agree",
+        "po_ppm",
+        "pe_ppm",
+        F.expr(
+            "CAST((po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) AS BIGINT)"
+        ).alias("kappa_micro"),
+    )

@@ -44,6 +44,10 @@ CHANGED_THIS_ROUND = [
     # over the near-dup graph, backing the previously unregistered
     # ktruss operator:
     "graph_ktruss_edges",
+    # NEW this round (plans/extended_ops4.py, sf0.01-gated at birth):
+    "inventory_fifo_allocation",
+    "ml_brier_decomposition",
+    "ml_cohens_kappa",
 ]
 
 

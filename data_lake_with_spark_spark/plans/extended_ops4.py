@@ -214,18 +214,16 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_ppt").cast("bigint").alias("sum_p_ppt"),
         F.sum("y").cast("bigint").alias("sum_y"),
     )
-    g = b.agg(
-        F.sum("n").cast("bigint").alias("n_total"),
-        F.expr("CAST(SUM(sum_y) * 1000000 DIV SUM(n) AS BIGINT)").alias(
-            "ybar_ppm"
-        ),
-    )
-    c = b.crossJoin(F.broadcast(g)).select(
+    # global base rate via a window over the 10-row bin frame (ONE
+    # events scan; an agg + self-join would re-scan the fact table)
+    c = b.select(
         "bin",
         "n",
         F.expr("CAST(sum_p_ppt * 1000 DIV n AS BIGINT)").alias("mean_p_ppm"),
         F.expr("CAST(sum_y * 1000000 DIV n AS BIGINT)").alias("mean_y_ppm"),
-        "ybar_ppm",
+        F.expr(
+            "CAST(SUM(sum_y) OVER () * 1000000 DIV SUM(n) OVER () AS BIGINT)"
+        ).alias("ybar_ppm"),
     )
     dp = F.col("mean_p_ppm") - F.col("mean_y_ppm")
     dr = F.col("mean_y_ppm") - F.col("ybar_ppm")

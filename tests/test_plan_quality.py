@@ -550,3 +550,25 @@ def test_q20_aggregates_before_joining_dims(spark, sf_dir):
     assert "l_shipdate" in scan.split("ReadSchema")[0], scan
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_fifo_one_window_broadcast_demand(spark, sf_dir):
+    """inventory_fifo_allocation: the closed form must cost exactly one
+    window over one event_type-keyed shuffle, with per-type demand
+    broadcast onto the lots — never a loop, a cartesian, or a second
+    window."""
+    p = plan_of(spark, sf_dir, "inventory_fifo_allocation")
+    assert p.count("Window ") == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_brier_and_kappa_single_scan(spark, sf_dir):
+    """Both ML-eval folds derive every hash from event_id in one
+    projection: events must be scanned exactly once, reading only the
+    event_id column."""
+    for name in ("ml_brier_decomposition", "ml_cohens_kappa"):
+        p = plan_of(spark, sf_dir, name)
+        assert p.count("FileScan parquet") == 1, (name, p)
+        scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+        assert "struct<event_id:bigint>" in scan, (name, scan)

@@ -327,3 +327,150 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) AS BIGINT)"
         ).alias("kappa_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time series: exact rolling median (order statistic over a bounded frame)
+# ---------------------------------------------------------------------------
+
+ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS flow
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, day, flow,
+         list_sort(list(flow) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM daily
+)
+SELECT event_type, day, flow,
+       CAST(len(arr) AS BIGINT) AS n_window,
+       CAST(arr[(len(arr) - 1) // 2 + 1] + arr[len(arr) // 2 + 1] AS BIGINT)
+         AS med2x_mu
+FROM r ORDER BY event_type, day
+"""
+
+
+@register(
+    "timeseries_rolling_median",
+    oracle=ROLLING_MEDIAN_ORACLE,
+    tags=("timeseries", "window", "stats"),
+)
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling MEDIAN of the daily flow per event_type —
+    the robust companion to the rolling mean (anomaly_rolling_zscore):
+    one outlier day cannot drag it. The window frame is bounded (≤7
+    values), so collecting and sorting it per row is O(1) work and the
+    order statistic stays exact — reported as the SUM of the two
+    middle elements (= 2·median, integer-exact for even and odd
+    frames alike; the reader halves it off-engine).
+
+    Scale shape: one hash-agg to daily grain, then one window over
+    one event_type-keyed shuffle; the per-row array never exceeds the
+    frame length, so memory is calendar-bounded regardless of sf.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("mu"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("mu").cast("bigint").alias("flow")
+    )
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("flow").over(w7))
+    r = daily.select("event_type", "day", "flow", arr.alias("arr"))
+    n = F.size("arr")
+    med2x = F.element_at("arr", ((n - 1) / 2).cast("int") + 1) + F.element_at(
+        "arr", (n / 2).cast("int") + 1
+    )
+    return r.select(
+        "event_type",
+        "day",
+        "flow",
+        n.cast("bigint").alias("n_window"),
+        med2x.cast("bigint").alias("med2x_mu"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Vector retrieval: MaxSim late interaction (multi-vector documents)
+# ---------------------------------------------------------------------------
+
+MAXSIM_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (2, 5, 11, 23)
+), t AS (
+  SELECT CAST(vec_id // 8 AS BIGINT) AS doc_id, embedding::DOUBLE[] AS tv
+  FROM embeddings WHERE vec_id < 400
+), d AS (
+  SELECT doc_id, q_id,
+         MAX(CAST(FLOOR(list_dot_product(tv, qv) * 1000000 + 0.5) AS BIGINT))
+           AS best_mu
+  FROM t CROSS JOIN q GROUP BY doc_id, q_id
+), s AS (
+  SELECT doc_id, CAST(SUM(best_mu) AS BIGINT) AS maxsim_mu
+  FROM d GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY maxsim_mu DESC, doc_id ASC) AS INTEGER)
+         AS rank,
+       doc_id, maxsim_mu
+FROM s ORDER BY rank LIMIT 10
+"""
+
+
+@register(
+    "vector_maxsim_late_interaction",
+    oracle=MAXSIM_ORACLE,
+    tags=("vector", "llm", "retrieval"),
+)
+def vector_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring over MULTI-VECTOR
+    documents: each doc is a bag of 8 token vectors (vec_id DIV 8
+    groups), the query is a 4-token vector set, and
+    score(doc) = Σ_{q tokens} max_{doc tokens} ⟨q, t⟩ — the retrieval
+    model between single-vector ANN (vector_topk_*) and full
+    cross-attention. Top-10 docs, ranked by the exact integer-micro
+    score (sequential double dot products match across engines —
+    the dedup_embedding_cosine precedent).
+
+    The 4-row query set broadcasts onto the token table (the bounded
+    scalar-cross idiom); doc input is pinned (vec_id < 400) for the
+    deterministic oracle, like every oracled vector query. At
+    production scale the same plan runs per-query-token ANN shortlists
+    (vector_topk_lsh) before the max-agg — MaxSim's documented scale
+    path — so the cross join never touches the full corpus.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    from data_lake_with_spark_spark.functions.vector import dot
+
+    q = emb.where(F.col("vec_id").isin(2, 5, 11, 23)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    t = emb.where(F.col("vec_id") < 400).select(
+        F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
+        F.col("embedding").alias("tv"),
+    )
+    dot_mu = F.floor(dot(F.col("tv"), F.col("qv")) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    d = (
+        t.crossJoin(F.broadcast(q))
+        .select("doc_id", "q_id", dot_mu.alias("mu"))
+        .groupBy("doc_id", "q_id")
+        .agg(F.max("mu").alias("best_mu"))
+    )
+    s = d.groupBy("doc_id").agg(
+        F.sum("best_mu").cast("bigint").alias("maxsim_mu")
+    )
+    rank = F.row_number().over(W.orderBy(F.desc("maxsim_mu"), F.asc("doc_id")))
+    return (
+        s.withColumn("rank", rank.cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("rank", "doc_id", "maxsim_mu")
+        .orderBy("rank")
+    )

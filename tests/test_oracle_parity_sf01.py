@@ -48,6 +48,8 @@ CHANGED_THIS_ROUND = [
     "inventory_fifo_allocation",
     "ml_brier_decomposition",
     "ml_cohens_kappa",
+    "timeseries_rolling_median",
+    "vector_maxsim_late_interaction",
 ]
 
 

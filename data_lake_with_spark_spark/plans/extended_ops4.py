@@ -474,3 +474,136 @@ def vector_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
         .select("rank", "doc_id", "maxsim_mu")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text: TextRank keywords (weighted PageRank over the co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+
+def _textrank_oracle(n_iter: int = 5, top_k: int = 20) -> str:
+    """Generated CTE chain unrolling ``n_iter`` weighted-PageRank
+    rounds over the adjacent-token co-occurrence graph: rank units of
+    1e9 (giga-units keep w·r inside BIGINT at sf1), damping 17/20,
+    per-edge truncating division — the graph_pagerank_neardup integer
+    recipe applied to a word graph."""
+    head = """WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS arr
+  FROM documents
+), bg AS MATERIALIZED (
+  SELECT LEAST(struct_extract(p, 1), struct_extract(p, 2)) AS w1,
+         GREATEST(struct_extract(p, 1), struct_extract(p, 2)) AS w2
+  FROM toks, UNNEST(list_zip(arr[1:len(arr) - 1], arr[2:len(arr)]))
+       AS u(p)
+  WHERE struct_extract(p, 1) <> struct_extract(p, 2)
+), e AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS w FROM bg GROUP BY w1, w2
+), ed AS MATERIALIZED (
+  SELECT w1 AS src, w2 AS dst, w FROM e
+  UNION ALL SELECT w2, w1, w FROM e
+), wdeg AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM ed GROUP BY src
+), r0 AS MATERIALIZED (
+  SELECT src AS word, CAST(1000000000 AS BIGINT) AS r FROM wdeg
+)"""
+    ctes = [head]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", s{i} AS MATERIALIZED (
+  SELECT ed.dst AS word,
+         CAST(SUM(ed.w * p.r // d.wd) AS BIGINT) AS contrib
+  FROM ed
+  JOIN r{i - 1} p ON p.word = ed.src
+  JOIN wdeg d ON d.src = ed.src
+  GROUP BY ed.dst
+), r{i} AS MATERIALIZED (
+  SELECT n.word,
+         CAST(150000000 + 17 * COALESCE(s.contrib, 0) // 20 AS BIGINT) AS r
+  FROM r0 n LEFT JOIN s{i} s USING (word)
+)"""
+        )
+    return "".join(ctes) + (
+        f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, word ASC) AS INTEGER) AS rank,
+       word, r AS rank_giga
+FROM r{n_iter} ORDER BY rank LIMIT {top_k}"""
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(5, 20),
+    tags=("text", "graph", "llm", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the adjacent-token co-occurrence graph — the
+    graph-centrality upgrade of RAKE (text_rake_keywords scores by
+    degree/frequency; TextRank lets support flow, so a word bridging
+    many contexts outranks a merely frequent one). 5 unrolled rounds
+    in exact integer giga-units (damping 17/20, per-edge truncating
+    division — the graph_pagerank_neardup recipe on a word graph);
+    top-20 words by final rank, total-ordered.
+
+    Scale shape: bigram extraction is a zero-join HOF zip per doc; the
+    graph aggregates to VOCABULARY grain (bounded by the language, not
+    the corpus — weights grow with sf, the node set doesn't), so each
+    unrolled round is one edge→rank join + hash-agg over a tiny frame.
+    The plan is built lazily — no checkpoints at this unroll depth, no
+    EAGER entry.
+    """
+    docs = _t(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("arr")
+    )
+    n = F.size("arr")
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("arr", 1, n - 1).alias("a"),
+                F.slice("arr", 2, n - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    e = (
+        pairs.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ed = e.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
+    ).unionAll(e.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w"))
+    wdeg = ed.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    nodes = wdeg.select(F.col("src").alias("word"))
+    r = nodes.select("word", F.lit(1000000000).cast("bigint").alias("r"))
+    for _ in range(5):
+        contrib = (
+            ed.join(r.select(F.col("word").alias("src"), "r"), "src")
+            .join(wdeg, "src")
+            .select(
+                F.col("dst").alias("word"),
+                F.expr("w * r DIV wd").alias("term"),
+            )
+            .groupBy("word")
+            .agg(F.sum("term").cast("bigint").alias("contrib"))
+        )
+        r = nodes.join(contrib, "word", "left").select(
+            "word",
+            (
+                F.lit(150000000)
+                + F.expr("17 * COALESCE(contrib, 0) DIV 20")
+            ).cast("bigint").alias("r"),
+        )
+    rank = F.row_number().over(W.orderBy(F.desc("r"), F.asc("word")))
+    return (
+        r.withColumn("rank", rank.cast("int"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "word", F.col("r").alias("rank_giga"))
+        .orderBy("rank")
+    )

@@ -50,6 +50,7 @@ CHANGED_THIS_ROUND = [
     "ml_cohens_kappa",
     "timeseries_rolling_median",
     "vector_maxsim_late_interaction",
+    "text_textrank_keywords",
 ]
 
 

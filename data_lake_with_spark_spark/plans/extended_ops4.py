@@ -607,3 +607,363 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "word", F.col("r").alias("rank_giga"))
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+BROWN_FORSYTHE_ORACLE = """
+WITH x AS (
+  SELECT event_type AS grp, event_id,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v
+  FROM events
+), rnk AS (
+  SELECT grp, v,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM x
+), med AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN rn = (n - 1) // 2 + 1 THEN v ELSE 0 END
+                  + CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS BIGINT)
+           AS med2x
+  FROM rnk GROUP BY grp
+), z AS (
+  SELECT x.grp, ABS(2 * x.v - m.med2x) AS z
+  FROM x JOIN med m ON m.grp = x.grp
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s_g,
+         CAST(SUM(z * z) AS BIGINT) AS ss_g
+  FROM z GROUP BY grp
+), terms AS (
+  SELECT grp, n_g, s_g, ss_g,
+         CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+              AS BIGINT) AS term
+  FROM g
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS BIGINT) AS ssq,
+         CAST(SUM(term) AS BIGINT) AS sum_terms,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM terms
+)
+SELECT n, k,
+       CAST(sum_terms
+            - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                   AS BIGINT) AS BIGINT) AS ssb_q,
+       CAST(ssq - sum_terms AS BIGINT) AS ssw_q,
+       FLOOR((CAST(sum_terms - FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                   AS DOUBLE) / (k - 1))
+             / (CAST(ssq - sum_terms AS DOUBLE) / (n - k))
+             * 1000000.0 + 0.5) / 1000000.0 AS w_stat
+FROM tot
+"""
+
+
+@register(
+    "stats_brown_forsythe",
+    oracle=BROWN_FORSYTHE_ORACLE,
+    tags=("stats", "window"),
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test: one-way ANOVA run on
+    absolute deviations from each group's MEDIAN — the robust
+    heteroscedasticity check that gates whether stats_anova_oneway /
+    stats_welch_ttest assumptions hold (Levene with the median center,
+    the recommended form). Deviations stay integer-exact by doubling:
+    z = |2·v − (lower middle + upper middle)| in milli-units, so the
+    group median never divides. The ANOVA stage follows
+    stats_anova_oneway's exact-moment recipe (BIGINT power sums,
+    identical double expression trees for the squared-sum terms on
+    both engines) without its ×1e6 term scaling — z² magnitudes here
+    already exceed what that factor could fit in int64 at sf1.
+
+    Scale shape: per-group medians from two window functions over ONE
+    event_type-keyed shuffle (exact order statistic, no collect), a
+    broadcast of the k-row median table, then a single k-cell
+    hash-agg.
+    """
+    x = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.floor(F.col("value") * 1e3 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    wg = W.partitionBy("grp")
+    rnk = x.select(
+        "grp",
+        "v",
+        F.row_number().over(wg.orderBy("v", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    i1 = F.expr("(n - 1) DIV 2 + 1")
+    i2 = F.expr("n DIV 2 + 1")
+    med = rnk.groupBy("grp").agg(
+        F.sum(
+            F.when(F.col("rn") == i1, F.col("v")).otherwise(0)
+            + F.when(F.col("rn") == i2, F.col("v")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("med2x")
+    )
+    z = x.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("v") - F.col("med2x")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss_g"),
+    )
+    terms = g.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.floor(
+            F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
+        )
+        .cast("bigint")
+        .alias("term"),
+    )
+    tot = terms.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ssq"),
+        F.sum("term").cast("bigint").alias("sum_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    grand = F.floor(
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ).cast("bigint")
+    ssb = (F.col("sum_terms") - grand).cast("bigint")
+    ssw = (F.col("ssq") - F.col("sum_terms")).cast("bigint")
+    w_stat = (
+        F.floor(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k")))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
+    return tot.select(
+        "n", "k", ssb.alias("ssb_q"), ssw.alias("ssw_q"),
+        w_stat.alias("w_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling design: Neyman optimal stratified allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_ORACLE = """
+WITH x AS (
+  SELECT event_type AS grp,
+         CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v
+  FROM events
+), g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM x GROUP BY grp
+), sd AS (
+  SELECT grp, n_rows,
+         CAST(FLOOR(sqrt((CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                         / (CAST(n_rows AS DOUBLE) * (n_rows - 1)))
+                    * 1000.0) AS BIGINT) AS sd_scaled
+  FROM g
+), w AS (
+  SELECT grp, n_rows, sd_scaled,
+         CAST(n_rows * sd_scaled AS BIGINT) AS wgt,
+         CAST(SUM(n_rows * sd_scaled) OVER () AS BIGINT) AS wtot
+  FROM sd
+), base AS (
+  SELECT grp, n_rows, sd_scaled,
+         CAST(1000 * wgt // GREATEST(wtot, 1) AS BIGINT) AS base_n,
+         CAST((1000 * wgt) % GREATEST(wtot, 1) AS BIGINT) AS rem
+  FROM w
+), fin AS (
+  SELECT grp, n_rows, sd_scaled, base_n,
+         CAST(1000 - SUM(base_n) OVER () AS BIGINT) AS deficit,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, grp ASC) AS pr
+  FROM base
+)
+SELECT grp AS event_type, n_rows, sd_scaled,
+       CAST(base_n + CASE WHEN pr <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM fin ORDER BY event_type
+"""
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=NEYMAN_ORACLE,
+    tags=("sampling", "stats", "training"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified allocation of a 1000-row sample
+    budget: n_h ∝ N_h·S_h (stratum size × stratum standard deviation)
+    minimizes the variance of the stratified mean estimator — the
+    sampling-design step a training-data curation pipeline runs before
+    sample_stratified_topk draws the rows. Integer end to end: exact
+    BIGINT variance numerator N·Σv² − (Σv)², one portable sqrt
+    (IEEE-correctly-rounded, identical on both engines), then
+    largest-remainder apportionment so the allocations sum to EXACTLY
+    the budget (floor shares + the top remainders get +1 — the
+    deterministic seat-apportionment rule). The variance numerator is
+    evaluated in doubles with identical expression trees on both
+    engines (s1² overflows int64 beyond sf0.1; IEEE ops are
+    deterministic at any magnitude).
+
+    One scan, one k-cell hash-agg, then windows over the k-row
+    stratum frame — the fact table never re-shuffles.
+    """
+    x = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1e3 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+    )
+    sd = g.select(
+        "grp",
+        "n_rows",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_rows").cast("double") * F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double")
+                )
+                / (F.col("n_rows").cast("double") * (F.col("n_rows") - 1))
+            )
+            * F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("sd_scaled"),
+    )
+    w = sd.select(
+        "grp",
+        "n_rows",
+        "sd_scaled",
+        (F.col("n_rows") * F.col("sd_scaled")).cast("bigint").alias("wgt"),
+        F.expr("CAST(SUM(n_rows * sd_scaled) OVER () AS BIGINT)").alias("wtot"),
+    )
+    base = w.select(
+        "grp",
+        "n_rows",
+        "sd_scaled",
+        F.expr("CAST(1000 * wgt DIV GREATEST(wtot, 1) AS BIGINT)").alias("base_n"),
+        F.expr("CAST((1000 * wgt) % GREATEST(wtot, 1) AS BIGINT)").alias("rem"),
+    )
+    fin = base.select(
+        "grp",
+        "n_rows",
+        "sd_scaled",
+        "base_n",
+        F.expr("CAST(1000 - SUM(base_n) OVER () AS BIGINT)").alias("deficit"),
+        F.row_number().over(W.orderBy(F.desc("rem"), F.asc("grp"))).alias("pr"),
+    )
+    return fin.select(
+        F.col("grp").alias("event_type"),
+        "n_rows",
+        "sd_scaled",
+        (
+            F.col("base_n")
+            + F.when(F.col("pr") <= F.col("deficit"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Corpus: Zipf's-law slope of the rank-frequency curve
+# ---------------------------------------------------------------------------
+
+ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r FROM tc
+), logs AS (
+  SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM ranked
+), moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(MAX(y) AS BIGINT) AS max_y
+  FROM logs
+)
+SELECT m AS n_terms,
+       FLOOR((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       max_y AS log_top_freq_micro
+FROM moments
+"""
+
+
+@register(
+    "text_zipf_slope",
+    oracle=ZIPF_ORACLE,
+    tags=("text", "corpus", "stats", "llm"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus rank-frequency curve: OLS
+    slope of ln(freq) on ln(rank) — natural text sits near −1, and a
+    corpus whose slope drifts (template spam flattens it, dedup
+    failures steepen the head) fails the pre-training health check.
+    The frequency-domain sibling of text_heaps_law, sharing its exact
+    OLS recipe: micro-nat quantized logs, BIGINT/decimal(38,0) moment
+    sums, one identical double expression for the final slope.
+
+    Scale shape: one explode + one token hash-agg; the ranked frame is
+    VOCABULARY grain, so the single-partition rank window and the
+    moment fold cost nothing at any sf.
+    """
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked = tc.select(
+        "c", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok"))).alias("r")
+    )
+    logs = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    moments = logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.max("y").cast("bigint").alias("max_y"),
+    )
+    slope = (
+        F.col("m").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("m").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return moments.select(
+        F.col("m").alias("n_terms"),
+        (F.floor(slope * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "zipf_slope"
+        ),
+        F.col("max_y").alias("log_top_freq_micro"),
+    )

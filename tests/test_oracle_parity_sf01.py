@@ -51,6 +51,9 @@ CHANGED_THIS_ROUND = [
     "timeseries_rolling_median",
     "vector_maxsim_late_interaction",
     "text_textrank_keywords",
+    "stats_brown_forsythe",
+    "sample_neyman_allocation",
+    "text_zipf_slope",
 ]
 
 

@@ -635,8 +635,11 @@ def stream_dedup_neardup_view(
     signature-agreement count (matching MinHash positions estimate
     Jaccard; the integer cutoff ceil(threshold · num_hashes) makes the
     verdict exact arithmetic, replay-stable, and text-free). Per
-    refresh the shuffle is the banded candidate join; the state
-    rewrite is O(state) I/O like every full-snapshot view here.
+    refresh the shuffle is the banded candidate join, and — because a
+    doc's verdict NEVER changes — the state commits as an append-only
+    DELTA (O(batch) write per refresh, read via delta-union +
+    compaction), unlike the aggregate views whose snapshots must
+    rewrite. Read the verdicts with ``read_neardup_state``.
 
     SMALLER-ID-WITNESS contract: a doc is a dup iff it collides with a
     smaller-id doc — previously ingested or earlier in its own batch —
@@ -697,7 +700,7 @@ def stream_dedup_neardup_view(
                 return
         spark = batch_df.sparkSession
         try:
-            cur = read_view(spark, state_path)
+            cur = V.versioned_read(spark, state_path)
         except FileNotFoundError:
             cur = None
         fresh = signature_frame(batch_df)
@@ -736,9 +739,13 @@ def stream_dedup_neardup_view(
             "sig",
             "bands",
         )
-        new_state = verdicts if cur is None else cur.unionByName(verdicts)
+        # verdicts are append-only (a doc's verdict never changes), so
+        # each refresh commits ONLY the batch's rows as a delta —
+        # O(batch) write instead of an O(state) snapshot rewrite; the
+        # reader unions deltas (and compaction folds them when file
+        # count grows, sources/versioned.py:compact)
         V.versioned_append(
-            new_state,
+            verdicts,
             state_path,
             meta=None if eid is None else {"epoch_id": eid},
         )
@@ -747,3 +754,13 @@ def stream_dedup_neardup_view(
     if checkpoint is not None:
         w = w.option("checkpointLocation", checkpoint)
     return w.trigger(availableNow=True).start()
+
+def read_neardup_state(
+    spark: SparkSession, state_path: str, version: int | None = None
+) -> DataFrame:
+    """The near-dup ingest view's verdict state as of ``version``
+    (default latest): delta-union over the append-only per-batch
+    commits — each doc appears exactly once with its immutable
+    verdict (doc_id, kept, dup_of, sig, bands)."""
+    return V.versioned_read(spark, state_path, version)
+

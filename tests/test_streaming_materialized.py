@@ -932,8 +932,11 @@ def test_stream_dedup_neardup_first_arrival(spark, sf_dir, tmp_path):
     )
     assert q.awaitTermination(600), "stream did not terminate"
 
-    view = MV.read_view(spark, state)
+    view = MV.read_neardup_state(spark, state)
     assert "text" not in view.columns  # signatures only, never text
+    # append-only delta layout: each version holds ONLY its batch
+    assert V.current_version(state) == 2
+    assert MV.read_neardup_state(spark, state, version=0).count() == 170
     got = {r["doc_id"]: r["dup_of"] for r in view.collect()}
     assert got == want
     kept = {r["doc_id"] for r in view.where("kept").collect()}
@@ -1018,7 +1021,10 @@ def test_stream_dedup_neardup_out_of_order_is_conservative(spark, sf_dir, tmp_pa
     )
     assert q.awaitTermination(600), "stream did not terminate"
 
-    got = {r["doc_id"]: r["dup_of"] for r in MV.read_view(spark, state).collect()}
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in MV.read_neardup_state(spark, state).collect()
+    }
     got_dups = {d for d, w in got.items() if w is not None}
     assert got_dups <= oneshot_dups  # never a false dup
     for d, w in got.items():

@@ -967,3 +967,102 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("max_y").alias("log_top_freq_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Events: strict-ordered 3-step funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STRICT_ORACLE = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 ON u1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > u1.t1
+  GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 ON u2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+  GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u1) AS n_step1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM u2) AS n_step2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM u3) AS n_step3
+)
+SELECT n_step1, n_step2, n_step3,
+       CAST(n_step2 * 1000000 // GREATEST(n_step1, 1) AS BIGINT)
+         AS conv12_ppm,
+       CAST(n_step3 * 1000000 // GREATEST(n_step2, 1) AS BIGINT)
+         AS conv23_ppm
+FROM c
+"""
+
+
+@register(
+    "funnel_steps_strict",
+    oracle=FUNNEL_STRICT_ORACLE,
+    tags=("events", "funnel", "analytics"),
+)
+def funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ORDERED 3-step funnel (signup → view → purchase): a user
+    advances to step k only with an event strictly AFTER their
+    earliest step-(k−1) completion — the greedy earliest-completion
+    chain, which maximizes the number of users counted at every step
+    (any later choice of an earlier step's timestamp can only shrink
+    the candidates for the next). Completes the funnel family:
+    funnel_conversion_latency measures the 2-step latency
+    distribution, funnel_unordered_set ignores order, this one is the
+    ordered multi-step count every product dashboard leads with.
+
+    Scale shape: each step is a pushed-down type filter + one
+    user-keyed hash-agg over a monotonically SHRINKING user set, with
+    user-keyed joins between steps (AQE broadcasts the survivors once
+    they fit). No windows, no full-event sort.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(u1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        u1.agg(F.count(F.lit(1)).cast("bigint").alias("n_step1"))
+        .crossJoin(
+            F.broadcast(
+                u2.agg(F.count(F.lit(1)).cast("bigint").alias("n_step2"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                u3.agg(F.count(F.lit(1)).cast("bigint").alias("n_step3"))
+            )
+        )
+    )
+    return c.select(
+        "n_step1",
+        "n_step2",
+        "n_step3",
+        F.expr("CAST(n_step2 * 1000000 DIV GREATEST(n_step1, 1) AS BIGINT)").alias(
+            "conv12_ppm"
+        ),
+        F.expr("CAST(n_step3 * 1000000 DIV GREATEST(n_step2, 1) AS BIGINT)").alias(
+            "conv23_ppm"
+        ),
+    )

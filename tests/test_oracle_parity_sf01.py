@@ -54,6 +54,7 @@ CHANGED_THIS_ROUND = [
     "stats_brown_forsythe",
     "sample_neyman_allocation",
     "text_zipf_slope",
+    "funnel_steps_strict",
 ]
 
 

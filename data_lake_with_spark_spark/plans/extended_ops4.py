@@ -576,10 +576,16 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    ed = e.select(
-        F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
-    ).unionAll(e.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w"))
-    wdeg = ed.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    ed = (
+        e.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "w")
+        .unionAll(
+            e.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+        )
+        .cache()  # vocabulary-grain; every round fans out over it — an
+        # uncached frame re-tokenizes the CORPUS per round (measured: 32
+        # FileScans for 5 rounds; the ARCHITECTURE reused-subtree lesson)
+    )
+    wdeg = ed.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd")).cache()
     nodes = wdeg.select(F.col("src").alias("word"))
     r = nodes.select("word", F.lit(1000000000).cast("bigint").alias("r"))
     for _ in range(5):

@@ -572,3 +572,25 @@ def test_brier_and_kappa_single_scan(spark, sf_dir):
         assert p.count("FileScan parquet") == 1, (name, p)
         scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
         assert "struct<event_id:bigint>" in scan, (name, scan)
+
+
+def test_textrank_iteration_reads_cached_edges(spark, sf_dir):
+    """text_textrank_keywords fans 5 PageRank rounds out over the edge
+    frame: without the cache the corpus re-tokenizes PER ROUND
+    (measured: 32 scans). Every file read in the final plan must go
+    through InMemoryTableScan — zero FileScans outside cached
+    relations."""
+    df = REGISTRY["text_textrank_keywords"].spark(spark, sf_dir)
+
+    def scans_outside_cache(node) -> int:
+        cname = node.getClass().getSimpleName()
+        if "InMemoryTableScan" in cname:
+            return 0
+        n = 1 if cname.startswith("FileSourceScanExec") else 0
+        ch = node.children()
+        for i in range(ch.size()):
+            n += scans_outside_cache(ch.apply(i))
+        return n
+
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    assert scans_outside_cache(plan) == 0

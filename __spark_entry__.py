@@ -112,6 +112,16 @@ DRIVER_WINDOW = [
     # plus anything newly registered in round 8 (sf0.01-gated at birth
     # via CHANGED_THIS_ROUND).
     #
+    # ROUND-9 ENGINE RE-ENTRY QUEUE (window discipline): the round-8
+    # scan audit (scripts/plan_scan_audit.py) found reused-subtree
+    # re-derivation in four verified graph queries — the near-dup
+    # generator re-runs per plan reference (graph_local_clustering 94
+    # effective scans, graph_harmonic_centrality 48,
+    # graph_assortativity 24, graph_link_prediction 18). The fix is a
+    # lazy .cache() of the pairs frame (results identical — proven on
+    # ktruss/textrank this round), but it IS an engine change, so
+    # apply it in round 9 and put all four back in the window.
+    #
     # changed this round (window discipline: engine or oracle edits
     # re-enter the window even when previously verified):
     "ml_psi_score_drift",          # zero-count epsilon smoothing (ADVICE)

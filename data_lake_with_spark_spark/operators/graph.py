@@ -584,8 +584,12 @@ def ktruss(
         raise ValueError(f"ktruss: k must be >= 3, got {k}")
     lazy = n_iter is not None
     edges = pairs.select("a_id", "b_id").distinct()
-    if not lazy:
-        edges = edges.localCheckpoint(eager=True)
+    # pinned mode stays job-free at construction, but each peel round
+    # references the surviving frame THREE times (two adjacency sides +
+    # the survivor join), so an uncached unroll multiplies the input
+    # subtree 3^rounds-fold (measured: 864 scans at n_iter=2). cache()
+    # is lazy — plan collapses to one materialization per round.
+    edges = edges.cache() if lazy else edges.localCheckpoint(eager=True)
 
     def _support(e: DataFrame) -> DataFrame:
         und = undirected_edges(
@@ -609,8 +613,10 @@ def ktruss(
             .select("a_id", "b_id"),
             ["a_id", "b_id"],
         )
-        if not lazy:
-            survivors = survivors.localCheckpoint(eager=True)
+        survivors = (
+            survivors.cache() if lazy
+            else survivors.localCheckpoint(eager=True)
+        )
         edges = survivors
         if n_iter is None:
             n2 = edges.count()

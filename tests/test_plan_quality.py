@@ -574,6 +574,25 @@ def test_brier_and_kappa_single_scan(spark, sf_dir):
         assert "struct<event_id:bigint>" in scan, (name, scan)
 
 
+def _scans_outside_cache(node) -> int:
+    """FileScan count in the executed plan EXCLUDING cached subtrees —
+    descends AdaptiveSparkPlanExec/QueryStage wrappers (their
+    children() are empty, so a naive walk sees nothing and passes
+    vacuously — the first version of this gate did exactly that)."""
+    cname = node.getClass().getSimpleName()
+    if "InMemoryTableScan" in cname:
+        return 0
+    if cname == "AdaptiveSparkPlanExec":
+        return _scans_outside_cache(node.executedPlan())
+    if "QueryStage" in cname:
+        return _scans_outside_cache(node.plan())
+    n = 1 if cname.startswith("FileSourceScan") else 0
+    ch = node.children()
+    for i in range(ch.size()):
+        n += _scans_outside_cache(ch.apply(i))
+    return n
+
+
 def test_textrank_iteration_reads_cached_edges(spark, sf_dir):
     """text_textrank_keywords fans 5 PageRank rounds out over the edge
     frame: without the cache the corpus re-tokenizes PER ROUND
@@ -581,16 +600,15 @@ def test_textrank_iteration_reads_cached_edges(spark, sf_dir):
     through InMemoryTableScan — zero FileScans outside cached
     relations."""
     df = REGISTRY["text_textrank_keywords"].spark(spark, sf_dir)
-
-    def scans_outside_cache(node) -> int:
-        cname = node.getClass().getSimpleName()
-        if "InMemoryTableScan" in cname:
-            return 0
-        n = 1 if cname.startswith("FileSourceScanExec") else 0
-        ch = node.children()
-        for i in range(ch.size()):
-            n += scans_outside_cache(ch.apply(i))
-        return n
-
     plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-    assert scans_outside_cache(plan) == 0
+    assert _scans_outside_cache(plan) == 0
+
+
+def test_ktruss_pinned_unroll_reads_cached_edges(spark, sf_dir):
+    """graph_ktruss_edges' lazy pinned unroll references the surviving
+    edge frame 3× per peel round — uncached, the near-dup generator
+    subtree multiplied 3^rounds-fold (measured: 864 scans at
+    n_iter=2). Zero FileScans outside cached relations."""
+    df = REGISTRY["graph_ktruss_edges"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    assert _scans_outside_cache(plan) == 0

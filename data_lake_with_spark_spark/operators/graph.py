@@ -588,8 +588,14 @@ def ktruss(
     # references the surviving frame THREE times (two adjacency sides +
     # the survivor join), so an uncached unroll multiplies the input
     # subtree 3^rounds-fold (measured: 864 scans at n_iter=2). cache()
-    # is lazy — plan collapses to one materialization per round.
-    edges = edges.cache() if lazy else edges.localCheckpoint(eager=True)
+    # is lazy — plan collapses to one materialization per round. The
+    # shared() tracker lets long-lived sessions release the per-round
+    # storage afterwards (plan_cache.release_shared_caches);
+    # localCheckpoint frames are NOT tracked — their lineage is
+    # truncated, so dropping blocks would be unrecoverable.
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    edges = shared(edges) if lazy else edges.localCheckpoint(eager=True)
 
     def _support(e: DataFrame) -> DataFrame:
         und = undirected_edges(
@@ -614,7 +620,7 @@ def ktruss(
             ["a_id", "b_id"],
         )
         survivors = (
-            survivors.cache() if lazy
+            shared(survivors) if lazy
             else survivors.localCheckpoint(eager=True)
         )
         edges = survivors

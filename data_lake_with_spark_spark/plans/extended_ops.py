@@ -620,16 +620,27 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     each level shuffles on node keys only; no cartesian. Input capped
     at vec_id < 400 like the other oracled graph queries (the same
     cap is in the oracle; bench measures kernels on the
-    sf-proportional graph instead)."""
+    sf-proportional graph instead).
+
+    The symmetrized near-dup edge frame feeds all three frontier
+    expansions; a lazy ``shared`` cache stops the LSH candidate
+    generator re-running per hop (was 48 effective FileScans —
+    round-8 scan audit). p1/p2 are each referenced twice (next hop +
+    the distance union), so they cache too."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
     from data_lake_with_spark_spark.operators.similarity import lsh_near_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
     pairs = lsh_near_pairs(emb, threshold=0.35)
-    ed = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-    p1 = ed.distinct()
-    p2 = (
+    ed = shared(
+        pairs.select(
+            F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+    )
+    p1 = shared(ed.distinct())
+    p2 = shared(
         p1.alias("a")
         .join(ed.alias("b"), F.col("a.dst") == F.col("b.src"))
         .where(F.col("a.src") != F.col("b.dst"))

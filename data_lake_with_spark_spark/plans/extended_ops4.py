@@ -268,8 +268,14 @@ WITH r AS (
   FROM m
 )
 SELECT n, agree, po_ppm, pe_ppm,
-       CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT)
-         AS kappa_micro
+       -- sign-extracted magnitude: DuckDB // floors while Spark DIV
+       -- truncates toward zero, so the shared idiom divides only
+       -- non-negative operands (where the two agree) and re-applies
+       -- the sign — exact even for below-chance (negative) kappa
+       CAST(CASE WHEN po_ppm >= pe_ppm
+                 THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+                 ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+            END AS BIGINT) AS kappa_micro
 FROM p
 """
 
@@ -323,8 +329,15 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree",
         "po_ppm",
         "pe_ppm",
+        # sign-extracted magnitude (see oracle comment): DuckDB //
+        # floors, Spark DIV truncates toward zero; dividing only
+        # non-negative operands keeps below-chance (negative) kappa
+        # exact cross-engine instead of a documented precondition
         F.expr(
-            "CAST((po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) AS BIGINT)"
+            "CAST(CASE WHEN po_ppm >= pe_ppm"
+            " THEN (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm)"
+            " ELSE -((pe_ppm - po_ppm) * 1000000 DIV (1000000 - pe_ppm))"
+            " END AS BIGINT)"
         ).alias("kappa_micro"),
     )
 
@@ -576,16 +589,21 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    ed = (
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    ed = shared(
         e.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "w")
         .unionAll(
             e.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
         )
-        .cache()  # vocabulary-grain; every round fans out over it — an
-        # uncached frame re-tokenizes the CORPUS per round (measured: 32
-        # FileScans for 5 rounds; the ARCHITECTURE reused-subtree lesson)
+        # vocabulary-grain; every round fans out over it — an uncached
+        # frame re-tokenizes the CORPUS per round (measured: 32
+        # FileScans for 5 rounds; the ARCHITECTURE reused-subtree
+        # lesson). shared() = lazy cache + cleanup tracking.
     )
-    wdeg = ed.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd")).cache()
+    wdeg = shared(
+        ed.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    )
     nodes = wdeg.select(F.col("src").alias("word"))
     r = nodes.select("word", F.lit(1000000000).cast("bigint").alias("r"))
     for _ in range(5):
@@ -639,9 +657,13 @@ WITH x AS (
   SELECT x.grp, ABS(2 * x.v - m.med2x) AS z
   FROM x JOIN med m ON m.grp = x.grp
 ), g AS (
+  -- ss_g stays HUGEINT (and the multiply widens FIRST): a premature
+  -- BIGINT cast errors beyond the swept scales while Spark's old
+  -- BIGINT sum wrapped silently — both sides now accumulate in a
+  -- 38-digit type where overflow is impossible, not scale-dependent
   SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
          CAST(SUM(z) AS BIGINT) AS s_g,
-         CAST(SUM(z * z) AS BIGINT) AS ss_g
+         SUM(CAST(z AS HUGEINT) * z) AS ss_g
   FROM z GROUP BY grp
 ), terms AS (
   SELECT grp, n_g, s_g, ss_g,
@@ -651,7 +673,7 @@ WITH x AS (
 ), tot AS (
   SELECT CAST(SUM(n_g) AS BIGINT) AS n,
          CAST(SUM(s_g) AS BIGINT) AS s,
-         CAST(SUM(ss_g) AS BIGINT) AS ssq,
+         SUM(ss_g) AS ssq,
          CAST(SUM(term) AS BIGINT) AS sum_terms,
          CAST(COUNT(*) AS BIGINT) AS k
   FROM terms
@@ -717,10 +739,18 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = x.join(F.broadcast(med), "grp").select(
         "grp", F.abs(2 * F.col("v") - F.col("med2x")).alias("z")
     )
+    # ss_g accumulates in decimal(38,0) (z widened BEFORE the square):
+    # a BIGINT z*z sum wraps SILENTLY in non-ANSI Spark beyond the
+    # swept scales while the DuckDB oracle's HUGEINT errors — the two
+    # sides would fail differently, Spark wrong. 38 digits make
+    # overflow impossible (z <= ~1e12 even at extreme value ranges,
+    # so Σz² <= 1e36 at a trillion rows), same recipe as
+    # text_zipf_slope's moment sums.
+    zd = F.col("z").cast("decimal(19,0)")
     g = z.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
         F.sum("z").cast("bigint").alias("s_g"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss_g"),
+        F.sum(zd * zd).cast("decimal(38,0)").alias("ss_g"),
     )
     terms = g.select(
         "n_g",
@@ -735,7 +765,7 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = terms.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("s_g").cast("bigint").alias("s"),
-        F.sum("ss_g").cast("bigint").alias("ssq"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("ssq"),
         F.sum("term").cast("bigint").alias("sum_terms"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
     )

@@ -3068,16 +3068,25 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune. Degrees are integers, every sum an exact BIGINT over the
     edge list (both directions, the standard convention), readout in
     identical double order. One degree hash-agg + two broadcast-sized
-    joins back onto the edge list."""
+    joins back onto the edge list.
+
+    The LSH near-pair frame feeds both the edge list and the degree
+    table; a lazy ``shared`` cache keeps the candidate generator from
+    running once per consumer (was 24 effective FileScans — round-8
+    scan audit). The degree table joins back twice, so it caches
+    too."""
     from data_lake_with_spark_spark.operators.graph import (
         degrees,
         undirected_edges,
     )
+    from data_lake_with_spark_spark.operators.plan_cache import shared
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
-    pairs = SIM.lsh_near_pairs(emb, threshold=0.35)
+    pairs = shared(SIM.lsh_near_pairs(emb, threshold=0.35))
     ed = undirected_edges(pairs)
-    deg = degrees(pairs).select("id", F.col("degree").cast("bigint").alias("d"))
+    deg = shared(
+        degrees(pairs).select("id", F.col("degree").cast("bigint").alias("d"))
+    )
     de = (
         ed.join(deg.select(F.col("id").alias("src"), F.col("d").alias("x")), "src")
         .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")

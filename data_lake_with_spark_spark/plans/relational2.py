@@ -1240,7 +1240,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come from the wedge join (Σdeg² work, same discipline as the
     triangle census — never all-pairs), existing edges drop out with a
     left-anti join, and the score is one exact-integer ratio rounded
-    once. Distributed top-k via TakeOrdered."""
+    once. Distributed top-k via TakeOrdered.
+
+    The edge list and its symmetrized form feed five join branches;
+    lazy ``shared`` caches keep the co-visitation generator from
+    re-running per branch (was 18 effective FileScans — round-8 scan
+    audit)."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     ev = _t(spark, sf_dir, "events")
     win = (
         ev.select(
@@ -1259,10 +1266,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nw") >= 3)
         .select("u", "v")
     )
-    sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    edges = shared(edges)
+    sym = shared(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
     )
-    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = shared(
+        sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    )
     e1 = sym
     e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
     common = (
@@ -1354,7 +1366,15 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the per-user cohesion feature behind bot-ring and community
     scoring. Same Schank–Wagner wedge discipline as the global census
     (graph_triangle_count); the per-node rollup is one explode of the
-    triangle corner triples + a hash agg."""
+    triangle corner triples + a hash agg.
+
+    The co-visitation edge list, its degree table, and the oriented
+    edges are each referenced from several join branches; without a
+    lazy ``shared`` cache the plan re-derives the generator per
+    reference (measured: 94 effective FileScans — the round-8 scan
+    audit's worst row). Cached, scans collapse to table arity."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     ev = _t(spark, sf_dir, "events")
     win = (
         ev.select(
@@ -1373,7 +1393,8 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nw") >= 3)
         .select("u", "v")
     )
-    deg = (
+    edges = shared(edges)
+    deg = shared(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
@@ -1386,9 +1407,11 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    oriented = shared(
+        e.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
     )
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))

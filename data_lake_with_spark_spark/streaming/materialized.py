@@ -427,10 +427,15 @@ def stream_maintain_topk_view(
     pre-state, never foldable — folding them would double-count every
     update), and a ``delete`` row RAISES (ValueError, failing the
     micro-batch) instead of being silently folded in as an insert and
-    corrupting the leaderboard. Note the residual update caveat: an
-    update that LOWERS a retained row's ``order_col`` cannot retract
-    the old value either, so under such feeds the state is an upper
-    bound; it is exact for insert-only or value-monotone feeds. Route
+    corrupting the leaderboard. Before the top-k window the merge
+    collapses cur ∪ fresh to ONE row per (group, id) via
+    max(order_col), so a postimage for an id already retained in state
+    REPLACES it rather than coexisting with the stale row — exact for
+    inserts (ids unique, identity reduction) and for value-RAISING
+    updates (max = postimage). The residual caveat: an update that
+    LOWERS a retained row's ``order_col`` cannot retract the old
+    higher value (max keeps it), so under such feeds the state is an
+    upper bound; it is exact for insert-only or value-monotone feeds. Route
     delete-bearing / non-monotone changefeeds to a recount-capable
     view (stream_maintain_view's signed counts) instead."""
     from pyspark.sql import Window as W
@@ -474,7 +479,20 @@ def stream_maintain_topk_view(
         except FileNotFoundError:
             cur = None
         fresh = topk(batch_df.select(*cols))
-        merged = fresh if cur is None else topk(cur.select(*cols).unionByName(fresh))
+        unioned = (
+            fresh if cur is None else cur.select(*cols).unionByName(fresh)
+        )
+        # One row per (group, id) BEFORE the top-k window: an
+        # update_postimage for an id already retained in state would
+        # otherwise keep BOTH the stale and the fresh row, listing the
+        # id twice and displacing a legitimate distinct k-th member.
+        # max(order_col) is exact for the contract's feeds: inserts
+        # have unique ids (identity reduction), and value-raising
+        # updates keep exactly the postimage.
+        per_id = unioned.groupBy(*group_cols, id_col).agg(
+            F.max(order_col).alias(order_col)
+        )
+        merged = topk(per_id.select(*cols))
         V.versioned_append(
             merged,
             state_path,

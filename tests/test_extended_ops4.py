@@ -94,3 +94,39 @@ def test_kappa_bounds_and_agreement_direction(spark, sf_dir):
     assert r["po_ppm"] > r["pe_ppm"]
     assert 0 < r["kappa_micro"] < 1_000_000
     assert r["agree"] <= r["n"]
+
+
+def test_kappa_div_idiom_exact_for_negative_numerator(spark):
+    """Round-8 ADVICE: Spark DIV truncates toward zero while DuckDB //
+    floors, so the shared kappa readout divides only non-negative
+    operands and re-applies the sign. Pin the idiom cross-engine on
+    below-chance (negative-kappa) inputs where the raw operators
+    diverge: -3 DIV 2 = -1 (Spark) but -3 // 2 = -2 (DuckDB)."""
+    import duckdb
+
+    cases = [(-300_000, 400_000), (-1, 999_999), (-999_999, 1), (0, 500_000),
+             (250_000, 500_000)]
+    idiom_spark = (
+        "CASE WHEN po_ppm >= pe_ppm"
+        " THEN (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm)"
+        " ELSE -((pe_ppm - po_ppm) * 1000000 DIV (1000000 - pe_ppm)) END"
+    )
+    df = spark.createDataFrame(
+        [(pe + num, pe) for num, pe in cases], "po_ppm bigint, pe_ppm bigint"
+    )
+    got = [r[0] for r in df.selectExpr(f"{idiom_spark} AS k").collect()]
+    con = duckdb.connect()
+    want = []
+    for num, pe in cases:
+        po = pe + num
+        want.append(
+            con.sql(
+                "SELECT CASE WHEN po >= pe"
+                " THEN (po - pe) * 1000000 // (1000000 - pe)"
+                " ELSE -((pe - po) * 1000000 // (1000000 - pe)) END"
+                f" FROM (SELECT CAST({po} AS BIGINT) po, CAST({pe} AS BIGINT) pe)"
+            ).fetchone()[0]
+        )
+    con.close()
+    assert got == want, (got, want)
+    assert got[0] < 0  # the below-chance case really is negative

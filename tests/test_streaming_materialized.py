@@ -796,9 +796,13 @@ def test_stream_topk_insert_only_contract(spark, sf_dir, tmp_path):
     from data_lake_with_spark_spark.catalog import load_table
     from pyspark.sql import Window as W
 
+    # orderBy before limit: an unordered .limit(500) is evaluated once
+    # for the changes parquet and once for `want` below, and the two
+    # evaluations may pick DIFFERENT rows (round-8 ADVICE flake)
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
+        .orderBy("event_id")
         .limit(500)
     )
     # every row twice: once as a bogus preimage with an inflated value
@@ -844,6 +848,40 @@ def test_stream_topk_insert_only_contract(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="insert-only"):
         q2.awaitTermination(600)
+
+
+def test_stream_topk_update_replaces_retained_id(spark, tmp_path):
+    """Round-8 ADVICE (medium): an update_postimage that raises the
+    value of an id ALREADY retained in the top-k state must replace
+    the stale row, not coexist with it — the unfixed merge kept both
+    (group, id) rows, listing the id twice and displacing a
+    legitimate distinct k-th member."""
+
+    def run_batch(rows, state):
+        df = spark.createDataFrame(
+            rows, "g string, id bigint, v bigint, _change_type string"
+        )
+        src = str(tmp_path / f"tku_src_{len(list(tmp_path.iterdir()))}")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = MV.stream_maintain_topk_view(
+            stream, state, ["g"], "v", "id", k=3, query_name="tku_mv"
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+
+    state = str(tmp_path / "tku_view")
+    run_batch(
+        [("g", 1, 40, "insert"), ("g", 2, 30, "insert"),
+         ("g", 3, 20, "insert"), ("g", 4, 10, "insert")],
+        state,
+    )
+    # id 2 raises 30 -> 35: old merge retained BOTH (35, id2) and
+    # (30, id2) in the top 3, evicting id 3
+    run_batch([("g", 2, 35, "update_postimage")], state)
+    got = sorted(
+        (r["id"], r["v"]) for r in MV.read_view(spark, state).collect()
+    )
+    assert got == [(1, 40), (2, 35), (3, 20)]
 
 
 def test_stream_dedup_neardup_first_arrival(spark, sf_dir, tmp_path):

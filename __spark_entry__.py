@@ -48,144 +48,104 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # in sorted order and are covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-8 rotation: the entire round-7 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r07.json, durable in git), so all
-    # 50 rows rotate out and this window takes 50 of the 126 oracled
-    # queries never driver-verified in any round (union of r01-r07),
-    # leading with the families a user hits most (round-7 verdict
-    # directive #1): A/B + funnel analytics, the q2/q20 TPC-H tail,
-    # join hints/range/as-of, subqueries, text, timeseries, spatial,
-    # multimodal, scalar functions, windows.
+    # Round-9 rotation: the entire round-8 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r08.json, durable in git), so all
+    # 50 rows rotate out. This window = 8 engine-changed re-entries
+    # (window discipline: engine or oracle edits re-enter even when
+    # previously verified) + 42 drains from the never-driver-verified
+    # queue, which stood at 87 entering round 9.
     #
-    # DRAIN PLAN (round-7 verdict directive #2): the queue stood at
-    # 126 entering round 8. This round drains 50 and caps new
-    # registrations well below the drain rate (<= 20/round), so the
-    # queue shrinks monotonically: ~76+new after r8, under ~50 after
-    # r9, empty by ~r10. Until it empties, every queued query is ALSO
-    # re-verified at driver scale each round by the widened sf0.01
-    # local gate (tests/test_oracle_parity_sf01.py computes the
-    # never-driver-verified set from the CORRECTNESS_r*.json files and
-    # includes all of it), so the only remaining gap is which harness
-    # ran it, never which scale.
+    # DRAIN PLAN: 47 of the 50 rows below are first-time
+    # verifications (the 42 drains + harmonic/kappa/brown_forsythe/
+    # textrank/ktruss, which were both engine-changed AND queued), so
+    # the queue ends round 9 at 40 + this round's births. Round 10's
+    # window drains the remainder to zero. Until then every queued
+    # query is ALSO re-verified at driver scale each round by the
+    # widened sf0.01 local gate (tests/test_oracle_parity_sf01.py
+    # includes the entire never-driver-verified set).
     #
-    # ROUND-9 ROTATION QUEUE (never driver-verified after this round;
-    # rotate in once this window's rows are durable):
-    # ab/attribution: attribution_position_based, attribution_shapley;
-    # anomaly/agg: anomaly_mad_daily, anomaly_rate_bursts,
-    #   agg_mode_deterministic, agg_regression_trend,
-    #   activity_dow_hour_matrix, dim_calendar_spine;
-    # events/sequence: events_pattern_regex, events_transition_entropy,
-    #   sequence_bigram_support, sequence_hmm_viterbi,
-    #   sessionize_timeout_sensitivity, recsys_markov_next_item,
-    #   recsys_item_item_topk;
-    # features/training: features_lag_purchases, feature_hashing_audit,
-    #   feature_quantile_normalize, feature_target_encoding_oof,
-    #   training_dedup_rate_by_source, training_length_buckets,
-    #   training_loso_source_value, training_quality_mixture,
-    #   training_split_counts, training_tokenizer_fertility,
-    #   sample_stratified_topk, score_user_gini_diversity;
-    # finance/inventory/orders: finance_bollinger_breakouts,
-    #   finance_lorenz_revenue, finance_ohlc_hourly,
-    #   finance_sma_crossover, inventory_capped_balance,
-    #   orders_interarrival_gaps, orders_ship_delay_stats,
-    #   growth-adjacent segment_abc_distributed, segment_abc_pareto,
-    #   segment_rfm_distributed;
-    # graph/vector: graph_harmonic_centrality, graph_sssp_weighted,
-    #   vector_topk_asymmetric, vector_topk_hamming,
-    #   vector_topk_ivfpq_portable;
-    # interval/cohort: interval_coalesce_spans, cohort_retention_matrix;
-    # layout/dq: layout_encoding_advisor, layout_partition_advisor,
-    #   layout_pruning_zorder_vs_linear, layout_zone_map_pruning,
-    #   dq_bloom_fpp, dq_fd_discovery, dq_referential_integrity,
-    #   pii_risk_kanonymity;
-    # ml/stats: ml_average_precision, ml_best_split_gini,
-    #   ml_calibration_ece, ml_conformal_interval, ml_embedding_drift,
-    #   ml_forecast_backtest_mase, ml_gain_lift_deciles,
-    #   ml_gain_lift_distributed, ml_isotonic_calibration,
-    #   ml_learning_curve_auc, ml_threshold_metrics,
-    #   regression_theil_sen, stats_anova_oneway, stats_fdr_bh,
-    #   stats_jensen_shannon, stats_kaplan_meier, stats_mann_whitney_u,
-    #   stats_mutual_information, stats_poisson_bootstrap_ci,
-    #   stats_spearman_corr, stats_table_profile, stats_wilson_ci;
-    # text/timeseries tail: text_winnowing_fingerprints,
-    #   timeseries_cross_correlation;
-    # plus anything newly registered in round 8 (sf0.01-gated at birth
-    # via CHANGED_THIS_ROUND).
+    # ROUND-10 ROTATION QUEUE (never driver-verified after this
+    # round): the ml_* evaluation family (average_precision,
+    # best_split_gini, calibration_ece, conformal_interval,
+    # embedding_drift, forecast_backtest_mase, gain_lift_deciles,
+    # gain_lift_distributed, isotonic_calibration, learning_curve_auc,
+    # threshold_metrics), stats_* (anova_oneway, fdr_bh,
+    # jensen_shannon, kaplan_meier, mann_whitney_u,
+    # mutual_information, poisson_bootstrap_ci, spearman_corr,
+    # table_profile, wilson_ci), regression_theil_sen,
+    # sample_neyman_allocation, sample_stratified_topk,
+    # score_user_gini_diversity, segment_abc_distributed,
+    # segment_abc_pareto, segment_rfm_distributed, the training_*
+    # family (dedup_rate_by_source, length_buckets, loso_source_value,
+    # quality_mixture, split_counts, tokenizer_fertility),
+    # text_winnowing_fingerprints, timeseries_cross_correlation,
+    # dq_fd_discovery, layout_pruning_zorder_vs_linear,
+    # layout_zone_map_pruning, plus anything newly registered in
+    # round 9 (sf0.01-gated at birth via CHANGED_THIS_ROUND).
     #
-    # ROUND-9 ENGINE RE-ENTRY QUEUE (window discipline): the round-8
-    # scan audit (scripts/plan_scan_audit.py) found reused-subtree
-    # re-derivation in four verified graph queries — the near-dup
-    # generator re-runs per plan reference (graph_local_clustering 94
-    # effective scans, graph_harmonic_centrality 48,
-    # graph_assortativity 24, graph_link_prediction 18). The fix is a
-    # lazy .cache() of the pairs frame (results identical — proven on
-    # ktruss/textrank this round), but it IS an engine change, so
-    # apply it in round 9 and put all four back in the window.
-    #
-    # changed this round (window discipline: engine or oracle edits
-    # re-enter the window even when previously verified):
-    "ml_psi_score_drift",          # zero-count epsilon smoothing (ADVICE)
-    # CDC / lakehouse, first-time:
-    "cdc_changelog_compact",
-    "dedup_image_phash",
-    # A/B testing + funnels, first-time:
-    "ab_test_conversion",
-    "ab_cuped_adjustment",
-    "ab_sprt_monitor",
-    "funnel_conversion_latency",
-    "funnel_unordered_set",
-    # TPC-H tail + relational, first-time:
-    "q2_min_cost_supplier",
-    "q20_heavy_promo_suppliers",
-    "supplier_nation_share",
-    "growth_top_parts_yoy",
-    # join strategies / temporal joins, first-time:
-    "join_hint_merge",
-    "join_hint_shuffle_hash",
-    "join_range_outer_5min",
-    "join_asof_nearest",
-    "join_interval_overlap",
-    # subqueries, first-time:
-    "subquery_in_nations",
-    "subquery_not_in_nations",
-    # text analysis, first-time:
-    "text_decontaminate",
-    "text_lang_profile",
-    "text_ngram_novelty",
-    "text_top_tokens",
-    "text_vocab_coverage",
-    "text_vocab_oov",
-    "text_rake_keywords",
-    "text_heaps_law",
-    # time series, first-time:
-    "timeseries_autocorrelation",
-    "timeseries_interpolate_linear",
-    "timeseries_seasonality_dow",
-    "timeseries_twap_daily",
-    "timeseries_holt_forecast",
-    "timeseries_stl_dow",
-    # spatial, first-time:
-    "spatial_dbscan_grid",
-    "spatial_grid_near_pairs",
-    "spatial_knn_grid",
-    "spatial_pyramid_rollup",
-    # multimodal, first-time:
-    "multimodal_audio_clip",
-    "multimodal_audio_vad",
-    "multimodal_bytestats_arrow",
-    "multimodal_frame_sample",
-    # scalar function surface, first-time:
-    "scalar_date_arithmetic",
-    "scalar_null_handling",
-    "scalar_regexp_extract",
-    "scalar_string_funcs",
-    # window function surface, first-time:
-    "window_cume_nth",
-    "window_lag_gaps",
-    "window_ntile_first_last",
-    "window_users_to_date",
-    # vectors, first-time:
-    "vector_near_pairs",
+    # Engine-changed this round (scan-amplification fixes: the shared
+    # lazy cache collapses the candidate-generator subtree to one
+    # materialization; kappa/brown_forsythe numeric-robustness fixes
+    # changed engine AND oracle):
+    "graph_local_clustering",      # was 94 effective FileScans
+    "graph_harmonic_centrality",   # was 48 (also first-time)
+    "graph_assortativity",         # was 24
+    "graph_link_prediction",       # was 18
+    "graph_ktruss_edges",          # caches now tracked (first-time)
+    "text_textrank_keywords",      # caches now tracked (first-time)
+    "ml_cohens_kappa",             # sign-extracted DIV (first-time)
+    "stats_brown_forsythe",        # decimal(38,0) z^2 (first-time)
+    # Queue drains, first-time: attribution + anomaly + aggregates:
+    "attribution_position_based",
+    "attribution_shapley",
+    "anomaly_mad_daily",
+    "anomaly_rate_bursts",
+    "agg_mode_deterministic",
+    "agg_regression_trend",
+    "activity_dow_hour_matrix",
+    "dim_calendar_spine",
+    # events / sequences / recsys:
+    "events_pattern_regex",
+    "events_transition_entropy",
+    "sequence_bigram_support",
+    "sequence_hmm_viterbi",
+    "sessionize_timeout_sensitivity",
+    "recsys_markov_next_item",
+    "recsys_item_item_topk",
+    # features:
+    "features_lag_purchases",
+    "feature_hashing_audit",
+    "feature_quantile_normalize",
+    "feature_target_encoding_oof",
+    # finance / inventory / orders:
+    "finance_bollinger_breakouts",
+    "finance_lorenz_revenue",
+    "finance_ohlc_hourly",
+    "finance_sma_crossover",
+    "inventory_capped_balance",
+    "inventory_fifo_allocation",
+    "orders_interarrival_gaps",
+    "orders_ship_delay_stats",
+    # funnels:
+    "funnel_steps_strict",
+    # graph / vector tail:
+    "graph_sssp_weighted",
+    "vector_topk_asymmetric",
+    "vector_topk_hamming",
+    "vector_topk_ivfpq_portable",
+    "vector_maxsim_late_interaction",
+    # intervals / cohorts:
+    "interval_coalesce_spans",
+    "cohort_retention_matrix",
+    # layout / data quality / privacy:
+    "layout_encoding_advisor",
+    "layout_partition_advisor",
+    "dq_bloom_fpp",
+    "dq_referential_integrity",
+    "pii_risk_kanonymity",
+    # ml / timeseries tail:
+    "ml_brier_decomposition",
+    "timeseries_rolling_median",
 ]
 
 

@@ -85,6 +85,11 @@ TIER2 = [
     "dedup_image_ahash",
     "finance_var_historical",
     "pipeline_trainset_stats",
+    # round-9 (verdict directive #4): the heaviest scan-audit-fixed
+    # graph query, uncapped (full events co-visitation graph), so
+    # graph-analytics cost is trend-tracked at bench scale — a
+    # 94×-scan-class regression here is visible, not silent.
+    "graph_local_clustering",
 ]
 
 

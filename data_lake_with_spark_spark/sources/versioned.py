@@ -441,9 +441,25 @@ def compact(
             snapshot.write.mode("errorifexists").parquet(stage)
         if collect_stats:
             write_stats_manifest(stage)
+        # Carry the latest version's USER meta keys (e.g. a streaming
+        # sink's epoch_id) into the snapshot: the compacted version
+        # replaces the deltas as "latest", and a meta without epoch_id
+        # would reset applied_epoch() to None — a micro-batch REPLAYED
+        # after a compaction would refold instead of being skipped,
+        # duplicating state rows.
+        carried = {
+            k: v
+            for k, v in (version_meta(path) or {}).items()
+            if not k.startswith("_")
+        }
         with open(os.path.join(stage, _META_NAME), "w") as fh:
             json.dump(
-                {"_schema": snapshot.schema.json(), "_partition_by": []}, fh
+                {
+                    **carried,
+                    "_schema": snapshot.schema.json(),
+                    "_partition_by": [],
+                },
+                fh,
             )
     except BaseException:
         shutil.rmtree(stage, ignore_errors=True)

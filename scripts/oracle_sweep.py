@@ -15,12 +15,19 @@ round close:
 
 Round-8 baseline: 351/351 oracled queries matched exactly at sf0.1
 (rows + schema + values after the canonical stringify/sort compare).
+
+Writes a machine-readable artifact to ``SWEEP_<sfname>.json`` in the
+repo root (override with ``$SWEEP_OUT``) so the round seal note quotes
+the tool's output instead of hand-transcribed counts (the round-8
+351-vs-352 churn came from exactly that).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -56,30 +63,54 @@ def main() -> int:
         )
     names = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
     print(f"sweeping {len(names)} oracled queries at {sf_dir}", flush=True)
-    failures = 0
+    t0 = time.time()
+    failed: dict[str, str] = {}
     for i, name in enumerate(names):
         try:
             got = canon(REGISTRY[name].spark(spark, sf_dir).toPandas())
             want = canon(con.execute(REGISTRY[name].oracle).df())
             if list(got.columns) != list(want.columns):
-                print(f"FAIL {name} schema {list(got.columns)} vs"
-                      f" {list(want.columns)}", flush=True)
-                failures += 1
+                failed[name] = (
+                    f"schema {list(got.columns)} vs {list(want.columns)}"
+                )
             elif len(got) != len(want):
-                print(f"FAIL {name} rows {len(got)} vs {len(want)}", flush=True)
-                failures += 1
+                failed[name] = f"rows {len(got)} vs {len(want)}"
             elif not got.equals(want):
                 j = (got != want).any(axis=1).idxmax()
-                print(f"FAIL {name} values row {j}: {got.loc[j].to_dict()}"
-                      f" vs {want.loc[j].to_dict()}", flush=True)
-                failures += 1
+                failed[name] = (
+                    f"values row {j}: {got.loc[j].to_dict()}"
+                    f" vs {want.loc[j].to_dict()}"
+                )
             else:
                 print(f"ok {i + 1}/{len(names)} {name}", flush=True)
+                continue
+            print(f"FAIL {name} {failed[name]}", flush=True)
         except Exception as ex:  # noqa: BLE001 — report and continue
-            print(f"ERR {name} {type(ex).__name__}: {str(ex)[:200]}", flush=True)
-            failures += 1
-    print(f"SWEEP DONE failures={failures}", flush=True)
-    return 1 if failures else 0
+            failed[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(f"ERR {name} {failed[name]}", flush=True)
+    artifact = {
+        "sf_dir": sf_dir,
+        "oracled_total": len(names),
+        "passed": len(names) - len(failed),
+        "failed": failed,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    out = os.environ.get(
+        "SWEEP_OUT",
+        str(
+            Path(__file__).resolve().parents[1]
+            / f"SWEEP_{Path(sf_dir).name}.json"
+        ),
+    )
+    with open(out, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        f"SWEEP DONE {artifact['passed']}/{artifact['oracled_total']}"
+        f" failures={len(failed)} -> {out}",
+        flush=True,
+    )
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

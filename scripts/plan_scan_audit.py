@@ -4,10 +4,12 @@ their children() are empty, so naive walks see nothing). A count far
 above the query's table arity means a reused subtree is being
 re-derived per reference — the trap that made the lazy k-truss unroll
 re-run the near-dup generator 864× and TextRank re-tokenize the
-corpus 32× (both fixed with lazy .cache() in round 8). Remaining
-high-count rows are queued for round 9 (graph_local_clustering 94,
-graph_harmonic_centrality 48, graph_assortativity 24,
-graph_link_prediction 18 — window-discipline re-entry required).
+corpus 32× (both fixed with lazy .cache() in round 8), and the four
+graph queries fixed in round 9 via operators/plan_cache.shared
+(graph_local_clustering 94 → 0, harmonic_centrality 48,
+assortativity 24, link_prediction 18). The budget is now ALSO a
+pytest gate (tests/test_plan_quality.py::test_effective_scans_bounded,
+bound 16); this script remains the exploratory form with full counts.
 
     python scripts/plan_scan_audit.py          # prints counts >= 5
 """

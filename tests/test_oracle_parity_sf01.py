@@ -28,8 +28,8 @@ from tests.oracle_harness import duckdb_connection, run_one
 
 SF01 = "/root/testdata/sf0.01"
 
-# Bump per round to rotate the third. r8 -> 2.
-ROUND = 8
+# Bump per round to rotate the third. r9 -> 0.
+ROUND = 9
 
 ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
@@ -37,24 +37,19 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
-    # round-7 ADVICE fix: PSI zero-count epsilon smoothing changed the
-    # engine AND the oracle (ppm clamped to >= 1 inside the log):
-    "ml_psi_score_drift",
-    # NEW this round (sf0.01-gated at birth): triangle-support peeling
-    # over the near-dup graph, backing the previously unregistered
-    # ktruss operator:
+    # round-8 scan-audit fixes: the shared lazy cache collapses each
+    # query's candidate-generator subtree to one materialization
+    # (results identical by construction, but engine changes re-gate):
+    "graph_local_clustering",
+    "graph_harmonic_centrality",
+    "graph_assortativity",
+    "graph_link_prediction",
+    # cache-tracking retrofit (plan_cache.shared) touched their plans:
     "graph_ktruss_edges",
-    # NEW this round (plans/extended_ops4.py, sf0.01-gated at birth):
-    "inventory_fifo_allocation",
-    "ml_brier_decomposition",
-    "ml_cohens_kappa",
-    "timeseries_rolling_median",
-    "vector_maxsim_late_interaction",
     "text_textrank_keywords",
-    "stats_brown_forsythe",
-    "sample_neyman_allocation",
-    "text_zipf_slope",
-    "funnel_steps_strict",
+    # round-8 ADVICE numeric-robustness fixes, engine AND oracle:
+    "ml_cohens_kappa",       # sign-extracted magnitude DIV idiom
+    "stats_brown_forsythe",  # z^2 sums in decimal(38,0)/HUGEINT
 ]
 
 

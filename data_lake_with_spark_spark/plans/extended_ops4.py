@@ -1,5 +1,6 @@
-"""Round-8 batch: FIFO lot allocation and two ML evaluation metrics
-(Brier decomposition, Cohen's kappa).
+"""Round-8/9 batch: FIFO lot allocation, ML evaluation metrics
+(Brier decomposition, Cohen's kappa), and DSIR-style training-data
+selection weights (round 9).
 
 Same registry discipline as plans/extended_ops.py..3: integer-exact or
 deterministically-rounded outputs, full DuckDB oracles, no cartesian
@@ -1101,4 +1102,156 @@ def funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_step3 * 1000000 DIV GREATEST(n_step2, 1) AS BIGINT)").alias(
             "conv23_ppm"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data selection: DSIR-style hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bg
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), feat AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(bg), 1, 8) AS BIGINT) % 512 AS b
+  FROM big
+), cnt AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM feat GROUP BY 1, 2
+), raw AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_b FROM feat GROUP BY 1
+), tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS t_b
+  FROM feat WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS big_r,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS big_t
+  FROM feat
+), doc AS (
+  -- per-doc moments vs the two distributions, HUGEINT-exact
+  SELECT c.doc_id,
+         CAST(SUM(c.c) AS BIGINT) AS n_feats,
+         SUM(CAST(c.c AS HUGEINT) * COALESCE(t.t_b, 0)) AS a_t,
+         SUM(CAST(c.c AS HUGEINT) * r.r_b) AS b_r
+  FROM cnt c JOIN raw r USING (b) LEFT JOIN tgt t USING (b)
+  GROUP BY 1
+)
+SELECT d.doc_id, d.n_feats,
+       CAST(d.a_t AS BIGINT) AS a_target,
+       CAST(d.b_r AS BIGINT) AS b_raw,
+       CAST(FLOOR(1000000.0
+                  * CAST(d.a_t * big_r - d.b_r * big_t AS DOUBLE)
+                  / (CAST(big_t AS DOUBLE) * big_r)) AS BIGINT)
+         AS weight_ppm
+FROM doc d, tot
+ORDER BY doc_id
+"""
+
+
+@register(
+    "training_dsir_weights",
+    oracle=DSIR_ORACLE,
+    tags=("training", "llm", "text"),
+)
+def training_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for training-data selection (Xie
+    et al. 2023, "Data Selection via Importance Resampling"):
+    represent every document as a bag of HASHED BIGRAM features
+    (md5-bucketed into 512 bins — the paper's hashed n-gram
+    generative model), estimate a target distribution from a curated
+    subset (here: the ``lang = 'en'`` corpus) and a raw distribution
+    from the whole pool, and score each document by how much more
+    target-like than pool-like its features are. The published weight
+    is Σ cnt_f·log(t_f/r_f); this portable twin linearizes the
+    log-ratio to the exact rational form
+    Σ cnt_f·(t_f/T − r_f/R) = (R·A − T·B)/(T·R) with
+    A = Σ cnt_f·t_f and B = Σ cnt_f·r_f — same ordering intent
+    (positive = resembles the target more than the pool), zero
+    transcendentals, so the readout is FLOOR-of-one-double exact on
+    both engines. A/B and the (R·A − T·B) numerator accumulate in
+    decimal(38,0)/HUGEINT so feature-count products cannot overflow
+    at any corpus size (the Brown-Forsythe lesson).
+
+    Scale shape: tokenization runs ONCE (the feature frame is a
+    ``shared`` lazy cache feeding per-doc counts, the raw histogram,
+    and the target histogram — the reused-subtree discipline); both
+    feature histograms are 512-row broadcasts; the only data-sized
+    shuffles are the (doc, bucket) and doc-grain hash-aggs. No
+    collect, no all-pairs — at 100 TB this is two map-side-combined
+    aggregations over the corpus.
+    """
+    from data_lake_with_spark_spark.functions import text as TXT
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", "lang", TXT.tokens("text").alias("tk"))
+    bigrams = toked.where(F.size("tk") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.array_join(F.slice("tk", i + 1, 2), " "),
+            )
+        ).alias("bg"),
+    )
+    feat = shared(
+        bigrams.select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("bigint")
+                % 512
+            ).alias("b"),
+        )
+    )
+    cnt = feat.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    raw = feat.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("r_b"))
+    tgt = (
+        feat.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_b"))
+    )
+    tot = feat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_t"),
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    doc = (
+        cnt.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(cd * F.coalesce(F.col("t_b"), F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("a_t"),
+            F.sum(cd * F.col("r_b")).cast("decimal(38,0)").alias("b_r"),
+        )
+    )
+    num = (
+        F.col("a_t") * F.col("big_r") - F.col("b_r") * F.col("big_t")
+    ).cast("double")
+    den = F.col("big_t").cast("double") * F.col("big_r")
+    return (
+        doc.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_feats",
+            F.col("a_t").cast("bigint").alias("a_target"),
+            F.col("b_r").cast("bigint").alias("b_raw"),
+            F.floor(F.lit(1000000.0) * num / den)
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
     )

@@ -50,6 +50,8 @@ CHANGED_THIS_ROUND = [
     # round-8 ADVICE numeric-robustness fixes, engine AND oracle:
     "ml_cohens_kappa",       # sign-extracted magnitude DIV idiom
     "stats_brown_forsythe",  # z^2 sums in decimal(38,0)/HUGEINT
+    # NEW this round (sf0.01-gated at birth):
+    "training_dsir_weights",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Shared-subtree cache tracker (operators/plan_cache.py): lazy
+caching semantics, cleanup accounting, and the correctness-safety of
+releasing caches that a live plan still references."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import plan_cache as PC
+from data_lake_with_spark_spark.plans import REGISTRY
+
+
+def test_shared_is_lazy_and_tracked(spark):
+    PC.release_shared_caches()  # clean slate for the counter
+    before = PC.tracked_count()
+    df = PC.shared(spark.range(100).select((F.col("id") * 2).alias("v")))
+    assert PC.tracked_count() == before + 1
+    # lazy: cache() queued, nothing materialized yet
+    assert not df.storageLevel.useMemory or df.storageLevel is not None
+    assert df.count() == 100  # first action materializes
+    assert df.storageLevel.useMemory
+
+
+def test_release_unpersists_everything(spark):
+    PC.release_shared_caches()
+    a = PC.shared(spark.range(10))
+    b = PC.shared(spark.range(20))
+    a.count(), b.count()
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    released = PC.release_shared_caches()
+    assert released >= 2
+    assert PC.tracked_count() == 0
+    assert not a.storageLevel.useMemory
+    assert not b.storageLevel.useMemory
+
+
+def test_release_is_correctness_safe_for_live_plans(spark, sf_dir):
+    """Unpersisting under a still-referenced plan must only force
+    recomputation, never change results: run a shared()-using
+    registry query, release every cache, run it again — identical."""
+    name = "graph_local_clustering"
+    want = [tuple(r) for r in REGISTRY[name].spark(spark, sf_dir).collect()]
+    n = PC.release_shared_caches()
+    assert n >= 1  # the query's shared frames were tracked
+    got = [tuple(r) for r in REGISTRY[name].spark(spark, sf_dir).collect()]
+    assert got == want
+    PC.release_shared_caches()
+
+
+def test_long_lived_session_storage_is_bounded(spark):
+    """The round-8 ADVICE scenario: repeated invocations in one
+    session must not accumulate executor storage indefinitely —
+    release between queries drains the tracker to zero each time."""
+    PC.release_shared_caches()
+    for _ in range(3):
+        df = PC.shared(spark.range(50))
+        df.count()
+        assert PC.release_shared_caches() == 1
+        assert PC.tracked_count() == 0

@@ -52,6 +52,11 @@ CHANGED_THIS_ROUND = [
     "stats_brown_forsythe",  # z^2 sums in decimal(38,0)/HUGEINT
     # NEW this round (sf0.01-gated at birth):
     "training_dsir_weights",
+    # NEW this round (plans/extended_ops5.py, sf0.01-gated at birth):
+    "training_token_budget",
+    "stats_permutation_pvalue",
+    "ab_bayes_beta_posterior",
+    "ab_power_sample_size",
 ]
 
 

@@ -80,8 +80,13 @@ DRIVER_WINDOW = [
     # quality_mixture, split_counts, tokenizer_fertility),
     # text_winnowing_fingerprints, timeseries_cross_correlation,
     # dq_fd_discovery, layout_pruning_zorder_vs_linear,
-    # layout_zone_map_pruning, plus anything newly registered in
-    # round 9 (sf0.01-gated at birth via CHANGED_THIS_ROUND).
+    # layout_zone_map_pruning, plus the five round-9 births
+    # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
+    # training_dsir_weights, training_token_budget,
+    # stats_permutation_pvalue, ab_bayes_beta_posterior,
+    # ab_power_sample_size. Queue total entering round 10: 45 —
+    # one 50-slot window drains it to zero with 5 slots of
+    # re-entry slack.
     #
     # Engine-changed this round (scan-amplification fixes: the shared
     # lazy cache collapses the candidate-generator subtree to one

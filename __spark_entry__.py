@@ -50,19 +50,21 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 DRIVER_WINDOW = [
     # Round-9 rotation: the entire round-8 window went 50/50
     # rows+schema+hash (CORRECTNESS_r08.json, durable in git), so all
-    # 50 rows rotate out. This window = 8 engine-changed re-entries
+    # 50 rows rotate out. This window = 10 engine-changed re-entries
     # (window discipline: engine or oracle edits re-enter even when
-    # previously verified) + 42 drains from the never-driver-verified
-    # queue, which stood at 87 entering round 9.
+    # previously verified — 8 from the first scan-audit/ADVICE pass,
+    # 2 from the second scan-audit pass) + 40 drains from the
+    # never-driver-verified queue, which stood at 87 entering round 9.
     #
-    # DRAIN PLAN: 47 of the 50 rows below are first-time
-    # verifications (the 42 drains + harmonic/kappa/brown_forsythe/
+    # DRAIN PLAN: 45 of the 50 rows below are first-time
+    # verifications (the 40 drains + harmonic/kappa/brown_forsythe/
     # textrank/ktruss, which were both engine-changed AND queued), so
-    # the queue ends round 9 at 40 + this round's births. Round 10's
-    # window drains the remainder to zero. Until then every queued
-    # query is ALSO re-verified at driver scale each round by the
-    # widened sf0.01 local gate (tests/test_oracle_parity_sf01.py
-    # includes the entire never-driver-verified set).
+    # the queue ends round 9 at 47 (42 remaining + the 5 births).
+    # Round 10's window drains the remainder to zero with 3 slots of
+    # re-entry slack. Until then every queued query is ALSO
+    # re-verified at driver scale each round by the widened sf0.01
+    # local gate (tests/test_oracle_parity_sf01.py includes the
+    # entire never-driver-verified set).
     #
     # ROUND-10 ROTATION QUEUE (never driver-verified after this
     # round): the ml_* evaluation family (average_precision,
@@ -84,9 +86,11 @@ DRIVER_WINDOW = [
     # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
     # training_dsir_weights, training_token_budget,
     # stats_permutation_pvalue, ab_bayes_beta_posterior,
-    # ab_power_sample_size. Queue total entering round 10: 45 —
-    # one 50-slot window drains it to zero with 5 slots of
-    # re-entry slack.
+    # ab_power_sample_size; plus agg_mode_deterministic and
+    # dim_calendar_spine (swapped out of this window to make room for
+    # the sketch_theta_overlap / ml_recall_mrr_at_k re-entries).
+    # Queue total entering round 10: 47 — one 50-slot window drains
+    # it to zero with 3 slots of re-entry slack.
     #
     # Engine-changed this round (scan-amplification fixes: the shared
     # lazy cache collapses the candidate-generator subtree to one
@@ -100,15 +104,20 @@ DRIVER_WINDOW = [
     "text_textrank_keywords",      # caches now tracked (first-time)
     "ml_cohens_kappa",             # sign-extracted DIV (first-time)
     "stats_brown_forsythe",        # decimal(38,0) z^2 (first-time)
+    # Second scan-audit pass (round 9, post-fix audit of the 10-14
+    # scan band): the KMV sketch and the ANN-eval rankings re-derived
+    # their generator subtrees per consumer — fixed with the same
+    # shared lazy cache (14 -> 0 and 13 -> 1 effective scans). Both
+    # were already driver-verified, so they re-enter the window:
+    "sketch_theta_overlap",
+    "ml_recall_mrr_at_k",
     # Queue drains, first-time: attribution + anomaly + aggregates:
     "attribution_position_based",
     "attribution_shapley",
     "anomaly_mad_daily",
     "anomaly_rate_bursts",
-    "agg_mode_deterministic",
     "agg_regression_trend",
     "activity_dow_hour_matrix",
-    "dim_calendar_spine",
     # events / sequences / recsys:
     "events_pattern_regex",
     "events_transition_entropy",

@@ -226,7 +226,19 @@ def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     discipline). The pair join is an equi-join ON THE HASH — k·g rows
     per side regardless of data volume — never a set×set comparison
     of the underlying keys; the below-θ per-side counts join the
-    broadcast θ pair table, also k·g rows."""
+    broadcast θ pair table, also k·g rows.
+
+    The sketch frame feeds five branches (θ, both join sides, both
+    below-θ counts) and the intersection frame two more; without a
+    lazy shared cache each branch re-derives the sketch's
+    distinct+window over the full input (measured: 14 effective
+    FileScans on sketch_theta_overlap — round-9 scan audit). The
+    sketch is k·groups rows, the cheapest possible cache."""
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        shared as shared_cache,
+    )
+
+    sketch = shared_cache(sketch)
     th = kmv_theta(sketch, k)
     a = sketch.select(F.col("gk").alias("ta"), "h")
     b = sketch.select(F.col("gk").alias("tb"), "h")
@@ -249,6 +261,7 @@ def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
         .groupBy("ta", "tb", "theta")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
     )
+    inter = shared_cache(inter)
     pairs_theta = F.broadcast(inter.select("ta", "tb", "theta"))
     na = (
         a.join(pairs_theta, "ta")

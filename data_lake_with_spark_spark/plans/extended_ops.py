@@ -1632,9 +1632,14 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scores are engine-identical. Plan: one (source, decile)
     hash-agg; the pair grid is sources^2 x 10 cells — broadcast-scale
     regardless of corpus size."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     docs = _t(spark, sf_dir, "documents")
     r = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
-    cell = (
+    # the |sources|×10 cell histogram feeds four branches (totals,
+    # bucket spine, both pair sides) — uncached, the corpus scan+agg
+    # re-ran per branch (10 effective FileScans, round-9 scan audit)
+    cell = shared(
         docs.crossJoin(F.broadcast(r))
         .select(
             "source",
@@ -1643,7 +1648,9 @@ def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    n = cell.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    n = shared(
+        cell.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    )
     buckets = cell.select("bucket").distinct()
     a = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
     b = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))

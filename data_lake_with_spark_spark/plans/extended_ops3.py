@@ -567,19 +567,28 @@ def recsys_markov_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("brn") == 1)
         .drop("brn", "brand_spend")
     )
-    seq = dom.select(
-        "o_custkey",
-        "p_brand",
-        F.row_number()
-        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
-        .alias("rn"),
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    # seq feeds both sides of the lag self-join and tr feeds both the
+    # row totals and the scoring join; uncached, the 3-table basket
+    # pipeline re-ran per reference (13 effective FileScans, round-9
+    # scan audit) — exchange reuse does NOT deduplicate across the
+    # aliased self-join, a lazy shared cache does.
+    seq = shared(
+        dom.select(
+            "o_custkey",
+            "p_brand",
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+            .alias("rn"),
+        )
     )
     nxt = seq.select(
         F.col("o_custkey").alias("ck"),
         F.col("p_brand").alias("next_brand"),
         (F.col("rn") - 1).alias("prev_rn"),
     )
-    tr = (
+    tr = shared(
         seq.join(
             nxt,
             (seq.o_custkey == nxt.ck) & (seq.rn == nxt.prev_rn),
@@ -1177,10 +1186,16 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar) runs on the 25-row test frame via windows and a broadcast
     scalar join.
     """
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    per = (
+    # the 25-row test frame feeds the global scalar, the p-value
+    # projection, the ranking, AND the k* scalar — uncached, the
+    # fact-sized orders⋈customer join re-ran per reference (12
+    # effective FileScans, round-9 scan audit)
+    per = shared(
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")

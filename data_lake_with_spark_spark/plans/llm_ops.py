@@ -2640,13 +2640,18 @@ def ml_recall_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded-numpy fast paths whose recall is pinned by pytest only.
     Recall denominator is fixed k (absent candidates score zero);
     MRR = 1/rank of the exact-best neighbor inside the ANN list, 0 on
-    a miss."""
-    from pyspark.sql import Window
+    a miss.
+
+    Both rankings feed two consumers each (overlap + best-hit), so
+    they are lazy shared caches — uncached, the LSH pipeline and the
+    brute-force scorer re-ran per consumer (13 effective FileScans,
+    round-9 scan audit)."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
 
     emb = _t(spark, sf_dir, "embeddings")
-    ann = _lshp_topk(spark, emb, k=10)
+    ann = shared(_lshp_topk(spark, emb, k=10))
     queries = emb.where(F.col("vec_id") < 10)
-    exact = SIM.brute_force_topk(emb, queries, k=10)
+    exact = shared(SIM.brute_force_topk(emb, queries, k=10))
     ov = (
         ann.join(
             exact.select("query_id", "neighbor_id"),

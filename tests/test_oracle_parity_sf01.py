@@ -57,6 +57,14 @@ CHANGED_THIS_ROUND = [
     "stats_permutation_pvalue",
     "ab_bayes_beta_posterior",
     "ab_power_sample_size",
+    # second scan-audit pass (round 9): shared-cache fixes to the
+    # 10-14-effective-scan band — results identical by construction,
+    # but engine changes re-gate at driver scale:
+    "sketch_theta_overlap",
+    "ml_recall_mrr_at_k",
+    "recsys_markov_next_item",
+    "stats_fdr_bh",
+    "stats_jensen_shannon",
 ]
 
 

@@ -1543,9 +1543,13 @@ def training_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     LSH). A source with dup_ppm an order of magnitude above the
     corpus average is a crawler trap or a mirror. Plan: the shared
     _mh_near_pairs front end + one distinct + one broadcast-sized
-    per-source agg."""
+    per-source agg. The pair frame feeds both endpoint projections,
+    so it is a lazy shared cache — uncached, the whole MinHash
+    pipeline ran twice (9 effective FileScans, round-9 scan audit)."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     docs = _t(spark, sf_dir, "documents")
-    pairs = _mh_near_pairs(docs, threshold=0.5)
+    pairs = shared(_mh_near_pairs(docs, threshold=0.5))
     dup = (
         pairs.select(F.col("a_id").alias("doc_id"))
         .unionAll(pairs.select(F.col("b_id").alias("doc_id")))

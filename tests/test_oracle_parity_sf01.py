@@ -65,6 +65,7 @@ CHANGED_THIS_ROUND = [
     "recsys_markov_next_item",
     "stats_fdr_bh",
     "stats_jensen_shannon",
+    "training_dedup_rate_by_source",
 ]
 
 

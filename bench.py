@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from data_lake_with_spark_spark.operators.plan_cache import (  # noqa: E402
+    release_shared_caches,
+)
 from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 from data_lake_with_spark_spark.session import get_spark  # noqa: E402
 
@@ -167,6 +170,13 @@ def main() -> None:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).toPandas()
             timings[name] = round(time.perf_counter() - t0, 3)
+            # Release per-query shared caches BETWEEN timings: Spark's
+            # CacheManager matches cached plans structurally, so
+            # without this a warm pass would silently reuse the cold
+            # pass's materialized cache and measure only the
+            # post-cache path — the warm number must include each
+            # pass's own cache build.
+            release_shared_caches()
         return timings
 
     cold = run_pass()
@@ -222,6 +232,7 @@ def main() -> None:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).toPandas()
             timings[name] = round(time.perf_counter() - t0, 3)
+            release_shared_caches()  # same honesty rule as run_pass
         t0 = time.perf_counter()
         _cc_fullscale(spark, sf_dir).toPandas()
         timings["graph_cc_fullscale"] = round(time.perf_counter() - t0, 3)
@@ -246,6 +257,8 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — metrics are best-effort
             shuffle_bytes[name] = None
             spill_bytes[name] = None
+        finally:
+            release_shared_caches()
 
     # Diagnostics go to STDERR: the driver captures only the last
     # 2 000 chars of stdout, and round 5's single fat line overflowed

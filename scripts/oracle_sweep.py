@@ -35,6 +35,9 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from data_lake_with_spark_spark.operators.plan_cache import (  # noqa: E402
+    release_shared_caches,
+)
 from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 from data_lake_with_spark_spark.session import get_spark  # noqa: E402
 
@@ -67,7 +70,12 @@ def main() -> int:
     failed: dict[str, str] = {}
     for i, name in enumerate(names):
         try:
-            got = canon(REGISTRY[name].spark(spark, sf_dir).toPandas())
+            try:
+                got = canon(REGISTRY[name].spark(spark, sf_dir).toPandas())
+            finally:
+                # per-query shared caches must not accumulate executor
+                # storage across the 350+-query sweep
+                release_shared_caches()
             want = canon(con.execute(REGISTRY[name].oracle).df())
             if list(got.columns) != list(want.columns):
                 failed[name] = (

@@ -84,11 +84,22 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 
 
 def run_one(spark, con, name: str, sf_dir: str) -> CompareResult:
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
     from data_lake_with_spark_spark.plans import REGISTRY
 
     q = REGISTRY[name]
     sdf = q.spark(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
+    try:
+        spark_pdf = sdf.toPandas()
+    finally:
+        # Shared-subtree caches (operators/plan_cache) are per-query
+        # artifacts: release them once the result is materialized so a
+        # full-registry sweep doesn't accumulate executor storage
+        # across hundreds of queries (always correctness-safe — a
+        # released frame recomputes).
+        release_shared_caches()
     if q.oracle is None:
         return CompareResult(name, True, f"rows-only: {len(spark_pdf)} rows")
     oracle_pdf = con.sql(q.oracle).df()

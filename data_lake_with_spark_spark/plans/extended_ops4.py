@@ -269,10 +269,14 @@ WITH r AS (
   FROM m
 )
 SELECT n, agree, po_ppm, pe_ppm,
-       -- sign-extracted magnitude: DuckDB // floors while Spark DIV
-       -- truncates toward zero, so the shared idiom divides only
-       -- non-negative operands (where the two agree) and re-applies
-       -- the sign — exact even for below-chance (negative) kappa
+       -- sign-extracted magnitude, dividing only non-negative
+       -- operands. Measured: DuckDB integer // TRUNCATES toward zero
+       -- exactly like Spark DIV (-7//2 = -3 on BIGINT/HUGEINT), so
+       -- the engines agree on negative kappa either way; the idiom
+       -- stays as defense-in-depth — it is exact under BOTH floor
+       -- and truncate semantics, so a future engine/type change
+       -- cannot silently diverge (pinned cross-engine on negative
+       -- inputs in tests/test_extended_ops4.py)
        CAST(CASE WHEN po_ppm >= pe_ppm
                  THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
                  ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
@@ -330,10 +334,9 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agree",
         "po_ppm",
         "pe_ppm",
-        # sign-extracted magnitude (see oracle comment): DuckDB //
-        # floors, Spark DIV truncates toward zero; dividing only
-        # non-negative operands keeps below-chance (negative) kappa
-        # exact cross-engine instead of a documented precondition
+        # sign-extracted magnitude (see oracle comment): exact under
+        # both floor and truncate division semantics, so below-chance
+        # (negative) kappa can never diverge cross-engine
         F.expr(
             "CAST(CASE WHEN po_ppm >= pe_ppm"
             " THEN (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm)"

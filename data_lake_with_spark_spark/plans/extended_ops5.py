@@ -106,9 +106,9 @@ def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
     tot = src.agg(
-        # DIV, not /: the slash is double division (and decimal casts
-        # round HALF_UP), while DuckDB // floors — integral DIV
-        # truncates, identical on the non-negative operands here
+        # DIV, not /: the slash is double division and decimal casts
+        # round HALF_UP, while integral DIV truncates exactly like
+        # DuckDB's integer // (non-negative operands here anyway)
         F.expr("CAST(SUM(total_tokens) DIV 2 AS BIGINT)").alias("budget"),
         F.sum("distinct_tokens").cast("bigint").alias("w_sum"),
     )

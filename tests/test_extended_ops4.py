@@ -97,11 +97,14 @@ def test_kappa_bounds_and_agreement_direction(spark, sf_dir):
 
 
 def test_kappa_div_idiom_exact_for_negative_numerator(spark):
-    """Round-8 ADVICE: Spark DIV truncates toward zero while DuckDB //
-    floors, so the shared kappa readout divides only non-negative
-    operands and re-applies the sign. Pin the idiom cross-engine on
-    below-chance (negative-kappa) inputs where the raw operators
-    diverge: -3 DIV 2 = -1 (Spark) but -3 // 2 = -2 (DuckDB)."""
+    """Round-8 ADVICE follow-up: the kappa readout divides
+    sign-extracted magnitudes (non-negative operands only) so the
+    result is exact under BOTH floor and truncate integer-division
+    semantics. Empirically DuckDB's integer // truncates toward zero
+    exactly like Spark DIV (-7//2 = -3 on BIGINT/HUGEINT — the
+    ADVICE's floor-division premise was wrong), so this pin proves
+    agreement on below-chance (negative-kappa) inputs and guards any
+    future engine or type change that flips the semantics."""
     import duckdb
 
     cases = [(-300_000, 400_000), (-1, 999_999), (-999_999, 1), (0, 500_000),

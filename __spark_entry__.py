@@ -86,11 +86,12 @@ DRIVER_WINDOW = [
     # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
     # training_dsir_weights, training_token_budget,
     # stats_permutation_pvalue, ab_bayes_beta_posterior,
-    # ab_power_sample_size; plus agg_mode_deterministic and
-    # dim_calendar_spine (swapped out of this window to make room for
-    # the sketch_theta_overlap / ml_recall_mrr_at_k re-entries).
-    # Queue total entering round 10: 47 — one 50-slot window drains
-    # it to zero with 3 slots of re-entry slack.
+    # ab_power_sample_size, text_kneser_ney_bigram; plus
+    # agg_mode_deterministic and dim_calendar_spine (swapped out of
+    # this window to make room for the sketch_theta_overlap /
+    # ml_recall_mrr_at_k re-entries). Queue total entering round 10:
+    # 48 — one 50-slot window drains it to zero with 2 slots of
+    # re-entry slack.
     #
     # Engine-changed this round (scan-amplification fixes: the shared
     # lazy cache collapses the candidate-generator subtree to one

@@ -559,3 +559,127 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_required"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Language modeling: interpolated Kneser-Ney bigram probabilities
+# ---------------------------------------------------------------------------
+
+KNESER_NEY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE len(trim(text)) > 0
+), bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n_succ
+  FROM c12 GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_pred FROM c12 GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types FROM c12
+), scored AS (
+  -- interpolated KN with discount d = 3/4, all-rational:
+  -- P = (c - 3/4)/c1 + (3/4)(n_succ/c1)(n_pred/B)
+  --   = ((4c - 3)B + 3 n_succ n_pred) / (4 c1 B)   [observed => c>=1]
+  SELECT b.w1, b.w2, b.c, x.c1, x.n_succ, n.n_pred,
+         CAST((CAST(4 * b.c - 3 AS HUGEINT) * t.n_bigram_types
+               + CAST(3 AS HUGEINT) * x.n_succ * n.n_pred) * 1000000
+              // (CAST(4 AS HUGEINT) * x.c1 * t.n_bigram_types)
+              AS BIGINT) AS p_kn_ppm
+  FROM c12 b
+  JOIN ctx x USING (w1)
+  JOIN cont n USING (w2)
+  CROSS JOIN tot t
+)
+SELECT w1, w2, c AS n_bigram, c1 AS n_context,
+       n_succ, n_pred, p_kn_ppm
+FROM scored
+ORDER BY p_kn_ppm DESC, w1 ASC, w2 ASC
+LIMIT 50
+"""
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=KNESER_NEY_ORACLE,
+    tags=("text", "llm", "lm"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the standard
+    n-gram LM smoother (Chen & Goodman 1999) and the scoring backbone
+    of perplexity-based data filtering (CCNet-style): discounted
+    bigram evidence backs off to the CONTINUATION unigram (how many
+    distinct contexts a word follows — 'Francisco' is frequent but
+    follows only 'San', so its continuation mass is tiny, the insight
+    that separates KN from naive backoff). With the discount fixed at
+    the canonical d = 3/4 the whole estimate is one exact rational:
+    P = ((4c−3)·B + 3·N1+(w1·)·N1+(·w2)) / (4·c(w1)·B), reported in
+    truncating ppm — zero transcendentals, every factor an exact
+    count, products widened to decimal(38,0)/HUGEINT so no corpus
+    size overflows them. Top-50 readout with a total ordering
+    (p desc, w1, w2).
+
+    Scale shape: the bigram-count frame is the ``shared`` root (it
+    feeds the context totals, the continuation counts, and the final
+    scoring join — one corpus tokenization, not four); context and
+    continuation stats are word-grain aggregates that shuffle on the
+    word key; the readout is a TakeOrdered top-50. The same cached
+    root is what a full perplexity scorer would reuse per document.
+    """
+    from data_lake_with_spark_spark.functions import text as TXT
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.where(F.length(F.trim("text")) > 0).select(
+        TXT.tokens("text").alias("tk")
+    )
+    bg = toked.where(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.element_at("tk", i + 1).alias("w1"),
+                    F.element_at("tk", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = shared(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_succ"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    scored = (
+        c12.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_bigram"),
+            F.col("c1").alias("n_context"),
+            "n_succ",
+            "n_pred",
+            F.expr(
+                "CAST((CAST(4 * c - 3 AS DECIMAL(38,0)) * n_bigram_types"
+                "      + CAST(3 AS DECIMAL(38,0)) * n_succ * n_pred) * 1000000"
+                " DIV (CAST(4 AS DECIMAL(38,0)) * c1 * n_bigram_types)"
+                " AS BIGINT)"
+            ).alias("p_kn_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("p_kn_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(50)

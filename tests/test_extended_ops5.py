@@ -89,3 +89,26 @@ def test_power_sample_size_matches_closed_form(spark, sf_dir):
         a = n * ssq - s * s
         want = -(-(800 * z2 * a) // (s * s * 10**12))  # ceil-div
         assert rows[et]["n_required"] == want, (et, want, rows[et])
+
+
+def test_kneser_ney_probability_axioms(spark, sf_dir):
+    """KN bigram probabilities: every reported p lies in (0, 1]; the
+    discounted bigram evidence never exceeds the raw MLE; and the
+    continuation interpolation makes p strictly EXCEED the pure
+    discounted term (n_succ, n_pred >= 1 for observed bigrams)."""
+    rows = run(spark, sf_dir, "text_kneser_ney_bigram").collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0 < r["p_kn_ppm"] <= 1_000_000, r
+        assert 1 <= r["n_bigram"] <= r["n_context"], r
+        assert r["n_succ"] >= 1 and r["n_pred"] >= 1, r
+        mle_ppm = r["n_bigram"] * 1_000_000 // r["n_context"]
+        discounted_ppm = (4 * r["n_bigram"] - 3) * 1_000_000 // (
+            4 * r["n_context"]
+        )
+        assert discounted_ppm <= r["p_kn_ppm"], r  # interpolation adds mass
+        # discounting removes mass from the raw MLE
+        assert discounted_ppm <= mle_ppm, r
+    # top-50 is sorted by the documented total order
+    keys = [(-r["p_kn_ppm"], r["w1"], r["w2"]) for r in rows]
+    assert keys == sorted(keys)

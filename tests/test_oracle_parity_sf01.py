@@ -57,6 +57,7 @@ CHANGED_THIS_ROUND = [
     "stats_permutation_pvalue",
     "ab_bayes_beta_posterior",
     "ab_power_sample_size",
+    "text_kneser_ney_bigram",
     # second scan-audit pass (round 9): shared-cache fixes to the
     # 10-14-effective-scan band — results identical by construction,
     # but engine changes re-gate at driver scale:

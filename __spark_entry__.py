@@ -59,39 +59,46 @@ DRIVER_WINDOW = [
     # DRAIN PLAN: 45 of the 50 rows below are first-time
     # verifications (the 40 drains + harmonic/kappa/brown_forsythe/
     # textrank/ktruss, which were both engine-changed AND queued), so
-    # the queue ends round 9 at 47 (42 remaining + the 5 births).
-    # Round 10's window drains the remainder to zero with 3 slots of
+    # the queue ends round 9 at 48 (the 42 pre-round leftovers incl.
+    # the two swapped drains + the 6 births — the exact computed list
+    # below). Round 10's window drains it to zero with 2 slots of
     # re-entry slack. Until then every queued query is ALSO
     # re-verified at driver scale each round by the widened sf0.01
     # local gate (tests/test_oracle_parity_sf01.py includes the
     # entire never-driver-verified set).
     #
-    # ROUND-10 ROTATION QUEUE (never driver-verified after this
-    # round): the ml_* evaluation family (average_precision,
-    # best_split_gini, calibration_ece, conformal_interval,
-    # embedding_drift, forecast_backtest_mase, gain_lift_deciles,
-    # gain_lift_distributed, isotonic_calibration, learning_curve_auc,
-    # threshold_metrics), stats_* (anova_oneway, fdr_bh,
-    # jensen_shannon, kaplan_meier, mann_whitney_u,
-    # mutual_information, poisson_bootstrap_ci, spearman_corr,
-    # table_profile, wilson_ci), regression_theil_sen,
-    # sample_neyman_allocation, sample_stratified_topk,
-    # score_user_gini_diversity, segment_abc_distributed,
-    # segment_abc_pareto, segment_rfm_distributed, the training_*
-    # family (dedup_rate_by_source, length_buckets, loso_source_value,
-    # quality_mixture, split_counts, tokenizer_fertility),
-    # text_winnowing_fingerprints, timeseries_cross_correlation,
-    # dq_fd_discovery, layout_pruning_zorder_vs_linear,
-    # layout_zone_map_pruning, plus the five round-9 births
-    # (sf0.01-gated at birth via CHANGED_THIS_ROUND):
-    # training_dsir_weights, training_token_budget,
-    # stats_permutation_pvalue, ab_bayes_beta_posterior,
-    # ab_power_sample_size, text_kneser_ney_bigram; plus
-    # agg_mode_deterministic and dim_calendar_spine (swapped out of
-    # this window to make room for the sketch_theta_overlap /
-    # ml_recall_mrr_at_k re-entries). Queue total entering round 10:
-    # 48 — one 50-slot window drains it to zero with 2 slots of
-    # re-entry slack.
+    # ROUND-10 ROTATION QUEUE — the EXACT never-driver-verified set
+    # after this round's window lands, COMPUTED from the committed
+    # CORRECTNESS_r*.json files (not hand-transcribed — the round-8
+    # 351-vs-352 lesson). 48 names; one 50-slot window drains it to
+    # zero with 2 slots of re-entry slack:
+    # ab_bayes_beta_posterior, ab_power_sample_size,
+    # agg_mode_deterministic, dim_calendar_spine, dq_fd_discovery,
+    # layout_pruning_zorder_vs_linear, layout_zone_map_pruning,
+    # ml_average_precision, ml_best_split_gini, ml_calibration_ece,
+    # ml_conformal_interval, ml_embedding_drift,
+    # ml_forecast_backtest_mase, ml_gain_lift_deciles,
+    # ml_gain_lift_distributed, ml_isotonic_calibration,
+    # ml_learning_curve_auc, ml_threshold_metrics,
+    # regression_theil_sen, sample_neyman_allocation,
+    # sample_stratified_topk, score_user_gini_diversity,
+    # segment_abc_distributed, segment_abc_pareto,
+    # segment_rfm_distributed, stats_anova_oneway, stats_fdr_bh,
+    # stats_jensen_shannon, stats_kaplan_meier, stats_mann_whitney_u,
+    # stats_mutual_information, stats_permutation_pvalue,
+    # stats_poisson_bootstrap_ci, stats_spearman_corr,
+    # stats_table_profile, stats_wilson_ci, text_kneser_ney_bigram,
+    # text_winnowing_fingerprints, text_zipf_slope,
+    # timeseries_cross_correlation, training_dedup_rate_by_source,
+    # training_dsir_weights, training_length_buckets,
+    # training_loso_source_value, training_quality_mixture,
+    # training_split_counts, training_token_budget,
+    # training_tokenizer_fertility.
+    # (That set = the 42 pre-round-9 leftovers incl. the two swapped
+    # drains, plus the 6 round-9 births; stats_fdr_bh /
+    # stats_jensen_shannon / training_dedup_rate_by_source stay
+    # queued — their round-9 engine fixes were sf0.01-gated via
+    # CHANGED_THIS_ROUND and they earn driver rows on drain.)
     #
     # Engine-changed this round (scan-amplification fixes: the shared
     # lazy cache collapses the candidate-generator subtree to one

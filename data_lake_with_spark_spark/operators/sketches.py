@@ -214,7 +214,9 @@ def kmv_theta(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
-def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_overlap(
+    sketch: DataFrame, k: int = KMV_K, cache: bool = True
+) -> DataFrame:
     """(ta, tb, n_sample, est_overlap, est_union, jaccard_ppm) for
     every group pair with at least one shared retained hash: the
     standard theta-sketch set algebra — θ = min(θ_a, θ_b), the
@@ -233,12 +235,20 @@ def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     lazy shared cache each branch re-derives the sketch's
     distinct+window over the full input (measured: 14 effective
     FileScans on sketch_theta_overlap — round-9 scan audit). The
-    sketch is k·groups rows, the cheapest possible cache."""
+    sketch is k·groups rows, the cheapest possible cache.
+
+    CACHING PROTOCOL: with ``cache=True`` (default) the two tiny
+    frames register with ``operators.plan_cache`` — a long-lived
+    session that calls this operator repeatedly should call
+    ``plan_cache.release_shared_caches()`` once results are
+    materialized (the registry/bench/sweep harnesses already do), or
+    pass ``cache=False`` to opt out and manage reuse itself."""
     from data_lake_with_spark_spark.operators.plan_cache import (
         shared as shared_cache,
     )
 
-    sketch = shared_cache(sketch)
+    if cache:
+        sketch = shared_cache(sketch)
     th = kmv_theta(sketch, k)
     a = sketch.select(F.col("gk").alias("ta"), "h")
     b = sketch.select(F.col("gk").alias("tb"), "h")
@@ -261,7 +271,8 @@ def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
         .groupBy("ta", "tb", "theta")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
     )
-    inter = shared_cache(inter)
+    if cache:
+        inter = shared_cache(inter)
     pairs_theta = F.broadcast(inter.select("ta", "tb", "theta"))
     na = (
         a.join(pairs_theta, "ta")

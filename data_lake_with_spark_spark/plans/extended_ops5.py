@@ -57,8 +57,11 @@ WITH toks AS (
   FROM src s JOIN ndocs d USING (source) CROSS JOIN tot t
 )
 SELECT source, n_docs, total_tokens, distinct_tokens, alloc_tokens,
-       CAST(alloc_tokens * 1000000 // total_tokens AS BIGINT)
-         AS fill_ppm,
+       -- widen BEFORE the x1e6: alloc_tokens*1000000 wraps int64 past
+       -- ~9e12 tokens/source (silently in non-ANSI Spark), the same
+       -- class the brown_forsythe fix eliminated
+       CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // total_tokens
+            AS BIGINT) AS fill_ppm,
        CAST(budget - SUM(alloc_tokens) OVER () AS BIGINT)
          AS unallocated_tokens
 FROM alloc
@@ -138,9 +141,10 @@ def training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "distinct_tokens",
         "alloc_tokens",
-        F.expr("CAST(alloc_tokens * 1000000 DIV total_tokens AS BIGINT)").alias(
-            "fill_ppm"
-        ),
+        F.expr(
+            "CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV total_tokens AS BIGINT)"
+        ).alias("fill_ppm"),
         (
             F.col("budget")
             - F.sum("alloc_tokens").over(
@@ -500,7 +504,7 @@ WITH x AS (
   FROM x GROUP BY event_type
 )
 SELECT event_type, n,
-       CAST(s * 10000 // n AS BIGINT) AS mean_micro,
+       CAST(CAST(s AS HUGEINT) * 10000 // n AS BIGINT) AS mean_micro,
        CAST((800 * CAST({_Z_SUM2_P12} AS HUGEINT)
                * (CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
              + CAST(s AS HUGEINT) * s * 1000000000000 - 1)
@@ -549,7 +553,9 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         "n",
-        F.expr("CAST(s * 10000 DIV n AS BIGINT)").alias("mean_micro"),
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 10000 DIV n AS BIGINT)"
+        ).alias("mean_micro"),
         F.expr(
             f"CAST((800 * CAST({_Z_SUM2_P12} AS DECIMAL(38,0))"
             "        * (CAST(n AS DECIMAL(38,0)) * ssq"

@@ -13,10 +13,17 @@ from data_lake_with_spark_spark.plans import REGISTRY
 def test_shared_is_lazy_and_tracked(spark):
     PC.release_shared_caches()  # clean slate for the counter
     before = PC.tracked_count()
-    df = PC.shared(spark.range(100).select((F.col("id") * 2).alias("v")))
+    # lazy: shared() must fire ZERO Spark jobs (the job-group idiom
+    # from test_lazy_construction — an eager persist would run one)
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-cache-lazy-gate", "shared() construction")
+    try:
+        df = PC.shared(spark.range(100).select((F.col("id") * 2).alias("v")))
+    finally:
+        sc.setJobGroup("plan-cache-idle", "idle")
+    assert sc.statusTracker().getJobIdsForGroup("plan-cache-lazy-gate") == []
     assert PC.tracked_count() == before + 1
-    # lazy: cache() queued, nothing materialized yet
-    assert not df.storageLevel.useMemory or df.storageLevel is not None
+    assert df.storageLevel.useMemory  # cache level registered immediately
     assert df.count() == 100  # first action materializes
     assert df.storageLevel.useMemory
 

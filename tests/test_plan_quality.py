@@ -599,9 +599,16 @@ def test_textrank_iteration_reads_cached_edges(spark, sf_dir):
     (measured: 32 scans). Every file read in the final plan must go
     through InMemoryTableScan — zero FileScans outside cached
     relations."""
-    df = REGISTRY["text_textrank_keywords"].spark(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-    assert _scans_outside_cache(plan) == 0
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    try:
+        df = REGISTRY["text_textrank_keywords"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        assert _scans_outside_cache(plan) == 0
+    finally:
+        release_shared_caches()
 
 
 def test_ktruss_pinned_unroll_reads_cached_edges(spark, sf_dir):
@@ -609,9 +616,16 @@ def test_ktruss_pinned_unroll_reads_cached_edges(spark, sf_dir):
     edge frame 3× per peel round — uncached, the near-dup generator
     subtree multiplied 3^rounds-fold (measured: 864 scans at
     n_iter=2). Zero FileScans outside cached relations."""
-    df = REGISTRY["graph_ktruss_edges"].spark(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-    assert _scans_outside_cache(plan) == 0
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    try:
+        df = REGISTRY["graph_ktruss_edges"].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        assert _scans_outside_cache(plan) == 0
+    finally:
+        release_shared_caches()
 
 
 @pytest.mark.parametrize(
@@ -630,10 +644,22 @@ def test_graph_generators_read_cached_edges(spark, sf_dir, name):
     and uncached plans re-derived it per reference
     (local_clustering 94 effective FileScans, harmonic_centrality 48,
     assortativity 24, link_prediction 18). With the shared() lazy
-    caches every file read goes through InMemoryTableScan."""
-    df = REGISTRY[name].spark(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-    assert _scans_outside_cache(plan) == 0
+    caches every file read goes through InMemoryTableScan.
+
+    Caches are RELEASED after each case: CacheManager substitutes any
+    registered identical subtree into later plans, so a leftover cache
+    from case A would hide a removed shared() in case B (these queries
+    share byte-identical edge generators)."""
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    try:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        assert _scans_outside_cache(plan) == 0
+    finally:
+        release_shared_caches()
 
 
 # ---------------------------------------------------------------------------
@@ -655,10 +681,22 @@ SCAN_BOUND_OVERRIDES: dict[str, tuple[int, str]] = {
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_effective_scans_bounded(spark, sf_dir, name):
+    # release after every case: a leftover registered cache from an
+    # earlier case substitutes into later identical subtrees
+    # (CacheManager matches plans structurally), which would both hide
+    # regressions and accumulate ~371 cache registrations for the rest
+    # of the pytest session
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
     bound, _why = SCAN_BOUND_OVERRIDES.get(name, (SCAN_BOUND_DEFAULT, ""))
-    df = REGISTRY[name].spark(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
-    n = _scans_outside_cache(plan)
+    try:
+        df = REGISTRY[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        n = _scans_outside_cache(plan)
+    finally:
+        release_shared_caches()
     assert n <= bound, (
         f"{name}: {n} effective FileScans outside cached relations "
         f"(bound {bound}) — a reused subtree is being re-derived per "

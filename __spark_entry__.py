@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(_REPO_ROOT))
 
+from data_lake_with_spark_spark.operators.plan_cache import (  # noqa: E402
+    release_shared_caches,
+)
 from data_lake_with_spark_spark.plans import (  # noqa: E402
     EAGER_QUERIES,  # noqa: F401  — contract surface, see module docstring
     REGISTRY,
@@ -228,6 +231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(name: str) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver collects query N's result before constructing
+            # query N+1, so releasing here is safe and bounds executor
+            # storage to one query's shared() caches across the whole
+            # 371-query driver session (bench/sweep/pytest already
+            # release between timings).
+            release_shared_caches()
             return REGISTRY[name].spark(_configure(spark), sf_dir)
 
         run.__name__ = f"query_{name}"

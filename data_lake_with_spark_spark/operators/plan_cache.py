@@ -22,6 +22,20 @@ unpersists everything tracked so far. Unpersisting is always safe for
 correctness — a still-referenced plan silently recomputes — so the
 caller needs no liveness analysis; call it between queries, not
 between construction and collection of the same query.
+
+THREADING CONTRACT — single-threaded by design. ``_TRACKED`` is a
+process-global list with no locking or per-query scoping: a
+``release_shared_caches()`` issued from one thread unpersists the
+caches of a query concurrently executing on another thread. That is
+still correctness-safe (Spark recomputes evicted blocks), but it
+silently restores the N-times-scan blowup the cache exists to
+prevent. Every harness in this repo (driver verify, bench.py, the
+sf0.1 sweep, pytest) runs queries sequentially on one thread, which
+is the supported mode. A concurrent session must either skip
+releasing (storage then bounded by ContextCleaner GC) or serialize
+construct→collect→release per query; per-query scoped tracking
+(a token/context-manager API) is the upgrade path if concurrent
+multi-query drivers ever become a real deployment shape.
 """
 
 from __future__ import annotations

@@ -1114,7 +1114,9 @@ def funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DSIR_ORACLE = r"""
 WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
   FROM documents
 ), big AS (
   SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bg
@@ -1149,7 +1151,8 @@ SELECT d.doc_id, d.n_feats,
        CAST(d.b_r AS BIGINT) AS b_raw,
        CAST(FLOOR(1000000.0
                   * CAST(d.a_t * big_r - d.b_r * big_t AS DOUBLE)
-                  / (CAST(big_t AS DOUBLE) * big_r)) AS BIGINT)
+                  / (GREATEST(CAST(big_t AS DOUBLE), 1.0)
+                     * GREATEST(big_r, 1))) AS BIGINT)
          AS weight_ppm
 FROM doc d, tot
 ORDER BY doc_id
@@ -1244,7 +1247,12 @@ def training_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (
         F.col("a_t") * F.col("big_r") - F.col("b_r") * F.col("big_t")
     ).cast("double")
-    den = F.col("big_t").cast("double") * F.col("big_r")
+    # GREATEST-guarded like the oracle: a corpus with zero 'en' docs
+    # (big_t = 0) or zero bigrams (big_r = 0) must degrade to weight 0
+    # identically on both engines, not NULL-vs-error.
+    den = F.greatest(F.col("big_t").cast("double"), F.lit(1.0)) * F.greatest(
+        F.col("big_r"), F.lit(1)
+    ).cast("double")
     return (
         doc.crossJoin(F.broadcast(tot))
         .select(

@@ -31,7 +31,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 TOKEN_BUDGET_ORACLE = r"""
 WITH toks AS (
-  SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+  SELECT source,
+         UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
   FROM documents
   WHERE len(trim(text)) > 0
 ), src AS (
@@ -214,7 +216,7 @@ WITH base AS (
 )
 SELECT o.n, o.n1, o.n0,
        CAST(FLOOR(CAST(o.t_obs AS DOUBLE)
-                  / (CAST(o.n1 AS DOUBLE) * o.n0)) AS BIGINT)
+                  / GREATEST(CAST(o.n1 AS DOUBLE) * o.n0, 1.0)) AS BIGINT)
          AS mean_diff_micro,
        e.n_extreme,
        CAST({_RERAND_B} AS INTEGER) AS n_replicas,
@@ -308,9 +310,13 @@ def stats_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n1",
             "n0",
+            # GREATEST-guarded: a degenerate split (n1·n0 = 0 forces
+            # t_obs = 0) must read 0 on both engines, not NULL/error.
             F.floor(
                 F.col("t_obs").cast("double")
-                / (F.col("n1").cast("double") * F.col("n0"))
+                / F.greatest(
+                    F.col("n1").cast("double") * F.col("n0"), F.lit(1.0)
+                )
             )
             .cast("bigint")
             .alias("mean_diff_micro"),
@@ -507,8 +513,9 @@ SELECT event_type, n,
        CAST(CAST(s AS HUGEINT) * 10000 // n AS BIGINT) AS mean_micro,
        CAST((800 * CAST({_Z_SUM2_P12} AS HUGEINT)
                * (CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
-             + CAST(s AS HUGEINT) * s * 1000000000000 - 1)
-            // (CAST(s AS HUGEINT) * s * 1000000000000) AS BIGINT)
+             + GREATEST(CAST(s AS HUGEINT) * s, 1) * 1000000000000 - 1)
+            // (GREATEST(CAST(s AS HUGEINT) * s, 1) * 1000000000000)
+            AS BIGINT)
          AS n_required
 FROM g
 ORDER BY event_type
@@ -535,7 +542,11 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance and the 5%-of-mean delta folded into one fraction, moment
     sums widened to decimal(38,0)/HUGEINT so no scale overflows them
     (headroom to ~sf100), ceil-div via (num + den − 1) DIV den on
-    non-negative operands where Spark DIV ≡ DuckDB //.
+    non-negative operands where Spark DIV ≡ DuckDB //. The s² in the
+    denominator is GREATEST(s²,1)-guarded on BOTH engines (the
+    NEYMAN_ORACLE idiom): a metric summing to zero would otherwise
+    make Spark DIV return NULL (non-ANSI) while DuckDB // raises —
+    same edge, different failure mode.
 
     Scale shape: one scan, one map-side-combined hash-agg to
     |event_type| rows; everything after is per-group integer math.
@@ -560,8 +571,10 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((800 * CAST({_Z_SUM2_P12} AS DECIMAL(38,0))"
             "        * (CAST(n AS DECIMAL(38,0)) * ssq"
             "           - CAST(s AS DECIMAL(38,0)) * s)"
-            "      + CAST(s AS DECIMAL(38,0)) * s * 1000000000000 - 1)"
-            " DIV (CAST(s AS DECIMAL(38,0)) * s * 1000000000000)"
+            "      + GREATEST(CAST(s AS DECIMAL(38,0)) * s, 1)"
+            "        * 1000000000000 - 1)"
+            " DIV (GREATEST(CAST(s AS DECIMAL(38,0)) * s, 1)"
+            "      * 1000000000000)"
             " AS BIGINT)"
         ).alias("n_required"),
     ).orderBy("event_type")
@@ -573,7 +586,9 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNESER_NEY_ORACLE = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
   FROM documents WHERE len(trim(text)) > 0
 ), bg AS (
   SELECT t[i] AS w1, t[i+1] AS w2

@@ -191,6 +191,16 @@ def main() -> None:
     passes = [run_pass() for _ in range(3)]
     warm = {n: sorted(p[n] for p in passes)[1] for n in passes[0]}
     warm_min = {n: min(p[n] for p in passes) for n in passes[0]}
+    # Run-to-run variance, made visible in the contract line (round-9
+    # verdict directive #3): the three warm-pass TOTALS plus their
+    # relative spread. A cross-round headline delta smaller than the
+    # in-round spread is box noise, adjudicable from the artifact
+    # alone (the r08→r09 21.4→23.7 false alarm cost a judge rerun).
+    pass_totals = [round(sum(p.values()), 3) for p in passes]
+    spread_pct = round(
+        100.0 * (max(pass_totals) - min(pass_totals)) / sorted(pass_totals)[1],
+        1,
+    )
 
     # Untimed metrics pass: per-query shuffle-write and spill bytes
     # summed over the EXECUTED plan tree (descending through AQE's
@@ -286,6 +296,8 @@ def main() -> None:
             "unit": "sec",
             "queries": warm,
             "min_total": round(sum(warm_min.values()), 3),
+            "warm_pass_totals": pass_totals,
+            "warm_spread_pct": spread_pct,
             "cold_total": round(sum(cold.values()), 3),
             "tier2": t2_warm,
             "tier2_total": round(sum(t2_warm.values()), 3),

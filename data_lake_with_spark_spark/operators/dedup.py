@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from data_lake_with_spark_spark.operators.plan_cache import shared
 from data_lake_with_spark_spark.functions.text import (
     tokens,
     word_shingles_from_tokens,
@@ -142,11 +143,15 @@ def _prefix_filtered_shingles(
     docs: DataFrame, threshold: float, n: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, sorted_shingles, n_sh, prefix) from raw text — see
-    sorted_shingle_arrays + prefix_from_arrays. The result is CACHED —
-    callers fan out over it 4× (posting a/b + verify a/b)."""
-    return prefix_from_arrays(
-        sorted_shingle_arrays(docs, id_col, text_col, n), threshold
-    ).cache()
+    sorted_shingle_arrays + prefix_from_arrays. The result is a tracked
+    shared() cache — callers fan out over it 4× (posting a/b + verify
+    a/b), and long-lived sessions reclaim the storage via
+    release_shared_caches()."""
+    return shared(
+        prefix_from_arrays(
+            sorted_shingle_arrays(docs, id_col, text_col, n), threshold
+        )
+    )
 
 
 # Below this much INPUT (Catalyst's plan-stats estimate — on-disk
@@ -415,11 +420,10 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
     ``all_ids``: one column ``id`` covering the full corpus — isolated
     docs become their own cluster and are always kept.
     """
-    edges = (
+    edges = shared(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
-        .cache()
     )
     labels = all_ids.select(F.col("id"), F.col("id").alias("label"))
     for _ in range(8):  # diameter bound; near-dup clusters are shallow
@@ -428,7 +432,7 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = shared(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
             .select(
                 "id",
@@ -436,7 +440,6 @@ def dedup_clusters(pairs: DataFrame, all_ids: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .cache()
         )
         changed = (
             new_labels.alias("n")

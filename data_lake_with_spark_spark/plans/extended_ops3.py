@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators.plan_cache import shared
 from data_lake_with_spark_spark.plans.parity import pround, pround_sql
 from data_lake_with_spark_spark.plans.registry import register
 
@@ -431,16 +432,19 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the null guard filters on the generated column, above the
     # Generate. Every doc with norm ≥ 23 chars has ≥1 fingerprint, so
     # semantics are unchanged.
-    # cache(): the exploded posting frame feeds the df filter AND the
+    # shared(): the exploded posting frame feeds the df filter AND the
     # self-join sides; without it column pruning specializes each
     # branch's copy of the md5 frontend past ReuseExchange's
     # identical-canonical-plan test (observed: 8 parquet scans, 0
-    # reuse) — the dedup.py shared-shingle-frame discipline.
-    e = fps.select("doc_id", F.explode_outer("fps").alias("fp")).where(
-        F.col("fp").isNotNull()
-    ).cache()
+    # reuse) — the dedup.py shared-shingle-frame discipline, tracked
+    # so release_shared_caches() reclaims the storage between queries.
+    e = shared(
+        fps.select("doc_id", F.explode_outer("fps").alias("fp")).where(
+            F.col("fp").isNotNull()
+        )
+    )
     rare = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= 8)
-    er = e.join(rare.select("fp"), "fp").cache()
+    er = shared(e.join(rare.select("fp"), "fp"))
     sz = er.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"))
     a = er.select(F.col("doc_id").alias("doc_a"), "fp")
     b = er.select(F.col("doc_id").alias("doc_b"), "fp")

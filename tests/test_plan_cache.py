@@ -64,3 +64,30 @@ def test_long_lived_session_storage_is_bounded(spark):
         df.count()
         assert PC.release_shared_caches() == 1
         assert PC.tracked_count() == 0
+
+
+def test_no_untracked_bare_caches_in_source():
+    """Grep gate for the cache-release protocol (round-9 VERDICT
+    directive #2): every module that calls ``.cache()``/``.persist(``
+    must either be plan_cache.py itself or pair the cache with an
+    explicit ``unpersist`` (the ingest/writers/versioned discipline).
+    A bare cache anywhere else accumulates executor storage across a
+    long-lived session until ContextCleaner GC happens to run — route
+    new shared subtrees through plan_cache.shared() instead."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "data_lake_with_spark_spark"
+    pat = re.compile(r"\.cache\(\)|\.persist\(")
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        if py.name == "plan_cache.py":
+            continue
+        text = py.read_text()
+        code = "\n".join(line.split("#", 1)[0] for line in text.splitlines())
+        if pat.search(code) and "unpersist" not in text:
+            offenders.append(str(py.relative_to(pkg)))
+    assert offenders == [], (
+        f"bare .cache()/.persist() without unpersist in {offenders}; "
+        "use plan_cache.shared() or the explicit-unpersist pattern"
+    )

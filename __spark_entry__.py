@@ -43,7 +43,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 271 registered
+# entries of queries() in dict-insertion order. With 371 registered
 # queries, insertion order decides which operators get driver-verified
 # rows — so the dict leads with a hand-picked 50 covering one flagship
 # per operator family (reference surface, TPC-H/relational, join
@@ -51,126 +51,74 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # in sorted order and are covered by tests/test_oracle_parity.py
 # against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-9 rotation: the entire round-8 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r08.json, durable in git), so all
-    # 50 rows rotate out. This window = 10 engine-changed re-entries
-    # (window discipline: engine or oracle edits re-enter even when
-    # previously verified — 8 from the first scan-audit/ADVICE pass,
-    # 2 from the second scan-audit pass) + 40 drains from the
-    # never-driver-verified queue, which stood at 87 entering round 9.
-    #
-    # DRAIN PLAN: 45 of the 50 rows below are first-time
-    # verifications (the 40 drains + harmonic/kappa/brown_forsythe/
-    # textrank/ktruss, which were both engine-changed AND queued), so
-    # the queue ends round 9 at 48 (the 42 pre-round leftovers incl.
-    # the two swapped drains + the 6 births — the exact computed list
-    # below). Round 10's window drains it to zero with 2 slots of
-    # re-entry slack. Until then every queued query is ALSO
-    # re-verified at driver scale each round by the widened sf0.01
-    # local gate (tests/test_oracle_parity_sf01.py includes the
-    # entire never-driver-verified set).
-    #
-    # ROUND-10 ROTATION QUEUE — the EXACT never-driver-verified set
-    # after this round's window lands, COMPUTED from the committed
-    # CORRECTNESS_r*.json files (not hand-transcribed — the round-8
-    # 351-vs-352 lesson). 48 names; one 50-slot window drains it to
-    # zero with 2 slots of re-entry slack:
-    # ab_bayes_beta_posterior, ab_power_sample_size,
-    # agg_mode_deterministic, dim_calendar_spine, dq_fd_discovery,
-    # layout_pruning_zorder_vs_linear, layout_zone_map_pruning,
-    # ml_average_precision, ml_best_split_gini, ml_calibration_ece,
-    # ml_conformal_interval, ml_embedding_drift,
-    # ml_forecast_backtest_mase, ml_gain_lift_deciles,
-    # ml_gain_lift_distributed, ml_isotonic_calibration,
-    # ml_learning_curve_auc, ml_threshold_metrics,
-    # regression_theil_sen, sample_neyman_allocation,
-    # sample_stratified_topk, score_user_gini_diversity,
-    # segment_abc_distributed, segment_abc_pareto,
-    # segment_rfm_distributed, stats_anova_oneway, stats_fdr_bh,
-    # stats_jensen_shannon, stats_kaplan_meier, stats_mann_whitney_u,
-    # stats_mutual_information, stats_permutation_pvalue,
-    # stats_poisson_bootstrap_ci, stats_spearman_corr,
-    # stats_table_profile, stats_wilson_ci, text_kneser_ney_bigram,
-    # text_winnowing_fingerprints, text_zipf_slope,
-    # timeseries_cross_correlation, training_dedup_rate_by_source,
-    # training_dsir_weights, training_length_buckets,
-    # training_loso_source_value, training_quality_mixture,
-    # training_split_counts, training_token_budget,
-    # training_tokenizer_fertility.
-    # (That set = the 42 pre-round-9 leftovers incl. the two swapped
-    # drains, plus the 6 round-9 births; stats_fdr_bh /
-    # stats_jensen_shannon / training_dedup_rate_by_source stay
-    # queued — their round-9 engine fixes were sf0.01-gated via
-    # CHANGED_THIS_ROUND and they earn driver rows on drain.)
-    #
-    # Engine-changed this round (scan-amplification fixes: the shared
-    # lazy cache collapses the candidate-generator subtree to one
-    # materialization; kappa/brown_forsythe numeric-robustness fixes
-    # changed engine AND oracle):
-    "graph_local_clustering",      # was 94 effective FileScans
-    "graph_harmonic_centrality",   # was 48 (also first-time)
-    "graph_assortativity",         # was 24
-    "graph_link_prediction",       # was 18
-    "graph_ktruss_edges",          # caches now tracked (first-time)
-    "text_textrank_keywords",      # caches now tracked (first-time)
-    "ml_cohens_kappa",             # sign-extracted DIV (first-time)
-    "stats_brown_forsythe",        # decimal(38,0) z^2 (first-time)
-    # Second scan-audit pass (round 9, post-fix audit of the 10-14
-    # scan band): the KMV sketch and the ANN-eval rankings re-derived
-    # their generator subtrees per consumer — fixed with the same
-    # shared lazy cache (14 -> 0 and 13 -> 1 effective scans). Both
-    # were already driver-verified, so they re-enter the window:
-    "sketch_theta_overlap",
-    "ml_recall_mrr_at_k",
-    # Queue drains, first-time: attribution + anomaly + aggregates:
-    "attribution_position_based",
-    "attribution_shapley",
-    "anomaly_mad_daily",
-    "anomaly_rate_bursts",
-    "agg_regression_trend",
-    "activity_dow_hour_matrix",
-    # events / sequences / recsys:
-    "events_pattern_regex",
-    "events_transition_entropy",
-    "sequence_bigram_support",
-    "sequence_hmm_viterbi",
-    "sessionize_timeout_sensitivity",
-    "recsys_markov_next_item",
-    "recsys_item_item_topk",
-    # features:
-    "features_lag_purchases",
-    "feature_hashing_audit",
-    "feature_quantile_normalize",
-    "feature_target_encoding_oof",
-    # finance / inventory / orders:
-    "finance_bollinger_breakouts",
-    "finance_lorenz_revenue",
-    "finance_ohlc_hourly",
-    "finance_sma_crossover",
-    "inventory_capped_balance",
-    "inventory_fifo_allocation",
-    "orders_interarrival_gaps",
-    "orders_ship_delay_stats",
-    # funnels:
-    "funnel_steps_strict",
-    # graph / vector tail:
-    "graph_sssp_weighted",
-    "vector_topk_asymmetric",
-    "vector_topk_hamming",
-    "vector_topk_ivfpq_portable",
-    "vector_maxsim_late_interaction",
-    # intervals / cohorts:
-    "interval_coalesce_spans",
-    "cohort_retention_matrix",
-    # layout / data quality / privacy:
-    "layout_encoding_advisor",
-    "layout_partition_advisor",
-    "dq_bloom_fpp",
-    "dq_referential_integrity",
-    "pii_risk_kanonymity",
-    # ml / timeseries tail:
-    "ml_brier_decomposition",
-    "timeseries_rolling_median",
+    # Round-10 rotation: the entire round-9 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r09.json, durable in git), so all
+    # 50 rows rotate out. This window DRAINS THE EVIDENCE QUEUE TO
+    # ZERO (round-9 verdict directive #1): all 48 names below are the
+    # EXACT never-driver-verified set recomputed from the committed
+    # CORRECTNESS_r*.json files at rotation time (scripts in git
+    # history; matches the precomputed list the round-9 window comment
+    # carried), plus 2 re-entry slack slots for queries whose engine
+    # changed this round (the round-10 bare-cache→shared() protocol
+    # conversion in operators/dedup.py): dedup_cluster_keep_min
+    # exercises BOTH converted helpers (_prefix_filtered_shingles +
+    # dedup_clusters), dedup_ngram_jaccard the pure PPJoin path.
+    # Every other engine/oracle-touched query this round (ADVICE
+    # tokenization/guard fixes, winnowing shared()) is already IN the
+    # 48 — after this window lands, the never-driver-verified set
+    # recomputed from committed files is EMPTY.
+    # Queue drains (48, alphabetical):
+    "ab_bayes_beta_posterior",
+    "ab_power_sample_size",
+    "agg_mode_deterministic",
+    "dim_calendar_spine",
+    "dq_fd_discovery",
+    "layout_pruning_zorder_vs_linear",
+    "layout_zone_map_pruning",
+    "ml_average_precision",
+    "ml_best_split_gini",
+    "ml_calibration_ece",
+    "ml_conformal_interval",
+    "ml_embedding_drift",
+    "ml_forecast_backtest_mase",
+    "ml_gain_lift_deciles",
+    "ml_gain_lift_distributed",
+    "ml_isotonic_calibration",
+    "ml_learning_curve_auc",
+    "ml_threshold_metrics",
+    "regression_theil_sen",
+    "sample_neyman_allocation",
+    "sample_stratified_topk",
+    "score_user_gini_diversity",
+    "segment_abc_distributed",
+    "segment_abc_pareto",
+    "segment_rfm_distributed",
+    "stats_anova_oneway",
+    "stats_fdr_bh",
+    "stats_jensen_shannon",
+    "stats_kaplan_meier",
+    "stats_mann_whitney_u",
+    "stats_mutual_information",
+    "stats_permutation_pvalue",
+    "stats_poisson_bootstrap_ci",
+    "stats_spearman_corr",
+    "stats_table_profile",
+    "stats_wilson_ci",
+    "text_kneser_ney_bigram",
+    "text_winnowing_fingerprints",
+    "text_zipf_slope",
+    "timeseries_cross_correlation",
+    "training_dedup_rate_by_source",
+    "training_dsir_weights",
+    "training_length_buckets",
+    "training_loso_source_value",
+    "training_quality_mixture",
+    "training_split_counts",
+    "training_token_budget",
+    "training_tokenizer_fertility",
+    # Re-entry slack (engine-touched this round, previously verified):
+    "dedup_cluster_keep_min",
+    "dedup_ngram_jaccard",
 ]
 
 

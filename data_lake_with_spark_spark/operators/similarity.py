@@ -718,6 +718,22 @@ def lsh_near_pairs(
     operator prunes 10–100× harder with fewer, wider tables. The
     bucket join shuffles (id, tbl, bucket) rows only — no vector
     payloads move until the verify join re-attaches them.
+
+    Stage-order alternatives, measured and REJECTED (round 10,
+    sf0.1 = 2k vectors, 6.1M raw → 1.9M distinct candidates):
+    (a) dedup AFTER verify (skip the pre-verify dropDuplicates,
+    filter first): 37s vs 4.7s — the aggregate-HOF dot product on the
+    3.2× duplicated candidate stream costs far more than the narrow
+    6M-row dedup shuffle it avoids; (b) first-colliding-table
+    uniqueness filter (carry both bks arrays through the join, keep a
+    (a,b,t) row only when no earlier table co-bucketed the pair —
+    dedup-free by construction): 37s — two array slices + a zip_with
+    per candidate row beats nothing, allocation cost ≈ the HOF dot
+    itself. The narrow-dedup-then-verify order stands; at the oracled
+    threshold 0.35 the verify set is ~95% of all pairs by design
+    (hyperplane collision odds at that cosine gap), so candidate
+    volume is irreducible here — real pruning begins at production
+    thresholds where p_bit rises.
     """
     planes_stack = np.array(
         [random_planes(n_planes, dim, seed + t) for t in range(n_tables)]

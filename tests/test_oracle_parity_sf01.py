@@ -28,8 +28,8 @@ from tests.oracle_harness import duckdb_connection, run_one
 
 SF01 = "/root/testdata/sf0.01"
 
-# Bump per round to rotate the third. r9 -> 0.
-ROUND = 9
+# Bump per round to rotate the third. r10 -> 1.
+ROUND = 10
 
 ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
@@ -37,36 +37,23 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
-    # round-8 scan-audit fixes: the shared lazy cache collapses each
-    # query's candidate-generator subtree to one materialization
-    # (results identical by construction, but engine changes re-gate):
-    "graph_local_clustering",
-    "graph_harmonic_centrality",
-    "graph_assortativity",
-    "graph_link_prediction",
-    # cache-tracking retrofit (plan_cache.shared) touched their plans:
-    "graph_ktruss_edges",
-    "text_textrank_keywords",
-    # round-8 ADVICE numeric-robustness fixes, engine AND oracle:
-    "ml_cohens_kappa",       # sign-extracted magnitude DIV idiom
-    "stats_brown_forsythe",  # z^2 sums in decimal(38,0)/HUGEINT
-    # NEW this round (sf0.01-gated at birth):
-    "training_dsir_weights",
-    # NEW this round (plans/extended_ops5.py, sf0.01-gated at birth):
+    # round-9 ADVICE fixes, engine AND oracle (empty-token filter in
+    # the three split-based oracles; GREATEST zero-denominator guards
+    # on both engines):
     "training_token_budget",
-    "stats_permutation_pvalue",
-    "ab_bayes_beta_posterior",
-    "ab_power_sample_size",
     "text_kneser_ney_bigram",
-    # second scan-audit pass (round 9): shared-cache fixes to the
-    # 10-14-effective-scan band — results identical by construction,
-    # but engine changes re-gate at driver scale:
-    "sketch_theta_overlap",
-    "ml_recall_mrr_at_k",
-    "recsys_markov_next_item",
-    "stats_fdr_bh",
-    "stats_jensen_shannon",
-    "training_dedup_rate_by_source",
+    "training_dsir_weights",
+    "ab_power_sample_size",
+    "stats_permutation_pvalue",
+    # round-10 bare-cache→shared() protocol conversion
+    # (operators/dedup.py _prefix_filtered_shingles + dedup_clusters,
+    # plans/extended_ops3.py winnowing posting frames) — results
+    # identical by construction, but engine changes re-gate:
+    "dedup_ngram_jaccard",
+    "dedup_cluster_keep_min",
+    "dedup_cluster_keep_best",
+    "corpus_clean_pipeline",
+    "text_winnowing_fingerprints",
 ]
 
 

@@ -902,7 +902,13 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_t = pts.groupBy("event_type", "t").agg(F.sum("d").alias("net"))
     # two-level prefix sum: day partials (tiny, one row per (type, day))
     # carry into within-day cumsums that parallelize across days.
-    per_t = per_t.withColumn("day", F.date_trunc("day", "t"))
+    # per_t and act are tracked shared() caches: per_t feeds the day
+    # carry AND the within-day cumsum, act feeds the max probe AND the
+    # argmax join — uncached, the events scan re-derived 8× (round-10
+    # scan audit).
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    per_t = shared(per_t.withColumn("day", F.date_trunc("day", "t")))
     day_tot = per_t.groupBy("event_type", "day").agg(F.sum("net").alias("day_net"))
     w_days = (
         W.partitionBy("event_type")
@@ -913,7 +919,7 @@ def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carry_in", F.coalesce(F.sum("day_net").over(w_days), F.lit(0))
     ).select("event_type", "day", "carry_in")
     w_in_day = W.partitionBy("event_type", "day").orderBy("t")
-    act = (
+    act = shared(
         per_t.join(F.broadcast(carry), ["event_type", "day"])
         .withColumn("active", F.col("carry_in") + F.sum("net").over(w_in_day))
         .select("event_type", "t", "active")

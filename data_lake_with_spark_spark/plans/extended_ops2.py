@@ -2168,8 +2168,15 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("midx"),
     )
-    cust = o.groupBy("o_custkey").agg(
-        F.min("midx").alias("fm"), F.max("midx").alias("lm")
+    # shared(): cust feeds the censoring edge (maxm) plus the three
+    # spine aggregations (starts/ends/events) — uncached, the orders
+    # scan re-derived 7x (round-10 scan audit).
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    cust = shared(
+        o.groupBy("o_custkey").agg(
+            F.min("midx").alias("fm"), F.max("midx").alias("lm")
+        )
     )
     maxm = cust.agg(F.max("lm").alias("maxm"))
     cust2 = cust.crossJoin(F.broadcast(maxm))

@@ -1617,7 +1617,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((o_orderkey * 2654435761) % 4294967296) % 5")
         .cast("bigint").alias("fold"),
     )
-    pred = (
+    # shared(): pred is a ≤|priorities|-row model broadcast into BOTH
+    # the calibration and test branches — uncached, its train-fold
+    # subtree re-derived per reference (7 effective scans, round-10
+    # audit). The three remaining fold-filtered scans of base are
+    # semantically one data pass (disjoint 60/20/20% folds), so base
+    # itself stays uncached — scan-audit waiver.
+    pred = shared(
         base.where(F.col("fold") <= 2)
         .groupBy("o_orderpriority")
         .agg(

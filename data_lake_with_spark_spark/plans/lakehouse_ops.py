@@ -1682,9 +1682,16 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized sum is exact — the same trick as the KL and log-prob
     queries), then one sqrt at readout. Contingency table + two tiny
     marginal re-aggregations, nothing else scales with rows."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     docs = _t(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("obs")
+    # shared(): the tiny contingency table feeds both marginals, the
+    # grand total and the per-cell join — uncached, the documents scan
+    # re-derived 7x (round-10 scan audit).
+    o = shared(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("obs")
+        )
     )
     rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("source").agg(F.sum("obs").alias("c"))

@@ -1623,12 +1623,22 @@ def segment_rfm_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-band row_numbers run hash-partitioned, and the exact NTILE
     bucket is reconstructed arithmetically from (global rank, N). No
     metric ever sorts in a single task; the per-customer aggregate
-    shuffles three times (once per metric band key)."""
+    shuffles three times (once per metric band key).
+
+    The per-customer aggregate is a tracked shared() cache: each
+    two-level ntile references it twice (band counts + ranked join)
+    and three ntiles chain, so the uncached plan re-derived the
+    orders scan 8× (round-10 scan audit); the n_total count below
+    doubles as the cache materialization."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     o = _t(spark, sf_dir, "orders")
-    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        dsum(F.col("o_totalprice")).alias("monetary"),
+    base = shared(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
     )
     n_total = base.count()
     base = base.withColumn("_n", F.lit(int(n_total)))

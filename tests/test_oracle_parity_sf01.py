@@ -54,6 +54,14 @@ CHANGED_THIS_ROUND = [
     "dedup_cluster_keep_best",
     "corpus_clean_pipeline",
     "text_winnowing_fingerprints",
+    # round-10 scan-audit fixes (shared() on re-derived subtrees;
+    # results identical by construction). The window-resident members
+    # of this pass (segment_rfm_distributed, stats_kaplan_meier,
+    # ml_conformal_interval, vector_topk_ivfpq_portable) are gated by
+    # the never-driver-verified branch already; these two are the
+    # previously-verified re-entries:
+    "interval_max_concurrency",
+    "stats_cramers_v",
 ]
 
 

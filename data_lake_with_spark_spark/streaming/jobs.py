@@ -158,6 +158,158 @@ def _user_totals_fn(
     )
 
 
+SESSION_PATH_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, path string"
+)
+# State keeps MICROSECOND timestamps (the events table's native
+# precision — ms-truncated state emitted sub-ms-wrong session_starts);
+# the GAP test floors to ms first, matching the batch twin's
+# epoch_ms() rule exactly.
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, path string"
+SESSION_GAP_MS = 1_800_000  # 30 min — pinned to the batch twin
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary-state sessionization kernel (transformWithState-shaped,
+    expressed on the protobuf-free applyInPandasWithState API): state
+    is the user's OPEN session (start, last-activity, count, ordered
+    event-type path); closed sessions are emitted exactly once —
+    either when a later event arrives past the 30-min gap, or when the
+    EVENT-TIME TIMEOUT fires because the watermark passed
+    last + gap. This is the operator ``F.session_window`` cannot
+    express: the per-session aggregate is sequence-ordered (the
+    '>'-joined path), and emission is append-exactly-once on session
+    CLOSE, not an update stream of partial aggregates.
+
+    In-batch work is vectorized (pandas diff/cumsum group split, one
+    groupby-agg); only the state splice is per-invocation Python.
+    Assumes per-key event-time order across micro-batches up to the
+    watermark (the file-replay and any keyed Kafka source satisfy it;
+    late rows beyond the watermark are dropped upstream by
+    ``withWatermark``)."""
+    gap = SESSION_GAP_MS
+    if state.hasTimedOut:
+        start_us, last_us, n, path = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "n_events": [n],
+                "path": [path],
+            }
+        )
+        return
+    frames = [b for b in batches if len(b)]
+    if not frames:  # defensive: no data, no timeout — re-arm and exit
+        if state.exists:
+            state.setTimeoutTimestamp(
+                max(
+                    state.get[1] // 1000 + gap,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        return
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    pdf = pdf.sort_values(["us", "event_id"], ignore_index=True)
+    gms = pdf["us"] // 1000  # ms-floored gap clock (batch-twin rule)
+    # group split: a row starts a new session when its gap from the
+    # previous row exceeds the threshold (first row provisionally
+    # starts one; the open-state splice below may merge it).
+    new_sess = gms.diff().fillna(gap + 1) > gap
+    open_row = None
+    if state.exists:
+        start_us, last_us, n, path = state.get
+        if int(gms.iloc[0]) - last_us // 1000 <= gap:
+            new_sess.iloc[0] = False  # continues the open session
+        open_row = (start_us, last_us, n, path)
+    grp = new_sess.cumsum()  # 0 = continuation of the open session
+    agg = (
+        pdf.groupby(grp)
+        .agg(
+            start_us=("us", "min"),
+            last_us=("us", "max"),
+            n=("us", "size"),
+            path=("event_type", lambda s: ">".join(s)),
+        )
+        .sort_index()
+    )
+    sessions: list[tuple[int, int, int, str]] = []
+    if open_row is not None:
+        if 0 in agg.index:  # splice: batch head extends the open session
+            head = agg.loc[0]
+            merged = (
+                open_row[0],
+                int(head["last_us"]),
+                open_row[2] + int(head["n"]),
+                open_row[3] + ">" + head["path"],
+            )
+            sessions.append(merged)
+            agg = agg.drop(index=0)
+        else:  # gap exceeded: the stored session closes as-is
+            sessions.append(open_row)
+    sessions.extend(
+        (int(r.start_us), int(r.last_us), int(r.n), r.path)
+        for r in agg.itertuples()
+    )
+    *closed, open_sess = sessions
+    state.update(open_sess)
+    # Clamp above the current watermark: a trailing session whose
+    # close deadline the watermark already passed must still get a
+    # FUTURE timeout (Spark rejects timestamps <= watermark); it then
+    # fires on the next trigger, which is when it could first be
+    # observed anyway.
+    state.setTimeoutTimestamp(
+        max(open_sess[1] // 1000 + gap, state.getCurrentWatermarkMs() + 1)
+    )
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "session_start": [
+                    pd.Timestamp(s[0], unit="us") for s in closed
+                ],
+                "n_events": [s[2] for s in closed],
+                "path": [s[3] for s in closed],
+            }
+        )
+
+
+def stateful_sessionize(stream: DataFrame) -> DataFrame:
+    """Gap-based sessionization with ordered event-type paths as a
+    CUSTOM STATEFUL streaming operator — the streaming twin of the
+    batch ``sessionize_event_paths`` query (plans/analytics_ops.py),
+    which serves as its differential oracle in the pytest suite.
+    Append mode: each session is emitted exactly once when it closes
+    (gap exceeded by a successor, or event-time timeout once the
+    watermark passes last_activity + 30 min). The caller supplies the
+    watermark (``stream.withWatermark("ts", ...)``) — event-time
+    timeouts require one.
+
+    Scale shape: state is keyed on user_id and sharded across
+    executors by the state store; per-key state is one open session
+    (four scalars + a bounded path string), so total state is
+    O(active users), independent of history length — the property
+    that makes gap sessionization viable on an unbounded stream where
+    the batch window form would need the full history every run."""
+    return (
+        stream.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_PATH_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Stateful running totals per user via applyInPandasWithState
     (update mode; processing-time timeout disabled — state lives for

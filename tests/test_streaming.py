@@ -204,3 +204,189 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, stream):
     assert _sorted_rows(out, "event_type", "bar") == _sorted_rows(
         batch, "event_type", "bar"
     )
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """The arbitrary-state sessionizer (applyInPandasWithState,
+    EventTimeTimeout, append-on-close) must emit exactly the batch
+    twin's sessions whose close deadline the final watermark passed:
+    with a 0-second watermark delay the final watermark is max(ts),
+    so every session with last_activity + gap < max(ts) times out and
+    is emitted exactly once; later sessions are still open when the
+    replay ends and must NOT have been emitted."""
+    stream = jobs.events_stream(spark, sf_dir).withWatermark(
+        "ts", "0 seconds"
+    )
+    out = jobs.run_to_completion(
+        jobs.stateful_sessionize(stream), "t_sessions", mode="append"
+    )
+    got = {tuple(r) for r in out.select(
+        "user_id", "session_start", "n_events", "path"
+    ).collect()}
+
+    # batch twin (sessionize_event_paths' exact grouping) + per-session
+    # last-activity so the open/closed split is computable.
+    from pyspark.sql import Window as W
+
+    ev = jobs.normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = (F.col("ts").cast("double") * 1000).cast("long")
+    prev_ms = (F.lag("ts").over(w).cast("double") * 1000).cast("long")
+    new_sess = F.when(
+        prev_ms.isNull() | (ms - prev_ms > jobs.SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    batch = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(ordered, lambda x: x["event_type"]), ">"
+            ).alias("path"),
+        )
+    )
+    max_ms = ev.agg(
+        (F.max("ts").cast("double") * 1000).cast("long")
+    ).collect()[0][0]
+    closed = batch.where(
+        (F.col("last_ts").cast("double") * 1000).cast("long")
+        + jobs.SESSION_GAP_MS
+        < max_ms
+    )
+    want = {tuple(r) for r in closed.select(
+        "user_id", "session_start", "n_events", "path"
+    ).collect()}
+    assert len(want) > 0  # the fixture really exercises closures
+    assert got == want
+
+
+def test_stateful_sessionize_multibatch_splice(spark, sf_dir, tmp_path):
+    """Session state must splice across micro-batches: replaying the
+    same events as MANY files (maxFilesPerTrigger=1) must emit the
+    same closed sessions as the single-batch replay — the open-state
+    merge path (head-of-batch continues the stored session) is only
+    exercised when a session straddles a batch boundary."""
+    ev = jobs.normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select("user_id", "event_id", "ts", "event_type")
+    # time-ordered 8-way split so sessions straddle file boundaries
+    # (repartitionByRange keeps event-time order ACROSS files, which
+    # the operator's contract requires of its source). FileStreamSource
+    # replays by MODIFICATION TIME and a bulk write gives every part
+    # one mtime — pin ascending mtimes in range order, else ranges
+    # replay shuffled and the 0s watermark drops them as late.
+    import os
+
+    src = str(tmp_path / "replay")
+    ev.repartitionByRange(8, "ts").write.parquet(src)
+    parts = sorted(
+        p for p in os.listdir(src) if p.startswith("part-")
+    )
+    t0 = 1_700_000_000
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(src, p), (t0 + i * 10, t0 + i * 10))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = jobs.run_to_completion(
+        jobs.stateful_sessionize(stream), "t_sessions_mb", mode="append"
+    )
+    got = {tuple(r) for r in out.collect()}
+
+    single = jobs.run_to_completion(
+        jobs.stateful_sessionize(
+            jobs.events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+        ),
+        "t_sessions_sb",
+        mode="append",
+    )
+    want = {tuple(r) for r in single.collect()}
+    # multi-batch replay advances the watermark file by file, so it can
+    # only close MORE trailing sessions than the single batch, never
+    # different ones: single-batch closures must be a subset, and any
+    # extras must be genuine batch-twin sessions.
+    assert want <= got, got.symmetric_difference(want)
+
+
+def test_stateful_sessionize_kill_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Custom session state must survive a query restart: kill after
+    draining half the replay, restart from the same checkpoint with
+    the rest. Sessions must come out exactly once across both runs
+    (state recovery, no re-emission) and cover everything the
+    single-batch replay closes."""
+    import os
+
+    ev = jobs.normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select("user_id", "event_id", "ts", "event_type")
+    staging = str(tmp_path / "staging")
+    ev.repartitionByRange(8, "ts").write.parquet(staging)
+    parts = sorted(p for p in os.listdir(staging) if p.startswith("part-"))
+    src = tmp_path / "replay"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = 1_700_000_000
+    for i, p in enumerate(parts):
+        os.rename(os.path.join(staging, p), str(src / p))
+        os.utime(str(src / p), (t0 + i * 10, t0 + i * 10))
+        if i == 3:
+            break  # run 1 sees only the first half of the time range
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    def run():
+        # file sink, not memory: only a durable sink supports resuming
+        # from the checkpoint after a kill
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            jobs.stateful_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+        return {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+
+    first = run()
+    # "kill": the query is gone; the rest of the data lands while down
+    for i, p in enumerate(parts):
+        if i <= 3:
+            continue
+        os.rename(os.path.join(staging, p), str(src / p))
+        os.utime(str(src / p), (t0 + i * 10, t0 + i * 10))
+    union = run()
+
+    assert first, "run 1 closed no sessions"
+    assert first < union, "run 2 closed no further sessions"
+    # exactly-once across the restart: no session row duplicated
+    total = spark.read.parquet(out_dir)
+    assert total.count() == total.distinct().count() == len(union)
+    single = jobs.run_to_completion(
+        jobs.stateful_sessionize(
+            jobs.events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+        ),
+        "t_sess_kr_single",
+        mode="append",
+    )
+    want = {tuple(r) for r in single.collect()}
+    assert want <= union

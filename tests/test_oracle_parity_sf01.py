@@ -62,6 +62,9 @@ CHANGED_THIS_ROUND = [
     # previously-verified re-entries:
     "interval_max_concurrency",
     "stats_cramers_v",
+    # round-10 births (plans/extended_ops6.py, sf0.01-gated at birth):
+    "ann_recall_nprobe_frontier",
+    "ann_recall_bands_frontier",
 ]
 
 

@@ -457,3 +457,145 @@ def ann_recall_bands_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_tables")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality: per-source Kneser-Ney log-probability
+# ---------------------------------------------------------------------------
+
+PERPLEXITY_BY_SOURCE_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE len(trim(text)) > 0
+), bg AS (
+  SELECT source, t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), bgs AS (
+  SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM bg GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c FROM bgs GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n_succ
+  FROM c12 GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_pred FROM c12 GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12
+), scored AS (
+  -- logp in micro-nats via the lq difference idiom (the
+  -- graph_assortativity / JS-divergence pattern): identical double
+  -- trees on both engines, floored BEFORE the subtraction.
+  SELECT s.w1, s.w2,
+         CAST(FLOOR(ln(CAST((CAST(4 * s.c - 3 AS HUGEINT) * t.b
+                              + CAST(3 AS HUGEINT) * x.n_succ * n.n_pred)
+                            AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(FLOOR(ln(CAST(CAST(4 AS HUGEINT) * x.c1 * t.b AS DOUBLE))
+                      * 1000000) AS BIGINT) AS logp_micro
+  FROM c12 s JOIN ctx x USING (w1) JOIN cont n USING (w2) CROSS JOIN tot t
+)
+SELECT g.source,
+       CAST(SUM(g.k) AS BIGINT) AS n_bigrams,
+       CAST(FLOOR(CAST(SUM(CAST(g.k AS HUGEINT) * p.logp_micro) AS DOUBLE)
+                  / SUM(g.k)) AS BIGINT) AS mean_logprob_micro
+FROM bgs g JOIN scored p ON p.w1 = g.w1 AND p.w2 = g.w2
+GROUP BY g.source
+ORDER BY g.source
+"""
+
+
+@register(
+    "training_perplexity_by_source",
+    oracle=PERPLEXITY_BY_SOURCE_ORACLE,
+    tags=("training", "llm", "text", "quality"),
+)
+def training_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based corpus-slice quality readout (the CCNet /
+    Wenzek et al. 2020 filter, per source): mean interpolated-KN
+    bigram log-probability over every bigram occurrence in each
+    source — the number a data-mixing pipeline thresholds on to drop
+    low-likelihood slices before training. Builds on
+    text_kneser_ney_bigram's exact rational
+    P = ((4c−3)B + 3·N1+(w1·)·N1+(·w2)) / (4·c1·B), taking logs via
+    the lq-difference idiom (floor(ln·1e6) per side, identical double
+    trees cross-engine, integer arithmetic after) so the per-source
+    mean is deterministic to the micro-nat: more-negative means the
+    source's word transitions are rarer under the corpus model.
+
+    Scale shape: ONE tokenization — the per-(source, bigram) count
+    frame is the tracked shared() root; the corpus-wide KN stats
+    (c12/ctx/cont) aggregate FROM it (word-grain shuffles), and the
+    readout joins the ≤|bigram-type| scored frame back to the
+    per-source counts keyed on the bigram. Accumulators widened to
+    decimal(38,0)/HUGEINT; the only division is one floored double
+    per source.
+    """
+    from data_lake_with_spark_spark.functions import text as TXT
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.where(F.length(F.trim("text")) > 0).select(
+        "source", TXT.tokens("text").alias("tk")
+    )
+    bg = toked.where(F.size("tk") >= 2).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.struct(
+                    F.element_at("tk", i + 1).alias("w1"),
+                    F.element_at("tk", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("source", "p.w1", "p.w2")
+    bgs = shared(
+        bg.groupBy("source", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("k")
+        )
+    )
+    c12 = shared(
+        bgs.groupBy("w1", "w2").agg(F.sum("k").cast("bigint").alias("c"))
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_succ"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+
+    def lq(col):
+        return F.floor(F.log(col.cast("double")) * 1e6).cast("long")
+
+    num = (
+        F.expr("CAST(4 * c - 3 AS DECIMAL(38,0))") * F.col("b")
+        + F.expr("CAST(3 AS DECIMAL(38,0))") * F.col("n_succ") * F.col("n_pred")
+    )
+    den = F.expr("CAST(4 AS DECIMAL(38,0))") * F.col("c1") * F.col("b")
+    scored = (
+        c12.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", (lq(num) - lq(den)).alias("logp_micro"))
+    )
+    return (
+        bgs.join(scored, ["w1", "w2"])
+        .groupBy("source")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.floor(
+                F.sum(
+                    F.col("k").cast("decimal(38,0)") * F.col("logp_micro")
+                ).cast("double")
+                / F.sum("k")
+            )
+            .cast("bigint")
+            .alias("mean_logprob_micro"),
+        )
+        .orderBy("source")
+    )

@@ -65,6 +65,7 @@ CHANGED_THIS_ROUND = [
     # round-10 births (plans/extended_ops6.py, sf0.01-gated at birth):
     "ann_recall_nprobe_frontier",
     "ann_recall_bands_frontier",
+    "training_perplexity_by_source",
 ]
 
 

@@ -43,7 +43,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 371 registered
+# entries of queries() in dict-insertion order. With 374 registered
 # queries, insertion order decides which operators get driver-verified
 # rows — so the dict leads with a hand-picked 50 covering one flagship
 # per operator family (reference surface, TPC-H/relational, join
@@ -65,8 +65,12 @@ DRIVER_WINDOW = [
     # dedup_clusters), dedup_ngram_jaccard the pure PPJoin path.
     # Every other engine/oracle-touched query this round (ADVICE
     # tokenization/guard fixes, winnowing shared()) is already IN the
-    # 48 — after this window lands, the never-driver-verified set
-    # recomputed from committed files is EMPTY.
+    # 48 — after this window lands, the PRE-ROUND evidence queue is
+    # empty; the never-driver-verified set recomputed from committed
+    # files then holds exactly the 3 round-10 births
+    # (ann_recall_nprobe_frontier, ann_recall_bands_frontier,
+    # training_perplexity_by_source), which drain in round 11's
+    # window alongside its slack.
     # Queue drains (48, alphabetical):
     "ab_bayes_beta_posterior",
     "ab_power_sample_size",

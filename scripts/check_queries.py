@@ -5,9 +5,10 @@ Usage:
     python scripts/check_queries.py name1 name2 ...
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python scripts/check_queries.py ...
 
-Same canonical compare as scripts/oracle_sweep.py (stringify datetimes,
-sort columns by name, sort rows) — the fast inner loop for verifying a
-just-edited query/oracle pair without paying the full-registry sweep.
+A thin CLI over ``tests/oracle_harness`` (the SAME compare the pytest
+gates run — exact values, sorted columns/rows, datetimes stringified),
+so this fast inner loop can never diverge from the gates. One bad name
+or a throwing query reports FAIL/ERR and the sweep continues.
 """
 
 from __future__ import annotations
@@ -17,30 +18,11 @@ import sys
 import time
 from pathlib import Path
 
-import duckdb
-import pandas as pd
-
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from data_lake_with_spark_spark.operators.plan_cache import (  # noqa: E402
-    release_shared_caches,
-)
 from data_lake_with_spark_spark.plans import REGISTRY  # noqa: E402
 from data_lake_with_spark_spark.session import get_spark  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
-    df = df.astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+from tests.oracle_harness import duckdb_connection, run_one  # noqa: E402
 
 
 def main() -> int:
@@ -50,39 +32,20 @@ def main() -> int:
         return 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(app_name="check_queries")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM"
-            f" read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duckdb_connection(sf_dir)
     rc = 0
     for name in names:
-        q = REGISTRY[name]
         t0 = time.time()
         try:
-            got = canon(q.spark(spark, sf_dir).toPandas())
-        finally:
-            release_shared_caches()
-        if q.oracle is None:
-            print(f"rows-only {name}: {len(got)} rows"
-                  f" ({time.time() - t0:.1f}s)")
+            result = run_one(spark, con, name, sf_dir)
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            print(f"ERR {name} {type(ex).__name__}: {str(ex)[:200]}")
+            rc = 1
             continue
-        want = canon(con.execute(q.oracle).df())
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name} schema {list(got.columns)}"
-                  f" vs {list(want.columns)}")
+        status = "ok" if result.ok else "FAIL"
+        if not result.ok:
             rc = 1
-        elif len(got) != len(want):
-            print(f"FAIL {name} rows {len(got)} vs {len(want)}")
-            rc = 1
-        elif not got.equals(want):
-            j = (got != want).any(axis=1).idxmax()
-            print(f"FAIL {name} values row {j}: {got.loc[j].to_dict()}"
-                  f" vs {want.loc[j].to_dict()}")
-            rc = 1
-        else:
-            print(f"ok {name} rows={len(got)} ({time.time() - t0:.1f}s)")
+        print(f"{status} {name} {result.detail} ({time.time() - t0:.1f}s)")
     return rc
 
 

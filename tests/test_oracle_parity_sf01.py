@@ -55,13 +55,15 @@ CHANGED_THIS_ROUND = [
     "corpus_clean_pipeline",
     "text_winnowing_fingerprints",
     # round-10 scan-audit fixes (shared() on re-derived subtrees;
-    # results identical by construction). The window-resident members
-    # of this pass (segment_rfm_distributed, stats_kaplan_meier,
-    # ml_conformal_interval, vector_topk_ivfpq_portable) are gated by
-    # the never-driver-verified branch already; these two are the
-    # previously-verified re-entries:
+    # results identical by construction). segment_rfm_distributed,
+    # stats_kaplan_meier and ml_conformal_interval are in the
+    # never-driver-verified branch (no prior driver row) so that gate
+    # covers them; these three are previously-verified re-entries
+    # (vector_topk_ivfpq_portable holds a green r09 row, so NOTHING
+    # else re-gates it — it must be listed here explicitly):
     "interval_max_concurrency",
     "stats_cramers_v",
+    "vector_topk_ivfpq_portable",
     # round-10 births (plans/extended_ops6.py, sf0.01-gated at birth):
     "ann_recall_nprobe_frontier",
     "ann_recall_bands_frontier",

@@ -77,17 +77,35 @@ def test_no_untracked_bare_caches_in_source():
     import re
     from pathlib import Path
 
+    # The ONLY modules allowed to call .cache()/.persist( directly:
+    # each pairs every cache with an explicit unpersist after the
+    # consuming action. A new module must be reviewed and added here
+    # (not whitelisted by a stray "unpersist" in a docstring).
+    allowed = {
+        "operators/ingest.py",
+        "sources/writers.py",
+        "sources/versioned.py",
+        "plans/relational2.py",
+    }
     pkg = Path(__file__).resolve().parents[1] / "data_lake_with_spark_spark"
     pat = re.compile(r"\.cache\(\)|\.persist\(")
     offenders = []
     for py in sorted(pkg.rglob("*.py")):
         if py.name == "plan_cache.py":
             continue
+        rel = str(py.relative_to(pkg))
         text = py.read_text()
         code = "\n".join(line.split("#", 1)[0] for line in text.splitlines())
-        if pat.search(code) and "unpersist" not in text:
-            offenders.append(str(py.relative_to(pkg)))
+        if pat.search(code):
+            if rel not in allowed:
+                offenders.append(rel)
+            else:
+                assert re.search(r"\.unpersist\(", text), (
+                    f"{rel} is on the explicit-unpersist allowlist but "
+                    "contains no unpersist call"
+                )
     assert offenders == [], (
-        f"bare .cache()/.persist() without unpersist in {offenders}; "
-        "use plan_cache.shared() or the explicit-unpersist pattern"
+        f"bare .cache()/.persist() outside the allowlist in {offenders}; "
+        "use plan_cache.shared() or the explicit-unpersist pattern "
+        "(and add the module to the reviewed allowlist)"
     )

@@ -206,26 +206,12 @@ def test_streaming_ohlc_matches_batch(spark, sf_dir, stream):
     )
 
 
-def test_stateful_sessionize_matches_batch(spark, sf_dir):
-    """The arbitrary-state sessionizer (applyInPandasWithState,
-    EventTimeTimeout, append-on-close) must emit exactly the batch
-    twin's sessions whose close deadline the final watermark passed:
-    with a 0-second watermark delay the final watermark is max(ts),
-    so every session with last_activity + gap < max(ts) times out and
-    is emitted exactly once; later sessions are still open when the
-    replay ends and must NOT have been emitted."""
-    stream = jobs.events_stream(spark, sf_dir).withWatermark(
-        "ts", "0 seconds"
-    )
-    out = jobs.run_to_completion(
-        jobs.stateful_sessionize(stream), "t_sessions", mode="append"
-    )
-    got = {tuple(r) for r in out.select(
-        "user_id", "session_start", "n_events", "path"
-    ).collect()}
-
-    # batch twin (sessionize_event_paths' exact grouping) + per-session
-    # last-activity so the open/closed split is computable.
+def _batch_sessions(spark, sf_dir):
+    """(all_sessions, closed_sessions) as row-tuple sets — the batch
+    twin of stateful_sessionize (sessionize_event_paths' exact
+    grouping) plus the open/closed split at the final 0s watermark
+    (= max event time): a session is CLOSED iff
+    last_activity_ms + gap < max_ms."""
     from pyspark.sql import Window as W
 
     ev = jobs.normalize_ts(
@@ -257,14 +243,39 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     max_ms = ev.agg(
         (F.max("ts").cast("double") * 1000).cast("long")
     ).collect()[0][0]
-    closed = batch.where(
-        (F.col("last_ts").cast("double") * 1000).cast("long")
-        + jobs.SESSION_GAP_MS
-        < max_ms
+    cols = ("user_id", "session_start", "n_events", "path")
+    all_sessions = {tuple(r) for r in batch.select(*cols).collect()}
+    closed = {
+        tuple(r)
+        for r in batch.where(
+            (F.col("last_ts").cast("double") * 1000).cast("long")
+            + jobs.SESSION_GAP_MS
+            < max_ms
+        )
+        .select(*cols)
+        .collect()
+    }
+    return all_sessions, closed
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """The arbitrary-state sessionizer (applyInPandasWithState,
+    EventTimeTimeout, append-on-close) must emit exactly the batch
+    twin's sessions whose close deadline the final watermark passed:
+    with a 0-second watermark delay the final watermark is max(ts),
+    so every session with last_activity + gap < max(ts) times out and
+    is emitted exactly once; later sessions are still open when the
+    replay ends and must NOT have been emitted."""
+    stream = jobs.events_stream(spark, sf_dir).withWatermark(
+        "ts", "0 seconds"
     )
-    want = {tuple(r) for r in closed.select(
+    out = jobs.run_to_completion(
+        jobs.stateful_sessionize(stream), "t_sessions", mode="append"
+    )
+    got = {tuple(r) for r in out.select(
         "user_id", "session_start", "n_events", "path"
     ).collect()}
+    _, want = _batch_sessions(spark, sf_dir)
     assert len(want) > 0  # the fixture really exercises closures
     assert got == want
 
@@ -316,8 +327,12 @@ def test_stateful_sessionize_multibatch_splice(spark, sf_dir, tmp_path):
     # multi-batch replay advances the watermark file by file, so it can
     # only close MORE trailing sessions than the single batch, never
     # different ones: single-batch closures must be a subset, and any
-    # extras must be genuine batch-twin sessions.
+    # extras must be genuine batch-twin sessions (checked against the
+    # FULL batch session set — a splice bug that emits a spurious
+    # fragment of a still-open session would land outside it).
     assert want <= got, got.symmetric_difference(want)
+    batch_all, _ = _batch_sessions(spark, sf_dir)
+    assert got <= batch_all, got - batch_all
 
 
 def test_stateful_sessionize_kill_resume_exactly_once(spark, sf_dir, tmp_path):

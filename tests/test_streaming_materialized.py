@@ -40,9 +40,21 @@ BATCH2 = [
 BATCH3 = [(4, "green", 7.0, "delete")]
 
 
+_WRITE_SEQ = [1_700_000_000]
+
+
 def _write(path, rows):
     pdf = pd.DataFrame(rows, columns=["k", "cat", "v", "_change_type"])
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    # FileStreamSource replays in MODIFICATION-TIME order; two writes
+    # landing in the same millisecond tie and can replay out of order
+    # under maxFilesPerTrigger=1, applying b2's changes before b1's
+    # (observed as a load-dependent flake in the full suite). Pin a
+    # strictly increasing mtime per write.
+    import os
+
+    _WRITE_SEQ[0] += 10
+    os.utime(path, (_WRITE_SEQ[0], _WRITE_SEQ[0]))
 
 
 def _state_rows(df):

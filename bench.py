@@ -254,6 +254,11 @@ def main() -> None:
     t2_cold = run_tier2()
     t2_passes = [run_tier2() for _ in range(2)]
     t2_warm = {n: min(p[n] for p in t2_passes) for n in t2_passes[0]}
+    # tier2 variance, same self-adjudication rule as the headline
+    t2_totals = [round(sum(p.values()), 3) for p in t2_passes]
+    t2_spread = round(
+        100.0 * (max(t2_totals) - min(t2_totals)) / min(t2_totals), 1
+    )
 
     shuffle_bytes: dict[str, int | None] = {}
     spill_bytes: dict[str, int | None] = {}
@@ -301,6 +306,8 @@ def main() -> None:
             "cold_total": round(sum(cold.values()), 3),
             "tier2": t2_warm,
             "tier2_total": round(sum(t2_warm.values()), 3),
+            "tier2_pass_totals": t2_totals,
+            "tier2_spread_pct": t2_spread,
             "sf": sf,
         }
     )

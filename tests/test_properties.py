@@ -451,3 +451,155 @@ def test_compact_changelog_split_invariance(spark, case):
         # write does (keeps the lineage bounded across folds)
         state = state.localCheckpoint(eager=True)
     assert state is not None and canon(state) == want
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionizer kernel: property test against a pure-Python
+# reference (no Spark streaming query — direct _sessionize_fn calls
+# with a fake GroupState, so hypothesis can sweep hundreds of
+# event/batch layouts in seconds; the end-to-end streaming behavior
+# is pinned separately in test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for _sessionize_fn: value
+    get/update/remove, hasTimedOut, and the watermark/timeout API."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_ts = None
+        self.watermark_ms = 0
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        assert self._value is not None
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ts):
+        assert ts > self.watermark_ms, "timeout must exceed watermark"
+        self.timeout_ts = ts
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
+
+
+def _reference_sessions(events, gap_ms):
+    """Pure-Python gap sessionization over (us, event_id, event_type)
+    tuples: returns [(start_us, n, path)] in order, INCLUDING the
+    trailing open session as the last element."""
+    out = []
+    cur = None
+    for us, _eid, etype in sorted(events):
+        if cur is not None and us // 1000 - cur[1] // 1000 <= gap_ms:
+            cur = (cur[0], us, cur[2] + 1, cur[3] + ">" + etype)
+        else:
+            if cur is not None:
+                out.append(cur)
+            cur = (us, us, 1, etype)
+    if cur is not None:
+        out.append(cur)
+    return [(s, n, p) for s, _last, n, p in out]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8_000_000_000),  # us
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_sessionize_kernel_matches_reference_across_batch_splits(
+    raw, data
+):
+    """Feeding the SAME per-key events through _sessionize_fn in an
+    arbitrary number of event-time-ordered micro-batches must emit
+    exactly the reference sessionization's closed sessions, with the
+    trailing session left in state — the splice/merge path is the
+    riskiest code in the operator and hypothesis sweeps gap-boundary
+    layouts (ties, exact-gap spacing, 1-event sessions) the fixture
+    corpus never hits."""
+    import pandas as pd
+
+    from data_lake_with_spark_spark.streaming.jobs import (
+        SESSION_GAP_MS,
+        _sessionize_fn,
+    )
+
+    events = [
+        (us, i, etype) for i, (us, etype) in enumerate(sorted(raw))
+    ]
+    # split the ordered stream into 1..5 contiguous micro-batches
+    n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(1, len(events) - 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    ) if len(events) > 1 else []
+    batches, prev = [], 0
+    for c in cuts + [len(events)]:
+        if c > prev:
+            batches.append(events[prev:c])
+            prev = c
+
+    state = _FakeGroupState()
+    emitted = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "user_id": 7,
+                "event_id": [e[1] for e in batch],
+                "ts": pd.to_datetime([e[0] * 1000 for e in batch]),
+                "event_type": [e[2] for e in batch],
+            }
+        )
+        for out in _sessionize_fn((7,), iter([pdf]), state):
+            emitted.extend(
+                (
+                    int(r.session_start.value // 1000),
+                    int(r.n_events),
+                    r.path,
+                )
+                for r in out.itertuples()
+            )
+        # watermark advances to the batch max (0s delay model)
+        state.watermark_ms = max(
+            state.watermark_ms, max(e[0] for e in batch) // 1000
+        )
+    ref = _reference_sessions(events, SESSION_GAP_MS)
+    # every session except the trailing open one must have been
+    # emitted via the gap path OR be pending on the timeout; fire the
+    # timeout if armed and due, then compare exactly.
+    if state.exists and state.timeout_ts is not None:
+        state.watermark_ms = state.timeout_ts + 1
+        state.hasTimedOut = True
+        for out in _sessionize_fn((7,), iter([]), state):
+            emitted.extend(
+                (
+                    int(r.session_start.value // 1000),
+                    int(r.n_events),
+                    r.path,
+                )
+                for r in out.itertuples()
+            )
+    assert emitted == ref, (emitted, ref, batches)

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.functions.time import epoch_ms
+from data_lake_with_spark_spark.operators.plan_cache import shared
 
 # A funnel stage: either an event-type string (matched against
 # ``type_col``) or a (label, arbitrary-boolean-Column) pair — e.g.
@@ -56,7 +57,14 @@ def funnel_stage_users(
     strings or (label, predicate Column) pairs — a predicate stage
     filters the log on any boolean expression, so the same operator
     expresses type funnels, value-threshold funnels, and
-    property-match funnels (predicates still push to the scan)."""
+    property-match funnels (predicates still push to the scan).
+
+    Each stage's survivor frame is a tracked shared() cache: stage k
+    feeds BOTH stage k+1's qualifying join and the caller's count —
+    uncached, the chain re-derived stage k's whole subtree per
+    consumer (a 3-stage funnel cost 1+2+3 = 6 event scans instead of
+    3; round-10 scan audit). Survivors are per-user minima — small
+    relative to the log, exactly what executor storage is for."""
     if not stages:
         raise ValueError("funnel needs at least one stage")
     frames: list[DataFrame] = []
@@ -71,7 +79,7 @@ def funnel_stage_users(
                     <= max_gap_seconds * 1000
                 )
             cand = cand.drop("_t")
-        prev = cand.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        prev = shared(cand.groupBy(user_col).agg(F.min(ts_col).alias("_t")))
         frames.append(prev)
     return frames
 

@@ -1060,15 +1060,20 @@ def funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each step is a pushed-down type filter + one
     user-keyed hash-agg over a monotonically SHRINKING user set, with
     user-keyed joins between steps (AQE broadcasts the survivors once
-    they fit). No windows, no full-event sort.
+    they fit). No windows, no full-event sort. Each step's survivor
+    frame is a tracked shared() cache — it feeds the next step AND
+    the count readout; uncached the chain cost 1+2+3 = 6 event scans
+    (round-10 scan audit), the funnel_stage_users discipline.
     """
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    u1 = (
+    u1 = shared(
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    u2 = (
+    u2 = shared(
         ev.where(F.col("event_type") == "view")
         .join(u1, "user_id")
         .where(F.col("ts") > F.col("t1"))

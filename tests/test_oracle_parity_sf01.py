@@ -64,6 +64,11 @@ CHANGED_THIS_ROUND = [
     "interval_max_concurrency",
     "stats_cramers_v",
     "vector_topk_ivfpq_portable",
+    # funnel family: stage survivors now shared() (6 scans -> ~0);
+    # funnel_steps_strict is window-resident (never-verified gate):
+    "funnel_signup_view_purchase",
+    "funnel_within_7d",
+    "funnel_predicate_stages",
     # round-10 births (plans/extended_ops6.py, sf0.01-gated at birth):
     "ann_recall_nprobe_frontier",
     "ann_recall_bands_frontier",

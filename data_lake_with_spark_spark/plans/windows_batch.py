@@ -356,12 +356,20 @@ def sketch_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     ev = _events(spark, sf_dir)
     keyed = ev.select(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key"),
         "user_id",
     )
-    regs = hll_registers(keyed, "user_id", "day_key")
+    # shared(): the per-day register table (days x m rows) feeds both
+    # the per-day estimate and the ALL-days register-wise union —
+    # uncached, the events scan re-derived per branch (6 effective
+    # scans, round-10 audit). The two exact countDistinct passes stay
+    # uncached by design: exact per-day counts don't merge into the
+    # exact ALL count, so those are genuinely separate aggregations.
+    regs = shared(hll_registers(keyed, "user_id", "day_key"))
     all_regs = regs.withColumn("gk", F.lit("ALL"))
     est = hll_estimate(regs.unionByName(all_regs))
     exact = (

@@ -69,6 +69,7 @@ CHANGED_THIS_ROUND = [
     "funnel_signup_view_purchase",
     "funnel_within_7d",
     "funnel_predicate_stages",
+    "sketch_hll_portable",  # register table shared() (6 scans -> 2)
     # round-10 births (plans/extended_ops6.py, sf0.01-gated at birth):
     "ann_recall_nprobe_frontier",
     "ann_recall_bands_frontier",

@@ -293,6 +293,11 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar fold; candidates touch different tables and union into one
     result. Nothing is ever joined row-to-row, so the profile cost is
     a handful of independent aggregations regardless of table width.
+
+    scan-audit waiver: 6 scans = 6 FD candidates — profiling N
+    candidate dependencies is N independent two-column passes (each
+    scan pruned to its own (lhs, rhs) pair, several over different
+    tables), not a re-derived shared subtree.
     """
     parts = []
     for tbl, lhs, rhs in _FD_CANDIDATES:
@@ -1937,18 +1942,23 @@ def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine (feature cardinality state, not row count); bucket
     assignment is map-side arithmetic on the ≤|features| frame;
     everything after runs on ≤256 rows. The audit never shuffles the
-    fact table — at 100 TB the only data-sized stages are the three
-    column scans feeding the per-feature counts.
+    fact table — at 100 TB the only data-sized stage is ONE 3-column
+    scan whose rows explode map-side into the three feature strings
+    (round 10: was a 3-way unionAll = 3 scans of the same table,
+    doubled again by the bucket frame's two consumers — 6 effective
+    scans); the ≤256-row bucket histogram is a tracked shared() cache.
     """
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     part = _t(spark, sf_dir, "part")
-    feats = (
-        part.select(F.concat(F.lit("brand="), "p_brand").alias("feat"))
-        .unionAll(part.select(F.concat(F.lit("type="), "p_type").alias("feat")))
-        .unionAll(
-            part.select(
-                F.concat(F.lit("size="), F.col("p_size").cast("string")).alias("feat")
+    feats = part.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("brand="), "p_brand"),
+                F.concat(F.lit("type="), "p_type"),
+                F.concat(F.lit("size="), F.col("p_size").cast("string")),
             )
-        )
+        ).alias("feat")
     )
     fc = feats.groupBy("feat").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
@@ -1958,9 +1968,11 @@ def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(conv(substring(md5(feat), 1, 8), 16, 10) AS BIGINT)") % 256
         ).alias("bucket"),
     )
-    per_bucket = fc.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    per_bucket = shared(
+        fc.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
     )
     tot = per_bucket.agg(F.sum("n_rows").alias("r_all"))
     return (

@@ -599,3 +599,125 @@ def training_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN tuning: PQ distortion vs subspace-count frontier (memory/quality)
+# ---------------------------------------------------------------------------
+
+_PQ_MS = (2, 4, 8, 16)
+_PQ_DIM = 64
+
+PQ_DISTORTION_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT vec_id, UNNEST(range(len(v))) AS dim,
+         CAST(FLOOR(v[UNNEST(range(len(v))) + 1] * 1000 + 0.5) AS BIGINT) AS x
+  FROM e
+), lm AS (
+  SELECT vec_id - 10 AS c, dim, x AS lx FROM comp
+  WHERE vec_id >= 10 AND vec_id < 26
+), ms AS (
+  SELECT UNNEST([{", ".join(str(m) for m in _PQ_MS)}]) AS m
+), d2 AS (
+  SELECT ms.m, comp.vec_id, lm.c,
+         comp.dim // ({_PQ_DIM} // ms.m) AS j,
+         SUM((comp.x - lm.lx) * (comp.x - lm.lx)) AS d
+  FROM comp JOIN lm ON comp.dim = lm.dim CROSS JOIN ms
+  GROUP BY ms.m, comp.vec_id, lm.c, comp.dim // ({_PQ_DIM} // ms.m)
+), best AS (
+  SELECT m, vec_id, j, MIN(d) AS dmin FROM d2 GROUP BY m, vec_id, j
+), per_vec AS (
+  SELECT m, vec_id, CAST(SUM(dmin) AS BIGINT) AS dist FROM best GROUP BY m, vec_id
+)
+SELECT m AS n_subspaces,
+       CAST(m * 4 AS BIGINT) AS bits_per_vector,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(FLOOR(CAST(SUM(CAST(dist AS HUGEINT)) AS DOUBLE) / COUNT(*))
+            AS BIGINT) AS mean_distortion
+FROM per_vec
+GROUP BY m
+ORDER BY m
+"""
+
+
+@register(
+    "ann_pq_distortion_frontier",
+    oracle=PQ_DISTORTION_ORACLE,
+    tags=("vector", "llm", "approx", "pq", "eval"),
+)
+def ann_pq_distortion_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ's memory-vs-quality FRONTIER — the third classic ANN tuning
+    curve beside the nprobe and bands frontiers: mean quantization
+    distortion (exact integer L2 between each vector and its best
+    product code) as the subspace count m sweeps 2→16 over the
+    portable 16-landmark codebook (vec_id 10-25, the
+    vector_topk_pq_portable idiom). More subspaces = finer codes =
+    monotonically lower distortion at 4·m bits/vector — the row a
+    deployment reads to pick its code budget. Landmark slicing reuses
+    the SAME 16 landmark vectors at every m (subspace width 64/m), so
+    the sweep isolates the granularity effect.
+
+    Scale shape: one exploded-component scan (tracked shared());
+    the per-(m, vector, landmark, subspace) distance agg is keyed on
+    the vector id — map-side combinable, broadcast landmark side, and
+    the m-sweep multiplies the BROADCAST side only, never shuffling
+    the corpus more than once; everything after the per-vector
+    distortion is ≤|m| rows.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = shared(
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        ).select(
+            "vec_id",
+            "dim",
+            (F.floor(F.col("x") * 1000 + 0.5)).cast("bigint").alias("x"),
+        )
+    )
+    lm = comp.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 26)).select(
+        (F.col("vec_id") - 10).alias("c"), "dim", F.col("x").alias("lx")
+    )
+    ms = spark.createDataFrame([(m,) for m in _PQ_MS], "m int")
+    d2 = (
+        comp.join(F.broadcast(lm), "dim")
+        .crossJoin(F.broadcast(ms))
+        .groupBy(
+            "m",
+            "vec_id",
+            "c",
+            F.expr(f"dim div ({_PQ_DIM} div m)").alias("j"),
+        )
+        .agg(
+            F.sum((F.col("x") - F.col("lx")) * (F.col("x") - F.col("lx"))).alias(
+                "d"
+            )
+        )
+    )
+    best = d2.groupBy("m", "vec_id", "j").agg(F.min("d").alias("dmin"))
+    per_vec = best.groupBy("m", "vec_id").agg(
+        F.sum("dmin").cast("bigint").alias("dist")
+    )
+    return (
+        per_vec.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.floor(
+                F.sum(F.col("dist").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("mean_distortion"),
+        )
+        .select(
+            F.col("m").cast("bigint").alias("n_subspaces"),
+            (F.col("m") * 4).cast("bigint").alias("bits_per_vector"),
+            "n_vectors",
+            "mean_distortion",
+        )
+        .orderBy("n_subspaces")
+    )

@@ -74,6 +74,7 @@ CHANGED_THIS_ROUND = [
     "ann_recall_nprobe_frontier",
     "ann_recall_bands_frontier",
     "training_perplexity_by_source",
+    "ann_pq_distortion_frontier",
 ]
 
 

@@ -67,10 +67,10 @@ DRIVER_WINDOW = [
     # tokenization/guard fixes, winnowing shared()) is already IN the
     # 48 — after this window lands, the PRE-ROUND evidence queue is
     # empty; the never-driver-verified set recomputed from committed
-    # files then holds exactly the 3 round-10 births
+    # files then holds exactly the 4 round-10 births
     # (ann_recall_nprobe_frontier, ann_recall_bands_frontier,
-    # training_perplexity_by_source), which drain in round 11's
-    # window alongside its slack.
+    # ann_pq_distortion_frontier, training_perplexity_by_source),
+    # which drain in round 11's window alongside its slack.
     # Queue drains (48, alphabetical):
     "ab_bayes_beta_posterior",
     "ab_power_sample_size",

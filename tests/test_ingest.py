@@ -10,6 +10,26 @@ from data_lake_with_spark_spark.operators import ingest as ING
 from data_lake_with_spark_spark.sources import versioned as V
 
 
+_MTIME_SEQ = [1_700_000_000]
+
+
+def _pin_replay_order(*dirs):
+    """FileStreamSource replays by MODIFICATION TIME; same-millisecond
+    writes tie and can replay out of order (the moment-view flake
+    class). Pin a strictly increasing mtime on every file of each dir,
+    in the order given — call right after writing replay inputs whose
+    processing order matters."""
+    import os
+
+    for d in dirs:
+        for root, _subdirs, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                _MTIME_SEQ[0] += 10
+                os.utime(
+                    os.path.join(root, fn), (_MTIME_SEQ[0], _MTIME_SEQ[0])
+                )
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -76,6 +96,7 @@ def test_stream_corpus_ingest_content_dedup_across_batches(spark, sf_dir, tmp_pa
     )
     first.coalesce(1).write.parquet(f"{src}/f1")
     second.coalesce(1).write.parquet(f"{src}/f2")
+    _pin_replay_order(f"{src}/f1", f"{src}/f2")
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -307,6 +328,7 @@ def test_stream_corpus_ingest_restart_from_checkpoint(spark, sf_dir, tmp_path):
 
     f1.coalesce(1).write.parquet(f"{src}/f1")
     f2.coalesce(1).write.parquet(f"{src}/f2")
+    _pin_replay_order(f"{src}/f1", f"{src}/f2")
     ING.stream_corpus_ingest(
         make_stream(), path, threshold=0.5, query_name="ck1", checkpoint=ckpt
     ).awaitTermination(600)
@@ -314,6 +336,7 @@ def test_stream_corpus_ingest_restart_from_checkpoint(spark, sf_dir, tmp_path):
 
     # "crash", then new data arrives, then resume with the same checkpoint
     f3.coalesce(1).write.parquet(f"{src}/f3")
+    _pin_replay_order(f"{src}/f3")
     ING.stream_corpus_ingest(
         make_stream(), path, threshold=0.5, query_name="ck2", checkpoint=ckpt
     ).awaitTermination(600)

@@ -50,6 +50,7 @@ CHANGED_THIS_ROUND = [
     # plans/extended_ops3.py winnowing posting frames) — results
     # identical by construction, but engine changes re-gate:
     "dedup_ngram_jaccard",
+    "dedup_containment",  # shares _prefix_filtered_shingles' shared()
     "dedup_cluster_keep_min",
     "dedup_cluster_keep_best",
     "corpus_clean_pipeline",

@@ -631,7 +631,7 @@ WITH e AS (
 ), per_vec AS (
   SELECT m, vec_id, CAST(SUM(dmin) AS BIGINT) AS dist FROM best GROUP BY m, vec_id
 )
-SELECT m AS n_subspaces,
+SELECT CAST(m AS BIGINT) AS n_subspaces,
        CAST(m * 4 AS BIGINT) AS bits_per_vector,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST(FLOOR(CAST(SUM(CAST(dist AS HUGEINT)) AS DOUBLE) / COUNT(*))

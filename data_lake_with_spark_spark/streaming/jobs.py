@@ -187,10 +187,11 @@ def _sessionize_fn(
 
     In-batch work is vectorized (pandas diff/cumsum group split, one
     groupby-agg); only the state splice is per-invocation Python.
-    Assumes per-key event-time order across micro-batches up to the
+    Requires per-key event-time order across micro-batches up to the
     watermark (the file-replay and any keyed Kafka source satisfy it;
     late rows beyond the watermark are dropped upstream by
-    ``withWatermark``)."""
+    ``withWatermark``) — ENFORCED below: a batch head older than the
+    stored last activity raises instead of splicing out of order."""
     gap = SESSION_GAP_MS
     if state.hasTimedOut:
         start_us, last_us, n, path = state.get
@@ -225,6 +226,25 @@ def _sessionize_fn(
     open_row = None
     if state.exists:
         start_us, last_us, n, path = state.get
+        if pdf["us"].iloc[0] < last_us:
+            # ENFORCED PRECONDITION (not just documented): the splice
+            # assumes per-key event-time order ACROSS micro-batches.
+            # An allowed-late row (nonzero watermark delay + an
+            # out-of-order source) arriving after the stored
+            # last-activity would merge out of sequence — wrong path
+            # order, session_start possibly later than the earliest
+            # event. State holds only the open session's aggregate
+            # (not its events), so reordering is unrecoverable here:
+            # fail fast instead of emitting a silently-wrong session.
+            raise ValueError(
+                "stateful_sessionize: out-of-order event for user "
+                f"{key[0]}: batch head {int(pdf['us'].iloc[0])}us < "
+                f"stored last activity {last_us}us. The operator "
+                "requires per-key event-time order across "
+                "micro-batches — replay with a 0-second watermark "
+                "delay (ordered source) or feed a per-key-ordered "
+                "stream (e.g. keyed Kafka partitions)."
+            )
         if int(gms.iloc[0]) - last_us // 1000 <= gap:
             new_sess.iloc[0] = False  # continues the open session
         open_row = (start_us, last_us, n, path)
@@ -296,7 +316,20 @@ def stateful_sessionize(stream: DataFrame) -> DataFrame:
     (four scalars + a bounded path string), so total state is
     O(active users), independent of history length — the property
     that makes gap sessionization viable on an unbounded stream where
-    the batch window form would need the full history every run."""
+    the batch window form would need the full history every run.
+
+    Splice-cost bound: the open-state splice is per-GROUP driver-side
+    Python inside the kernel (everything else is vectorized pandas),
+    so per-task wall-clock carries an O(groups-per-task) constant of
+    a few tens of microseconds per active user. That stays off the
+    critical path while groups-per-task ≲ ~100k (≈ seconds of splice
+    work per trigger, amortized across ``spark.sql.shuffle.partitions``
+    state-store tasks); a 100× user count is absorbed by raising the
+    shuffle-partition count (state shards with it) — i.e. repartition
+    the state store, not the kernel. If a single trigger must splice
+    millions of ACTIVE keys per task, the kernel's per-group constant
+    dominates and the right fix is more state partitions, never a
+    bigger batch."""
     return (
         stream.select("user_id", "event_id", "ts", "event_type")
         .groupBy("user_id")

@@ -87,6 +87,17 @@ def test_no_untracked_bare_caches_in_source():
         "sources/versioned.py",
         "plans/relational2.py",
     }
+    import io
+    import tokenize
+
+    def strip_comments(source: str) -> str:
+        """Drop COMMENT tokens only — naive '#'-splitting would also
+        truncate lines at a '#' inside a string literal (a regex or
+        format string), silently hiding a real .cache() call after
+        it (round-10 ADVICE)."""
+        toks = tokenize.generate_tokens(io.StringIO(source).readline)
+        return "".join(t.string for t in toks if t.type != tokenize.COMMENT)
+
     pkg = Path(__file__).resolve().parents[1] / "data_lake_with_spark_spark"
     pat = re.compile(r"\.cache\(\)|\.persist\(")
     offenders = []
@@ -95,7 +106,7 @@ def test_no_untracked_bare_caches_in_source():
             continue
         rel = str(py.relative_to(pkg))
         text = py.read_text()
-        code = "\n".join(line.split("#", 1)[0] for line in text.splitlines())
+        code = strip_comments(text)
         if pat.search(code):
             if rel not in allowed:
                 offenders.append(rel)

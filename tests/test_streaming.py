@@ -218,8 +218,11 @@ def _batch_sessions(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
     ).select("user_id", "event_id", "ts", "event_type")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = (F.col("ts").cast("double") * 1000).cast("long")
-    prev_ms = (F.lag("ts").over(w).cast("double") * 1000).cast("long")
+    # exact integer epoch-ms (unix_millis), matching the engine's
+    # us//1000 arithmetic — double-cast truncation can land 1ms low
+    # for a timestamp sitting exactly on a gap/watermark boundary
+    ms = F.unix_millis(F.col("ts"))
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
     new_sess = F.when(
         prev_ms.isNull() | (ms - prev_ms > jobs.SESSION_GAP_MS), 1
     ).otherwise(0)
@@ -240,17 +243,13 @@ def _batch_sessions(spark, sf_dir):
             ).alias("path"),
         )
     )
-    max_ms = ev.agg(
-        (F.max("ts").cast("double") * 1000).cast("long")
-    ).collect()[0][0]
+    max_ms = ev.agg(F.unix_millis(F.max("ts"))).collect()[0][0]
     cols = ("user_id", "session_start", "n_events", "path")
     all_sessions = {tuple(r) for r in batch.select(*cols).collect()}
     closed = {
         tuple(r)
         for r in batch.where(
-            (F.col("last_ts").cast("double") * 1000).cast("long")
-            + jobs.SESSION_GAP_MS
-            < max_ms
+            F.unix_millis(F.col("last_ts")) + jobs.SESSION_GAP_MS < max_ms
         )
         .select(*cols)
         .collect()
@@ -405,3 +404,149 @@ def test_stateful_sessionize_kill_resume_exactly_once(spark, sf_dir, tmp_path):
     )
     want = {tuple(r) for r in single.collect()}
     assert want <= union
+
+
+def test_stream_stream_join_matches_registered_twin(spark, sf_dir):
+    """The watermarked stream-stream interval join must equal its
+    REGISTERED, DuckDB-oracled batch twin (join_click_purchase_within)
+    row for row — the anchor that lets the driver's oracle verdict on
+    the batch query stand in for the streaming operator too."""
+    out = jobs.run_to_completion(
+        jobs.click_purchase_stream_join(jobs.events_stream(spark, sf_dir)),
+        "t_ss_twin",
+    )
+    got = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in out.collect()
+    }
+    twin = REGISTRY["join_click_purchase_within"].spark(spark, sf_dir)
+    want = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in twin.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_kill_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Stream-stream join state must survive a query restart: kill
+    after draining half the time-ordered replay, restart from the same
+    checkpoint with the rest. Pairs must come out exactly once across
+    both runs, and the union must equal the registered batch twin —
+    including pairs whose click arrived before the kill and whose
+    purchase arrived after (buffered-state recovery)."""
+    import os
+
+    ev = jobs.normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select("event_id", "user_id", "ts", "event_type")
+    staging = str(tmp_path / "staging")
+    ev.repartitionByRange(8, "ts").write.parquet(staging)
+    parts = sorted(p for p in os.listdir(staging) if p.startswith("part-"))
+    src = tmp_path / "replay"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "pairs_out")
+    t0 = 1_700_000_000
+    for i, p in enumerate(parts):
+        os.rename(os.path.join(staging, p), str(src / p))
+        os.utime(str(src / p), (t0 + i * 10, t0 + i * 10))
+        if i == 3:
+            break  # run 1 sees only the first half of the time range
+
+    def run() -> int:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            jobs.click_purchase_stream_join(stream)
+            .select("click_id", "purchase_id", "user_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+        return spark.read.parquet(out_dir).count()
+
+    run()
+    for i, p in enumerate(parts):
+        if i <= 3:
+            continue
+        os.rename(os.path.join(staging, p), str(src / p))
+        os.utime(str(src / p), (t0 + i * 10, t0 + i * 10))
+    run()
+
+    total = spark.read.parquet(out_dir)
+    got = {tuple(r) for r in total.collect()}
+    # exactly-once across the restart: no pair duplicated
+    assert total.count() == len(got)
+    twin = REGISTRY["join_click_purchase_within"].spark(spark, sf_dir)
+    want = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in twin.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stateful_sessionize_rejects_out_of_order(spark, tmp_path):
+    """The sessionizer's ordering precondition is ENFORCED, not just
+    documented: an allowed-late row (inside a generous watermark
+    delay) that lands BEHIND the stored open session's last activity
+    must fail the query loudly instead of splicing a silently-wrong
+    session (round-10 ADVICE)."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, 1, t0 + dt.timedelta(seconds=s), "view")
+                for i, s in rows
+            ],
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+
+    src = tmp_path / "replay"
+    src.mkdir()
+    mk([(1, 0), (2, 10)]).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2's head (t0+5s) is OLDER than the stored last (t0+10s)
+    # but inside the 1-hour watermark delay — allowed-late, unmergeable
+    mk([(3, 5)]).coalesce(1).write.parquet(str(src / "b2"))
+    files = []
+    for sub in ("b1", "b2"):
+        for p in os.listdir(str(src / sub)):
+            if p.startswith("part-"):
+                files.append(str(src / sub / p))
+    base = 1_700_000_000
+    for i, f in enumerate(sorted(files)):
+        os.utime(f, (base + i * 10, base + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        jobs.stateful_sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_ooo")
+        .start()
+    )
+    with pytest.raises(Exception, match="out-of-order event"):
+        try:
+            q.processAllAvailable()
+            # surface the async failure if processAllAvailable returned
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            q.stop()

@@ -43,86 +43,83 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 374 registered
-# queries, insertion order decides which operators get driver-verified
-# rows — so the dict leads with a hand-picked 50 covering one flagship
-# per operator family (reference surface, TPC-H/relational, join
-# matrix, event analytics, LLM-pipeline); the remaining queries follow
-# in sorted order and are covered by tests/test_oracle_parity.py
-# against the same DuckDB oracle.
+# entries of queries() in dict-insertion order. With 377 registered
+# queries (363 oracled), insertion order decides which operators get
+# driver-verified rows — so the dict leads with a hand-picked 50; the
+# remaining queries follow in sorted order and are covered by
+# tests/test_oracle_parity.py against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-10 rotation: the entire round-9 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r09.json, durable in git), so all
-    # 50 rows rotate out. This window DRAINS THE EVIDENCE QUEUE TO
-    # ZERO (round-9 verdict directive #1): all 48 names below are the
-    # EXACT never-driver-verified set recomputed from the committed
-    # CORRECTNESS_r*.json files at rotation time (scripts in git
-    # history; matches the precomputed list the round-9 window comment
-    # carried), plus 2 re-entry slack slots for queries whose engine
-    # changed this round (the round-10 bare-cache→shared() protocol
-    # conversion in operators/dedup.py): dedup_cluster_keep_min
-    # exercises BOTH converted helpers (_prefix_filtered_shingles +
-    # dedup_clusters), dedup_ngram_jaccard the pure PPJoin path.
-    # Every other engine/oracle-touched query this round (ADVICE
-    # tokenization/guard fixes, winnowing shared()) is already IN the
-    # 48 — after this window lands, the PRE-ROUND evidence queue is
-    # empty; the never-driver-verified set recomputed from committed
-    # files then holds exactly the 4 round-10 births
-    # (ann_recall_nprobe_frontier, ann_recall_bands_frontier,
-    # ann_pq_distortion_frontier, training_perplexity_by_source),
-    # which drain in round 11's window alongside its slack.
-    # Queue drains (48, alphabetical):
-    "ab_bayes_beta_posterior",
-    "ab_power_sample_size",
-    "agg_mode_deterministic",
-    "dim_calendar_spine",
-    "dq_fd_discovery",
-    "layout_pruning_zorder_vs_linear",
-    "layout_zone_map_pruning",
-    "ml_average_precision",
-    "ml_best_split_gini",
-    "ml_calibration_ece",
-    "ml_conformal_interval",
-    "ml_embedding_drift",
-    "ml_forecast_backtest_mase",
-    "ml_gain_lift_deciles",
-    "ml_gain_lift_distributed",
-    "ml_isotonic_calibration",
-    "ml_learning_curve_auc",
-    "ml_threshold_metrics",
-    "regression_theil_sen",
-    "sample_neyman_allocation",
-    "sample_stratified_topk",
-    "score_user_gini_diversity",
-    "segment_abc_distributed",
-    "segment_abc_pareto",
-    "segment_rfm_distributed",
-    "stats_anova_oneway",
-    "stats_fdr_bh",
-    "stats_jensen_shannon",
-    "stats_kaplan_meier",
-    "stats_mann_whitney_u",
-    "stats_mutual_information",
-    "stats_permutation_pvalue",
-    "stats_poisson_bootstrap_ci",
-    "stats_spearman_corr",
-    "stats_table_profile",
-    "stats_wilson_ci",
-    "text_kneser_ney_bigram",
-    "text_winnowing_fingerprints",
-    "text_zipf_slope",
-    "timeseries_cross_correlation",
-    "training_dedup_rate_by_source",
-    "training_dsir_weights",
-    "training_length_buckets",
-    "training_loso_source_value",
-    "training_quality_mixture",
-    "training_split_counts",
-    "training_token_budget",
-    "training_tokenizer_fertility",
-    # Re-entry slack (engine-touched this round, previously verified):
-    "dedup_cluster_keep_min",
-    "dedup_ngram_jaccard",
+    # Round-11 rotation: the entire round-10 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r10.json, durable in git), so all
+    # 50 rows rotate out. This window keeps the EVIDENCE QUEUE AT
+    # ZERO as the standing invariant (round-10 verdict directive #1):
+    # it leads with the exact never-driver-verified oracled set
+    # recomputed from the committed CORRECTNESS_r*.json files at
+    # rotation time — the 4 round-10 births — plus the 2 round-11
+    # births (driver-verified in their birth round, so they never
+    # enter the queue at all). The remaining 44 slots re-verify the
+    # STALEST previously-green rows (every r01-verified name, every
+    # r03-verified name, and the alphabetical head of the r04 set) so
+    # cumulative evidence freshness advances while the queue stays
+    # empty. After this window lands, the never-driver-verified set
+    # recomputed from committed files holds only rows-only-by-
+    # documented-necessity names (no oracle -> no green row possible;
+    # each has an oracled _portable twin).
+    # Queue drains (4 round-10 births):
+    "ann_recall_nprobe_frontier",
+    "ann_recall_bands_frontier",
+    "ann_pq_distortion_frontier",
+    "training_perplexity_by_source",
+    # Round-11 births (verified at birth, sf0.01-gated too):
+    "ivm_delta_equivalence",
+    "join_click_purchase_within",
+    # Stale re-verification (9 last green in r01):
+    "json_to_map_props",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_classes",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    # Stale re-verification (18 last green in r03):
+    "agg_conditional",
+    "agg_corr_median",
+    "agg_having",
+    "agg_histogram_buckets",
+    "agg_min_max_stddev",
+    "agg_ordered_string",
+    "agg_percentiles_exact",
+    "array_ops_embeddings",
+    "corpus_clean_pipeline",
+    "decode_audio_wav",
+    "decode_image_gif",
+    "dedup_containment",
+    "dedup_keep_latest",
+    "filter_gopher_repetition",
+    "funnel_predicate_stages",
+    "join_cross",
+    "join_full_outer",
+    "join_left_semi",
+    # Stale re-verification (17: alphabetical head of the r04 set):
+    "agg_count_distinct",
+    "anomaly_rolling_zscore",
+    "chunk_documents",
+    "cohort_weekly_retention",
+    "cube_lineitem",
+    "decode_image_png",
+    "epoch_ms_to_timestamp",
+    "events_transition_matrix",
+    "filter_predicates",
+    "funnel_signup_view_purchase",
+    "funnel_within_7d",
+    "grouping_sets_orders",
+    "join_asof_last_purchase",
+    "join_compound_key_anti",
+    "join_fuzzy_editdist",
+    "join_left_anti_new_rows",
+    "join_left_outer_enrich",
 ]
 
 
@@ -186,7 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # The driver collects query N's result before constructing
             # query N+1, so releasing here is safe and bounds executor
             # storage to one query's shared() caches across the whole
-            # 371-query driver session (bench/sweep/pytest already
+            # 377-query driver session (bench/sweep/pytest already
             # release between timings).
             release_shared_caches()
             return REGISTRY[name].spark(_configure(spark), sf_dir)

@@ -28,8 +28,8 @@ from tests.oracle_harness import duckdb_connection, run_one
 
 SF01 = "/root/testdata/sf0.01"
 
-# Bump per round to rotate the third. r10 -> 1.
-ROUND = 10
+# Bump per round to rotate the third. r11 -> 2.
+ROUND = 11
 
 ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
@@ -37,45 +37,9 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
-    # round-9 ADVICE fixes, engine AND oracle (empty-token filter in
-    # the three split-based oracles; GREATEST zero-denominator guards
-    # on both engines):
-    "training_token_budget",
-    "text_kneser_ney_bigram",
-    "training_dsir_weights",
-    "ab_power_sample_size",
-    "stats_permutation_pvalue",
-    # round-10 bare-cache→shared() protocol conversion
-    # (operators/dedup.py _prefix_filtered_shingles + dedup_clusters,
-    # plans/extended_ops3.py winnowing posting frames) — results
-    # identical by construction, but engine changes re-gate:
-    "dedup_ngram_jaccard",
-    "dedup_containment",  # shares _prefix_filtered_shingles' shared()
-    "dedup_cluster_keep_min",
-    "dedup_cluster_keep_best",
-    "corpus_clean_pipeline",
-    "text_winnowing_fingerprints",
-    # round-10 scan-audit fixes (shared() on re-derived subtrees;
-    # results identical by construction). segment_rfm_distributed,
-    # stats_kaplan_meier and ml_conformal_interval are in the
-    # never-driver-verified branch (no prior driver row) so that gate
-    # covers them; these three are previously-verified re-entries
-    # (vector_topk_ivfpq_portable holds a green r09 row, so NOTHING
-    # else re-gates it — it must be listed here explicitly):
-    "interval_max_concurrency",
-    "stats_cramers_v",
-    "vector_topk_ivfpq_portable",
-    # funnel family: stage survivors now shared() (6 scans -> ~0);
-    # funnel_steps_strict is window-resident (never-verified gate):
-    "funnel_signup_view_purchase",
-    "funnel_within_7d",
-    "funnel_predicate_stages",
-    "sketch_hll_portable",  # register table shared() (6 scans -> 2)
-    # round-10 births (plans/extended_ops6.py, sf0.01-gated at birth):
-    "ann_recall_nprobe_frontier",
-    "ann_recall_bands_frontier",
-    "training_perplexity_by_source",
-    "ann_pq_distortion_frontier",
+    # round-11 births (plans/extended_ops7.py, sf0.01-gated at birth):
+    "ivm_delta_equivalence",
+    "join_click_purchase_within",
 ]
 
 

@@ -246,3 +246,35 @@ def test_hll_portable_estimate_within_bound(spark, sf_dir):
         lo, hi = 0.3 * r["exact_users"], 3.0 * r["exact_users"]
         assert lo <= r["users_est"] <= hi, (
             r["day_key"], r["users_est"], r["exact_users"])
+
+
+def test_skew_stress_bench_pair_equal(spark, sf_dir):
+    """The bench's tier2 skew-stress pair (bench._skew_stress): the
+    salted and unsalted plans over the deliberately hot-keyed join
+    must produce identical aggregates — the bench rows measure COST,
+    this pins that they compute the same thing."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    import math
+
+    plain = {
+        r["k"]: r["wsum"]
+        for r in bench._skew_stress(spark, sf_dir, salted=False).collect()
+    }
+    salted = {
+        r["k"]: r["wsum"]
+        for r in bench._skew_stress(spark, sf_dir, salted=True).collect()
+    }
+    assert plain.keys() == salted.keys() and len(plain) > 0
+    # rel_tol, not exact: the two plans sum doubles in different
+    # partial-agg orders, so the last ulp of each group's sum may differ
+    for k, v in plain.items():
+        assert math.isclose(v, salted[k], rel_tol=1e-9, abs_tol=1e-6), (
+            k, v, salted[k],
+        )

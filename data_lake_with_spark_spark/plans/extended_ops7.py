@@ -19,6 +19,7 @@ from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.functions.time import epoch_ms
 from data_lake_with_spark_spark.operators import ivm
 from data_lake_with_spark_spark.operators.joins import range_join_bucketed
+from data_lake_with_spark_spark.operators.plan_cache import shared
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -77,10 +78,15 @@ def ivm_delta_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, here pinned against recompute at driver scale. The whole
     three-epoch fold composes LAZILY (signed-delta aggs + full-outer
     merges); no action runs at construction."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    # shared(): the six change branches (3 insert epochs, update
+    # pre+post, delete) all derive from this one projection — without
+    # it the plan tree scans events 6×
+    ev = shared(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
     )
     eid = F.col("event_id")
     updated = (eid % 3 == 0) & (eid % 7 == 0)

@@ -43,8 +43,8 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 377 registered
-# queries (363 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 380 registered
+# queries (366 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
@@ -72,7 +72,10 @@ DRIVER_WINDOW = [
     "training_perplexity_by_source",
     # Round-11 births (verified at birth, sf0.01-gated too):
     "ivm_delta_equivalence",
+    "ivm_moment_equivalence",
+    "ivm_join_view_equivalence",
     "join_click_purchase_within",
+    "join_click_purchase_outer",
     # Stale re-verification (9 last green in r01):
     "json_to_map_props",
     "q10_returned_revenue",
@@ -102,7 +105,7 @@ DRIVER_WINDOW = [
     "join_cross",
     "join_full_outer",
     "join_left_semi",
-    # Stale re-verification (17: alphabetical head of the r04 set):
+    # Stale re-verification (14: alphabetical head of the r04 set):
     "agg_count_distinct",
     "anomaly_rolling_zscore",
     "chunk_documents",
@@ -117,9 +120,6 @@ DRIVER_WINDOW = [
     "grouping_sets_orders",
     "join_asof_last_purchase",
     "join_compound_key_anti",
-    "join_fuzzy_editdist",
-    "join_left_anti_new_rows",
-    "join_left_outer_enrich",
 ]
 
 
@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # The driver collects query N's result before constructing
             # query N+1, so releasing here is safe and bounds executor
             # storage to one query's shared() caches across the whole
-            # 377-query driver session (bench/sweep/pytest already
+            # 380-query driver session (bench/sweep/pytest already
             # release between timings).
             release_shared_caches()
             return REGISTRY[name].spark(_configure(spark), sf_dir)

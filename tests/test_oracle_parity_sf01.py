@@ -39,7 +39,10 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 CHANGED_THIS_ROUND = [
     # round-11 births (plans/extended_ops7.py, sf0.01-gated at birth):
     "ivm_delta_equivalence",
+    "ivm_moment_equivalence",
+    "ivm_join_view_equivalence",
     "join_click_purchase_within",
+    "join_click_purchase_outer",
 ]
 
 

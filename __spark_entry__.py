@@ -55,9 +55,9 @@ DRIVER_WINDOW = [
     # ZERO as the standing invariant (round-10 verdict directive #1):
     # it leads with the exact never-driver-verified oracled set
     # recomputed from the committed CORRECTNESS_r*.json files at
-    # rotation time — the 4 round-10 births — plus the 2 round-11
+    # rotation time — the 4 round-10 births — plus the 5 round-11
     # births (driver-verified in their birth round, so they never
-    # enter the queue at all). The remaining 44 slots re-verify the
+    # enter the queue at all). The remaining 41 slots re-verify the
     # STALEST previously-green rows (every r01-verified name, every
     # r03-verified name, and the alphabetical head of the r04 set) so
     # cumulative evidence freshness advances while the queue stays

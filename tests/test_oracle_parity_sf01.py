@@ -43,6 +43,11 @@ CHANGED_THIS_ROUND = [
     "ivm_join_view_equivalence",
     "join_click_purchase_within",
     "join_click_purchase_outer",
+    # round-11 engine change: range_join_bucketed_outer now shared()s
+    # its inner result (5 effective scans -> 1); results identical by
+    # construction, but the engine changed so the previously-verified
+    # user re-gates at driver scale:
+    "join_range_outer_5min",
 ]
 
 

@@ -43,8 +43,8 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 380 registered
-# queries (366 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 381 registered
+# queries (367 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
@@ -55,9 +55,9 @@ DRIVER_WINDOW = [
     # ZERO as the standing invariant (round-10 verdict directive #1):
     # it leads with the exact never-driver-verified oracled set
     # recomputed from the committed CORRECTNESS_r*.json files at
-    # rotation time — the 4 round-10 births — plus the 5 round-11
+    # rotation time — the 4 round-10 births — plus the 6 round-11
     # births (driver-verified in their birth round, so they never
-    # enter the queue at all). The remaining 41 slots re-verify the
+    # enter the queue at all). The remaining 40 slots re-verify the
     # STALEST previously-green rows (every r01-verified name, every
     # r03-verified name, and the alphabetical head of the r04 set) so
     # cumulative evidence freshness advances while the queue stays
@@ -76,6 +76,7 @@ DRIVER_WINDOW = [
     "ivm_join_view_equivalence",
     "join_click_purchase_within",
     "join_click_purchase_outer",
+    "ivf_incremental_assign_drift",
     # Stale re-verification (9 last green in r01):
     "json_to_map_props",
     "q10_returned_revenue",
@@ -105,7 +106,7 @@ DRIVER_WINDOW = [
     "join_cross",
     "join_full_outer",
     "join_left_semi",
-    # Stale re-verification (14: alphabetical head of the r04 set):
+    # Stale re-verification (13: alphabetical head of the r04 set):
     "agg_count_distinct",
     "anomaly_rolling_zscore",
     "chunk_documents",
@@ -119,7 +120,6 @@ DRIVER_WINDOW = [
     "funnel_within_7d",
     "grouping_sets_orders",
     "join_asof_last_purchase",
-    "join_compound_key_anti",
 ]
 
 
@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # The driver collects query N's result before constructing
             # query N+1, so releasing here is safe and bounds executor
             # storage to one query's shared() caches across the whole
-            # 380-query driver session (bench/sweep/pytest already
+            # 381-query driver session (bench/sweep/pytest already
             # release between timings).
             release_shared_caches()
             return REGISTRY[name].spark(_configure(spark), sf_dir)

@@ -369,3 +369,123 @@ def ivm_join_view_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(ivm.N_COL).alias("n_rows"),
         F.col("cents").cast("long").alias("sum_value_cents"),
     ).orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF: assigning ARRIVALS to a frozen codebook, with the
+# distortion-drift readout that decides when to retrain.
+# ---------------------------------------------------------------------------
+
+# Base/arrival split is deterministic (vec_id parity): the even half
+# stands in for the corpus the codebook was "trained" on, the odd half
+# for vectors ingested after the index build. Landmark cells are the
+# portable integer coarse quantizer (vec_ids 26..33, the
+# vector_topk_ivfpq_portable idiom) — frozen regardless of the split,
+# exactly like a production codebook that does NOT retrain per batch.
+IVF_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), comp AS (
+  SELECT vec_id, UNNEST(range(len(v))) AS dim,
+         CAST(FLOOR(v[UNNEST(range(len(v))) + 1] * 1000 + 0.5) AS BIGINT) AS x
+  FROM e
+), coarse AS (
+  SELECT vec_id - 26 AS cell, dim, x AS cx FROM comp
+  WHERE vec_id >= 26 AND vec_id < 34
+), d2c AS (
+  SELECT comp.vec_id, coarse.cell,
+         SUM((comp.x - coarse.cx) * (comp.x - coarse.cx)) AS d
+  FROM comp JOIN coarse ON comp.dim = coarse.dim
+  GROUP BY comp.vec_id, coarse.cell
+), assign AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, cell, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS crn
+    FROM d2c) WHERE crn = 1
+)
+SELECT cell,
+       CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_base,
+       CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new,
+       CAST(CAST(SUM(d) FILTER (WHERE vec_id % 2 = 0) AS BIGINT)
+            // GREATEST(COUNT(*) FILTER (WHERE vec_id % 2 = 0), 1) AS BIGINT)
+         AS base_mean_d,
+       CAST(CAST(SUM(d) FILTER (WHERE vec_id % 2 = 1) AS BIGINT)
+            // GREATEST(COUNT(*) FILTER (WHERE vec_id % 2 = 1), 1) AS BIGINT)
+         AS new_mean_d
+FROM assign
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+@register(
+    "ivf_incremental_assign_drift",
+    oracle=IVF_DRIFT_ORACLE,
+    tags=("vector", "llm", "ivf", "eval"),
+)
+def ivf_incremental_assign_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF serving, oracled: new vectors are assigned to
+    the FROZEN coarse codebook in O(new·cells) — no retrain, the only
+    viable ingest path when the index covers 100 TB — and the readout
+    compares per-cell mean quantization distortion of the arrivals
+    (odd vec_ids) against the base population (even vec_ids). A cell
+    whose new_mean_d rises above base_mean_d is drifting away from its
+    centroid: the retrain trigger a production vector store watches.
+    Exact integer arithmetic end-to-end (quantized components, integer
+    L2, DIV means — Spark DIV and DuckDB // both truncate), so the
+    readout hash-matches cross-engine at every sf.
+
+    Scale shape: ONE tracked shared() exploded-component scan;
+    landmarks broadcast (8 cells × dims); assignment is one keyed agg
+    + row_number per vec_id — identical to the
+    ann_recall_nprobe_frontier plan, with the split/drift readout
+    replacing the truth panel."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = shared(
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        ).select(
+            "vec_id",
+            "dim",
+            (F.floor(F.col("x") * 1000 + 0.5)).cast("bigint").alias("x"),
+        )
+    )
+    coarse = comp.where((F.col("vec_id") >= 26) & (F.col("vec_id") < 34)).select(
+        (F.col("vec_id") - 26).alias("cell"), "dim", F.col("x").alias("cx")
+    )
+    from pyspark.sql import Window as W
+
+    d2c = (
+        comp.join(F.broadcast(coarse), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))).alias("d"))
+    )
+    assign = (
+        d2c.select(
+            "vec_id",
+            "cell",
+            "d",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cell")).alias("crn"),
+        )
+        .where(F.col("crn") == 1)
+        .select("vec_id", "cell", "d")
+    )
+    is_base = F.col("vec_id") % 2 == 0
+    cnt = lambda cond: F.count(F.when(cond, 1))  # noqa: E731
+    return (
+        assign.groupBy("cell")
+        .agg(
+            cnt(is_base).alias("n_base"),
+            cnt(~is_base).alias("n_new"),
+            F.expr(
+                "sum(CASE WHEN vec_id % 2 = 0 THEN d ELSE 0 END) DIV "
+                "greatest(count(CASE WHEN vec_id % 2 = 0 THEN 1 END), 1)"
+            ).alias("base_mean_d"),
+            F.expr(
+                "sum(CASE WHEN vec_id % 2 = 1 THEN d ELSE 0 END) DIV "
+                "greatest(count(CASE WHEN vec_id % 2 = 1 THEN 1 END), 1)"
+            ).alias("new_mean_d"),
+        )
+        .orderBy("cell")
+    )

@@ -43,6 +43,7 @@ CHANGED_THIS_ROUND = [
     "ivm_join_view_equivalence",
     "join_click_purchase_within",
     "join_click_purchase_outer",
+    "ivf_incremental_assign_drift",
     # round-11 engine change: range_join_bucketed_outer now shared()s
     # its inner result (5 effective scans -> 1); results identical by
     # construction, but the engine changed so the previously-verified

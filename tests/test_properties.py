@@ -603,3 +603,64 @@ def test_sessionize_kernel_matches_reference_across_batch_splits(
                 for r in out.itertuples()
             )
     assert emitted == ref, (emitted, ref, batches)
+
+
+@st.composite
+def ivm_lifecycle_feed(draw):
+    """Random id lifecycles compiled into 3 CDF epochs: every id is
+    inserted in some epoch, optionally updated once (possibly moving
+    GROUP as well as value — preimage/postimage pair), optionally
+    deleted afterwards; same-epoch sequences (insert+update,
+    insert+delete netting to zero) are all legal within one batch."""
+    n_ids = draw(st.integers(1, 16))
+    epochs: list[list[tuple[int, int, str]]] = [[], [], []]
+    expected: dict[int, tuple[int, int]] = {}  # alive id -> (group, value)
+    for i in range(n_ids):
+        g = draw(st.integers(0, 3))
+        v = draw(st.integers(-5, 5))
+        born = draw(st.integers(0, 2))
+        epochs[born].append((g, v, "insert"))
+        cur = (g, v)
+        upd_ep = draw(st.one_of(st.none(), st.integers(born, 2)))
+        if upd_ep is not None:
+            g2 = draw(st.integers(0, 3))
+            v2 = draw(st.integers(-5, 5))
+            epochs[upd_ep].append((cur[0], cur[1], "update_preimage"))
+            epochs[upd_ep].append((g2, v2, "update_postimage"))
+            cur = (g2, v2)
+        first_del = upd_ep if upd_ep is not None else born
+        del_ep = draw(st.one_of(st.none(), st.integers(first_del, 2)))
+        if del_ep is not None:
+            epochs[del_ep].append((cur[0], cur[1], "delete"))
+        else:
+            expected[i] = cur
+    return epochs, expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=ivm_lifecycle_feed())
+def test_ivm_fold_matches_recompute_on_random_feeds(spark, case):
+    """The signed-delta fold (operators/ivm.maintain) must equal the
+    full recompute for ARBITRARY consistent change feeds — group-moving
+    updates, group-emptying deletes, same-batch insert+update and
+    insert+delete, empty epochs — not just the deterministic 3-epoch
+    feed the oracled queries pin. Randomized twin of
+    ivm_delta_equivalence."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    epochs, expected = case
+    state = None
+    for rows in epochs:
+        batch = spark.createDataFrame(
+            rows, "g int, v long, _change_type string"
+        )
+        state = ivm.maintain(state, batch, ["g"], ["v"])
+    got = {
+        r["g"]: (r[ivm.N_COL], int(r["v"]))
+        for r in state.collect()
+    }
+    want: dict[int, tuple[int, int]] = {}
+    for g, v in expected.values():
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want

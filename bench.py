@@ -150,9 +150,13 @@ def _skew_stress(spark, sf_dir: str, salted: bool):
     discipline the 100 TB docs claim — AQE's adaptive split is the
     third option and is separately pytest-pinned
     (tests/test_approx_and_skew.py test_aqe_splits_skewed_join).
-    Measured at sf0.1 steady state: unsalted ~5.9s vs salted ~2.8s
-    (2.1×) — the gap that becomes a stage-killer at 100×. Results are
-    equal by construction (pytest-pinned:
+    Measured at sf0.1 (5 repeated pairs, idle box): first pass 10.0s
+    vs 3.5s (2.9× — the cold-stage shape a one-shot batch job sees),
+    converging to ~2.85s vs ~2.2s steady state (~1.3× once JIT has the
+    sort loop — the hot task is then ~0.7s of single-thread work the
+    other 31 threads wait on). Both regimes worsen linearly with the
+    hot key's share of rows; at 100× the hot task IS the stage. Results
+    are equal by construction (pytest-pinned:
     test_skew_stress_bench_pair_equal)."""
     from data_lake_with_spark_spark.catalog import load_table
     from data_lake_with_spark_spark.operators.skew import salted_join

@@ -58,6 +58,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ts(raw, "ts")
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream replay of embeddings.parquet — the arriving-vector
+    feed for the streaming IVF drift view (schema probed from the
+    footer, metadata-only)."""
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+
+
 def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1-hour windows per event type with late-data watermark —
     the streaming twin of plans/windows_batch.window_tumbling_hourly."""

@@ -782,3 +782,121 @@ def read_neardup_state(
     verdict (doc_id, kept, dup_of, sig, bands)."""
     return V.versioned_read(spark, state_path, version)
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF ingest: assign arriving vectors to a frozen codebook
+# map-side, fold per-cell distortion state incrementally — the
+# streaming twin of plans/extended_ops7.ivf_incremental_assign_drift.
+# ---------------------------------------------------------------------------
+
+PORTABLE_CODEBOOK_CELLS = (26, 34)  # vec_id range of the landmark cells
+
+
+def portable_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """The portable integer coarse codebook (the
+    vector_topk_ivfpq_portable landmark idiom): quantized components
+    of embeddings vec_id 26..33, cell = vec_id - 26. A BOUNDED driver
+    artifact (8 cells × dims ints) — the codebook is what a real
+    deployment ships to executors as a broadcast/literal anyway."""
+    from pyspark.sql import functions as F
+
+    lo, hi = PORTABLE_CODEBOOK_CELLS
+    rows = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+        .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(
+            (F.col("vec_id") - lo).alias("cell"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000 + 0.5).cast("bigint"),
+            ).alias("q"),
+        )
+        .collect()
+    )
+    return sorted((r["cell"], list(r["q"])) for r in rows)
+
+
+def ivf_assign_changes(vectors: DataFrame, codebook: list[tuple[int, list[int]]]) -> DataFrame:
+    """(vec_id, embedding) → insert-change rows (cell, is_new, d):
+    nearest codebook cell by exact integer L2 with the (d, cell)
+    tie-break, computed ENTIRELY map-side — the codebook is a literal
+    array, per-row distance is zip_with+aggregate, argmin is
+    array_min over (d, cell) structs (lexicographic struct ordering =
+    the batch query's ORDER BY d, cell). Zero shuffles before the
+    tiny keyed fold; works identically on a batch frame or a stream
+    (pure column ops), which is what the differential test exploits."""
+    from pyspark.sql import functions as F
+
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1000 + 0.5).cast("bigint"),
+    )
+    with_q = vectors.withColumn("_q", q)
+
+    def cell_dist(cb: list[int], cell: int):
+        lit_cb = F.array(*[F.lit(int(v)) for v in cb])
+        d = F.aggregate(
+            F.zip_with(F.col("_q"), lit_cb, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return F.struct(d.alias("d"), F.lit(cell).cast("bigint").alias("cell"))
+
+    best = F.array_min(F.array(*[cell_dist(cb, c) for c, cb in codebook]))
+    return with_q.withColumn("best", best).select(
+        F.col("best.cell").alias("cell"),
+        (F.col("vec_id") % 2).alias("is_new"),
+        F.col("best.d").alias("d"),
+        F.lit("insert").alias("_change_type"),
+    )
+
+
+def stream_maintain_ivf_drift_view(
+    vector_stream: DataFrame,
+    codebook: list[tuple[int, list[int]]],
+    state_path: str,
+    query_name: str = "ivf_drift_view",
+    checkpoint: str | None = None,
+):
+    """Maintain per-(cell, is_new) distortion state from a STREAM of
+    arriving vectors: map-side codebook assignment (no retrain, no
+    shuffle) + the standard IVM insert fold. State is (cell, is_new,
+    n_rows, d) — O(cells), independent of stream length; the drift
+    readout derives means at read time (``read_ivf_drift``). The
+    streaming form of plans/extended_ops7.ivf_incremental_assign_drift
+    (differential-tested against it)."""
+    return stream_maintain_view(
+        ivf_assign_changes(vector_stream, codebook),
+        state_path,
+        group_cols=["cell", "is_new"],
+        sum_cols=["d"],
+        query_name=query_name,
+        checkpoint=checkpoint,
+    )
+
+
+def read_ivf_drift(spark: SparkSession, state_path: str) -> DataFrame:
+    """Per-cell drift readout from the maintained state: base vs
+    arrival counts and mean distortion (truncating DIV, matching the
+    batch query's integer means)."""
+    from pyspark.sql import functions as F
+
+    s = read_view(spark, state_path)
+    base = s.where(F.col("is_new") == 0).select(
+        "cell", F.col(ivm.N_COL).alias("n_base"), F.col("d").alias("_bd")
+    )
+    new = s.where(F.col("is_new") == 1).select(
+        "cell", F.col(ivm.N_COL).alias("n_new"), F.col("d").alias("_nd")
+    )
+    return (
+        base.join(new, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.expr("CAST(coalesce(_bd, 0) AS BIGINT) DIV greatest(coalesce(n_base, 0), 1)").alias("base_mean_d"),
+            F.expr("CAST(coalesce(_nd, 0) AS BIGINT) DIV greatest(coalesce(n_new, 0), 1)").alias("new_mean_d"),
+        )
+        .orderBy("cell")
+    )

@@ -1176,3 +1176,53 @@ def test_stream_dedup_neardup_state_exact_across_compaction_restart(
     assert (
         MV.read_neardup_state(spark, state).count() == len(pdf)
     )  # still exactly once
+
+
+def test_stream_ivf_drift_matches_oracled_batch(spark, sf_dir, tmp_path):
+    """The streaming IVF drift view (map-side codebook assignment over
+    an arriving-vector stream + IVM insert folds) must derive EXACTLY
+    the oracled batch query's per-cell readout
+    (plans/extended_ops7.ivf_incremental_assign_drift) — streaming
+    ingest and the batch index build agree cell for cell."""
+    from data_lake_with_spark_spark.plans import REGISTRY
+    from data_lake_with_spark_spark.streaming import jobs
+    from data_lake_with_spark_spark.streaming import materialized as M
+
+    cb = M.portable_codebook(spark, sf_dir)
+    assert len(cb) == 8 and all(len(q) == 64 for _, q in cb)
+    state = str(tmp_path / "ivf_drift_state")
+    q = M.stream_maintain_ivf_drift_view(
+        jobs.embeddings_stream(spark, sf_dir), cb, state, "t_ivf_drift"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+    got = {tuple(r) for r in M.read_ivf_drift(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["ivf_incremental_assign_drift"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and len(want) == 8
+
+
+def test_ivf_assign_changes_batch_stream_identical(spark, sf_dir):
+    """ivf_assign_changes is pure column math: applied to the BATCH
+    frame it must reproduce the oracled query's assignment exactly
+    (cell counts and distortion sums per (cell, is_new))."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.streaming import materialized as M
+
+    cb = M.portable_codebook(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    changes = M.ivf_assign_changes(emb, cb)
+    agg = {
+        (r["cell"], r["is_new"]): (r["n"], int(r["sum_d"]))
+        for r in changes.groupBy("cell", "is_new")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("sum_d"))
+        .collect()
+    }
+    assert sum(n for n, _ in agg.values()) == emb.count()
+    # every vector assigned somewhere; 8 cells × 2 parities at most
+    assert len(agg) <= 16 and all(c < 8 for c, _ in agg)

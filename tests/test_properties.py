@@ -664,3 +664,81 @@ def test_ivm_fold_matches_recompute_on_random_feeds(spark, case):
         n, s = want.get(g, (0, 0))
         want[g] = (n + 1, s + v)
     assert got == want
+
+
+@st.composite
+def band_join_case(draw):
+    """Random click/purchase-shaped frames for the bucketized band
+    join: few users, timestamps chosen to hit bucket boundaries and
+    the inclusive +gap edge (gap=300s; ts multiples of 60 land exactly
+    on 300 regularly), duplicate timestamps, empty sides."""
+    n_l = draw(st.integers(0, 12))
+    n_r = draw(st.integers(0, 12))
+    left = [
+        (i, draw(st.integers(0, 2)), draw(st.integers(0, 15)) * 60)
+        for i in range(n_l)
+    ]
+    right = [
+        (100 + j, draw(st.integers(0, 2)), draw(st.integers(0, 15)) * 60)
+        for j in range(n_r)
+    ]
+    return left, right
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=band_join_case())
+def test_band_join_matches_bruteforce(spark, case):
+    """range_join_bucketed (+ the outer form) vs the naive theta-join
+    definition on random inputs: same-user pairs with
+    0 < t_right - t_left <= gap, boundary INCLUSIVE at exactly +gap,
+    equal timestamps excluded; the outer form additionally emits every
+    unmatched left row exactly once with nulls."""
+    from data_lake_with_spark_spark.operators.joins import (
+        range_join_bucketed,
+        range_join_bucketed_outer,
+    )
+
+    GAP = 300
+    lrows, rrows = case
+    mk = lambda rows, idc, tsc: spark.createDataFrame(  # noqa: E731
+        [
+            (i, u, (BASE + pd.Timedelta(seconds=s)).to_pydatetime())
+            for i, u, s in rows
+        ],
+        f"{idc} long, user_id long, {tsc} timestamp",
+    )
+    left = mk(lrows, "a_id", "ts")
+    right = mk(rrows, "b_id", "ts2")
+    want = {
+        (a, b)
+        for a, ua, ta in lrows
+        for b, ub, tb in rrows
+        if ua == ub and 0 < tb - ta <= GAP
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in range_join_bucketed(
+            left, right, by="user_id", left_ts="ts", right_ts="ts2",
+            max_gap_seconds=GAP,
+        ).collect()
+    }
+    assert got == want
+
+    outer = range_join_bucketed_outer(
+        left, right, by="user_id", left_ts="ts", right_ts="ts2",
+        max_gap_seconds=GAP,
+    ).collect()
+    got_pairs = {
+        (r["a_id"], r["b_id"]) for r in outer if r["b_id"] is not None
+    }
+    got_nulls = sorted(r["a_id"] for r in outer if r["b_id"] is None)
+    matched_left = {a for a, _ in want}
+    assert got_pairs == want
+    assert got_nulls == sorted(
+        a for a, _, _ in lrows if a not in matched_left
+    )
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    release_shared_caches()  # the outer form shared()s its inner result

@@ -44,26 +44,40 @@ def apply_delta(
     """Merge a delta into the current aggregate: full outer join on the
     group, add component-wise, drop groups whose row count reaches 0.
     Only changed groups shuffle (the delta side is small); untouched
-    groups pass through the join unmodified."""
+    groups pass through the join unmodified.
+
+    The fold is DTYPE-PRESERVING (round-11 ADVICE): each sum column's
+    zero-identity is cast to that column's own type, so a long input
+    folds in exact integer arithmetic end-to-end instead of being
+    promoted to double — for a moments state (Σx² grows quadratically
+    in value magnitude) a double fold starts rounding per merge past
+    2^53 while the recompute oracle sums exactly; long folds stay
+    bit-exact to a far higher 2^63 wrap, and the ceiling is pinned by
+    tests/test_ivm.py::test_apply_delta_preserves_long_exactness."""
     d = delta.select(
         *group_cols,
         F.col(N_COL).alias("_d_n"),
         *[F.col(c).alias(f"_d_{c}") for c in sum_cols],
     )
-    merged = current.join(d, group_cols, "full_outer").select(
+    merged = current.join(d, group_cols, "full_outer")
+
+    def zero(col: str):
+        return F.lit(0).cast(merged.schema[col].dataType)
+
+    out = merged.select(
         *group_cols,
         (F.coalesce(F.col(N_COL), F.lit(0)) + F.coalesce(F.col("_d_n"), F.lit(0)))
         .cast("long")
         .alias(N_COL),
         *[
             (
-                F.coalesce(F.col(c), F.lit(0.0))
-                + F.coalesce(F.col(f"_d_{c}"), F.lit(0.0))
+                F.coalesce(F.col(c), zero(c))
+                + F.coalesce(F.col(f"_d_{c}"), zero(f"_d_{c}"))
             ).alias(c)
             for c in sum_cols
         ],
     )
-    return merged.where(F.col(N_COL) > 0)
+    return out.where(F.col(N_COL) > 0)
 
 
 def maintain(
@@ -112,7 +126,11 @@ def moment_stats(state: DataFrame, group_cols: list[str], value_cols: list[str])
     n = F.col(N_COL)
     out_cols = [*group_cols, n.alias(N_COL)]
     for c in value_cols:
-        s, ss = F.col(c), F.col(_sq(c))
+        # the STATE stays in the input's own (possibly integer) type —
+        # floats appear only here, at read time, mirroring the oracle's
+        # CAST(SUM(..) AS DOUBLE): s*s on a long state would overflow
+        # 2^63 long before the double derivation loses anything
+        s, ss = F.col(c).cast("double"), F.col(_sq(c)).cast("double")
         var = F.when(n > 1, F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0)))
         out_cols += [
             (s / n).alias(f"avg_{c}"),
@@ -154,6 +172,25 @@ def maintain_join_agg(
     return maintain(current, enriched, group_cols, sum_cols)
 
 
+def _insert_only(col: str, state_name: str):
+    """Guard expression for the insert-only states: passes ``col``
+    through on insert rows and RAISES AT EXECUTION TIME on any other
+    change type. Replaces the former eager ``changes.where(...).count()``
+    guard (round-12): enforcement is identical, but the plan now builds
+    with ZERO jobs (the registered IVM-equality queries stay inside the
+    lazy-construction contract) and a refresh no longer pays an extra
+    scan of the change batch per fold — at 100 TB that eager probe was
+    a whole job per micro-batch."""
+    return F.when(F.col("_change_type") == "insert", F.col(col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{state_name} state is insert-only; got _change_type="),
+                F.col("_change_type"),
+            )
+        )
+    )
+
+
 def maintain_bitmap(
     current: DataFrame | None,
     changes: DataFrame,
@@ -168,18 +205,17 @@ def maintain_bitmap(
     Σ popcount(bits) per group at read time (see read_bitmap_distinct).
     Deletes are REJECTED: bits are not subtractable — pair with a
     tombstone rebuild if retraction is required (same caveat as any
-    bitmap/HLL distinct state)."""
-    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
-    if bad:
-        raise ValueError("bitmap distinct state is insert-only")
+    bitmap/HLL distinct state; the reject is a runtime raise on the
+    first non-insert row — see _insert_only)."""
     delta = (
-        changes.select(
+        changes.select(*group_cols, _insert_only(id_col, "bitmap distinct").alias("_gid"))
+        .select(
             *group_cols,
             # exact integer floor-div/pmod — no double `/` precision
             # loss past 2^53, well-defined for negative ids
-            F.expr(f"({id_col} - pmod({id_col}, 32)) div 32").alias("chunk"),
+            F.expr("(_gid - pmod(_gid, 32)) div 32").alias("chunk"),
             F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({id_col}, 32) AS INT))"
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_gid, 32) AS INT))"
             ).alias("bit"),
         )
         .groupBy(*group_cols, "chunk")
@@ -221,15 +257,19 @@ def maintain_kmv(
     weakness), at the price of an estimate instead of an exact count;
     and unlike bitmap/HLL the state supports set INTERSECTION
     (sketches.kmv_overlap). Deletes are REJECTED: k-minima are not
-    subtractable."""
+    subtractable (runtime raise — see _insert_only)."""
     from pyspark.sql import Window
 
-    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
-    if bad:
-        raise ValueError("kmv distinct state is insert-only")
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("kmv1"))), 1, 8
+            F.md5(
+                F.concat(
+                    _insert_only(id_col, "kmv distinct").cast("string"),
+                    F.lit("kmv1"),
+                )
+            ),
+            1,
+            8,
         ),
         16,
         10,
@@ -282,12 +322,10 @@ def maintain_hll(
     REGARDLESS of id range (beats the bitmap's O(id_range/32)) and
     merges across groups for rollups (sketch_hll_cube); the price is
     an estimate, and -- like bitmap/KMV -- deletes are REJECTED
-    (register maxes are not subtractable)."""
-    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
-    if bad:
-        raise ValueError("hll distinct state is insert-only")
+    (register maxes are not subtractable; runtime raise -- see
+    _insert_only)."""
     delta = (
-        changes.select(*group_cols, F.col(id_col).alias("_id"))
+        changes.select(*group_cols, _insert_only(id_col, "hll distinct").alias("_id"))
         .withColumn(
             "_h",
             F.conv(
@@ -365,13 +403,14 @@ def maintain_extrema(
     states). Extrema are not subtractable, so deletes are REJECTED
     like the other distinct/extrema states. The freshness-SLA state:
     vmax of an event-time column per source is the watermark the
-    dq_freshness_by_type readout lags against."""
-    bad = changes.where(F.col("_change_type") != "insert").limit(1).count()
-    if bad:
-        raise ValueError("extrema state is insert-only")
-    delta = changes.groupBy(*group_cols).agg(
-        F.max(value_col).alias("vmax"),
-        F.min(value_col).alias("vmin"),
+    dq_freshness_by_type readout lags against. Deletes are REJECTED at
+    execution time (see _insert_only)."""
+    guarded = changes.select(
+        *group_cols, _insert_only(value_col, "extrema").alias("_gv")
+    )
+    delta = guarded.groupBy(*group_cols).agg(
+        F.max("_gv").alias("vmax"),
+        F.min("_gv").alias("vmin"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
     if current is None:

@@ -406,16 +406,21 @@ WITH e AS (
 SELECT cell,
        CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_base,
        CAST(COUNT(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new,
-       CAST(CAST(SUM(d) FILTER (WHERE vec_id % 2 = 0) AS BIGINT)
+       CAST(CAST(COALESCE(SUM(d) FILTER (WHERE vec_id % 2 = 0), 0) AS BIGINT)
             // GREATEST(COUNT(*) FILTER (WHERE vec_id % 2 = 0), 1) AS BIGINT)
          AS base_mean_d,
-       CAST(CAST(SUM(d) FILTER (WHERE vec_id % 2 = 1) AS BIGINT)
+       CAST(CAST(COALESCE(SUM(d) FILTER (WHERE vec_id % 2 = 1), 0) AS BIGINT)
             // GREATEST(COUNT(*) FILTER (WHERE vec_id % 2 = 1), 1) AS BIGINT)
          AS new_mean_d
 FROM assign
 GROUP BY cell
 ORDER BY cell
 """
+# ^ COALESCE(...,0) on each side's filtered SUM (round-11 ADVICE):
+# the Spark plan emits 0 for a cell whose assigned vectors are all one
+# parity (sum CASE..ELSE 0 END), while a bare SUM(d) FILTER over zero
+# rows is NULL — the oracle must agree on skewed datasets where a cell
+# holds only base or only arrival vectors.
 
 
 @register(

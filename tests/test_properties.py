@@ -671,11 +671,19 @@ def band_join_case(draw):
     """Random click/purchase-shaped frames for the bucketized band
     join: few users, timestamps chosen to hit bucket boundaries and
     the inclusive +gap edge (gap=300s; ts multiples of 60 land exactly
-    on 300 regularly), duplicate timestamps, empty sides."""
+    on 300 regularly), duplicate timestamps, empty sides, and NULLABLE
+    left payload values (round-11 verdict #1: the outer form's
+    anti-join must be null-safe, or a null-payload row that DID match
+    is re-emitted as a spurious unmatched null row)."""
     n_l = draw(st.integers(0, 12))
     n_r = draw(st.integers(0, 12))
     left = [
-        (i, draw(st.integers(0, 2)), draw(st.integers(0, 15)) * 60)
+        (
+            i,
+            draw(st.integers(0, 2)),
+            draw(st.integers(0, 15)) * 60,
+            draw(st.one_of(st.none(), st.integers(0, 3))),
+        )
         for i in range(n_l)
     ]
     right = [
@@ -700,18 +708,23 @@ def test_band_join_matches_bruteforce(spark, case):
 
     GAP = 300
     lrows, rrows = case
-    mk = lambda rows, idc, tsc: spark.createDataFrame(  # noqa: E731
+    left = spark.createDataFrame(
         [
-            (i, u, (BASE + pd.Timedelta(seconds=s)).to_pydatetime())
-            for i, u, s in rows
+            (i, u, (BASE + pd.Timedelta(seconds=s)).to_pydatetime(), pay)
+            for i, u, s, pay in lrows
         ],
-        f"{idc} long, user_id long, {tsc} timestamp",
+        "a_id long, user_id long, ts timestamp, payload long",
     )
-    left = mk(lrows, "a_id", "ts")
-    right = mk(rrows, "b_id", "ts2")
+    right = spark.createDataFrame(
+        [
+            (j, u, (BASE + pd.Timedelta(seconds=s)).to_pydatetime())
+            for j, u, s in rrows
+        ],
+        "b_id long, user_id long, ts2 timestamp",
+    )
     want = {
         (a, b)
-        for a, ua, ta in lrows
+        for a, ua, ta, _ in lrows
         for b, ub, tb in rrows
         if ua == ub and 0 < tb - ta <= GAP
     }
@@ -735,8 +748,11 @@ def test_band_join_matches_bruteforce(spark, case):
     matched_left = {a for a, _ in want}
     assert got_pairs == want
     assert got_nulls == sorted(
-        a for a, _, _ in lrows if a not in matched_left
+        a for a, _, _, _ in lrows if a not in matched_left
     )
+    # payload values (null included) survive the outer union intact
+    lpay = {a: pay for a, _, _, pay in lrows}
+    assert all(r["payload"] == lpay[r["a_id"]] for r in outer)
     from data_lake_with_spark_spark.operators.plan_cache import (
         release_shared_caches,
     )

@@ -18,6 +18,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     extended_ops5,
     extended_ops6,
     extended_ops7,
+    extended_ops8,
     lakehouse_ops,
     reference_surface,
     relational,

@@ -1,0 +1,246 @@
+"""Round-12 batch: oracled equalities for the MAINTAINED bitmap and
+extrema IVM states (pytest-only until now — round-11 verdict directive
+#2), and the watermark/late-data accounting readout for the
+stream-stream join (directive #6).
+
+Same registry discipline as plans/extended_ops.py..7: integer-exact
+outputs, full DuckDB oracles, no cartesian products, no Python in the
+hot path. Extensions beyond the reference's own surface (reference
+scope: /root/reference/etl.py — no counterpart there). Each entry is
+sf0.01-gated at birth via tests/test_oracle_parity_sf01.py
+CHANGED_THIS_ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.functions.time import epoch_ms
+from data_lake_with_spark_spark.operators import ivm
+from data_lake_with_spark_spark.operators.plan_cache import shared
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Maintained bitmap-distinct state == COUNT(DISTINCT) recompute.
+# ---------------------------------------------------------------------------
+
+# Insert-only 3-epoch feed (bitmap/extrema states reject deletes):
+#   epoch 0  INSERT every event with event_id % 3 == 0
+#   epoch 1  INSERT every event with event_id % 3 == 1
+#   epoch 2  INSERT every event with event_id % 3 == 2, PLUS A FULL
+#            REPLAY of epoch 0 (at-least-once duplicate delivery)
+# The bitmap OR-fold is idempotent per id, so the replay must be a
+# no-op and the readout equals the plain distinct count — which is
+# exactly what the oracle computes over the base table.
+IVM_BITMAP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ivm_bitmap_distinct_equivalence",
+    oracle=IVM_BITMAP_ORACLE,
+    tags=("ivm", "cdc", "sketch"),
+)
+def ivm_bitmap_distinct_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED exact-distinct bitmap state, driver-oracled (round-11
+    verdict directive #2): per-event-type user bitmaps advanced through
+    a 3-epoch insert feed — epoch 2 REPLAYS epoch 0 wholesale, the
+    at-least-once delivery a streaming sink sees on retry — must equal
+    DuckDB's COUNT(DISTINCT) over the base table. The OR-merge is
+    idempotent per id, so the replay is provably a no-op; distinct is
+    Σ popcount at read time (``ivm.read_bitmap_distinct``), never a
+    base-table rescan. State is O(id_range/32) per group — the exact
+    companion to the KMV/HLL estimates whose maintained states share
+    this fold discipline (operators/ivm.py).
+
+    Scale shape: ONE shared() events projection feeds all four insert
+    branches; each fold is one hash-agg shuffle on (group, chunk); the
+    readout is one more agg. O(changes) per refresh, zero construction
+    jobs (the insert-only guard raises in the data path, not via an
+    eager probe)."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    )
+    eid = F.col("event_id")
+
+    def tagged(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_type", "user_id", F.lit("insert").alias("_change_type")
+        )
+
+    batches = [
+        tagged(ev.where(eid % 3 == 0)),
+        tagged(ev.where(eid % 3 == 1)),
+        # epoch 2: fresh rows + the epoch-0 replay (duplicate delivery)
+        tagged(ev.where(eid % 3 == 2)).unionByName(tagged(ev.where(eid % 3 == 0))),
+    ]
+    state: DataFrame | None = None
+    for batch in batches:
+        state = ivm.maintain_bitmap(state, batch, ["event_type"], "user_id")
+    return ivm.read_bitmap_distinct(state, ["event_type"]).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Maintained extrema state == MAX/MIN/COUNT recompute.
+# ---------------------------------------------------------------------------
+
+IVM_EXTREMA_ORACLE = """
+SELECT event_type,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vmax_cents,
+       CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS vmin_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ivm_extrema_equivalence",
+    oracle=IVM_EXTREMA_ORACLE,
+    tags=("ivm", "cdc"),
+)
+def ivm_extrema_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED per-group MAX/MIN/count state, driver-oracled
+    (round-11 verdict directive #2): the freshness-SLA state
+    (``ivm.maintain_extrema`` — vmax of an event-time/value column per
+    source is what a staleness monitor lags against) advanced through
+    the 3-epoch insert feed must equal the full MAX/MIN/COUNT
+    recompute. No replay here: unlike the bitmap's OR, the n_rows sum
+    is idempotent per EPOCH, not per row — the exactly-once epoch
+    guard in the streaming sink is load-bearing, and this equality
+    documents the correct-delivery contract it protects. Values fold
+    as integer cents (FLOOR(v·100+0.5) — exact for the 2-decimal
+    events.value), so max/min/count agree bit-for-bit cross-engine.
+
+    Scale shape: one shared() projection, one hash-agg per fold with
+    map-side partial max/min, merge joins only touched groups."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    eid = F.col("event_id")
+
+    def tagged(df: DataFrame) -> DataFrame:
+        return df.select("event_type", "cents", F.lit("insert").alias("_change_type"))
+
+    state: DataFrame | None = None
+    for epoch in (0, 1, 2):
+        state = ivm.maintain_extrema(
+            state, tagged(ev.where(eid % 3 == epoch)), ["event_type"], "cents"
+        )
+    return state.select(
+        "event_type",
+        F.col("vmax").alias("vmax_cents"),
+        F.col("vmin").alias("vmin_cents"),
+        F.col("n_rows"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Watermark / late-data accounting for the stream-stream join.
+# ---------------------------------------------------------------------------
+
+# Arrival order is modeled DETERMINISTICALLY (events.parquet is written
+# in event-time order, so event_id order alone would never produce a
+# late row): each event arrives with a network-jitter delay of
+# (event_id % 7) × 10 minutes, and the watermark is the running max of
+# EVENT time over that arrival order, minus a 30-minute horizon — the
+# exact quantity Spark's watermark tracks across micro-batches. A row
+# is "late" (silently dropped by the streaming join/agg) iff its event
+# time is below the watermark at its own arrival.
+WATERMARK_ACCOUNTING_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + (event_id % 7) * 600000 AS arr_ms
+  FROM events
+), seq AS (
+  SELECT ts, ts_ms,
+         MAX(ts_ms) OVER (ORDER BY arr_ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_ms
+  FROM base
+)
+SELECT date_trunc('hour', ts) AS hour_start,
+       CAST(COUNT(*) FILTER (WHERE ts_ms >= seen_ms - 1800000) AS BIGINT)
+         AS n_ontime,
+       CAST(COUNT(*) FILTER (WHERE ts_ms < seen_ms - 1800000) AS BIGINT)
+         AS n_late
+FROM seq
+GROUP BY hour_start
+ORDER BY hour_start
+"""
+
+
+@register(
+    "watermark_late_accounting",
+    oracle=WATERMARK_ACCOUNTING_ORACLE,
+    tags=("streaming-twin", "window", "dq"),
+)
+def watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark/late-data accounting, driver-oracled (round-11 verdict
+    directive #6): per event-time hour, how many events would land
+    INSIDE vs OUTSIDE a 30-minute watermark horizon under a
+    deterministic jittered arrival order — the operational readout the
+    stream-stream joins lack (they drop late rows silently; correct
+    semantics, invisible to an operator). The streaming complement —
+    a late purchase beyond the watermark provably absent from the
+    streaming join but present in the batch twin — is pinned by
+    tests/test_streaming.py::test_stream_join_drops_late_purchase.
+
+    Scale shape: the running max over arrival order is a PREFIX SCAN,
+    not a single global sort — within-bucket running max (window
+    partitioned by arrival-hour bucket, parallel across buckets) +
+    per-bucket maxima prefix-combined over the tiny bucket list and
+    broadcast back. At 100 TB the bucket list is O(hours), never
+    O(rows), so no stage sees unpartitioned data."""
+    base = shared(
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            epoch_ms("ts").alias("ts_ms"),
+            (epoch_ms("ts") + (F.col("event_id") % 7) * 600000).alias("arr_ms"),
+        )
+        .withColumn("bucket", F.expr("arr_ms div 3600000"))
+    )
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("arr_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = base.withColumn("run_ms", F.max("ts_ms").over(wb))
+    # prefix-combine the per-bucket maxima: the frame is O(buckets)
+    # rows, so the unpartitioned window is a deliberate tiny stage
+    bmax = base.groupBy("bucket").agg(F.max("ts_ms").alias("bmax"))
+    wprev = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax.select(
+        "bucket", F.max("bmax").over(wprev).alias("prev_ms")
+    )
+    j = run.join(F.broadcast(prev), "bucket")
+    seen = F.greatest(F.col("run_ms"), F.coalesce(F.col("prev_ms"), F.lit(-(2**62))))
+    late = F.col("ts_ms") < seen - F.lit(1800000)
+    return (
+        j.select(F.date_trunc("hour", F.col("ts")).alias("hour_start"), late.alias("_late"))
+        .groupBy("hour_start")
+        .agg(
+            F.count(F.when(~F.col("_late"), 1)).alias("n_ontime"),
+            F.count(F.when(F.col("_late"), 1)).alias("n_late"),
+        )
+        .orderBy("hour_start")
+    )

@@ -550,3 +550,100 @@ def test_stateful_sessionize_rejects_out_of_order(spark, tmp_path):
                 raise q.exception()
         finally:
             q.stop()
+
+
+def test_stream_join_drops_late_purchase(spark, tmp_path):
+    """Watermark/late-data contract for the stream-stream interval
+    join (round-11 verdict directive #6): a purchase arriving AFTER
+    the watermark has passed its event time is provably ABSENT from
+    the streaming join's output — while the batch twin
+    (operators/joins.range_join_bucketed over the same rows) includes
+    the pair. The oracled operational readout of this drop behavior is
+    plans/extended_ops8.watermark_late_accounting."""
+    import datetime as dt
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(spec):
+        return [
+            (i, u, t0 + dt.timedelta(minutes=m), et) for i, u, m, et in spec
+        ]
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    # the +120 min click AND purchase (user 2, same ts so they don't
+    # join each other) advance BOTH sides' watermarks — the global
+    # watermark is the MIN across watermark operators, and the join
+    # filters each event type BEFORE its watermark node, so a non-join
+    # row type would advance neither
+    b1 = [
+        (1, 1, 0, "click"),
+        (2, 1, 5, "purchase"),
+        (3, 2, 120, "click"),
+        (5, 2, 120, "purchase"),
+    ]
+    b2 = [(4, 1, 6, "purchase")]  # in-band for click 1, but LATE:
+    # watermark after batch 1 is 12:00 − 10 min = 11:50 ≫ 10:06
+    src = tmp_path / "replay"
+    src.mkdir()
+
+    def feed(sub, spec):
+        d = src / sub
+        spark.createDataFrame(rows(spec), schema).coalesce(1).write.parquet(
+            str(d)
+        )
+        assert any(p.startswith("part-") for p in os.listdir(str(d)))
+
+    # batch 1 only at stream start; batch 2 lands AFTER batch 1 is
+    # fully processed, so the watermark (max seen 12:00 − 10 min =
+    # 11:50) is in force when the late purchase arrives
+    feed("b1", b1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        jobs.click_purchase_stream_join(
+            stream, within="10 minutes", watermark="10 minutes"
+        )
+        .select("click_id", "purchase_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed("b2", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM t_late_drop").collect()
+    }
+    # the in-time purchase joined; the late one was dropped silently
+    assert got == {(1, 2)}
+
+    # batch twin over the SAME rows: both pairs are present
+    from data_lake_with_spark_spark.operators.joins import range_join_bucketed
+
+    all_ev = spark.createDataFrame(rows(b1) + rows(b2), schema)
+    clicks = all_ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = all_ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    twin = {
+        (r["click_id"], r["purchase_id"])
+        for r in range_join_bucketed(
+            clicks, purchases, by="user_id", left_ts="ts", right_ts="p_ts",
+            max_gap_seconds=600,
+        ).collect()
+    }
+    assert twin == {(1, 2), (1, 4)}

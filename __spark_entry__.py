@@ -43,83 +43,77 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 381 registered
-# queries (367 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 384 registered
+# queries (370 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-11 rotation: the entire round-10 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r10.json, durable in git), so all
-    # 50 rows rotate out. This window keeps the EVIDENCE QUEUE AT
-    # ZERO as the standing invariant (round-10 verdict directive #1):
-    # it leads with the exact never-driver-verified oracled set
-    # recomputed from the committed CORRECTNESS_r*.json files at
-    # rotation time — the 4 round-10 births — plus the 6 round-11
-    # births (driver-verified in their birth round, so they never
-    # enter the queue at all). The remaining 40 slots re-verify the
-    # STALEST previously-green rows (every r01-verified name, every
-    # r03-verified name, and the alphabetical head of the r04 set) so
-    # cumulative evidence freshness advances while the queue stays
-    # empty. After this window lands, the never-driver-verified set
-    # recomputed from committed files holds only rows-only-by-
-    # documented-necessity names (no oracle -> no green row possible;
-    # each has an oracled _portable twin).
-    # Queue drains (4 round-10 births):
-    "ann_recall_nprobe_frontier",
-    "ann_recall_bands_frontier",
-    "ann_pq_distortion_frontier",
-    "training_perplexity_by_source",
-    # Round-11 births (verified at birth, sf0.01-gated too):
+    # Round-12 rotation: the round-11 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r11.json, durable in git) and the
+    # evidence queue is EMPTY (round-11 verdict: 367/367 oracled
+    # queries hold a green driver row), so this window is pure
+    # rotation per round-11 directive #1: round-12 BIRTHS first (so
+    # they never enter the queue), then every query whose ENGINE OR
+    # ORACLE changed this round (re-gated on verified rows), then the
+    # stalest previously-green tranche — the remainder of the
+    # r04-verified set after round 11 took its alphabetical head,
+    # then the alphabetical head of the r05 set.
+    # Round-12 births:
+    "ivm_bitmap_distinct_equivalence",
+    "ivm_extrema_equivalence",
+    "watermark_late_accounting",
+    # Engine/oracle changed this round (see test_oracle_parity_sf01
+    # CHANGED_THIS_ROUND for the per-change rationale):
     "ivm_delta_equivalence",
     "ivm_moment_equivalence",
     "ivm_join_view_equivalence",
-    "join_click_purchase_within",
-    "join_click_purchase_outer",
     "ivf_incremental_assign_drift",
-    # Stale re-verification (9 last green in r01):
-    "json_to_map_props",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_classes",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    # Stale re-verification (18 last green in r03):
-    "agg_conditional",
-    "agg_corr_median",
-    "agg_having",
-    "agg_histogram_buckets",
-    "agg_min_max_stddev",
-    "agg_ordered_string",
-    "agg_percentiles_exact",
-    "array_ops_embeddings",
-    "corpus_clean_pipeline",
-    "decode_audio_wav",
-    "decode_image_gif",
-    "dedup_containment",
-    "dedup_keep_latest",
-    "filter_gopher_repetition",
-    "funnel_predicate_stages",
-    "join_cross",
-    "join_full_outer",
-    "join_left_semi",
-    # Stale re-verification (13: alphabetical head of the r04 set):
-    "agg_count_distinct",
-    "anomaly_rolling_zscore",
-    "chunk_documents",
-    "cohort_weekly_retention",
-    "cube_lineitem",
-    "decode_image_png",
-    "epoch_ms_to_timestamp",
-    "events_transition_matrix",
-    "filter_predicates",
-    "funnel_signup_view_purchase",
-    "funnel_within_7d",
-    "grouping_sets_orders",
-    "join_asof_last_purchase",
+    "join_click_purchase_outer",
+    "join_range_outer_5min",
+    # Stale re-verification (25: the rest of the r04-verified set):
+    "join_compound_key_anti",
+    "join_fuzzy_editdist",
+    "join_left_anti_new_rows",
+    "join_left_outer_enrich",
+    "join_range_within_5min",
+    "join_salted_skew",
+    "json_extract_props",
+    "pivot_status_price",
+    "proj_distinct",
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q6_forecast_revenue",
+    "rag_chunk_retrieval",
+    "rollup_hypertable_daily",
+    "semdedup_within_cluster",
+    "sort_limit_topk",
+    "subquery_correlated_avg",
+    "text_stats",
+    "text_tfidf_top_terms",
+    "time_dimension",
+    "timeseries_resample_locf",
+    "training_pack_sequences",
+    "vector_topk_bruteforce",
+    "window_topk_per_group",
+    "window_tumbling_hourly",
+    # Stale re-verification (16: alphabetical head of the r05 set):
+    "agg_bitmap_distinct_users",
+    "anomaly_cusum_changepoint",
+    "basket_part_affinity",
+    "decontaminate_bloom",
+    "dedup_cluster_keep_best",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_portable",
+    "dedup_segments_keep_first",
+    "dedup_simhash_portable",
+    "dq_expectations",
+    "filter_boilerplate_crossdoc",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "interval_max_concurrency",
+    "join_asof_cogroup",
 ]
 
 

@@ -244,3 +244,84 @@ def watermark_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+# The tuning curve behind the single-horizon readout: how much data a
+# given watermark delay sacrifices. Operators pick the delay from this
+# frontier (tight = small state, more drops; loose = the reverse) —
+# the watermark analog of the r10 ann_recall_nprobe_frontier.
+WATERMARK_FRONTIER_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) + (event_id % 7) * 600000 AS arr_ms
+  FROM events
+), seq AS (
+  SELECT ts_ms,
+         MAX(ts_ms) OVER (ORDER BY arr_ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_ms
+  FROM base
+), h AS (
+  SELECT CAST(UNNEST([1, 10, 30, 120]) AS BIGINT) AS horizon_minutes
+)
+SELECT h.horizon_minutes,
+       CAST(COUNT(*) FILTER (WHERE ts_ms < seen_ms - h.horizon_minutes * 60000)
+         AS BIGINT) AS n_late,
+       CAST(COUNT(*) FILTER (WHERE ts_ms >= seen_ms - h.horizon_minutes * 60000)
+         AS BIGINT) AS n_ontime
+FROM seq CROSS JOIN h
+GROUP BY h.horizon_minutes
+ORDER BY h.horizon_minutes
+"""
+
+
+@register(
+    "watermark_horizon_frontier",
+    oracle=WATERMARK_FRONTIER_ORACLE,
+    tags=("streaming-twin", "window", "dq", "eval"),
+)
+def watermark_horizon_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay tuning frontier, driver-oracled: the count of
+    events a streaming job would DROP at each candidate watermark
+    horizon (1/10/30/120 minutes) under the same deterministic
+    jittered arrival order as ``watermark_late_accounting``. Monotone
+    by construction (looser horizon ⇒ fewer drops — pinned by
+    tests/test_streaming.py::test_watermark_frontier_monotone); the
+    operational curve that decides the delay/state-size tradeoff
+    before a stream is deployed, computed from history instead of
+    guessed.
+
+    Scale shape: the same two-phase prefix scan (per-bucket running
+    max, tiny bucket-list combine), then a 4-way literal explode —
+    4 rows per event into one hash agg, no extra scan of events."""
+    base = shared(
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            epoch_ms("ts").alias("ts_ms"),
+            (epoch_ms("ts") + (F.col("event_id") % 7) * 600000).alias("arr_ms"),
+        )
+        .withColumn("bucket", F.expr("arr_ms div 3600000"))
+    )
+    wb = (
+        W.partitionBy("bucket")
+        .orderBy("arr_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = base.withColumn("run_ms", F.max("ts_ms").over(wb))
+    bmax = base.groupBy("bucket").agg(F.max("ts_ms").alias("bmax"))
+    wprev = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    prev = bmax.select("bucket", F.max("bmax").over(wprev).alias("prev_ms"))
+    j = run.join(F.broadcast(prev), "bucket")
+    seen = F.greatest(F.col("run_ms"), F.coalesce(F.col("prev_ms"), F.lit(-(2**62))))
+    horizons = F.array(*[F.lit(h).cast("long") for h in (1, 10, 30, 120)])
+    late = F.col("ts_ms") < F.col("seen_ms") - F.col("horizon_minutes") * 60000
+    return (
+        j.select(F.col("ts_ms"), seen.alias("seen_ms"))
+        .withColumn("horizon_minutes", F.explode(horizons))
+        .groupBy("horizon_minutes")
+        .agg(
+            F.count(F.when(late, 1)).alias("n_late"),
+            F.count(F.when(~late, 1)).alias("n_ontime"),
+        )
+        .orderBy("horizon_minutes")
+    )

@@ -28,8 +28,8 @@ from tests.oracle_harness import duckdb_connection, run_one
 
 SF01 = "/root/testdata/sf0.01"
 
-# Bump per round to rotate the third. r11 -> 2.
-ROUND = 11
+# Bump per round to rotate the third. r12 -> 0.
+ROUND = 12
 
 ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
@@ -37,17 +37,22 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
-    # round-11 births (plans/extended_ops7.py, sf0.01-gated at birth):
+    # round-12 births (plans/extended_ops8.py, sf0.01-gated at birth):
+    "ivm_bitmap_distinct_equivalence",
+    "ivm_extrema_equivalence",
+    "watermark_late_accounting",
+    # round-12 engine change: ivm.apply_delta folds dtype-preserving
+    # (long stays exact integer instead of double) and moment_stats
+    # casts to double only at read — the three IVM equalities re-gate:
     "ivm_delta_equivalence",
     "ivm_moment_equivalence",
     "ivm_join_view_equivalence",
-    "join_click_purchase_within",
-    "join_click_purchase_outer",
+    # round-12 oracle change: COALESCE'd filtered SUMs (single-parity
+    # cells) — re-gate on the new oracle text:
     "ivf_incremental_assign_drift",
-    # round-11 engine change: range_join_bucketed_outer now shared()s
-    # its inner result (5 effective scans -> 1); results identical by
-    # construction, but the engine changed so the previously-verified
-    # user re-gates at driver scale:
+    # round-12 engine change: range_join_bucketed_outer anti-joins via
+    # eqNullSafe (null-payload edge) — both registered users re-gate:
+    "join_click_purchase_outer",
     "join_range_outer_5min",
 ]
 

@@ -647,3 +647,15 @@ def test_stream_join_drops_late_purchase(spark, tmp_path):
         ).collect()
     }
     assert twin == {(1, 2), (1, 4)}
+
+
+def test_watermark_frontier_monotone(spark, sf_dir):
+    """The horizon frontier is monotone (looser watermark drops no
+    MORE events) and conserves the event total across horizons."""
+    rows = REGISTRY["watermark_horizon_frontier"].spark(spark, sf_dir).collect()
+    by_h = {r["horizon_minutes"]: r["n_late"] for r in rows}
+    hs = sorted(by_h)
+    assert hs == [1, 10, 30, 120]
+    assert all(by_h[a] >= by_h[b] for a, b in zip(hs, hs[1:]))
+    totals = {r["n_late"] + r["n_ontime"] for r in rows}
+    assert len(totals) == 1

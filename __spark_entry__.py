@@ -63,6 +63,7 @@ DRIVER_WINDOW = [
     "ivm_bitmap_distinct_equivalence",
     "ivm_extrema_equivalence",
     "watermark_late_accounting",
+    "watermark_horizon_frontier",
     # Engine/oracle changed this round (see test_oracle_parity_sf01
     # CHANGED_THIS_ROUND for the per-change rationale):
     "ivm_delta_equivalence",
@@ -97,7 +98,7 @@ DRIVER_WINDOW = [
     "vector_topk_bruteforce",
     "window_topk_per_group",
     "window_tumbling_hourly",
-    # Stale re-verification (16: alphabetical head of the r05 set):
+    # Stale re-verification (15: alphabetical head of the r05 set):
     "agg_bitmap_distinct_users",
     "anomaly_cusum_changepoint",
     "basket_part_affinity",
@@ -113,7 +114,6 @@ DRIVER_WINDOW = [
     "graph_degree_distribution",
     "graph_triangle_count",
     "interval_max_concurrency",
-    "join_asof_cogroup",
 ]
 
 

@@ -43,8 +43,8 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 384 registered
-# queries (370 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 385 registered
+# queries (371 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.

@@ -272,3 +272,25 @@ def test_maintain_join_agg_matches_full_recompute(spark, tmp_path):
         )
         got = {(r["color"], r["n_rows"], r["x"]) for r in state.collect()}
         assert got == recompute(v), f"divergence at v{v}"
+
+
+def test_apply_delta_preserves_long_exactness(spark):
+    """Round-12 (r11 ADVICE): apply_delta folds each sum column in its
+    own dtype. 2^53 + 1 is not representable as a double — the old
+    double-promoting fold would round it to 2^53 and the +1 merge
+    would then be absorbed entirely; the long fold keeps every
+    intermediate exact."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    big = (1 << 53) + 1
+    schema = "g string, v long, _change_type string"
+    b0 = spark.createDataFrame([("g", big, "insert")], schema)
+    b1 = spark.createDataFrame([("g", 1, "insert")], schema)
+    state = ivm.maintain(None, b0, ["g"], ["v"])
+    state = ivm.maintain(state, b1, ["g"], ["v"])
+    row = state.collect()[0]
+    assert dict(state.dtypes)["v"] == "bigint"
+    assert row["v"] == big + 1
+    # double arithmetic control: the same fold through float64 loses
+    # both the +1 of big itself and the merged +1
+    assert float(big) + 1.0 != big + 1

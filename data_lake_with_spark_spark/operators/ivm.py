@@ -140,6 +140,51 @@ def moment_stats(state: DataFrame, group_cols: list[str], value_cols: list[str])
     return state.select(*out_cols)
 
 
+def read_histogram_quantile(
+    state: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """(group_cols, n_rows, q_bucket) from a maintained fixed-width
+    HISTOGRAM state — i.e. a plain ``maintain(..., group_cols=[*groups,
+    bucket], sum_cols=[])`` whose per-bucket row counts are signed-sum
+    self-maintainable (inserts, group-moving updates AND deletes all
+    fold in O(changes); the quantile state the bitmap/extrema family
+    can't offer under retraction). The readout picks, per group, the
+    smallest bucket whose cumulative count covers the q_num/q_den
+    quantile — pure integer arithmetic (``q_den·cum ≥ q_num·total``),
+    deterministic and oracle-expressible; the caller maps q_bucket
+    back to a value (bucket width × id + midpoint). One window + one
+    agg over O(buckets) state rows, never the base table."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    c = state.select(
+        *group_cols,
+        F.col(bucket_col),
+        F.sum(N_COL).over(w_cum).alias("_cum"),
+        F.sum(N_COL).over(w_all).alias("_total"),
+    )
+    return c.groupBy(*group_cols).agg(
+        F.max("_total").cast("long").alias(N_COL),
+        F.min(
+            F.when(
+                F.col("_cum") * q_den >= F.col("_total") * q_num,
+                F.col(bucket_col),
+            )
+        )
+        .cast("long")
+        .alias("q_bucket"),
+    )
+
+
 def maintain_join_agg(
     current: DataFrame | None,
     fact_changes: DataFrame,

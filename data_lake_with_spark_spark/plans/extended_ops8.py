@@ -1,7 +1,9 @@
-"""Round-12 batch: oracled equalities for the MAINTAINED bitmap and
-extrema IVM states (pytest-only until now — round-11 verdict directive
-#2), and the watermark/late-data accounting readout for the
-stream-stream join (directive #6).
+"""Round-12 batch: oracled equalities for the MAINTAINED bitmap,
+extrema and histogram→quantile IVM states (the first two pytest-only
+until now — round-11 verdict directive #2; the histogram is the
+maintained-quantile state that supports deletes), and the
+watermark/late-data accounting readout + horizon tuning frontier for
+the stream-stream join (directive #6).
 
 Same registry discipline as plans/extended_ops.py..7: integer-exact
 outputs, full DuckDB oracles, no cartesian products, no Python in the
@@ -325,3 +327,107 @@ def watermark_horizon_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon_minutes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained histogram -> quantile state == recompute, UNDER DELETES.
+# ---------------------------------------------------------------------------
+
+# Same deterministic 3-epoch CDF feed as ivm_delta_equivalence
+# (insert / update preimage+postimage with doubled cents / delete) —
+# the histogram state is the one maintained-quantile structure that
+# supports RETRACTION: per-(group, bucket) row counts are plain signed
+# sums, so a group-moving update subtracts from the old bucket and
+# adds to the new one, and a delete decrements, all in O(changes).
+IVM_HISTOGRAM_ORACLE = """
+WITH final_rows AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           * CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+                  THEN 2 ELSE 1 END AS cents
+  FROM events
+  WHERE NOT (event_id % 3 = 0 AND event_id % 7 <> 0
+             AND event_id % 11 = 0)
+), b AS (
+  SELECT event_type, cents // 500 AS bucket, COUNT(*) AS n
+  FROM final_rows GROUP BY event_type, bucket
+), c AS (
+  SELECT event_type, bucket,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN bucket END) AS BIGINT)
+         AS med_bucket,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN bucket END) * 500 + 250
+         AS BIGINT) AS approx_median_cents
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ivm_histogram_median_equivalence",
+    oracle=IVM_HISTOGRAM_ORACLE,
+    tags=("ivm", "cdc", "stats"),
+)
+def ivm_histogram_median_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED histogram→quantile state, driver-oracled: per-group
+    fixed-width bucket counts (5-dollar cents buckets) advanced
+    through the full 3-epoch CDF feed — inserts, BUCKET-MOVING updates
+    (the doubled postimage lands in a different bucket than its
+    preimage leaves) and deletes — must yield the same integer median
+    readout as the full recompute. Unlike the bitmap/extrema states
+    this one supports retraction outright (counts are signed sums), so
+    it is the percentile-dashboard state that stays O(buckets) per
+    group at 100 TB while folding in O(changes) per refresh. Readout =
+    ``ivm.read_histogram_quantile`` (smallest bucket with 2·cum ≥
+    total — pure integer arithmetic, identical in SQL).
+
+    Scale shape: one shared() events projection feeds all six change
+    branches; each fold is one hash-agg on (group, bucket) + a
+    delta-sized full-outer merge; the readout windows over O(buckets)
+    state rows only."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    eid = F.col("event_id")
+    updated = (eid % 3 == 0) & (eid % 7 == 0)
+    deleted = (eid % 3 == 0) & (eid % 7 != 0) & (eid % 11 == 0)
+
+    def tagged(df: DataFrame, change: str) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.expr("cents div 500").alias("bucket"),
+            F.lit(change).alias("_change_type"),
+        )
+
+    upd_base = ev.where(updated)
+    batches = [
+        tagged(ev.where(eid % 3 == 0), "insert"),
+        tagged(ev.where(eid % 3 == 1), "insert")
+        .unionByName(tagged(upd_base, "update_preimage"))
+        .unionByName(
+            tagged(upd_base.withColumn("cents", F.col("cents") * 2), "update_postimage")
+        ),
+        tagged(ev.where(eid % 3 == 2), "insert")
+        .unionByName(tagged(ev.where(deleted), "delete")),
+    ]
+    state: DataFrame | None = None
+    for batch in batches:
+        state = ivm.maintain(state, batch, ["event_type", "bucket"], [])
+    out = ivm.read_histogram_quantile(state, ["event_type"], "bucket", 1, 2)
+    return out.select(
+        "event_type",
+        F.col(ivm.N_COL).alias("n_rows"),
+        F.col("q_bucket").alias("med_bucket"),
+        (F.col("q_bucket") * 500 + 250).cast("long").alias("approx_median_cents"),
+    ).orderBy("event_type")

@@ -294,3 +294,26 @@ def test_apply_delta_preserves_long_exactness(spark):
     # double arithmetic control: the same fold through float64 loses
     # both the +1 of big itself and the merged +1
     assert float(big) + 1.0 != big + 1
+
+
+def test_read_histogram_quantile_picks_covering_bucket(spark):
+    """read_histogram_quantile: smallest bucket whose cumulative count
+    covers q_num/q_den of the group total, pure integer arithmetic."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    state = spark.createDataFrame(
+        [("g", 0, 3), ("g", 1, 2), ("g", 2, 5), ("h", 7, 1)],
+        "g string, bucket long, n_rows long",
+    )
+    med = {
+        r["g"]: (r["n_rows"], r["q_bucket"])
+        for r in ivm.read_histogram_quantile(state, ["g"], "bucket", 1, 2).collect()
+    }
+    # cum for g: 3, 5, 10 over total 10 — 2*5 >= 10 first at bucket 1
+    assert med == {"g": (10, 1), "h": (1, 7)}
+    p90 = {
+        r["g"]: r["q_bucket"]
+        for r in ivm.read_histogram_quantile(state, ["g"], "bucket", 9, 10).collect()
+    }
+    # 10*cum >= 9*10 first at bucket 2 (cum 10)
+    assert p90 == {"g": 2, "h": 7}

@@ -1226,3 +1226,69 @@ def test_ivf_assign_changes_batch_stream_identical(spark, sf_dir):
     assert sum(n for n, _ in agg.values()) == emb.count()
     # every vector assigned somewhere; 8 cells × 2 parities at most
     assert len(agg) <= 16 and all(c < 8 for c, _ in agg)
+
+
+def test_stream_maintained_histogram_median(spark, sf_dir, tmp_path):
+    """Streaming histogram→quantile view (round 12): per-bucket counts
+    folded through the GENERIC stream_maintain_view (the histogram
+    state is plain maintain with a bucket group and no sum cols),
+    including a RETRACTION batch — deletes decrement buckets, the
+    capability the bitmap/extrema states reject. Final median readout
+    must equal the recompute over the surviving rows."""
+    from data_lake_with_spark_spark.catalog import load_table
+    from data_lake_with_spark_spark.operators.ivm import read_histogram_quantile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500").alias("bucket"),
+    )
+    pdf = ev.toPandas()
+    cols = ["event_type", "bucket", "_change_type"]
+    ins = pdf.copy()
+    ins["_change_type"] = "insert"
+    dels = pdf[pdf.event_id % 11 == 0].copy()
+    dels["_change_type"] = "delete"
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    for i, batch in enumerate((ins[cols], dels[cols])):
+        pq.write_table(
+            pa.Table.from_pandas(batch, preserve_index=False),
+            str(src / f"b{i}.parquet"),
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("bucket", T.LongType(), True),
+            T.StructField("_change_type", T.StringType(), True),
+        ]
+    )
+    state = str(tmp_path / "hist_view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_view(
+        stream, state, ["event_type", "bucket"], [], query_name="hist_mv"
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+    got = {
+        (r["event_type"], r["n_rows"], r["q_bucket"])
+        for r in read_histogram_quantile(
+            MV.read_view(spark, state), ["event_type"], "bucket", 1, 2
+        ).collect()
+    }
+    surviving = ev.where(F.col("event_id") % 11 != 0)
+    recomputed_state = surviving.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias(ivm.N_COL)
+    )
+    want = {
+        (r["event_type"], r["n_rows"], r["q_bucket"])
+        for r in read_histogram_quantile(
+            recomputed_state, ["event_type"], "bucket", 1, 2
+        ).collect()
+    }
+    assert got == want and len(got) > 0

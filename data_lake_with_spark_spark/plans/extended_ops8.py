@@ -431,3 +431,69 @@ def ivm_histogram_median_equivalence(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("q_bucket").alias("med_bucket"),
         (F.col("q_bucket") * 500 + 250).cast("long").alias("approx_median_cents"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Session-gap tuning frontier.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_FRONTIER_ORACLE = """
+WITH seq AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         LAG(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS prev_ms
+  FROM events
+), h AS (
+  SELECT CAST(UNNEST([1, 5, 30, 120]) AS BIGINT) AS gap_minutes
+)
+SELECT h.gap_minutes,
+       CAST(COUNT(*) FILTER (
+         WHERE prev_ms IS NULL
+            OR ts_ms - prev_ms > h.gap_minutes * 60000) AS BIGINT)
+         AS n_sessions
+FROM seq CROSS JOIN h
+GROUP BY h.gap_minutes
+ORDER BY h.gap_minutes
+"""
+
+
+@register(
+    "session_gap_frontier",
+    oracle=SESSION_GAP_FRONTIER_ORACLE,
+    tags=("sessionization", "eval", "window"),
+)
+def session_gap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-gap tuning frontier, driver-oracled: the number
+    of sessions the corpus splits into at each candidate inactivity
+    gap (1/5/30/120 minutes) — n_sessions = count of session STARTS
+    (no predecessor, or predecessor more than the gap away). The curve
+    that picks the gap parameter for ``sessionize_event_paths`` /
+    ``stateful_sessionize`` from observed inter-event times instead of
+    folklore; monotone non-increasing in the gap and bounded below by
+    the user count (pinned by
+    tests/test_streaming.py::test_session_gap_frontier_monotone).
+
+    Scale shape: ONE window (lag over user partitions — the same
+    single shuffle any sessionizer pays), gap-independent, then a
+    4-way literal explode into a hash agg. No per-gap rescan."""
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", epoch_ms("ts").alias("ts_ms"))
+        .select(
+            "ts_ms",
+            F.lag("ts_ms")
+            .over(W.partitionBy("user_id").orderBy("ts_ms", "event_id"))
+            .alias("prev_ms"),
+        )
+    )
+    gaps = F.array(*[F.lit(g).cast("long") for g in (1, 5, 30, 120)])
+    starts = F.col("prev_ms").isNull() | (
+        F.col("ts_ms") - F.col("prev_ms") > F.col("gap_minutes") * 60000
+    )
+    return (
+        seq.withColumn("gap_minutes", F.explode(gaps))
+        .groupBy("gap_minutes")
+        .agg(F.count(F.when(starts, 1)).alias("n_sessions"))
+        .orderBy("gap_minutes")
+    )

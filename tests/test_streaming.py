@@ -659,3 +659,20 @@ def test_watermark_frontier_monotone(spark, sf_dir):
     assert all(by_h[a] >= by_h[b] for a, b in zip(hs, hs[1:]))
     totals = {r["n_late"] + r["n_ontime"] for r in rows}
     assert len(totals) == 1
+
+
+def test_session_gap_frontier_monotone(spark, sf_dir):
+    """More inactivity tolerance never creates sessions; every user
+    contributes at least one session at any gap."""
+    rows = REGISTRY["session_gap_frontier"].spark(spark, sf_dir).collect()
+    by_g = {r["gap_minutes"]: r["n_sessions"] for r in rows}
+    gs = sorted(by_g)
+    assert gs == [1, 5, 30, 120]
+    assert all(by_g[a] >= by_g[b] for a, b in zip(gs, gs[1:]))
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert all(v >= n_users for v in by_g.values())

@@ -3,7 +3,9 @@ extrema and histogram→quantile IVM states (the first two pytest-only
 until now — round-11 verdict directive #2; the histogram is the
 maintained-quantile state that supports deletes), and the
 watermark/late-data accounting readout + horizon tuning frontier for
-the stream-stream join (directive #6).
+the stream-stream join (directive #6), plus the session-gap tuning
+frontier that picks the sessionizer's inactivity parameter from
+observed inter-event times.
 
 Same registry discipline as plans/extended_ops.py..7: integer-exact
 outputs, full DuckDB oracles, no cartesian products, no Python in the

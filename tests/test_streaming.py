@@ -676,3 +676,60 @@ def test_session_gap_frontier_monotone(spark, sf_dir):
         .count()
     )
     assert all(v >= n_users for v in by_g.values())
+
+
+def test_stream_join_state_bounded_by_watermark(spark, sf_dir, tmp_path):
+    """The stream-stream join's state is BOUNDED by the watermark —
+    measured, not asserted from docs: replaying events in 8 time-ordered
+    micro-batches with a 10-minute watermark, the final state-store row
+    count is a small fraction of the rows that flowed through the join
+    (evicted clicks/purchases leave as the watermark passes them). The
+    operational complement of test_stream_join_drops_late_purchase: that
+    one pins what the watermark REJECTS, this one pins what it RELEASES."""
+    import os
+
+    from data_lake_with_spark_spark.functions.time import normalize_ts
+
+    ev = normalize_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select("event_id", "user_id", "ts", "event_type")
+    n_join_inputs = ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
+    staging = str(tmp_path / "staging")
+    ev.repartitionByRange(8, "ts").write.parquet(staging)
+    parts = sorted(p for p in os.listdir(staging) if p.startswith("part-"))
+    src = tmp_path / "replay"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i, p in enumerate(parts):
+        os.rename(os.path.join(staging, p), str(src / p))
+        os.utime(str(src / p), (t0 + i * 10, t0 + i * 10))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        jobs.click_purchase_stream_join(
+            stream, within="10 minutes", watermark="10 minutes"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_state_bound")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+    progress = q.lastProgress
+    assert progress is not None
+    state_rows = sum(
+        op["numRowsTotal"] for op in progress["stateOperators"]
+    )
+    # 8 ts-ordered batches over ~30 days of events: by the final batch
+    # the watermark has evicted everything older than ~20 minutes of
+    # event time — the state must be a small remnant, never the stream
+    assert 0 <= state_rows < 0.2 * n_join_inputs, (
+        state_rows,
+        n_join_inputs,
+    )

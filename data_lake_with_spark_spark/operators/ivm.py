@@ -185,6 +185,73 @@ def read_histogram_quantile(
     )
 
 
+def maintain_topk(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """One refresh step for a per-group MAX-MONOID TOP-K leaderboard
+    state (group_cols, id_col, order_col — exactly k rows per group
+    once warm). The batch form of the fold
+    ``streaming/materialized.stream_maintain_topk_view`` runs per
+    micro-batch, factored here so the equivalence is driver-oracleable
+    (round 12).
+
+    Contract (same as the streaming view): INSERT-ONLY with
+    value-RAISING updates — ``update_postimage`` rows fold,
+    ``update_preimage`` rows are dropped (they are pre-state; folding
+    would double-count), and a ``delete`` row RAISES at execution time
+    (a max monoid cannot retract; the raise lives in the filter
+    predicate so the drop-filter cannot be pushed past it). Merge =
+    cur ∪ top-k(fresh), collapsed to one row per (group, id) via
+    max(order_col) — a postimage REPLACES its retained stale row —
+    then re-topped. Fold == full recompute for insert/value-raising
+    feeds: a globally top-k row can have at most k−1 batch-mates above
+    it, so it survives its own batch's top-k, and every value it was
+    ever ranked below only rises. O(batch + k·groups) per refresh."""
+    from pyspark.sql import Window
+
+    if "_change_type" in changes.columns:
+        keep = (
+            F.when(
+                F.col("_change_type").isin("insert", "update_postimage"),
+                F.lit(True),
+            )
+            .when(F.col("_change_type") == "update_preimage", F.lit(False))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "top-k state is insert-only: a max-monoid cannot"
+                            " retract; got _change_type="
+                        ),
+                        F.col("_change_type"),
+                    )
+                ).cast("boolean")
+            )
+        )
+        changes = changes.where(keep)
+    cols = [*group_cols, id_col, order_col]
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(id_col))
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    fresh = topk(changes.select(*cols))
+    unioned = fresh if current is None else current.select(*cols).unionByName(fresh)
+    per_id = unioned.groupBy(*group_cols, id_col).agg(
+        F.max(order_col).alias(order_col)
+    )
+    return topk(per_id.select(*cols))
+
+
 def maintain_join_agg(
     current: DataFrame | None,
     fact_changes: DataFrame,

@@ -499,3 +499,93 @@ def session_gap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(starts, 1)).alias("n_sessions"))
         .orderBy("gap_minutes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintained top-k leaderboard state == recompute (insert +
+# value-raising updates — the max-monoid contract).
+# ---------------------------------------------------------------------------
+
+IVM_TOPK_ORACLE = """
+WITH final_rows AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           * CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+                  THEN 2 ELSE 1 END AS val_cents
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, val_cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY val_cents DESC, event_id) AS rnk
+  FROM final_rows
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, val_cents
+FROM ranked
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
+@register("ivm_topk_equivalence", oracle=IVM_TOPK_ORACLE, tags=("ivm", "cdc"))
+def ivm_topk_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTAINED top-k leaderboard state, driver-oracled (round 12 —
+    the last maintained-state family that was pytest-only): per-group
+    top-3 (by integer cents, event_id tiebreak) advanced via
+    ``ivm.maintain_topk`` through a 3-epoch feed of inserts plus
+    VALUE-RAISING updates (the doubled postimage — exactly the max
+    monoid's contract; the preimage rows ride along and must be
+    dropped by the fold, not double-counted) equals the full top-3
+    recompute over post-change rows. The max-monoid argument makes the
+    fold exact: a globally top-k row survives its own batch's top-k
+    (at most k−1 batch-mates above it) and everything ever above it
+    only rises; deletes RAISE (tested in test_ivm.py). State is k rows
+    per group — the streaming form
+    (``stream_maintain_topk_view``) runs this same fold per
+    micro-batch.
+
+    Scale shape: one shared() events projection; per refresh one
+    window over the batch + one (group, id) agg over k·groups ∪ batch
+    rows — never the base table."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("val_cents"),
+        )
+    )
+    eid = F.col("event_id")
+    updated = (eid % 3 == 0) & (eid % 7 == 0)
+
+    def tagged(df: DataFrame, change: str) -> DataFrame:
+        return df.select(
+            "event_type", "event_id", "val_cents", F.lit(change).alias("_change_type")
+        )
+
+    upd_base = ev.where(updated)
+    batches = [
+        tagged(ev.where(eid % 3 == 0), "insert"),
+        tagged(ev.where(eid % 3 == 1), "insert")
+        .unionByName(tagged(upd_base, "update_preimage"))
+        .unionByName(
+            tagged(
+                upd_base.withColumn("val_cents", F.col("val_cents") * 2),
+                "update_postimage",
+            )
+        ),
+        tagged(ev.where(eid % 3 == 2), "insert"),
+    ]
+    state: DataFrame | None = None
+    for batch in batches:
+        state = ivm.maintain_topk(
+            state, batch, ["event_type"], "event_id", "val_cents", k=3
+        )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("event_type").orderBy(
+        F.desc("val_cents"), F.asc("event_id")
+    )
+    return (
+        state.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("event_type", "rnk", "event_id", "val_cents")
+        .orderBy("event_type", "rnk")
+    )

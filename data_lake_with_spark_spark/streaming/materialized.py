@@ -438,20 +438,7 @@ def stream_maintain_topk_view(
     upper bound; it is exact for insert-only or value-monotone feeds. Route
     delete-bearing / non-monotone changefeeds to a recount-capable
     view (stream_maintain_view's signed counts) instead."""
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
-
-    def topk(df: DataFrame) -> DataFrame:
-        w = W.partitionBy(*group_cols).orderBy(
-            F.desc(order_col), F.asc(id_col)
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k)
-            .drop("_rn")
-        )
-
-    cols = [*group_cols, id_col, order_col]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if "_change_type" in batch_df.columns:
@@ -463,9 +450,6 @@ def stream_maintain_topk_view(
                     " changes stream — maintain a signed-count view"
                     " (stream_maintain_view) for retractable feeds."
                 )
-            batch_df = batch_df.where(
-                F.col("_change_type").isin("insert", "update_postimage")
-            )
         if batch_df.isEmpty():
             return
         eid = epoch_id if checkpoint is not None else None
@@ -478,21 +462,13 @@ def stream_maintain_topk_view(
             cur = read_view(spark, state_path)
         except FileNotFoundError:
             cur = None
-        fresh = topk(batch_df.select(*cols))
-        unioned = (
-            fresh if cur is None else cur.select(*cols).unionByName(fresh)
+        # the fold itself (top-k(fresh) union'd, one row per (group,
+        # id) via max so a postimage REPLACES its stale retained row,
+        # re-topped) lives in ivm.maintain_topk — the batch form the
+        # driver oracles via ivm_topk_equivalence (round 12)
+        merged = ivm.maintain_topk(
+            cur, batch_df, group_cols, id_col, order_col, k
         )
-        # One row per (group, id) BEFORE the top-k window: an
-        # update_postimage for an id already retained in state would
-        # otherwise keep BOTH the stale and the fresh row, listing the
-        # id twice and displacing a legitimate distinct k-th member.
-        # max(order_col) is exact for the contract's feeds: inserts
-        # have unique ids (identity reduction), and value-raising
-        # updates keep exactly the postimage.
-        per_id = unioned.groupBy(*group_cols, id_col).agg(
-            F.max(order_col).alias(order_col)
-        )
-        merged = topk(per_id.select(*cols))
         V.versioned_append(
             merged,
             state_path,

@@ -317,3 +317,27 @@ def test_read_histogram_quantile_picks_covering_bucket(spark):
     }
     # 10*cum >= 9*10 first at bucket 2 (cum 10)
     assert p90 == {"g": 2, "h": 7}
+
+
+def test_maintain_topk_rejects_deletes(spark):
+    """The batch top-k fold raises on delete rows at execution time —
+    the raise lives inside the filter predicate, so Catalyst cannot
+    push the preimage-drop filter past it."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators import ivm
+
+    schema = "g string, i long, v long, _change_type string"
+    ins = spark.createDataFrame([("g", 1, 10, "insert")], schema)
+    dele = spark.createDataFrame([("g", 1, 10, "delete")], schema)
+    state = ivm.maintain_topk(None, ins, ["g"], "i", "v", k=3)
+    assert [(r["i"], r["v"]) for r in state.collect()] == [(1, 10)]
+    with pytest.raises(Exception, match="insert-only"):
+        ivm.maintain_topk(state, dele, ["g"], "i", "v", k=3).collect()
+    # preimage rows are dropped, postimage replaces the retained row
+    upd = spark.createDataFrame(
+        [("g", 1, 10, "update_preimage"), ("g", 1, 25, "update_postimage")],
+        schema,
+    )
+    state2 = ivm.maintain_topk(state, upd, ["g"], "i", "v", k=3)
+    assert [(r["i"], r["v"]) for r in state2.collect()] == [(1, 25)]

@@ -44,6 +44,7 @@ CHANGED_THIS_ROUND = [
     "watermark_horizon_frontier",
     "ivm_histogram_median_equivalence",
     "session_gap_frontier",
+    "ivm_topk_equivalence",
     # round-12 engine change: ivm.apply_delta folds dtype-preserving
     # (long stays exact integer instead of double) and moment_stats
     # casts to double only at read — the three IVM equalities re-gate:

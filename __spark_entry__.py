@@ -43,8 +43,8 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 388 registered
-# queries (374 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 389 registered
+# queries (375 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
@@ -67,6 +67,7 @@ DRIVER_WINDOW = [
     "ivm_histogram_median_equivalence",
     "session_gap_frontier",
     "ivm_topk_equivalence",
+    "dedup_threshold_frontier",
     # Engine/oracle changed this round (see test_oracle_parity_sf01
     # CHANGED_THIS_ROUND for the per-change rationale):
     "ivm_delta_equivalence",
@@ -101,7 +102,7 @@ DRIVER_WINDOW = [
     "vector_topk_bruteforce",
     "window_topk_per_group",
     "window_tumbling_hourly",
-    # Stale re-verification (12: alphabetical head of the r05 set):
+    # Stale re-verification (11: alphabetical head of the r05 set):
     "agg_bitmap_distinct_users",
     "anomaly_cusum_changepoint",
     "basket_part_affinity",
@@ -113,7 +114,6 @@ DRIVER_WINDOW = [
     "dedup_segments_keep_first",
     "dedup_simhash_portable",
     "dq_expectations",
-    "filter_boilerplate_crossdoc",
 ]
 
 

@@ -589,3 +589,103 @@ def ivm_topk_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rnk", "event_id", "val_cents")
         .orderBy("event_type", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-threshold yield frontier.
+# ---------------------------------------------------------------------------
+
+DEDUP_THRESHOLD_FRONTIER_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT b_id,
+         CAST(FLOOR((n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)) * 1e6
+                    + 0.5) AS BIGINT) AS j_micro
+  FROM inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+), h AS (
+  SELECT CAST(UNNEST([500, 600, 700, 800]) AS BIGINT) AS threshold_milli
+), agg AS (
+  SELECT h.threshold_milli,
+         CAST(COUNT(j_micro) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_dropped
+  FROM h LEFT JOIN pairs ON j_micro >= h.threshold_milli * 1000
+  GROUP BY h.threshold_milli
+)
+SELECT threshold_milli, n_pairs, n_dropped,
+       CAST((SELECT COUNT(*) FROM documents) - n_dropped AS BIGINT)
+         AS n_survivors
+FROM agg
+ORDER BY threshold_milli
+"""
+
+
+@register(
+    "dedup_threshold_frontier",
+    oracle=DEDUP_THRESHOLD_FRONTIER_ORACLE,
+    tags=("dedup", "llm", "eval"),
+)
+def dedup_threshold_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold YIELD frontier, driver-oracled: how many
+    documents a keep-first near-dup pass would drop — and how many
+    survive into the training set — at each candidate Jaccard
+    threshold (0.5/0.6/0.7/0.8). The fourth knob of the tuning-curve
+    family (ANN nprobe, watermark horizon, session gap): dedup
+    aggressiveness trades corpus size against redundancy, and this
+    curve prices it from data instead of folklore. Thresholds compare
+    INTEGER micro-Jaccard (the engine's pround(6) value recovered via
+    FLOOR(j·1e6+0.5)), so the cut is bit-identical cross-engine at the
+    non-binary-exact 0.6/0.7 thresholds.
+
+    Scale shape: the PPJoin pair generation (prefix+length+positional
+    filters, inverted-index join — never n²) runs ONCE at the loosest
+    threshold; the frontier is a 4-way literal explode-free LEFT JOIN
+    over the resulting pair list (tiny vs the corpus), plus one
+    column-pruned count scan for the denominator."""
+    from data_lake_with_spark_spark.operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = shared(
+        DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3).select(
+            "b_id",
+            F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long").alias("j_micro"),
+        )
+    )
+    thresholds = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in (500, 600, 700, 800)])
+        ).alias("threshold_milli")
+    )
+    agg = (
+        thresholds.join(
+            pairs, pairs["j_micro"] >= thresholds["threshold_milli"] * 1000, "left"
+        )
+        .groupBy("threshold_milli")
+        .agg(
+            F.count("j_micro").alias("n_pairs"),
+            F.countDistinct("b_id").alias("n_dropped"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "threshold_milli",
+            "n_pairs",
+            "n_dropped",
+            (F.col("_n_docs") - F.col("n_dropped")).cast("long").alias("n_survivors"),
+        )
+        .orderBy("threshold_milli")
+    )

@@ -45,6 +45,7 @@ CHANGED_THIS_ROUND = [
     "ivm_histogram_median_equivalence",
     "session_gap_frontier",
     "ivm_topk_equivalence",
+    "dedup_threshold_frontier",
     # round-12 engine change: ivm.apply_delta folds dtype-preserving
     # (long stays exact integer instead of double) and moment_stats
     # casts to double only at read — the three IVM equalities re-gate:

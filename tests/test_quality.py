@@ -101,3 +101,21 @@ def test_quarantine_split_partitions_exactly(spark):
     assert good.count() + bad.count() == df.count()
     g2, b2 = quarantine_split(df.where(F.col("id") == 1), rules)
     assert g2.count() == 1 and b2.count() == 0
+
+
+def test_dedup_threshold_frontier_monotone(spark, sf_dir):
+    """Raising the Jaccard threshold never drops MORE documents, and
+    dropped + survivors always reconstitute the corpus."""
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    rows = REGISTRY["dedup_threshold_frontier"].spark(spark, sf_dir).collect()
+    by_t = {r["threshold_milli"]: r for r in rows}
+    ts = sorted(by_t)
+    assert ts == [500, 600, 700, 800]
+    for a, b in zip(ts, ts[1:]):
+        assert by_t[a]["n_dropped"] >= by_t[b]["n_dropped"]
+        assert by_t[a]["n_pairs"] >= by_t[b]["n_pairs"]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert all(
+        r["n_dropped"] + r["n_survivors"] == n_docs for r in rows
+    )

@@ -244,7 +244,17 @@ def maintain_topk(
             .drop("_rn")
         )
 
-    fresh = topk(changes.select(*cols))
+    # Collapse to one row per (group, id) BEFORE the batch top-k:
+    # a batch carrying both the insert and a postimage of the SAME id
+    # (or several postimages) would otherwise occupy multiple top-k
+    # slots and permanently evict a distinct id from the leaderboard —
+    # found by the hypothesis differential
+    # (tests/test_properties.py::test_maintain_topk_matches_bruteforce)
+    # with feed [(insert i0 v0), (insert i1 v1 + postimage v2)] at k=2.
+    batch_per_id = changes.groupBy(*group_cols, id_col).agg(
+        F.max(order_col).alias(order_col)
+    )
+    fresh = topk(batch_per_id.select(*cols))
     unioned = fresh if current is None else current.select(*cols).unionByName(fresh)
     per_id = unioned.groupBy(*group_cols, id_col).agg(
         F.max(order_col).alias(order_col)

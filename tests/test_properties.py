@@ -758,3 +758,63 @@ def test_band_join_matches_bruteforce(spark, case):
     )
 
     release_shared_caches()  # the outer form shared()s its inner result
+
+
+@st.composite
+def topk_feed(draw):
+    """Random insert + value-RAISING update feed for the max-monoid
+    top-k fold: unique (group, id) inserts across 3 epochs; a subset
+    updated later (or same-epoch) with a strictly higher value,
+    preimage rows riding along (the fold must drop them). Ties in
+    value are common by construction (small value range) to exercise
+    the id tiebreak."""
+    n = draw(st.integers(1, 10))
+    rows = []
+    for i in range(n):
+        g = draw(st.integers(0, 1))
+        base = draw(st.integers(0, 6))
+        e_ins = draw(st.integers(0, 2))
+        upd = draw(st.booleans())
+        e_upd = draw(st.integers(e_ins, 2)) if upd else None
+        delta = draw(st.integers(1, 6)) if upd else 0
+        rows.append((g, i, base, e_ins, e_upd, delta))
+    return rows
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=topk_feed())
+def test_maintain_topk_matches_bruteforce(spark, feed):
+    """ivm.maintain_topk folded over random 3-epoch insert/raising-
+    update feeds equals the brute-force top-k over final values —
+    the property the oracled ivm_topk_equivalence pins at one
+    deterministic feed, here across the contract's whole input space
+    (including same-epoch insert+update and heavy value ties)."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    K = 2
+    schema = "g long, i long, v long, _change_type string"
+    state = None
+    for epoch in range(3):
+        batch = []
+        for g, i, base, e_ins, e_upd, delta in feed:
+            if e_ins == epoch:
+                batch.append((g, i, base, "insert"))
+            if e_upd == epoch:
+                batch.append((g, i, base, "update_preimage"))
+                batch.append((g, i, base + delta, "update_postimage"))
+        if not batch:
+            continue
+        state = ivm.maintain_topk(
+            state, spark.createDataFrame(batch, schema), ["g"], "i", "v", k=K
+        )
+    got = {
+        (r["g"], r["i"], r["v"]) for r in (state.collect() if state is not None else [])
+    }
+    finals = {}
+    for g, i, base, _e, e_upd, delta in feed:
+        finals.setdefault(g, []).append((base + (delta if e_upd is not None else 0), i))
+    want = set()
+    for g, vals in finals.items():
+        top = sorted(vals, key=lambda t: (-t[0], t[1]))[:K]
+        want |= {(g, i, v) for v, i in top}
+    assert got == want

@@ -818,3 +818,106 @@ def test_maintain_topk_matches_bruteforce(spark, feed):
         top = sorted(vals, key=lambda t: (-t[0], t[1]))[:K]
         want |= {(g, i, v) for v, i in top}
     assert got == want
+
+
+@st.composite
+def insert_feed(draw):
+    """Random 3-epoch INSERT feed for the idempotent/insert-only IVM
+    states: (group, value, epoch) triples plus a flag that replays the
+    whole epoch-0 batch inside epoch 2 (at-least-once delivery)."""
+    n = draw(st.integers(1, 12))
+    rows = [
+        (
+            draw(st.integers(0, 1)),
+            draw(st.integers(0, 40)),
+            draw(st.integers(0, 2)),
+        )
+        for _ in range(n)
+    ]
+    return rows, draw(st.booleans())
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=insert_feed())
+def test_maintain_bitmap_matches_bruteforce(spark, feed):
+    """Bitmap-distinct fold over random insert feeds — with an
+    optional wholesale epoch-0 replay that must be a no-op (OR is
+    idempotent per id) — equals the exact distinct count."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    rows, replay = feed
+    schema = "g long, uid long, _change_type string"
+    state = None
+    for epoch in range(3):
+        batch = [(g, v, "insert") for g, v, e in rows if e == epoch]
+        if epoch == 2 and replay:
+            batch += [(g, v, "insert") for g, v, e in rows if e == 0]
+        if not batch:
+            continue
+        state = ivm.maintain_bitmap(
+            state, spark.createDataFrame(batch, schema), ["g"], "uid"
+        )
+    got = (
+        {}
+        if state is None
+        else {
+            r["g"]: r["n_distinct"]
+            for r in ivm.read_bitmap_distinct(state, ["g"]).collect()
+        }
+    )
+    want = {}
+    for g, v, _e in rows:
+        want.setdefault(g, set()).add(v)
+    assert got == {g: len(ids) for g, ids in want.items()}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=insert_feed())
+def test_maintain_extrema_and_histogram_match_bruteforce(spark, feed):
+    """Extrema (max/min/count) and histogram-median folds over random
+    insert feeds equal brute-force recomputes — the same covering-
+    bucket rule evaluated in plain Python."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    rows, _replay = feed  # no replay: counts are per-epoch idempotent
+    ext_schema = "g long, v long, _change_type string"
+    hist_schema = "g long, bucket long, _change_type string"
+    ext = hist = None
+    for epoch in range(3):
+        batch = [(g, v, "insert") for g, v, e in rows if e == epoch]
+        if not batch:
+            continue
+        ext = ivm.maintain_extrema(
+            ext, spark.createDataFrame(batch, ext_schema), ["g"], "v"
+        )
+        hbatch = [(g, v // 5, c) for g, v, c in batch]
+        hist = ivm.maintain(
+            hist, spark.createDataFrame(hbatch, hist_schema), ["g", "bucket"], []
+        )
+    got_ext = {
+        r["g"]: (r["vmax"], r["vmin"], r["n_rows"]) for r in ext.collect()
+    }
+    vals = {}
+    for g, v, _e in rows:
+        vals.setdefault(g, []).append(v)
+    assert got_ext == {
+        g: (max(vs), min(vs), len(vs)) for g, vs in vals.items()
+    }
+    got_med = {
+        r["g"]: (r["n_rows"], r["q_bucket"])
+        for r in ivm.read_histogram_quantile(hist, ["g"], "bucket", 1, 2).collect()
+    }
+    want_med = {}
+    for g, vs in vals.items():
+        buckets = sorted(v // 5 for v in vs)
+        total = len(buckets)
+        cum = 0
+        by_bucket = {}
+        for b in buckets:
+            by_bucket[b] = by_bucket.get(b, 0) + 1
+        for b in sorted(by_bucket):
+            cum += by_bucket[b]
+            if 2 * cum >= total:
+                want_med[g] = (total, b)
+                break
+    assert got_med == want_med

@@ -921,3 +921,51 @@ def test_maintain_extrema_and_histogram_match_bruteforce(spark, feed):
                 want_med[g] = (total, b)
                 break
     assert got_med == want_med
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=insert_feed())
+def test_maintain_kmv_hll_bit_identical_to_one_shot(spark, feed):
+    """The maintained KMV and HLL states folded over random multi-epoch
+    insert feeds (with an optional replayed epoch — both folds are
+    idempotent per id) are BIT-IDENTICAL to the one-shot sketches over
+    the same rows — the portability claim the single-feed pytests pin,
+    across the feed space."""
+    from data_lake_with_spark_spark.operators import ivm
+    from data_lake_with_spark_spark.operators.sketches import (
+        hll_registers,
+        kmv_sketch,
+    )
+
+    rows, replay = feed
+    schema = "g long, uid long, _change_type string"
+    kmv = hll = None
+    for epoch in range(3):
+        batch = [(g, v, "insert") for g, v, e in rows if e == epoch]
+        if epoch == 2 and replay:
+            batch += [(g, v, "insert") for g, v, e in rows if e == 0]
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        kmv = ivm.maintain_kmv(kmv, bdf, ["g"], "uid", k=8)
+        hll = ivm.maintain_hll(hll, bdf, ["g"], "uid")
+    all_df = spark.createDataFrame(
+        [(g, v) for g, v, _e in rows], "g long, uid long"
+    )
+    got_kmv = {(r["g"], r["h"]) for r in kmv.collect()}
+    want_kmv = {
+        (r["gk"], r["h"])
+        for r in kmv_sketch(all_df, "uid", "g", k=8).collect()
+    }
+    assert got_kmv == want_kmv
+    # one-shot registers are per-row observations; reduce to the
+    # per-(group, reg) max the maintained state stores
+    got_hll = {(r["g"], r["reg"], r["m"]) for r in hll.collect()}
+    want_hll = {
+        (r["g"], r["reg"], r["m"])
+        for r in hll_registers(all_df, "uid", "g")
+        .groupBy(F.col("gk").alias("g"), "reg")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    assert got_hll == want_hll

@@ -294,23 +294,31 @@ def maintain_join_agg(
     return maintain(current, enriched, group_cols, sum_cols)
 
 
-def _insert_only(col: str, state_name: str):
-    """Guard expression for the insert-only states: passes ``col``
-    through on insert rows and RAISES AT EXECUTION TIME on any other
-    change type. Replaces the former eager ``changes.where(...).count()``
-    guard (round-12): enforcement is identical, but the plan now builds
-    with ZERO jobs (the registered IVM-equality queries stay inside the
+def _insert_only(changes: DataFrame, state_name: str) -> DataFrame:
+    """Guard FILTER for the insert-only states: passes insert rows
+    through and RAISES AT EXECUTION TIME on any other change type.
+    Replaces the former eager ``changes.where(...).count()`` guard
+    (round-12): enforcement is identical, but the plan builds with
+    ZERO jobs (the registered IVM-equality queries stay inside the
     lazy-construction contract) and a refresh no longer pays an extra
     scan of the change batch per fold — at 100 TB that eager probe was
-    a whole job per micro-batch."""
-    return F.when(F.col("_change_type") == "insert", F.col(col)).otherwise(
+    a whole job per micro-batch.
+
+    The raise lives in a WHERE predicate (the ``maintain_topk``
+    pattern), not a projection (round-12 ADVICE): a guarded PROJECTION
+    column is enforced only while some downstream operator consumes
+    it — column pruning or a pushed filter could silently skip it. A
+    filter predicate must evaluate for every row regardless of which
+    columns survive, so the guard cannot be optimized away."""
+    keep = F.when(F.col("_change_type") == "insert", F.lit(True)).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"{state_name} state is insert-only; got _change_type="),
                 F.col("_change_type"),
             )
-        )
+        ).cast("boolean")
     )
+    return changes.where(keep)
 
 
 def maintain_bitmap(
@@ -330,7 +338,8 @@ def maintain_bitmap(
     bitmap/HLL distinct state; the reject is a runtime raise on the
     first non-insert row — see _insert_only)."""
     delta = (
-        changes.select(*group_cols, _insert_only(id_col, "bitmap distinct").alias("_gid"))
+        _insert_only(changes, "bitmap distinct")
+        .select(*group_cols, F.col(id_col).alias("_gid"))
         .select(
             *group_cols,
             # exact integer floor-div/pmod — no double `/` precision
@@ -384,19 +393,18 @@ def maintain_kmv(
 
     h = F.conv(
         F.substring(
-            F.md5(
-                F.concat(
-                    _insert_only(id_col, "kmv distinct").cast("string"),
-                    F.lit("kmv1"),
-                )
-            ),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("kmv1"))),
             1,
             8,
         ),
         16,
         10,
     ).cast("bigint")
-    delta = changes.select(*group_cols, h.alias("h")).distinct()
+    delta = (
+        _insert_only(changes, "kmv distinct")
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
     merged = delta if current is None else (
         current.select(*group_cols, "h").unionByName(delta).distinct()
     )
@@ -447,7 +455,8 @@ def maintain_hll(
     (register maxes are not subtractable; runtime raise -- see
     _insert_only)."""
     delta = (
-        changes.select(*group_cols, _insert_only(id_col, "hll distinct").alias("_id"))
+        _insert_only(changes, "hll distinct")
+        .select(*group_cols, F.col(id_col).alias("_id"))
         .withColumn(
             "_h",
             F.conv(
@@ -527,8 +536,8 @@ def maintain_extrema(
     vmax of an event-time column per source is the watermark the
     dq_freshness_by_type readout lags against. Deletes are REJECTED at
     execution time (see _insert_only)."""
-    guarded = changes.select(
-        *group_cols, _insert_only(value_col, "extrema").alias("_gv")
+    guarded = _insert_only(changes, "extrema").select(
+        *group_cols, F.col(value_col).alias("_gv")
     )
     delta = guarded.groupBy(*group_cols).agg(
         F.max("_gv").alias("vmax"),

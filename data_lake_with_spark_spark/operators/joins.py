@@ -225,10 +225,15 @@ def range_join_bucketed_outer(
     # spurious unmatched null row. eqNullSafe treats NULL as a value,
     # keeping the anti join an exact set-minus on whole rows
     # (property-tested with null payloads in tests/test_properties.py).
-    matched = inner.select(*[F.col(c).alias(f"_m_{c}") for c in left.columns])
+    # __rjb_m_ prefix (round-12 ADVICE): a guessable "_m_" could
+    # collide with a caller's own column literally named _m_<col>,
+    # producing duplicate names in the matched side; assert the
+    # stronger prefix really is free rather than hoping
+    assert not any(c.startswith("__rjb_m_") for c in left.columns), left.columns
+    matched = inner.select(*[F.col(c).alias(f"__rjb_m_{c}") for c in left.columns])
     anti_cond = None
     for c in left.columns:
-        clause = F.col(c).eqNullSafe(F.col(f"_m_{c}"))
+        clause = F.col(c).eqNullSafe(F.col(f"__rjb_m_{c}"))
         anti_cond = clause if anti_cond is None else (anti_cond & clause)
     unmatched = left.join(matched, anti_cond, "left_anti")
     nulls = unmatched.select(

@@ -425,9 +425,10 @@ def stream_maintain_topk_view(
     ``_change_type`` column, ``insert``/``update_postimage`` rows are
     folded, ``update_preimage`` rows are dropped (they are the
     pre-state, never foldable — folding them would double-count every
-    update), and a ``delete`` row RAISES (ValueError, failing the
-    micro-batch) instead of being silently folded in as an insert and
-    corrupting the leaderboard. Before the top-k window the merge
+    update), and a ``delete`` row RAISES at execution time (the
+    raise-in-filter inside ``ivm.maintain_topk``, failing the
+    micro-batch before the atomic state commit) instead of being
+    silently folded in as an insert and corrupting the leaderboard. Before the top-k window the merge
     collapses cur ∪ fresh to ONE row per (group, id) via
     max(order_col), so a postimage for an id already retained in state
     REPLACES it rather than coexisting with the stale row — exact for
@@ -441,15 +442,13 @@ def stream_maintain_topk_view(
     from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if "_change_type" in batch_df.columns:
-            deletes = batch_df.where(F.col("_change_type") == "delete")
-            if not deletes.isEmpty():
-                raise ValueError(
-                    "stream_maintain_topk_view is insert-only: a max-monoid"
-                    " top-k state cannot retract. Got delete rows in the"
-                    " changes stream — maintain a signed-count view"
-                    " (stream_maintain_view) for retractable feeds."
-                )
+        # No eager delete probe here (round-12 ADVICE): the insert-only
+        # contract is enforced IN THE PLAN by ivm.maintain_topk's
+        # execution-time raise-in-filter, and versioned_append commits
+        # atomically (staged write, manifest last), so a delete row
+        # fails the micro-batch before any state mutation — the former
+        # deletes.isEmpty() pre-check paid a whole extra job per
+        # micro-batch for the same guarantee.
         if batch_df.isEmpty():
             return
         eid = epoch_id if checkpoint is not None else None

@@ -586,3 +586,85 @@ def ingest_batch_indexed(
     for c in caches:
         c.unpersist()
     return n
+
+
+def minhash_band_posting(sigs: DataFrame, n_bands: int, n_rows: int) -> DataFrame:
+    """(doc_id, band, key) LSH posting rows from a MinHash signature
+    frame carrying columns ``s0..s{n_bands*n_rows-1}`` — the banded
+    index representation a maintained near-dup index persists (one row
+    per doc per band; equi-joinable on (band, key), never all-pairs)."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[F.col(f"s{b * n_rows + r}").cast("string") for r in range(n_rows)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+
+
+def minhash_index_new_pairs(
+    state_sigs: DataFrame | None,
+    batch_sigs: DataFrame,
+    n_bands: int,
+    n_rows: int,
+    threshold: float,
+) -> DataFrame:
+    """Incremental near-dup discovery against a MAINTAINED MinHash
+    band index (round-12 verdict directive #7 — the streaming-ingest
+    dedup seam): given the signature/shingle frame of all PREVIOUSLY
+    absorbed documents (``state_sigs``; None = first batch) and an
+    arriving batch's signatures, return exactly the near-dup pairs
+    (a_id, b_id, jaccard) that are NEW this batch — pairs with at
+    least one side in the batch, band-collision candidates verified by
+    exact Jaccard over the distinct-shingle arrays, thresholded on the
+    portable-rounded value. Absorb = ``state_sigs.unionByName(
+    batch_sigs)`` (doc ids are unique across batches), so the union of
+    new-pairs over any batch split equals the one-shot pair list over
+    the whole corpus: a pair (a, b) is emitted exactly once, in the
+    batch of its later-arriving side (driver-oracled:
+    ingest_minhash_newpairs_equivalence; the signature frame is what
+    ``plans/llm_ops._mh_portable_sigs`` computes — persist it with the
+    corpus like ingest_batch's ``_shingles`` companions and a batch
+    never re-tokenizes history).
+
+    Scale shape: the probe joins the O(batch·bands) posting rows of
+    the batch against the index posting on (band, key) — index-probe
+    shaped, O(batch) work per refresh regardless of corpus size, never
+    corpus²; the exact verify touches only collision survivors. The
+    batch posting side is broadcast-eligible; AQE handles hot band
+    keys (boilerplate bands) via skew split."""
+    all_sigs = (
+        batch_sigs
+        if state_sigs is None
+        else state_sigs.unionByName(batch_sigs)
+    )
+    post_all = minhash_band_posting(all_sigs, n_bands, n_rows)
+    post_batch = minhash_band_posting(batch_sigs, n_bands, n_rows)
+    cand = (
+        post_all.alias("a")
+        .join(
+            post_batch.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    arr = all_sigs.select("doc_id", "sh")
+    a_arr = arr.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b_arr = arr.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(a_arr, "a_id")
+        .join(b_arr, "b_id")
+        .select("a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

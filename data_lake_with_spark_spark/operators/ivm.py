@@ -262,6 +262,97 @@ def maintain_topk(
     return topk(per_id.select(*cols))
 
 
+def maintain_topk_retractable(
+    current: DataFrame | None,
+    changes: DataFrame,
+    base: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """``maintain_topk`` with a RETRACTION story (round-12 verdict
+    directive #3): deletes and value-LOWERING updates no longer raise —
+    the fold detects the groups whose leaderboard such a change could
+    evict from (a max monoid cannot retract in-place: once a row falls
+    out of the retained ≤k state, the (k+1)-th is gone) and rescans
+    JUST THOSE groups from ``base``, the post-change base feed the
+    caller provides; every other group rides the O(batch + k·groups)
+    insert/raise fast path unchanged.
+
+    Risk detection is per (group, id) over the batch, with no reliance
+    on intra-batch ordering: an id is SAFE iff it carries no delete and
+    either no update at all (pure inserts — max-fold exact) or exactly
+    one preimage/postimage pair whose postimage is ≥ its preimage (a
+    provably value-raising update). Everything else — deletes, bare
+    postimages (their prior value may exceed them), multi-update ids
+    (final value unknowable without an ordering column), lowering
+    pairs — marks its GROUP for rescan. Conservative where it must be,
+    never where it costs: the common leaderboard feed (inserts +
+    score-raises) stays fold-only.
+
+    Scale shape: one hash-agg over the batch (risk stats), two
+    anti-joins against the broadcast-size risk-group list, and a
+    semi-join-pruned top-k rescan of base — O(batch) + O(rows of the
+    changed groups), never the full base table; with base partitioned
+    or clustered by group the semi join partition-prunes the rescan.
+    Equivalence vs recompute under random delete-bearing feeds is
+    hypothesis-pinned (tests/test_properties.py) and driver-oracled
+    (ivm_topk_retraction_equivalence)."""
+    from pyspark.sql import Window
+
+    cols = [*group_cols, id_col, order_col]
+    ct = F.col("_change_type")
+    stats = changes.groupBy(*group_cols, id_col).agg(
+        F.sum(F.when(ct == "delete", 1).otherwise(0)).alias("_n_del"),
+        F.sum(F.when(ct == "update_preimage", 1).otherwise(0)).alias("_n_pre"),
+        F.sum(F.when(ct == "update_postimage", 1).otherwise(0)).alias("_n_post"),
+        F.max(F.when(ct == "update_preimage", F.col(order_col))).alias("_max_pre"),
+        F.max(F.when(ct == "update_postimage", F.col(order_col))).alias("_max_post"),
+    )
+    risky = (
+        (F.col("_n_del") > 0)
+        | (F.col("_n_pre") != F.col("_n_post"))
+        | (F.col("_n_pre") > 1)
+        | ((F.col("_n_pre") == 1) & (F.col("_max_post") < F.col("_max_pre")))
+    )
+    risk_groups = stats.where(risky).select(*group_cols).distinct()
+
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(id_col))
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    # Plain (side-effect-free) row filter BEFORE the guarded fold:
+    # risk routing already removed every group containing a delete, so
+    # the fold only needs insert/postimage rows — and the _change_type
+    # column is dropped so maintain_topk's raise-in-filter guard never
+    # materializes. Keeping the guard here would be wrong, not just
+    # redundant: Catalyst pushes filters below the anti join, so the
+    # raise would evaluate on pre-anti-join rows and fire on the very
+    # delete rows the risk routing diverted (found by the hypothesis
+    # differential at first run).
+    safe_changes = (
+        changes.where(ct.isin("insert", "update_postimage"))
+        .drop("_change_type")
+        .join(F.broadcast(risk_groups), group_cols, "left_anti")
+    )
+    cur_safe = (
+        None
+        if current is None
+        else current.join(F.broadcast(risk_groups), group_cols, "left_anti")
+    )
+    fast = maintain_topk(cur_safe, safe_changes, group_cols, id_col, order_col, k)
+    rescanned = topk(
+        base.select(*cols).join(F.broadcast(risk_groups), group_cols, "left_semi")
+    )
+    return fast.select(*cols).unionByName(rescanned)
+
+
 def maintain_join_agg(
     current: DataFrame | None,
     fact_changes: DataFrame,

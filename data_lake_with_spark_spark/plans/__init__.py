@@ -19,6 +19,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     extended_ops6,
     extended_ops7,
     extended_ops8,
+    extended_ops9,
     lakehouse_ops,
     reference_surface,
     relational,

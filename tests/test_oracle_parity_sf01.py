@@ -28,8 +28,8 @@ from tests.oracle_harness import duckdb_connection, run_one
 
 SF01 = "/root/testdata/sf0.01"
 
-# Bump per round to rotate the third. r12 -> 0.
-ROUND = 12
+# Bump per round to rotate the third. r13 -> 1.
+ROUND = 13
 
 ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
@@ -37,28 +37,27 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
-    # round-12 births (plans/extended_ops8.py, sf0.01-gated at birth):
+    # round-13 births (plans/extended_ops9.py, sf0.01-gated at birth):
+    "ivm_kmv_exact_regime",
+    "ivm_kmv_estimate_portable",
+    "ivm_topk_retraction_equivalence",
+    "ingest_minhash_newpairs_equivalence",
+    # round-13 engine change: insert-only guards moved from guarded
+    # PROJECTIONS into raise-in-FILTER predicates (pruning-proof —
+    # round-12 ADVICE) in maintain_bitmap/kmv/hll/extrema — the
+    # registered users of those folds re-gate:
     "ivm_bitmap_distinct_equivalence",
     "ivm_extrema_equivalence",
-    "watermark_late_accounting",
-    "watermark_horizon_frontier",
-    "ivm_histogram_median_equivalence",
-    "session_gap_frontier",
-    "ivm_topk_equivalence",
-    "dedup_threshold_frontier",
-    # round-12 engine change: ivm.apply_delta folds dtype-preserving
-    # (long stays exact integer instead of double) and moment_stats
-    # casts to double only at read — the three IVM equalities re-gate:
-    "ivm_delta_equivalence",
-    "ivm_moment_equivalence",
-    "ivm_join_view_equivalence",
-    # round-12 oracle change: COALESCE'd filtered SUMs (single-parity
-    # cells) — re-gate on the new oracle text:
-    "ivf_incremental_assign_drift",
-    # round-12 engine change: range_join_bucketed_outer anti-joins via
-    # eqNullSafe (null-payload edge) — both registered users re-gate:
+    # round-13 engine change: range_join_bucketed_outer's matched-side
+    # alias prefix hardened (_m_ -> __rjb_m_ + collision assert) —
+    # both registered users re-gate:
     "join_click_purchase_outer",
     "join_range_outer_5min",
+    # round-13 engine change: min_label_components rounds restructured
+    # from 3 joins to 1 unified-lookup join — both oracled users of
+    # the CC kernel re-gate:
+    "graph_connected_components",
+    "spatial_dbscan_grid",
 ]
 
 

@@ -342,6 +342,22 @@ def main() -> None:
     t2_spread = round(
         100.0 * (max(t2_totals) - min(t2_totals)) / sorted(t2_totals)[1], 1
     )
+    # PER-QUERY tier2 spreads (round-12 verdict directive #4: the
+    # driver environment saw a 52% 3-pass tier2 TOTAL spread in r12 —
+    # without per-query spreads a single spiked query is
+    # indistinguishable from uniform box noise). Compact aligned form
+    # to respect the <1900-char contract line: integer percent
+    # (max−min)/median per query, in the same key order as "tier2".
+    t2_q_spread = [
+        int(
+            round(
+                100.0
+                * (max(p[n] for p in t2_passes) - min(p[n] for p in t2_passes))
+                / max(t2_warm[n], 0.001)
+            )
+        )
+        for n in t2_warm
+    ]
 
     shuffle_bytes: dict[str, int | None] = {}
     spill_bytes: dict[str, int | None] = {}
@@ -439,6 +455,8 @@ def main() -> None:
             "tier2_total": round(sum(t2_warm.values()), 3),
             "tier2_pass_totals": t2_totals,
             "tier2_spread_pct": t2_spread,
+            # int % (max−min)/median per query, aligned with "tier2" keys
+            "tier2_q_spread_pct": t2_q_spread,
             "sf": sf,
         }
     )

@@ -20,6 +20,34 @@ def test_eager_set_names_are_registered():
     assert EAGER_QUERIES <= set(REGISTRY), sorted(EAGER_QUERIES - set(REGISTRY))
 
 
+def test_every_declared_eager_query_is_genuinely_eager(spark, sf_dir):
+    """The other direction of the lazy gate (round-12 verdict
+    directive #8): every query LISTED in EAGER_QUERIES must actually
+    run ≥1 Spark job at plan construction. Without this, a refactor
+    that makes an operator lazy (or a copy-paste into the eager set)
+    silently grows the declared deviation surface — the frozenset must
+    stay the exact set of construction-time-job queries, both ways."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t)  # populate the schema cache
+    sc = spark.sparkContext
+    not_eager: list[str] = []
+    for name in sorted(EAGER_QUERIES):
+        group = f"eager-gate-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            REGISTRY[name].spark(spark, sf_dir)
+        finally:
+            sc.setJobGroup("eager-gate-idle", "idle")
+        if not sc.statusTracker().getJobIdsForGroup(group):
+            not_eager.append(name)
+    assert not not_eager, (
+        f"{len(not_eager)} queries declared in plans.EAGER_QUERIES ran "
+        f"ZERO jobs at construction: {not_eager} — remove them from the "
+        "eager set (they are lazy now) so the declared deviation surface "
+        "stays exact"
+    )
+
+
 def test_non_eager_queries_construct_with_zero_jobs(spark, sf_dir):
     for t in TABLES:
         load_table(spark, sf_dir, t)  # populate the schema cache

@@ -43,77 +43,77 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 389 registered
-# queries (375 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 393 registered
+# queries (379 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-12 rotation: the round-11 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r11.json, durable in git) and the
-    # evidence queue is EMPTY (round-11 verdict: 367/367 oracled
-    # queries hold a green driver row), so this window is pure
-    # rotation per round-11 directive #1: round-12 BIRTHS first (so
-    # they never enter the queue), then every query whose ENGINE OR
-    # ORACLE changed this round (re-gated on verified rows), then the
-    # stalest previously-green tranche — the remainder of the
-    # r04-verified set after round 11 took its alphabetical head,
-    # then the alphabetical head of the r05 set.
-    # Round-12 births:
-    "ivm_bitmap_distinct_equivalence",
-    "ivm_extrema_equivalence",
-    "watermark_late_accounting",
-    "watermark_horizon_frontier",
-    "ivm_histogram_median_equivalence",
-    "session_gap_frontier",
-    "ivm_topk_equivalence",
-    "dedup_threshold_frontier",
+    # Round-13 rotation: the round-12 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r12.json, durable in git) and the
+    # evidence queue is EMPTY for the second consecutive round
+    # (round-12 verdict: 375/375 oracled queries hold a green driver
+    # row), so this window is pure rotation per round-12 directive #1:
+    # round-13 BIRTHS first (so they never enter the queue), then
+    # every query whose ENGINE OR ORACLE changed this round (re-gated
+    # on verified rows), then the stalest previously-green tranche —
+    # the full remainder of the r05-verified set (round 12 took its
+    # alphabetical head), then the alphabetical head of the r06 set.
+    # Round-13 births:
+    "ivm_kmv_exact_regime",
+    "ivm_kmv_estimate_portable",
+    "ivm_topk_retraction_equivalence",
+    "ingest_minhash_newpairs_equivalence",
     # Engine/oracle changed this round (see test_oracle_parity_sf01
     # CHANGED_THIS_ROUND for the per-change rationale):
-    "ivm_delta_equivalence",
-    "ivm_moment_equivalence",
-    "ivm_join_view_equivalence",
-    "ivf_incremental_assign_drift",
+    "ivm_bitmap_distinct_equivalence",
+    "ivm_extrema_equivalence",
     "join_click_purchase_outer",
     "join_range_outer_5min",
-    # Stale re-verification (25: the rest of the r04-verified set):
-    "join_compound_key_anti",
-    "join_fuzzy_editdist",
-    "join_left_anti_new_rows",
-    "join_left_outer_enrich",
-    "join_range_within_5min",
-    "join_salted_skew",
-    "json_extract_props",
-    "pivot_status_price",
-    "proj_distinct",
-    "q1_pricing_summary",
-    "q3_top_unshipped_orders",
-    "q6_forecast_revenue",
-    "rag_chunk_retrieval",
-    "rollup_hypertable_daily",
-    "semdedup_within_cluster",
-    "sort_limit_topk",
-    "subquery_correlated_avg",
-    "text_stats",
-    "text_tfidf_top_terms",
-    "time_dimension",
-    "timeseries_resample_locf",
-    "training_pack_sequences",
-    "vector_topk_bruteforce",
-    "window_topk_per_group",
-    "window_tumbling_hourly",
-    # Stale re-verification (11: alphabetical head of the r05 set):
-    "agg_bitmap_distinct_users",
-    "anomaly_cusum_changepoint",
-    "basket_part_affinity",
-    "decontaminate_bloom",
-    "dedup_cluster_keep_best",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_portable",
-    "dedup_segments_keep_first",
-    "dedup_simhash_portable",
-    "dq_expectations",
+    "graph_connected_components",
+    "spatial_dbscan_grid",
+    # Stale re-verification (38: the rest of the r05-verified set):
+    "filter_boilerplate_crossdoc",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "interval_max_concurrency",
+    "join_asof_cogroup",
+    "join_bucketed_colocated",
+    "lateral_udtf_sentences",
+    "multimodal_features",
+    "multimodal_image_quadrants",
+    "multimodal_spectral_power",
+    "q5_region_year_revenue",
+    "q9_product_profit",
+    "quality_classifier_score",
+    "quantile_fixed_histogram",
+    "rag_chunk_retrieval_ivf",
+    "sample_weighted_priority",
+    "scan_sample_fraction",
+    "scd2_priority_intervals",
+    "search_phrase_positional",
+    "segment_rfm_customers",
+    "sessionize_event_paths",
+    "sketch_countmin_tokens",
+    "sketch_hll_portable",
+    "stats_chi_square_cells",
+    "streaks_active_days",
+    "text_bm25_topk",
+    "text_cooccurrence_lift",
+    "text_quality_score",
+    "text_readability",
+    "training_global_shuffle",
+    "vector_kmeans_lloyd",
+    "vector_kmeans_silhouette",
+    "vector_topk_lsh_portable",
+    "vector_topk_matryoshka",
+    "vector_topk_pq_portable",
+    "window_session_5min",
+    "window_wau_bitmap",
+    "window_weekly_active_users",
+    # Stale re-verification (2: alphabetical head of the r06 set):
+    "cohort_ltv_yearly",
+    "dedup_repeated_spans",
 ]
 
 

@@ -460,7 +460,9 @@ def main() -> None:
             "sf": sf,
         }
     )
-    assert len(line) < 1900, f"bench line too long ({len(line)} chars)"
+    # driver captures the LAST 2000 stdout chars; the line + newline
+    # must fit inside that window to stay parseable
+    assert len(line) < 1950, f"bench line too long ({len(line)} chars)"
     print(line)
 
 

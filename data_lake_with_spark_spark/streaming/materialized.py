@@ -480,6 +480,97 @@ def stream_maintain_topk_view(
     return w.trigger(availableNow=True).start()
 
 
+def stream_maintain_topk_retractable_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    base_path: str,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 5,
+    query_name: str = "topk_retract_view",
+    checkpoint: str | None = None,
+):
+    """``stream_maintain_topk_view`` WITH a retraction story (round-12
+    verdict directive #3, streaming form): deletes and value-LOWERING
+    updates no longer fail the micro-batch — the sink additionally
+    maintains the keyed BASE table the change feed describes
+    (merge-on-read: ``versioned_merge`` for insert/update_postimage
+    rows, ``versioned_delete`` tombstones for deletes — both
+    O(batch)), and the fold (``ivm.maintain_topk_retractable``)
+    rescans ONLY the eviction-risk groups from that base; every other
+    group rides the O(batch + k·groups) max-monoid fast path.
+
+    The base table is the honest price of retraction: once a row falls
+    out of the retained ≤k state the (k+1)-th is unrecoverable from
+    the state alone, so SOME O(live rows) store must exist — here it
+    is merge-on-read (reads resolve per-key latest + tombstones), so
+    the per-batch WRITE stays O(batch) and only the risk-group rescan
+    reads it.
+
+    Feed preconditions (raised loudly, never silently merged): at most
+    one postimage per (group, id) per micro-batch (versioned_merge's
+    conflict raise), and a key must not be both upserted and deleted
+    in the same micro-batch (intra-batch order is unknowable at the
+    sink). update_preimage rows ride along: the base writes skip them
+    and the fold uses them only for risk detection.
+
+    Exactly-once: the epoch guard sits on the STATE table commit,
+    which happens LAST — a replay after a crash re-applies the base
+    merge/delete (idempotent by content: same rows, same tombstone
+    keys) and re-folds once; a replay after the state commit skips
+    everything."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        ct = F.col("_change_type")
+        cols = [*group_cols, id_col, order_col]
+        ups = batch_df.where(ct.isin("insert", "update_postimage")).select(*cols)
+        dels = batch_df.where(ct == "delete").select(*group_cols, id_col)
+        keys = [*group_cols, id_col]
+        conflicted = ups.select(*keys).intersect(dels.select(*keys))
+        if not conflicted.isEmpty():
+            raise ValueError(
+                "stream_maintain_topk_retractable_view: a key appears as "
+                "both upsert and delete in one micro-batch — intra-batch "
+                "order is unknowable at the sink; compact the feed so each "
+                "key carries one net change per batch"
+            )
+        # base FIRST (the fold's rescan needs the post-batch rows);
+        # versioned_merge raises on conflicting postimages per key
+        V.versioned_merge(ups, base_path, keys=keys)
+        if not dels.isEmpty():
+            V.versioned_delete(spark, dels, base_path, keys=keys)
+        base_after = V.versioned_read_merged(spark, base_path, keys=keys).select(
+            *cols
+        )
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        merged = ivm.maintain_topk_retractable(
+            cur, batch_df, base_after, group_cols, id_col, order_col, k
+        )
+        V.versioned_append(
+            merged,
+            state_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
 PSI_DEFAULT_EDGES = (-200000, -100000, 0, 100000, 200000)
 
 

@@ -1052,3 +1052,67 @@ def test_maintain_kmv_hll_bit_identical_to_one_shot(spark, feed):
         .collect()
     }
     assert got_hll == want_hll
+
+
+@st.composite
+def minhash_split_feed(draw):
+    """Random mini-corpus + random 3-batch arrival split for the
+    maintained MinHash band index: docs drawn from a tiny vocabulary
+    (near-dups guaranteed), each assigned an arrival epoch."""
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    n = draw(st.integers(2, 8))
+    docs = []
+    for i in range(n):
+        n_tok = draw(st.integers(3, 6))
+        text = " ".join(
+            vocab[draw(st.integers(0, len(vocab) - 1))] for _ in range(n_tok)
+        )
+        docs.append((i, text, draw(st.integers(0, 2))))
+    return docs
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=minhash_split_feed())
+def test_minhash_index_newpairs_split_invariance(spark, feed):
+    """The maintained MinHash band index's per-batch NEW pairs, united
+    over ANY 3-batch arrival split, equal the one-shot pair list over
+    the whole corpus — each pair discovered exactly once, in the batch
+    of its later-arriving side (the oracled
+    ingest_minhash_newpairs_equivalence pins one deterministic split;
+    this covers random splits, empty batches included)."""
+    from data_lake_with_spark_spark.operators.ingest import minhash_index_new_pairs
+    from data_lake_with_spark_spark.plans.llm_ops import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        _mh_portable_sigs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _e in feed], "doc_id long, text string"
+    )
+    oneshot = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_index_new_pairs(
+            None, _mh_portable_sigs(docs), MINHASH_BANDS, MINHASH_ROWS, 0.5
+        ).collect()
+    }
+    got = set()
+    state = None
+    for epoch in range(3):
+        ids = [i for i, _t, e in feed if e == epoch]
+        if not ids:
+            continue
+        batch_sigs = _mh_portable_sigs(
+            docs.where(F.col("doc_id").isin(ids))
+        ).localCheckpoint(eager=True)
+        new = minhash_index_new_pairs(
+            state, batch_sigs, MINHASH_BANDS, MINHASH_ROWS, 0.5
+        ).collect()
+        for r in new:
+            key = (r["a_id"], r["b_id"], r["jaccard"])
+            assert key not in got, f"pair re-discovered: {key}"
+            got.add(key)
+        state = (
+            batch_sigs if state is None else state.unionByName(batch_sigs)
+        )
+    assert got == oneshot

@@ -1292,3 +1292,97 @@ def test_stream_maintained_histogram_median(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+TKR_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.StringType(), True),
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("_change_type", T.StringType(), True),
+    ]
+)
+
+
+def _write_tkr(path, rows):
+    pdf = pd.DataFrame(rows, columns=["g", "id", "v", "_change_type"])
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    import os
+
+    _WRITE_SEQ[0] += 10
+    os.utime(path, (_WRITE_SEQ[0], _WRITE_SEQ[0]))
+
+
+def test_stream_topk_retractable_matches_bruteforce(spark, tmp_path):
+    """Streaming form of the retractable top-k fold (round-12 verdict
+    directive #3): a 3-micro-batch feed carrying inserts, a
+    value-LOWERING update of a RESIDENT id and a delete of a RESIDENT
+    id — both moves the plain topk view refuses — must leave the state
+    equal to the brute-force top-k over the surviving rows, with the
+    (k+1)-th pulled back up by the bounded base rescan. Also pins the
+    maintained BASE table (merge-on-read) to exactly the live rows."""
+    src = tmp_path / "tkr_changes"
+    src.mkdir()
+    state = str(tmp_path / "tkr_view")
+    base = str(tmp_path / "tkr_base")
+    # batch 1: 4 inserts in one group — top-2 after: (i3 v=40, i2 v=30)
+    _write_tkr(str(src / "b1.parquet"), [
+        ("a", 1, 10, "insert"),
+        ("a", 2, 30, "insert"),
+        ("a", 3, 40, "insert"),
+        ("a", 4, 20, "insert"),
+    ])
+    # batch 2: LOWER the resident max i3 40 -> 5 (state must pull i4
+    # back up), plus an unrelated group's insert (fast path)
+    _write_tkr(str(src / "b2.parquet"), [
+        ("a", 3, 40, "update_preimage"),
+        ("a", 3, 5, "update_postimage"),
+        ("b", 9, 7, "insert"),
+    ])
+    # batch 3: DELETE the new resident max i2 (i1 must come back)
+    _write_tkr(str(src / "b3.parquet"), [
+        ("a", 2, 30, "delete"),
+    ])
+    stream = (
+        spark.readStream.schema(TKR_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_topk_retractable_view(
+        stream, state, base, ["g"], "v", "id", k=2,
+        query_name="tkr_mv", checkpoint=str(tmp_path / "tkr_ckpt"),
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+    got = {
+        (r["g"], r["id"], r["v"]) for r in MV.read_view(spark, state).collect()
+    }
+    # survivors: a -> {1:10, 3:5, 4:20}; b -> {9:7}
+    assert got == {("a", 4, 20), ("a", 1, 10), ("b", 9, 7)}
+    live = {
+        (r["g"], r["id"], r["v"])
+        for r in V.versioned_read_merged(
+            spark, base, keys=["g", "id"]
+        ).select("g", "id", "v").collect()
+    }
+    assert live == {("a", 1, 10), ("a", 3, 5), ("a", 4, 20), ("b", 9, 7)}
+    # one committed state version per micro-batch (exactly-once epochs)
+    assert V.current_version(state) == 2
+
+
+def test_stream_topk_retractable_rejects_upsert_delete_same_key(spark, tmp_path):
+    """A key arriving as BOTH upsert and delete in one micro-batch has
+    no well-defined net effect at the sink (intra-batch order is
+    unknowable) — the view must fail the batch loudly, not guess."""
+    src = tmp_path / "tkc2_changes"
+    src.mkdir()
+    _write_tkr(str(src / "b1.parquet"), [
+        ("a", 1, 10, "insert"),
+        ("a", 1, 10, "delete"),
+    ])
+    stream = spark.readStream.schema(TKR_SCHEMA).parquet(str(src))
+    q = MV.stream_maintain_topk_retractable_view(
+        stream, str(tmp_path / "tkc2_view"), str(tmp_path / "tkc2_base"),
+        ["g"], "v", "id", k=2, query_name="tkc2_mv",
+    )
+    with pytest.raises(Exception, match="both upsert and delete"):
+        q.awaitTermination(600)

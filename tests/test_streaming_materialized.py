@@ -1386,3 +1386,47 @@ def test_stream_topk_retractable_rejects_upsert_delete_same_key(spark, tmp_path)
     )
     with pytest.raises(Exception, match="both upsert and delete"):
         q.awaitTermination(600)
+
+
+def test_stream_topk_retractable_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume for the retractable view's TWO-table commit
+    (base merge-on-read + state): a checkpointed run resumed after new
+    changes arrive folds ONLY the new micro-batch (epoch guard on the
+    state commit, which happens last), the base stays consistent, and
+    the final state equals the uninterrupted brute force."""
+    src = tmp_path / "tkrr_changes"
+    src.mkdir()
+    state = str(tmp_path / "tkrr_view")
+    base = str(tmp_path / "tkrr_base")
+    ckpt = str(tmp_path / "tkrr_ckpt")
+    _write_tkr(str(src / "b1.parquet"), [
+        ("a", 1, 10, "insert"),
+        ("a", 2, 30, "insert"),
+        ("a", 3, 40, "insert"),
+    ])
+
+    def run():
+        stream = (
+            spark.readStream.schema(TKR_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = MV.stream_maintain_topk_retractable_view(
+            stream, state, base, ["g"], "v", "id", k=2,
+            query_name="tkrr_mv", checkpoint=ckpt,
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+
+    run()
+    v1 = V.current_version(state)
+    # "crash"; then a delete of the resident max arrives; resume
+    _write_tkr(str(src / "b2.parquet"), [("a", 3, 40, "delete")])
+    run()
+    assert V.current_version(state) == v1 + 1  # exactly one new fold
+    got = {
+        (r["g"], r["id"], r["v"]) for r in MV.read_view(spark, state).collect()
+    }
+    assert got == {("a", 2, 30), ("a", 1, 10)}  # i1 pulled back up
+    # idle resume: no new files -> no new state version
+    run()
+    assert V.current_version(state) == v1 + 1

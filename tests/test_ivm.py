@@ -341,3 +341,73 @@ def test_maintain_topk_rejects_deletes(spark):
     )
     state2 = ivm.maintain_topk(state, upd, ["g"], "i", "v", k=3)
     assert [(r["i"], r["v"]) for r in state2.collect()] == [(1, 25)]
+
+
+def test_topk_retractable_tracks_versioned_change_feed(spark, tmp_path):
+    """End-to-end lakehouse wiring for the retractable top-k (round
+    13): the state advanced by REAL ``versioned_changes(
+    include_preimages=True)`` feeds — upserts that RAISE, upserts that
+    LOWER a resident leader, and a tombstone DELETE of a resident
+    leader — must equal the top-k recompute over each post-change
+    snapshot, with the base rescan reading the same versioned table
+    the feed came from (the production shape: one table is both the
+    change source and the rescan target)."""
+    from pyspark.sql import Window as W
+
+    path = str(tmp_path / "scores")
+
+    def base_df(version):
+        return V.versioned_read_merged(spark, path, ["k"], version=version).select(
+            "cat", F.col("k").alias("id"), F.col("v").alias("score")
+        )
+
+    def recompute(version, kk=2):
+        w = W.partitionBy("cat").orderBy(F.desc("score"), F.asc("id"))
+        return {
+            (r["cat"], r["id"], r["score"])
+            for r in base_df(version)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= kk)
+            .collect()
+        }
+
+    def feed(v_from, v_to):
+        return V.versioned_changes(
+            spark, path, ["k"], v_from, v_to, include_preimages=True
+        ).select(
+            "cat", F.col("k").alias("id"), F.col("v").alias("score"), "_change_type"
+        )
+
+    state = None
+    # v0: inserts — a leaderboard of 4 in one group, 1 in another
+    V.versioned_merge(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 40.0), (4, "a", 20.0),
+             (9, "b", 7.0)],
+            ["k", "cat", "v"],
+        ),
+        path, ["k"],
+    )
+    state = ivm.maintain_topk_retractable(
+        state, feed(-1, 0), base_df(0), ["cat"], "id", "score", k=2
+    )
+    assert {(r["cat"], r["id"], r["score"]) for r in state.collect()} == recompute(0)
+
+    # v1: RAISE a non-leader (fast path) and LOWER the leader (rescan)
+    V.versioned_merge(
+        spark.createDataFrame([(1, "a", 25.0), (3, "a", 5.0)], ["k", "cat", "v"]),
+        path, ["k"],
+    )
+    state = ivm.maintain_topk_retractable(
+        state, feed(0, 1), base_df(1), ["cat"], "id", "score", k=2
+    )
+    assert {(r["cat"], r["id"], r["score"]) for r in state.collect()} == recompute(1)
+
+    # v2: tombstone-DELETE the current leader (rescan pulls up the 3rd)
+    V.versioned_delete(spark, spark.createDataFrame([(2,)], ["k"]), path, ["k"])
+    state = ivm.maintain_topk_retractable(
+        state, feed(1, 2), base_df(2), ["cat"], "id", "score", k=2
+    )
+    got = {(r["cat"], r["id"], r["score"]) for r in state.collect()}
+    assert got == recompute(2)
+    assert got == {("a", 1, 25.0), ("a", 4, 20.0), ("b", 9, 7.0)}

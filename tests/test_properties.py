@@ -1116,3 +1116,97 @@ def test_minhash_index_newpairs_split_invariance(spark, feed):
             batch_sigs if state is None else state.unionByName(batch_sigs)
         )
     assert got == oneshot
+
+
+@st.composite
+def topk_lifecycle_feed(draw):
+    """Random MULTI-OP lifecycles for the retractable top-k: each id
+    is inserted once, then hit by up to TWO further ops at distinct
+    later epochs (raise / lower / delete; nothing after a delete) —
+    the insert→raise→delete and insert→lower→raise shapes a single-op
+    feed never exercises. Preimages always carry the id's CURRENT
+    value, as a real change feed would."""
+    n = draw(st.integers(1, 8))
+    rows = []
+    for i in range(n):
+        g = draw(st.integers(0, 1))
+        base = draw(st.integers(0, 6))
+        e_ins = draw(st.integers(0, 1))
+        ops = []
+        epochs = sorted(
+            draw(
+                st.lists(
+                    st.integers(e_ins, 2), min_size=0, max_size=2, unique=True
+                )
+            )
+        )
+        for e in epochs:
+            if ops and ops[-1][0] == "delete":
+                break
+            ops.append(
+                (draw(st.sampled_from(["raise", "lower", "delete"])), e,
+                 draw(st.integers(1, 6)))
+            )
+        rows.append((g, i, base, e_ins, ops))
+    return rows
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=topk_lifecycle_feed())
+def test_maintain_topk_retractable_multiop_lifecycles(spark, feed):
+    """Sequential multi-op lifecycles (insert→raise→delete,
+    insert→lower→raise, same-epoch insert+op, ...) folded through
+    ivm.maintain_topk_retractable equal brute force over the
+    survivors — the cross-epoch interleavings the single-op
+    differential can't reach."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    K = 2
+    schema = "g long, i long, v long, _change_type string"
+    state = None
+    live: dict[tuple[int, int], int] = {}
+    for epoch in range(3):
+        batch = []
+        for g, i, base, e_ins, ops in feed:
+            if e_ins == epoch:
+                batch.append((g, i, base, "insert"))
+                live[(g, i)] = base
+            for op, e_op, delta in ops:
+                if e_op != epoch or (g, i) not in live:
+                    continue
+                cur = live[(g, i)]
+                if op == "delete":
+                    batch.append((g, i, cur, "delete"))
+                    live.pop((g, i))
+                else:
+                    new_v = cur + delta if op == "raise" else cur - delta
+                    batch.append((g, i, cur, "update_preimage"))
+                    batch.append((g, i, new_v, "update_postimage"))
+                    live[(g, i)] = new_v
+        if not batch:
+            continue
+        base_df = spark.createDataFrame(
+            [(g, i, v) for (g, i), v in live.items()] or [(None, None, None)],
+            "g long, i long, v long",
+        ).where(F.col("i").isNotNull())
+        state = ivm.maintain_topk_retractable(
+            state,
+            spark.createDataFrame(batch, schema),
+            base_df,
+            ["g"],
+            "i",
+            "v",
+            k=K,
+        )
+    got = {
+        (r["g"], r["i"], r["v"])
+        for r in (state.collect() if state is not None else [])
+    }
+    finals: dict[int, list[tuple[int, int]]] = {}
+    for (g, i), v in live.items():
+        finals.setdefault(g, []).append((v, i))
+    want = set()
+    for g, vals in finals.items():
+        top = sorted(vals, key=lambda t: (-t[0], t[1]))[:K]
+        want |= {(g, i, v) for v, i in top}
+    assert got == want

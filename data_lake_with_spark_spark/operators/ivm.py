@@ -303,15 +303,22 @@ def maintain_topk_retractable(
 
     cols = [*group_cols, id_col, order_col]
     ct = F.col("_change_type")
+    known = ("insert", "update_preimage", "update_postimage", "delete")
     stats = changes.groupBy(*group_cols, id_col).agg(
         F.sum(F.when(ct == "delete", 1).otherwise(0)).alias("_n_del"),
         F.sum(F.when(ct == "update_preimage", 1).otherwise(0)).alias("_n_pre"),
         F.sum(F.when(ct == "update_postimage", 1).otherwise(0)).alias("_n_post"),
+        F.sum(F.when(~ct.isin(*known), 1).otherwise(0)).alias("_n_other"),
         F.max(F.when(ct == "update_preimage", F.col(order_col))).alias("_max_pre"),
         F.max(F.when(ct == "update_postimage", F.col(order_col))).alias("_max_post"),
     )
+    # UNKNOWN change types (e.g. the 3-type feed's plain "update") are
+    # routed to rescan, not silently dropped: the rescan reads the
+    # post-change base, which is correct regardless of what the row
+    # meant — the conservative analog of maintain_topk's raise.
     risky = (
         (F.col("_n_del") > 0)
+        | (F.col("_n_other") > 0)
         | (F.col("_n_pre") != F.col("_n_post"))
         | (F.col("_n_pre") > 1)
         | ((F.col("_n_pre") == 1) & (F.col("_max_post") < F.col("_max_pre")))

@@ -533,7 +533,29 @@ def stream_maintain_topk_retractable_view(
         spark = batch_df.sparkSession
         ct = F.col("_change_type")
         cols = [*group_cols, id_col, order_col]
-        ups = batch_df.where(ct.isin("insert", "update_postimage")).select(*cols)
+        # The base write must understand every row it applies — an
+        # UNKNOWN change type (e.g. a 3-type feed's plain "update")
+        # cannot be reconstructed into base semantics at the sink, so
+        # it fails the micro-batch in-plan (before the atomic base
+        # commit) instead of being silently dropped. The batch
+        # operator can afford to rescan instead (its caller supplies
+        # the base truth); the sink cannot.
+        keep_up = (
+            F.when(ct.isin("insert", "update_postimage"), F.lit(True))
+            .when(ct.isin("update_preimage", "delete"), F.lit(False))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "stream_maintain_topk_retractable_view: unknown"
+                            " _change_type="
+                        ),
+                        ct,
+                    )
+                ).cast("boolean")
+            )
+        )
+        ups = batch_df.where(keep_up).select(*cols)
         dels = batch_df.where(ct == "delete").select(*group_cols, id_col)
         keys = [*group_cols, id_col]
         conflicted = ups.select(*keys).intersect(dels.select(*keys))

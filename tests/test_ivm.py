@@ -411,3 +411,28 @@ def test_topk_retractable_tracks_versioned_change_feed(spark, tmp_path):
     got = {(r["cat"], r["id"], r["score"]) for r in state.collect()}
     assert got == recompute(2)
     assert got == {("a", 1, 25.0), ("a", 4, 20.0), ("b", 9, 7.0)}
+
+
+def test_topk_retractable_unknown_change_type_rescans(spark):
+    """An UNKNOWN change type (e.g. the 3-type feed's plain "update")
+    must route its group to the base rescan — never be silently
+    dropped as a no-op (the silent-wrongness the plain fold's raise
+    prevents; here the base supplies the truth instead)."""
+    schema = "g long, i long, v long, _change_type string"
+    s0 = ivm.maintain_topk_retractable(
+        None,
+        spark.createDataFrame(
+            [(0, 1, 10, "insert"), (0, 2, 30, "insert")], schema
+        ),
+        spark.createDataFrame([(0, 1, 10), (0, 2, 30)], "g long, i long, v long"),
+        ["g"], "i", "v", k=1,
+    )
+    # plain "update" LOWERS the resident leader 30 -> 5; without the
+    # unknown-type risk routing the fold would keep the stale 30
+    s1 = ivm.maintain_topk_retractable(
+        s0,
+        spark.createDataFrame([(0, 2, 5, "update")], schema),
+        spark.createDataFrame([(0, 1, 10), (0, 2, 5)], "g long, i long, v long"),
+        ["g"], "i", "v", k=1,
+    )
+    assert {(r["g"], r["i"], r["v"]) for r in s1.collect()} == {(0, 1, 10)}

@@ -1430,3 +1430,19 @@ def test_stream_topk_retractable_restart_from_checkpoint(spark, tmp_path):
     # idle resume: no new files -> no new state version
     run()
     assert V.current_version(state) == v1 + 1
+
+
+def test_stream_topk_retractable_rejects_unknown_change_type(spark, tmp_path):
+    """The sink cannot reconstruct base semantics from an unknown
+    change type — the micro-batch must fail loudly (in-plan raise,
+    before the atomic base commit), never silently drop the row."""
+    src = tmp_path / "tku2_changes"
+    src.mkdir()
+    _write_tkr(str(src / "b1.parquet"), [("a", 1, 10, "upsert")])
+    stream = spark.readStream.schema(TKR_SCHEMA).parquet(str(src))
+    q = MV.stream_maintain_topk_retractable_view(
+        stream, str(tmp_path / "tku2_view"), str(tmp_path / "tku2_base"),
+        ["g"], "v", "id", k=2, query_name="tku2_mv",
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        q.awaitTermination(600)

@@ -308,7 +308,13 @@ def maintain_topk_retractable(
         F.sum(F.when(ct == "delete", 1).otherwise(0)).alias("_n_del"),
         F.sum(F.when(ct == "update_preimage", 1).otherwise(0)).alias("_n_pre"),
         F.sum(F.when(ct == "update_postimage", 1).otherwise(0)).alias("_n_post"),
-        F.sum(F.when(~ct.isin(*known), 1).otherwise(0)).alias("_n_other"),
+        # NULL counts as unknown: ~isin on a NULL yields NULL, which
+        # otherwise(0) would score as 0 — a NULL change row would then
+        # dodge BOTH the risk routing and the safe-path isin filter,
+        # becoming a silent no-op (round-13 ADVICE medium)
+        F.sum(
+            F.when(ct.isNull() | ~ct.isin(*known), 1).otherwise(0)
+        ).alias("_n_other"),
         F.max(F.when(ct == "update_preimage", F.col(order_col))).alias("_max_pre"),
         F.max(F.when(ct == "update_postimage", F.col(order_col))).alias("_max_post"),
     )

@@ -229,7 +229,12 @@ def range_join_bucketed_outer(
     # collide with a caller's own column literally named _m_<col>,
     # producing duplicate names in the matched side; assert the
     # stronger prefix really is free rather than hoping
-    assert not any(c.startswith("__rjb_m_") for c in left.columns), left.columns
+    # explicit raise, not assert: asserts vanish under `python -O`,
+    # silently restoring the duplicate-column hazard (round-13 ADVICE)
+    if any(c.startswith("__rjb_m_") for c in left.columns):
+        raise ValueError(
+            f"left columns collide with the __rjb_m_ alias prefix: {left.columns}"
+        )
     matched = inner.select(*[F.col(c).alias(f"__rjb_m_{c}") for c in left.columns])
     anti_cond = None
     for c in left.columns:

@@ -263,8 +263,14 @@ def ivm_topk_retraction_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
     base_all = ev.select(
         "event_id", "event_type", final_val.alias("val_cents"), eid.alias("_eid")
     )
+    # bases[0] is the POST-EPOCH-0 truth: the halving update happens in
+    # epoch 1, so epoch 0's base carries the UNhalved cents (round-13
+    # ADVICE low — final_val here was only harmless because epoch 0 is
+    # insert-only and no rescan reads it; don't leave the trap armed)
     bases = [
-        base_all.where(F.col("_eid") % 3 == 0).drop("_eid"),
+        ev.where(eid % 3 == 0).select(
+            "event_id", "event_type", F.col("cents").alias("val_cents")
+        ),
         base_all.where((F.col("_eid") % 3).isin(0, 1)).drop("_eid"),
         base_all.where(
             ~(

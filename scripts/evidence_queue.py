@@ -31,6 +31,7 @@ for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
             isinstance(row, dict)
             and row.get("rows_match")
             and row.get("schema_match")
+            and row.get("hash_match")
             and not row.get("err")
         ):
             last[name] = max(last.get(name, 0), rnd)

@@ -436,3 +436,29 @@ def test_topk_retractable_unknown_change_type_rescans(spark):
         ["g"], "i", "v", k=1,
     )
     assert {(r["g"], r["i"], r["v"]) for r in s1.collect()} == {(0, 1, 10)}
+
+
+def test_topk_retractable_null_change_type_rescans(spark):
+    """A NULL _change_type is UNKNOWN too (round-13 ADVICE medium):
+    ~isin on NULL yields NULL, which otherwise(0) scores as 0, so
+    without the explicit isNull() arm the row would dodge BOTH the
+    risk routing and the safe-path isin filter — a silent no-op. The
+    NULL row must route its group to the base rescan."""
+    schema = "g long, i long, v long, _change_type string"
+    s0 = ivm.maintain_topk_retractable(
+        None,
+        spark.createDataFrame(
+            [(0, 1, 10, "insert"), (0, 2, 30, "insert")], schema
+        ),
+        spark.createDataFrame([(0, 1, 10), (0, 2, 30)], "g long, i long, v long"),
+        ["g"], "i", "v", k=1,
+    )
+    # NULL-typed row LOWERS the resident leader 30 -> 5; the base holds
+    # the truth, so the rescan must surface (0, 1, 10)
+    s1 = ivm.maintain_topk_retractable(
+        s0,
+        spark.createDataFrame([(0, 2, 5, None)], schema),
+        spark.createDataFrame([(0, 1, 10), (0, 2, 5)], "g long, i long, v long"),
+        ["g"], "i", "v", k=1,
+    )
+    assert {(r["g"], r["i"], r["v"]) for r in s1.collect()} == {(0, 1, 10)}

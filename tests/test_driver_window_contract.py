@@ -41,6 +41,51 @@ def test_window_is_50_registered_oracled_and_leads_queries():
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
 
 
+# The rows-only set is FROZEN (round-13 verdict directive #7): every
+# entry is either the fast path of an oracled _portable twin or pinned
+# by recall/property pytests, and the set has held at these 14 names
+# since round 11. A new registration without an oracle would silently
+# ship with only the weaker rows-only driver check — fail loudly
+# instead, naming the offender; shipping a new rows-only query is a
+# deliberate act that edits this frozenset WITH its documented
+# necessity, never a default.
+ROWS_ONLY_FROZEN = frozenset(
+    {
+        "agg_approx_count_distinct",
+        "agg_approx_percentile",
+        "dedup_minhash_lsh",
+        "dedup_minhash_signatures",
+        "dedup_simhash",
+        "scan_tablesample",
+        "sketch_hll_daily_union",
+        "surrogate_keys",
+        "text_bpe_tokenize",
+        "vector_pca_project",
+        "vector_topk_ivf",
+        "vector_topk_lsh",
+        "vector_topk_pca",
+        "vector_topk_pq",
+    }
+)
+
+
+def test_rows_only_set_is_frozen():
+    from data_lake_with_spark_spark.plans import REGISTRY
+
+    live = {n for n, q in REGISTRY.items() if q.oracle is None}
+    new = sorted(live - ROWS_ONLY_FROZEN)
+    gone = sorted(ROWS_ONLY_FROZEN - live)
+    assert not new, (
+        f"new rows-only (oracle-less) registrations: {new} — give each an "
+        "oracle or an oracled _portable twin, document the necessity, and "
+        "only then extend ROWS_ONLY_FROZEN"
+    )
+    assert not gone, (
+        f"frozen rows-only names missing from the registry: {gone} — if one "
+        "gained an oracle or was renamed, shrink ROWS_ONLY_FROZEN to match"
+    )
+
+
 def test_changed_this_round_is_sf01_gated():
     """Every name the sf0.01 gate declares changed must exist and be
     oracled — a typo here silently drops the birth-gate."""

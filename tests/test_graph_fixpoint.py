@@ -178,3 +178,46 @@ def test_ktruss_guards(spark):
         G.ktruss(pairs, n_iter=0)
     with pytest.raises(ValueError, match="max_iter"):
         G.ktruss(pairs, max_iter=0)
+
+
+def test_converging_kernels_run_no_standalone_probe_actions(spark, monkeypatch):
+    """Round-13 verdict directive #2: every converging kernel's stop
+    probe rides the round's localCheckpoint job via Observation — no
+    kernel may run a standalone count()/collect()/toPandas() action
+    per round. Monkeypatch-counted, so the pin is AQE-immune (scheduler
+    job counts vary with adaptive stage splitting; driver ACTIONS are
+    the contract)."""
+    from pyspark.sql import DataFrame
+
+    calls: list[str] = []
+    for action in ("count", "collect", "toPandas"):
+        orig = getattr(DataFrame, action)
+
+        def spy(self, *a, _orig=orig, _name=action, **kw):
+            calls.append(_name)
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, action, spy)
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (8, 9)])
+    weighted = pairs.withColumn("cost", F.col("a_id").cast("bigint"))
+    G.min_label_components(pairs)
+    G.label_propagation(pairs)
+    G.bfs_hops(pairs, 1)
+    G.kcore(pairs, k=2)
+    G.sssp_weighted(weighted, 1)
+    G.ktruss(_pairs(spark, [(0, 1), (1, 2), (0, 2), (5, 9)]), k=3)
+    assert calls == [], f"standalone probe actions ran: {calls}"
+
+
+def test_lpa_oscillating_input_survives_full_max_iter(spark):
+    """Synchronous LPA can oscillate to max_iter — 30 rounds must not
+    blow up planning. Regression pin for the LogicalRDD stats
+    inheritance bomb (_ckpt_fresh_stats): a round plan that references
+    the previous state twice SQUARES the inherited sizeInBytes per
+    round — BigInt bit length doubles, and the stats visitor OOMed the
+    driver near round 25 before the reset."""
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (8, 9), (9, 1)])
+    out = G.label_propagation(pairs, max_iter=30)
+    assert out.count() == 9
+    assert G.LAST_CONVERGENCE_ROUNDS["label_propagation"] == 30

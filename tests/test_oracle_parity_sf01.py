@@ -29,7 +29,7 @@ from tests.oracle_harness import duckdb_connection, run_one
 SF01 = "/root/testdata/sf0.01"
 
 # Bump per round to rotate the third. r13 -> 1.
-ROUND = 13
+ROUND = 14
 
 ORACLED = sorted(n for n, q in REGISTRY.items() if q.oracle)
 ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
@@ -37,27 +37,29 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
-    # round-13 births (plans/extended_ops9.py, sf0.01-gated at birth):
-    "ivm_kmv_exact_regime",
-    "ivm_kmv_estimate_portable",
+    # round-14 engine change: Observation-fused stop probes +
+    # _ckpt_fresh_stats (LogicalRDD stats-inheritance reset) across the
+    # iterative graph kernels (label_propagation / bfs_hops / kcore /
+    # sssp_weighted / min_label_components / ktruss) — every oracled
+    # user of those kernels re-gates:
+    "graph_bfs_reachability",
+    "graph_community_modularity",
+    "graph_connected_components",
+    "graph_kcore_membership",
+    "graph_ktruss_edges",
+    "graph_label_propagation",
+    "graph_sssp_weighted",
+    "spatial_dbscan_grid",
+    # round-14 engine change (round-13 ADVICE medium): NULL
+    # _change_type counts as unknown in maintain_topk_retractable, and
+    # the epoch-0 base feed is built from unhalved cents — the
+    # registered user re-gates:
     "ivm_topk_retraction_equivalence",
-    "ingest_minhash_newpairs_equivalence",
-    # round-13 engine change: insert-only guards moved from guarded
-    # PROJECTIONS into raise-in-FILTER predicates (pruning-proof —
-    # round-12 ADVICE) in maintain_bitmap/kmv/hll/extrema — the
-    # registered users of those folds re-gate:
-    "ivm_bitmap_distinct_equivalence",
-    "ivm_extrema_equivalence",
-    # round-13 engine change: range_join_bucketed_outer's matched-side
-    # alias prefix hardened (_m_ -> __rjb_m_ + collision assert) —
-    # both registered users re-gate:
+    # round-14 engine change: band-join __rjb_m_ collision guard is an
+    # explicit raise (assert stripped under -O) — registered users of
+    # range_join_bucketed_outer re-gate:
     "join_click_purchase_outer",
     "join_range_outer_5min",
-    # round-13 engine change: min_label_components rounds restructured
-    # from 3 joins to 1 unified-lookup join — both oracled users of
-    # the CC kernel re-gate:
-    "graph_connected_components",
-    "spatial_dbscan_grid",
 ]
 
 

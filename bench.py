@@ -206,6 +206,7 @@ def main() -> None:
     # smallest table so per-query numbers measure the queries
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").collect()
 
+
     # Two timed passes at the TARGET scale factor. The first execution
     # of each plan shape pays 1-5s of whole-stage-codegen Janino/JIT
     # that has nothing to do with data volume; at the 100 TB design
@@ -244,6 +245,28 @@ def main() -> None:
         # the parent parses it into cold_freshjvm_totals.
         print(json.dumps({"cold_only": cold}))
         return
+
+    # Calibration anchor (round-13 verdict directive #3): a FIXED
+    # CPU-bound, I/O-free scalar timed in the same process — r13
+    # proved driver-environment headline totals move ×1.2-1.39 on box
+    # state alone (uniform across all queries, including trivial
+    # constant-cost ones), so cross-round BENCH comparisons need a
+    # same-process normalizer readable from the artifact: compare
+    # value/calib across rounds, not raw seconds. Constant seeded
+    # work: 3.2e9 codegen'd xxhash64 rows xor-folded on 32 fixed
+    # partitions — no shuffle, no parquet, no Python, overflow-free
+    # accumulator. Median of 3 post-warm runs (~0.7s on an idle box);
+    # runs AFTER the cold pass (and not in --cold-only children) so
+    # the cold protocol matches earlier rounds.
+    def _calib_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 3_200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _calib_once()  # plan/codegen warm
+    calib = round(sorted(_calib_once() for _ in range(3))[1], 3)
     # Per-query MEDIAN over three warm passes: single-pass numbers
     # swing up to ~8x on this box from GC/neighbor interference
     # (measured on dedup_embedding_cosine, a seeded/deterministic
@@ -457,6 +480,9 @@ def main() -> None:
             "tier2_spread_pct": t2_spread,
             # int % (max−min)/median per query, aligned with "tier2" keys
             "tier2_q_spread_pct": t2_q_spread,
+            # fixed CPU anchor (sec) — normalize cross-round via
+            # value/calib; see the _calib_once comment
+            "calib": calib,
             "sf": sf,
         }
     )

@@ -871,6 +871,118 @@ def read_neardup_state(
     return V.versioned_read(spark, state_path, version)
 
 
+def stream_maintain_minhash_index_view(
+    docs_stream: DataFrame,
+    sigs_path: str,
+    pairs_path: str,
+    sigs_fn,
+    n_bands: int,
+    n_rows: int,
+    threshold: float = 0.5,
+    query_name: str = "minhash_index_view",
+    checkpoint: str | None = None,
+):
+    """Streaming form of the maintained MinHash band index (round-13
+    verdict directive #4): each micro-batch of documents is signed by
+    ``sigs_fn`` (a builder like ``plans/llm_ops._mh_portable_sigs``
+    returning ``(doc_id, sh, s0..s{n_bands·n_rows-1})``), probed
+    against the persisted signature state with
+    ``ingest.minhash_index_new_pairs`` — emitting exactly the near-dup
+    pairs NEW this batch — then absorbed. The union of the per-batch
+    pair deltas equals the one-shot portable pair list over the whole
+    corpus regardless of batch split (the batch operator's driver-
+    oracled equivalence, ingest_minhash_newpairs_equivalence), each
+    pair discovered once, in the batch of its later-arriving side.
+
+    Two versioned tables, both delta-append (O(batch) writes — docs
+    are immutable, pair verdicts are immutable):
+
+    - ``sigs_path``: signatures + distinct shingles of everything
+      absorbed (the ``_shingles`` companion discipline — history never
+      re-tokenizes). Read via delta-union; compaction folds files.
+    - ``pairs_path``: the per-batch new-pair deltas (a_id, b_id,
+      jaccard). ``read_minhash_index_pairs`` unions them into the
+      living pair list.
+
+    Exactly-once across the TWO-table commit: the epoch guard sits on
+    the PAIRS commit, which happens last. A replay after a crash
+    between the commits sees its own docs already in the signature
+    state — the sink anti-joins the batch's doc ids out of the probe
+    state (restoring the exact pre-batch index) and skips the
+    double-append via the sigs table's own epoch meta, then emits the
+    identical pair delta. Scale shape per refresh: batch signing is
+    per-row HOF work over the batch only; the probe is the
+    batch-posting ⋈ index-posting equi-join on (band, key) —
+    O(batch·bands), never a corpus re-pair; the exact-Jaccard verify
+    touches collision survivors only."""
+
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators import ingest as ING
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(pairs_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        # materialize the batch signatures ONCE: they feed the probe,
+        # the sigs append and the pair verify (HOF shingle/minhash
+        # folds are the expensive part of a refresh)
+        fresh = sigs_fn(batch_df).localCheckpoint(eager=True)
+        try:
+            state = V.versioned_read(spark, sigs_path)
+        except FileNotFoundError:
+            state = None
+        if state is not None:
+            # replay-proofing: a crash AFTER the sigs commit but
+            # BEFORE the pairs commit leaves this batch's docs in the
+            # state — remove them so the probe sees exactly the
+            # pre-batch index and the re-emitted delta is identical
+            state = state.join(
+                F.broadcast(fresh.select("doc_id")), "doc_id", "left_anti"
+            )
+        new_pairs = ING.minhash_index_new_pairs(
+            state, fresh, n_bands, n_rows, threshold
+        )
+        if eid is None or (applied_epoch(sigs_path) or -1) < eid:
+            V.versioned_append(
+                fresh,
+                sigs_path,
+                meta=None if eid is None else {"epoch_id": eid},
+            )
+        V.versioned_append(
+            new_pairs,
+            pairs_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = docs_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
+def read_minhash_index_pairs(
+    spark: SparkSession, pairs_path: str, version: int | None = None
+) -> DataFrame:
+    """The maintained index's living near-dup pair list as of
+    ``version`` (default latest): delta-union over the per-batch
+    new-pair commits — each (a_id, b_id) exactly once."""
+    return V.versioned_read(spark, pairs_path, version)
+
+
+def read_minhash_index_sigs(
+    spark: SparkSession, sigs_path: str, version: int | None = None
+) -> DataFrame:
+    """Everything the index has absorbed (doc_id, sh, s0..) as of
+    ``version`` — the probe-side state a batch joins against."""
+    return V.versioned_read(spark, sigs_path, version)
+
+
 
 # ---------------------------------------------------------------------------
 # Streaming IVF ingest: assign arriving vectors to a frozen codebook

@@ -624,6 +624,252 @@ def read_hll_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Epoch-partitioned EXPIRING distinct states (round-13 verdict directive #5).
+#
+# bitmap/KMV/HLL states are insert-only: bits, k-minima and register
+# maxes are not subtractable, so the histogram pattern (signed counts)
+# does not transfer and per-row retraction is impossible. The standard
+# answer to "distinct over a sliding window" is EPOCH PARTITIONING:
+# key the state by (group, bucket) where bucket is a coarse event-time
+# epoch (day, hour — the caller's column), fold arrivals into their
+# own bucket's sub-state, and RETIRE whole buckets once they fall more
+# than ``horizon`` buckets behind the watermark (the max bucket ever
+# absorbed — monotone, because the state always retains its own max
+# bucket). Retirement is deletion of a self-contained sub-state, which
+# every one of these merges supports; readout merges the live buckets
+# (OR / k-minima-union / register-max — each exactly decomposable over
+# a bucket partition, so the windowed readout equals the one-shot
+# sketch over exactly the live rows, hash-for-hash).
+# ---------------------------------------------------------------------------
+
+
+def _expire_live(merged: DataFrame, horizon: int, name: str) -> DataFrame:
+    """Keep rows whose ``bucket`` is within ``horizon`` of the frame's
+    own max bucket. The watermark agg and the filter both consume
+    ``merged``; shared() collapses the double reference so chained
+    epoch folds stay linear (the ktruss lazy-unroll lesson), and the
+    1-row watermark rides a broadcast cross join (scalar side)."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    if int(horizon) < 1:
+        raise ValueError(f"{name}: horizon must be >= 1, got {horizon}")
+    m = shared(merged)
+    wm = m.agg(F.max("bucket").alias("_wm"))
+    return (
+        m.crossJoin(F.broadcast(wm))
+        .where(F.col("bucket") > F.col("_wm") - int(horizon))
+        .drop("_wm")
+    )
+
+
+def maintain_bitmap_windowed(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    bucket_col: str,
+    horizon: int,
+) -> DataFrame:
+    """``maintain_bitmap`` with WINDOWED EXPIRY: exact distinct over
+    the trailing ``horizon`` buckets. State is (group_cols, bucket,
+    chunk, bits) — the maintain_bitmap layout keyed additionally by
+    the insert row's epoch bucket; a refresh folds the batch into its
+    buckets (same exact chunk/bit arithmetic), OR-merges into the
+    state, and retires buckets past the horizon. Idempotent per id
+    within a bucket like the plain bitmap (replays are no-ops); a row
+    arriving for an already-retired bucket is dropped immediately —
+    the same verdict the one-shot filter over live buckets gives it,
+    so the maintained readout equals COUNT(DISTINCT) over exactly the
+    rows whose bucket survives the final watermark (driver-oracled:
+    ivm_bitmap_windowed_equivalence; hypothesis differential in
+    tests/test_properties.py). Deletes REJECTED as in maintain_bitmap
+    — expiry IS the retraction story here.
+
+    Scale shape: one hash-agg on (group, bucket, chunk) per refresh —
+    O(changes) — plus a 1-row watermark broadcast; state is bounded by
+    horizon · O(id_range/32) per group and retirement is a filter,
+    never a rescan."""
+    delta = (
+        _insert_only(changes, "windowed bitmap distinct")
+        .select(
+            *group_cols,
+            F.col(bucket_col).cast("bigint").alias("bucket"),
+            F.col(id_col).alias("_gid"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            F.expr("(_gid - pmod(_gid, 32)) div 32").alias("chunk"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_gid, 32) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(*group_cols, "bucket", "chunk")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    merged = delta if current is None else (
+        current.select(*group_cols, "bucket", "chunk", "bits")
+        .unionByName(delta)
+        .groupBy(*group_cols, "bucket", "chunk")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return _expire_live(merged, horizon, "windowed bitmap distinct")
+
+
+def read_bitmap_windowed_distinct(
+    state: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """(group_cols, n_distinct) over the LIVE window: OR the per-bucket
+    chunk bitmaps (an id active in several live buckets counts once),
+    then popcount — pure state arithmetic, no base-table access."""
+    return (
+        state.groupBy(*group_cols, "chunk")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct"))
+    )
+
+
+def maintain_kmv_windowed(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    bucket_col: str,
+    horizon: int,
+    k: int = 256,
+) -> DataFrame:
+    """``maintain_kmv`` with WINDOWED EXPIRY: a k-minima sketch per
+    (group, bucket), buckets retired past the horizon. Merging live
+    buckets at read time is EXACTLY the one-shot KMV over the live
+    rows: a hash in the union's k smallest has fewer than k smaller
+    hashes globally, hence fewer than k smaller within its own bucket,
+    hence survived its bucket's trim — the classic sketch-merge
+    property, which is what makes the windowed estimator oracle-able
+    hash-for-hash (ivm_kmv_windowed_portable). Same portable md5-32
+    family ('kmv1' salt) as maintain_kmv, so per-bucket sub-states are
+    bit-identical to one-shot bucket sketches. State: horizon · k rows
+    per group regardless of id range."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("kmv1"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    delta = (
+        _insert_only(changes, "windowed kmv distinct")
+        .select(
+            *group_cols,
+            F.col(bucket_col).cast("bigint").alias("bucket"),
+            h.alias("h"),
+        )
+        .distinct()
+    )
+    merged = delta if current is None else (
+        current.select(*group_cols, "bucket", "h").unionByName(delta).distinct()
+    )
+    w = Window.partitionBy(*group_cols, "bucket").orderBy("h")
+    trimmed = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*group_cols, "bucket", "h")
+    )
+    return _expire_live(trimmed, horizon, "windowed kmv distinct")
+
+
+def read_kmv_windowed_distinct(
+    state: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """(group_cols, est_distinct) over the LIVE window: union the live
+    buckets' hash sets, re-take the k smallest per group, and apply
+    the read_kmv_distinct arithmetic (exact below k, the (k−1)·2³²
+    div θ estimator at capacity)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    trimmed = (
+        state.select(*group_cols, "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(*group_cols, "h")
+    )
+    return read_kmv_distinct(trimmed, group_cols, k)
+
+
+def maintain_hll_windowed(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    bucket_col: str,
+    horizon: int,
+) -> DataFrame:
+    """``maintain_hll`` with WINDOWED EXPIRY: 16 registers per
+    (group, bucket), buckets retired past the horizon; register-wise
+    MAX over live buckets at read time equals the one-shot registers
+    over the live rows (max decomposes over any partition). Same md5
+    'hll1' family as maintain_hll. State: horizon · ≤16 rows per
+    group. Property-differentialed against maintain_hll over the live
+    rows (tests/test_properties.py); not separately oracled — the
+    bitmap (exact) and KMV (portable estimator) carry the windowed
+    family's driver evidence, and this readout shares their merge
+    shape."""
+    delta = (
+        _insert_only(changes, "windowed hll distinct")
+        .select(
+            *group_cols,
+            F.col(bucket_col).cast("bigint").alias("bucket"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn(
+            "_h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_id").cast("string"), F.lit("hll1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            F.expr("_h div 268435456").alias("reg"),
+            F.when(F.expr("_h % 268435456") == 0, F.lit(29))
+            .otherwise(F.lit(29) - F.length(F.bin(F.expr("_h % 268435456"))))
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = delta if current is None else (
+        current.select(*group_cols, "bucket", "reg", "m")
+        .unionByName(delta)
+        .groupBy(*group_cols, "bucket", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    return _expire_live(merged, horizon, "windowed hll distinct")
+
+
+def read_hll_windowed_distinct(
+    state: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """(group_cols, users_est, n_zero_registers) over the LIVE window:
+    register-wise max across live buckets, then the read_hll_distinct
+    estimate arithmetic."""
+    folded = state.groupBy(*group_cols, "reg").agg(F.max("m").alias("m"))
+    return read_hll_distinct(folded, group_cols)
+
+
 def maintain_extrema(
     current: DataFrame | None,
     changes: DataFrame,

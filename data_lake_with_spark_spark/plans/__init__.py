@@ -20,6 +20,7 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402,F401
     extended_ops7,
     extended_ops8,
     extended_ops9,
+    extended_ops10,
     lakehouse_ops,
     reference_surface,
     relational,

@@ -1,0 +1,188 @@
+"""Round-14 batch: epoch-partitioned EXPIRING distinct states — the
+windowed-expiry answer to "distinct over a sliding window" for the
+three non-retractable sketch states (round-13 verdict directive #5:
+bits, k-minima and register maxes are not subtractable, so the signed-
+count histogram pattern does not transfer; retiring whole epoch
+buckets is the standard alternative). Driver-oracled equivalences for
+the bitmap (EXACT — the maintained windowed readout equals
+COUNT(DISTINCT) over exactly the rows whose bucket survives the final
+watermark) and the KMV estimator (PORTABLE — the md5-32 family, the
+per-bucket trim, the live-bucket merge and the (k−1)·2³² div θ readout
+replicated hash-for-hash in DuckDB); the HLL windowed variant shares
+the merge shape and is property-differentialed in
+tests/test_properties.py.
+
+Same registry discipline as plans/extended_ops.py..9: integer-exact
+outputs, full DuckDB oracles, no cartesian products (the watermark is
+a 1-row broadcast), no Python in the hot path. Extensions beyond the
+reference's own surface (reference scope: /root/reference/etl.py — no
+counterpart there). Each entry is sf0.01-gated at birth via
+tests/test_oracle_parity_sf01.py CHANGED_THIS_ROUND.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.catalog import load_table
+from data_lake_with_spark_spark.operators import ivm
+from data_lake_with_spark_spark.operators.plan_cache import shared
+from data_lake_with_spark_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# The windowed feed both equivalences share: bucket = event_id % 10 (a
+# stand-in for a day/hour epoch — every residue is populated at every
+# committed scale), arriving in FOUR epochs of advancing bucket ranges
+# so expiry fires mid-stream, with the final epoch additionally
+# delivering (a) a wholesale REPLAY of the bucket-7 rows (at-least-once
+# duplicate delivery — must be a no-op for these idempotent merges) and
+# (b) a LATE re-delivery of bucket-4 rows, by then beyond the horizon —
+# dropped on arrival, exactly the verdict the one-shot live filter
+# gives them. horizon = 3 → live buckets {7, 8, 9} at watermark 9.
+# ---------------------------------------------------------------------------
+
+
+def _windowed_feed(ev: DataFrame, cols: list[str]) -> list[DataFrame]:
+    b = F.col("bucket")
+
+    def tagged(df: DataFrame) -> DataFrame:
+        return df.select(*cols, "bucket", F.lit("insert").alias("_change_type"))
+
+    return [
+        tagged(ev.where(b <= 3)),
+        tagged(ev.where((b >= 4) & (b <= 6))),
+        tagged(ev.where((b >= 7) & (b <= 8))),
+        tagged(ev.where(b == 9))
+        .unionByName(tagged(ev.where(b == 7)))  # duplicate delivery
+        .unionByName(tagged(ev.where(b == 4))),  # late, beyond horizon
+    ]
+
+
+IVM_BITMAP_WINDOWED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+WHERE event_id % 10 > 6
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ivm_bitmap_windowed_equivalence",
+    oracle=IVM_BITMAP_WINDOWED_ORACLE,
+    tags=("ivm", "cdc", "sketch", "window"),
+)
+def ivm_bitmap_windowed_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-PARTITIONED expiring bitmap state, driver-oracled
+    (round-13 verdict directive #5): per-event-type user bitmaps keyed
+    by epoch bucket, advanced through the 4-epoch windowed feed with
+    horizon 3 — buckets 0-3 retire when the watermark reaches 6,
+    4-5 at 8, 6 at 9 — must equal COUNT(DISTINCT) over exactly the
+    rows whose bucket survives the final watermark (% 10 > 6). The
+    final epoch's duplicate delivery (bucket 7 replayed) is a no-op by
+    OR-idempotence, and its late bucket-4 rows are dropped on arrival:
+    their bucket is already beyond the horizon, the same verdict the
+    oracle's static filter renders. Retirement is bucket deletion — a
+    filter against a 1-row broadcast watermark — never a rescan; this
+    is the retraction story the insert-only bitmap state supports
+    (``operators/ivm.py`` windowed family).
+
+    Scale shape: one shared() events projection feeds all six feed
+    branches; each fold is one hash-agg on (group, bucket, chunk) +
+    the watermark broadcast; the readout ORs live buckets then
+    popcounts. State bounded by horizon · O(id_range/32) per group."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select(
+            "event_type",
+            "user_id",
+            F.expr("pmod(event_id, 10)").cast("bigint").alias("bucket"),
+        )
+    )
+    state: DataFrame | None = None
+    for batch in _windowed_feed(ev, ["event_type", "user_id"]):
+        state = ivm.maintain_bitmap_windowed(
+            state, batch, ["event_type"], "user_id", "bucket", horizon=3
+        )
+    return ivm.read_bitmap_windowed_distinct(state, ["event_type"]).orderBy(
+        "event_type"
+    )
+
+
+# k = 16 saturates every group's live window at sf0.01+ (the estimator
+# regime) while sf0.001 may sit in either regime — the oracle's CASE
+# covers both, replicating the md5-32 'kmv1' family, the live-row
+# distinct-hash set, the k smallest and the (k−1)·2³² div θ estimator.
+# The live-bucket merge of per-bucket k-minima equals the one-shot
+# sketch over the live rows exactly (a hash among the union's k
+# smallest has < k smaller hashes globally, hence < k smaller in its
+# own bucket, hence survived its bucket's trim), so the windowed
+# ESTIMATOR itself is value-hash-verified.
+IVM_KMV_WINDOWED_ORACLE = """
+WITH live AS (
+  SELECT event_type, user_id FROM events WHERE event_id % 10 > 6
+), hs AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'kmv1'), 1, 8)
+              AS BIGINT) AS h
+  FROM live
+), r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hs
+), s AS (
+  SELECT event_type, COUNT(*) AS kk,
+         MAX(CASE WHEN rn = 16 THEN h END) AS theta
+  FROM r WHERE rn <= 16 GROUP BY event_type
+)
+SELECT event_type,
+       CAST(CASE WHEN kk < 16 THEN kk
+                 ELSE (15 * 4294967296) // theta END AS BIGINT) AS est_distinct
+FROM s
+ORDER BY event_type
+"""
+
+
+@register(
+    "ivm_kmv_windowed_portable",
+    oracle=IVM_KMV_WINDOWED_ORACLE,
+    tags=("ivm", "cdc", "sketch", "approx", "window"),
+)
+def ivm_kmv_windowed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-PARTITIONED expiring KMV state, driver-oracled (round-13
+    verdict directive #5, the bounded-state sibling of the windowed
+    bitmap): a k=16 k-minima sketch per (event_type, bucket) advanced
+    through the same 4-epoch feed — duplicate delivery and
+    beyond-horizon late rows included — read out by merging the live
+    buckets' hashes and re-taking the k smallest. The oracle
+    recomputes the whole pipeline hash-for-hash in DuckDB over the
+    statically-filtered live rows, covering both readout regimes
+    (exact below k, the integer theta estimator at capacity). State is
+    horizon · k rows per group REGARDLESS of id range — the windowed
+    distinct you deploy when user ids are unbounded and the bitmap's
+    O(id_range/32) per-bucket cost is not affordable.
+
+    Scale shape: per refresh O(batch) JVM md5 hashing + distinct + a
+    per-(group, bucket) window trim; the watermark is a 1-row
+    broadcast; readout trims ≤ horizon·k rows per group."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select(
+            "event_type",
+            "user_id",
+            F.expr("pmod(event_id, 10)").cast("bigint").alias("bucket"),
+        )
+    )
+    state: DataFrame | None = None
+    for batch in _windowed_feed(ev, ["event_type", "user_id"]):
+        state = ivm.maintain_kmv_windowed(
+            state, batch, ["event_type"], "user_id", "bucket", horizon=3, k=16
+        )
+    return ivm.read_kmv_windowed_distinct(state, ["event_type"], k=16).orderBy(
+        "event_type"
+    )

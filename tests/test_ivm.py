@@ -462,3 +462,49 @@ def test_topk_retractable_null_change_type_rescans(spark):
         ["g"], "i", "v", k=1,
     )
     assert {(r["g"], r["i"], r["v"]) for r in s1.collect()} == {(0, 1, 10)}
+
+
+def test_windowed_distinct_edges(spark):
+    """Deterministic edge pins for the epoch-partitioned expiring
+    distinct states: (a) a row arriving for an already-retired bucket
+    is dropped on arrival; (b) deletes raise (expiry IS the retraction
+    story); (c) horizon < 1 is rejected."""
+    import pytest
+
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    schema = "g long, i long, bucket long, _change_type string"
+    try:
+        s = ivm.maintain_bitmap_windowed(
+            None,
+            spark.createDataFrame([(0, 1, 9, "insert"), (0, 2, 9, "insert")], schema),
+            ["g"], "i", "bucket", horizon=2,
+        )
+        # bucket 3 is far beyond horizon at watermark 9 -> dropped on
+        # arrival; bucket 8 is live
+        s = ivm.maintain_bitmap_windowed(
+            None if s is None else s,
+            spark.createDataFrame([(0, 3, 3, "insert"), (0, 4, 8, "insert")], schema),
+            ["g"], "i", "bucket", horizon=2,
+        )
+        got = {
+            (r["g"], r["n_distinct"])
+            for r in ivm.read_bitmap_windowed_distinct(s, ["g"]).collect()
+        }
+        assert got == {(0, 3)}  # ids 1, 2 (bucket 9) + 4 (bucket 8)
+        with pytest.raises(Exception, match="insert-only"):
+            ivm.maintain_kmv_windowed(
+                None,
+                spark.createDataFrame([(0, 1, 0, "delete")], schema),
+                ["g"], "i", "bucket", horizon=2,
+            ).collect()
+        with pytest.raises(ValueError, match="horizon"):
+            ivm.maintain_hll_windowed(
+                None,
+                spark.createDataFrame([(0, 1, 0, "insert")], schema),
+                ["g"], "i", "bucket", horizon=0,
+            )
+    finally:
+        release_shared_caches()

@@ -37,6 +37,9 @@ ROTATION = [n for i, n in enumerate(ORACLED) if i % 3 == ROUND % 3]
 # Queries whose engine or oracle changed THIS round (always re-gated
 # at driver scale regardless of where the rotation sits).
 CHANGED_THIS_ROUND = [
+    # round-14 births (plans/extended_ops10.py, sf0.01-gated at birth):
+    "ivm_bitmap_windowed_equivalence",
+    "ivm_kmv_windowed_portable",
     # round-14 engine change: Observation-fused stop probes +
     # _ckpt_fresh_stats (LogicalRDD stats-inheritance reset) across the
     # iterative graph kernels (label_propagation / bfs_hops / kcore /

@@ -1210,3 +1210,104 @@ def test_maintain_topk_retractable_multiop_lifecycles(spark, feed):
         top = sorted(vals, key=lambda t: (-t[0], t[1]))[:K]
         want |= {(g, i, v) for v, i in top}
     assert got == want
+
+
+@st.composite
+def windowed_distinct_feed(draw):
+    """Random (group, id, bucket, arrival_epoch) insert rows: buckets
+    0..8 across 4 arrival epochs with NO ordering discipline — late
+    rows, out-of-order buckets, duplicate deliveries and empty epochs
+    all occur. The equivalence must hold for ANY arrival order (the
+    watermark is monotone and drop-on-arrival implies dropped by the
+    final filter)."""
+    n = draw(st.integers(1, 28))
+    rows = [
+        (
+            draw(st.integers(0, 1)),      # group
+            draw(st.integers(0, 40)),     # id
+            draw(st.integers(0, 8)),      # bucket
+            draw(st.integers(0, 3)),      # arrival epoch
+        )
+        for _ in range(n)
+    ]
+    # duplicate delivery: replay a prefix in a (possibly later) epoch
+    if draw(st.booleans()) and rows:
+        g, i, b, _ = rows[0]
+        rows.append((g, i, b, draw(st.integers(0, 3))))
+    return rows
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=windowed_distinct_feed(), horizon=st.integers(1, 4))
+def test_windowed_distinct_states_match_live_recompute(spark, feed, horizon):
+    """Epoch-partitioned expiring distinct states (round-13 verdict
+    directive #5): bitmap/KMV/HLL windowed folds over random
+    out-of-order insert feeds equal their one-shot counterparts over
+    EXACTLY the live rows — rows whose bucket survives the final
+    watermark (max bucket ever delivered) minus the horizon. Bitmap is
+    exact vs a Python set; KMV/HLL compare against the unwindowed fold
+    of the live rows (the sketch-merge decomposition claim)."""
+    from data_lake_with_spark_spark.operators import ivm
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    K = 4
+    schema = "g long, i long, bucket long, _change_type string"
+    states = {"bm": None, "kmv": None, "hll": None}
+    for epoch in range(4):
+        batch = [(g, i, b, "insert") for g, i, b, e in feed if e == epoch]
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        states["bm"] = ivm.maintain_bitmap_windowed(
+            states["bm"], bdf, ["g"], "i", "bucket", horizon
+        )
+        states["kmv"] = ivm.maintain_kmv_windowed(
+            states["kmv"], bdf, ["g"], "i", "bucket", horizon, k=K
+        )
+        states["hll"] = ivm.maintain_hll_windowed(
+            states["hll"], bdf, ["g"], "i", "bucket", horizon
+        )
+    try:
+        if states["bm"] is None:
+            return
+        wm = max(b for _, _, b, _ in feed)
+        live = [(g, i) for g, i, b, _ in feed if b > wm - horizon]
+        # bitmap: exact distinct vs Python
+        want = {}
+        for g, i in live:
+            want.setdefault(g, set()).add(i)
+        got = {
+            r["g"]: r["n_distinct"]
+            for r in ivm.read_bitmap_windowed_distinct(states["bm"], ["g"]).collect()
+        }
+        assert got == {g: len(s) for g, s in want.items()}
+        # KMV / HLL: windowed readout == unwindowed fold of live rows
+        live_df = spark.createDataFrame(
+            [(g, i, "insert") for g, i in live], "g long, i long, _change_type string"
+        )
+        kmv_got = {
+            (r["g"], r["est_distinct"])
+            for r in ivm.read_kmv_windowed_distinct(states["kmv"], ["g"], k=K).collect()
+        }
+        kmv_want = {
+            (r["g"], r["est_distinct"])
+            for r in ivm.read_kmv_distinct(
+                ivm.maintain_kmv(None, live_df, ["g"], "i", k=K), ["g"], k=K
+            ).collect()
+        }
+        assert kmv_got == kmv_want
+        hll_got = {
+            (r["g"], r["users_est"])
+            for r in ivm.read_hll_windowed_distinct(states["hll"], ["g"]).collect()
+        }
+        hll_want = {
+            (r["g"], r["users_est"])
+            for r in ivm.read_hll_distinct(
+                ivm.maintain_hll(None, live_df, ["g"], "i"), ["g"]
+            ).collect()
+        }
+        assert hll_got == hll_want
+    finally:
+        release_shared_caches()

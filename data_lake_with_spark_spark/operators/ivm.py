@@ -624,6 +624,43 @@ def read_hll_distinct(state: DataFrame, group_cols: list[str]) -> DataFrame:
     )
 
 
+def maintain_distinct_exact(
+    current: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """EXACT distinct WITH full retraction for UNBOUNDED id ranges —
+    the regime none of bitmap/KMV/HLL serves (round-13 verdict
+    directive #8): bitmap is exact+retraction-free and O(id_range/32),
+    KMV/HLL are bounded-state but estimates, the windowed family
+    retracts only by epoch expiry. The state is the signed
+    MULTIPLICITY per (group, id): ``maintain`` over
+    ``[*group_cols, id_col]`` with no sum columns — insert/postimage
+    +1, delete/preimage −1, groups compacted away at multiplicity 0
+    (``apply_delta``'s zero-drop). An id is distinct-live while any
+    base row carries it, so deleting ONE of a user's many events
+    decrements without uncounting the user — plain COUNT(DISTINCT)
+    semantics under arbitrary insert/update/delete feeds
+    (driver-oracled: ivm_distinct_retractable_equivalence; hypothesis
+    differential in tests/test_properties.py).
+
+    Scale shape: O(changes) per refresh — one hash-agg of the batch to
+    signed deltas + one outer-merge join touching only changed
+    (group, id) rows; state is O(live distinct ids) regardless of id
+    range, the honest lower bound for exact retractable distinct."""
+    return maintain(current, changes, [*group_cols, id_col], [])
+
+
+def read_distinct_exact(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols, n_distinct) from a maintain_distinct_exact state:
+    every retained row is a live (group, id) with multiplicity > 0, so
+    distinct = a plain row count per group."""
+    return state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Epoch-partitioned EXPIRING distinct states (round-13 verdict directive #5).
 #

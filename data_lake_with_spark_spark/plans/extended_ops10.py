@@ -10,7 +10,10 @@ watermark) and the KMV estimator (PORTABLE — the md5-32 family, the
 per-bucket trim, the live-bucket merge and the (k−1)·2³² div θ readout
 replicated hash-for-hash in DuckDB); the HLL windowed variant shares
 the merge shape and is property-differentialed in
-tests/test_properties.py.
+tests/test_properties.py. Plus the FOURTH distinct regime (directive
+#8): exact + unbounded id range + row-level retraction via signed
+per-(group, id) multiplicities, oracled under a delete-bearing feed
+(ivm_distinct_retractable_equivalence).
 
 Same registry discipline as plans/extended_ops.py..9: integer-exact
 outputs, full DuckDB oracles, no cartesian products (the watermark is
@@ -186,3 +189,73 @@ def ivm_kmv_windowed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.read_kmv_windowed_distinct(state, ["event_type"], k=16).orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact retractable distinct (signed multiplicities) == COUNT(DISTINCT)
+# under a delete-bearing feed — the fourth distinct regime (round-13
+# verdict directive #8): exact + unbounded id range + row-level
+# retraction, at O(live distinct ids) state.
+#   epoch 0  INSERT event_id % 3 == 0
+#   epoch 1  INSERT % 3 == 1; plus a same-key UPDATE pre/post pair for
+#            % 3 == 0 ∧ % 7 == 0 (a value change that must be a NET
+#            NO-OP for multiplicities: −1 then +1 on the same user)
+#   epoch 2  INSERT % 3 == 2; DELETE % 3 == 0 ∧ % 11 == 0 (a user's
+#            multiplicity decrements; the user stays counted while any
+#            other event of theirs survives)
+IVM_DISTINCT_RETRACT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events
+WHERE NOT (event_id % 3 = 0 AND event_id % 11 = 0)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ivm_distinct_retractable_equivalence",
+    oracle=IVM_DISTINCT_RETRACT_ORACLE,
+    tags=("ivm", "cdc"),
+)
+def ivm_distinct_retractable_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT RETRACTABLE distinct state (signed per-(group, id)
+    multiplicities — ``ivm.maintain_distinct_exact``), driver-oracled:
+    advanced through a 3-epoch feed carrying inserts, a same-key
+    update pre/post pair (net multiplicity no-op) and deletes, the
+    readout must equal COUNT(DISTINCT user_id) over the surviving
+    rows. Deleting one event of a multi-event user decrements that
+    user's multiplicity without uncounting them; the compaction drop
+    at multiplicity 0 is what retires fully-deleted users — the
+    regime bitmap (no retraction), KMV/HLL (estimates) and the
+    windowed family (epoch-grain expiry only) cannot serve.
+
+    Scale shape: one shared() events projection feeds all feed
+    branches; each fold is one hash-agg + one outer-merge join
+    touching only changed (group, id) rows; the readout is a row
+    count per group over O(live distinct) state."""
+    ev = shared(
+        _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    )
+    eid = F.col("event_id")
+
+    def tagged(df: DataFrame, change: str) -> DataFrame:
+        return df.select(
+            "event_type", "user_id", F.lit(change).alias("_change_type")
+        )
+
+    upd = ev.where((eid % 3 == 0) & (eid % 7 == 0))
+    batches = [
+        tagged(ev.where(eid % 3 == 0), "insert"),
+        tagged(ev.where(eid % 3 == 1), "insert")
+        .unionByName(tagged(upd, "update_preimage"))
+        .unionByName(tagged(upd, "update_postimage")),
+        tagged(ev.where(eid % 3 == 2), "insert")
+        .unionByName(tagged(ev.where((eid % 3 == 0) & (eid % 11 == 0)), "delete")),
+    ]
+    state: DataFrame | None = None
+    for batch in batches:
+        state = ivm.maintain_distinct_exact(state, batch, ["event_type"], "user_id")
+    return ivm.read_distinct_exact(state, ["event_type"]).orderBy("event_type")

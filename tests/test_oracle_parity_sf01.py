@@ -40,6 +40,7 @@ CHANGED_THIS_ROUND = [
     # round-14 births (plans/extended_ops10.py, sf0.01-gated at birth):
     "ivm_bitmap_windowed_equivalence",
     "ivm_kmv_windowed_portable",
+    "ivm_distinct_retractable_equivalence",
     # round-14 engine change: Observation-fused stop probes +
     # _ckpt_fresh_stats (LogicalRDD stats-inheritance reset) across the
     # iterative graph kernels (label_propagation / bfs_hops / kcore /

@@ -1311,3 +1311,72 @@ def test_windowed_distinct_states_match_live_recompute(spark, feed, horizon):
         assert hll_got == hll_want
     finally:
         release_shared_caches()
+
+
+@st.composite
+def distinct_retraction_feed(draw):
+    """Random per-(group, id) event lifecycles across 3 epochs: each
+    (group, id) gains 1-3 insert rows (possibly split across epochs),
+    may take a same-key update pre/post pair, and may lose a PREFIX of
+    its inserts to deletes in later epochs — multiplicities stay
+    non-negative (a consistent base-table feed), reaching 0 exactly
+    when every row is deleted."""
+    n_keys = draw(st.integers(1, 10))
+    ops = []  # (epoch, g, i, change)
+    live = {}
+    for _ in range(n_keys):
+        g = draw(st.integers(0, 1))
+        i = draw(st.integers(0, 12))
+        n_ins = draw(st.integers(1, 3))
+        e_ins = sorted(draw(st.integers(0, 2)) for _ in range(n_ins))
+        for e in e_ins:
+            ops.append((e, g, i, "insert"))
+        if draw(st.booleans()):
+            e_upd = draw(st.integers(e_ins[0], 2))
+            ops.append((e_upd, g, i, "update_preimage"))
+            ops.append((e_upd, g, i, "update_postimage"))
+        n_del = draw(st.integers(0, n_ins))
+        for d in range(n_del):
+            e_del = draw(st.integers(e_ins[d], 2))
+            ops.append((e_del, g, i, "delete"))
+        live[(g, i)] = live.get((g, i), 0) + n_ins - n_del
+    return ops, live
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=distinct_retraction_feed())
+def test_maintain_distinct_exact_matches_bruteforce(spark, feed):
+    """ivm.maintain_distinct_exact folded over random insert/update/
+    delete lifecycles equals the brute-force distinct over surviving
+    multiplicities — including users whose multiplicity dips without
+    reaching zero (still counted) and fully-deleted users (compacted
+    away). Within-epoch delete-before-insert orderings are covered:
+    the fold is a NET signed sum per batch, order-free."""
+    from data_lake_with_spark_spark.operators import ivm
+
+    ops, live = feed
+    state = None
+    for epoch in range(3):
+        batch = [(g, i, c) for e, g, i, c in ops if e == epoch]
+        if not batch:
+            continue
+        state = ivm.maintain_distinct_exact(
+            state,
+            spark.createDataFrame(batch, "g long, i long, _change_type string"),
+            ["g"],
+            "i",
+        )
+    got = (
+        {}
+        if state is None
+        else {
+            r["g"]: r["n_distinct"]
+            for r in ivm.read_distinct_exact(state, ["g"]).collect()
+        }
+    )
+    want = {}
+    for (g, i), mult in live.items():
+        assert mult >= 0
+        if mult > 0:
+            want[g] = want.get(g, 0) + 1
+    assert got == want

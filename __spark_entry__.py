@@ -49,71 +49,76 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
 DRIVER_WINDOW = [
-    # Round-13 rotation: the round-12 window went 50/50
-    # rows+schema+hash (CORRECTNESS_r12.json, durable in git) and the
-    # evidence queue is EMPTY for the second consecutive round
-    # (round-12 verdict: 375/375 oracled queries hold a green driver
-    # row), so this window is pure rotation per round-12 directive #1:
-    # round-13 BIRTHS first (so they never enter the queue), then
+    # Round-14 rotation: the round-13 window went 50/50
+    # rows+schema+hash (CORRECTNESS_r13.json, durable in git) and the
+    # evidence queue is EMPTY for the third consecutive round
+    # (round-13 verdict: 379/379 oracled queries hold a green driver
+    # row), so this window is pure rotation per round-13 directive #1:
+    # round-14 BIRTHS first (so they never enter the queue), then
     # every query whose ENGINE OR ORACLE changed this round (re-gated
     # on verified rows), then the stalest previously-green tranche —
-    # the full remainder of the r05-verified set (round 12 took its
-    # alphabetical head), then the alphabetical head of the r06 set.
-    # Round-13 births:
-    "ivm_kmv_exact_regime",
-    "ivm_kmv_estimate_portable",
+    # the r06-verified set in evidence_queue.py rank order (its 8-name
+    # tail, vector_centroid_assign..window_sliding_hourly, plus the
+    # r07 head, queues for round 15).
+    # Round-14 births (epoch-partitioned expiring distinct states +
+    # the signed-multiplicity exact retractable distinct):
+    "ivm_bitmap_windowed_equivalence",
+    "ivm_kmv_windowed_portable",
+    "ivm_distinct_retractable_equivalence",
+    # Engine changed this round (see test_oracle_parity_sf01
+    # CHANGED_THIS_ROUND for the per-change rationale): the
+    # Observation-fused stop probes + checkpoint stats reset across
+    # the iterative graph kernels, the retractable top-k NULL
+    # change-type fix + epoch-0 base feed fix, and the band-join
+    # collision guard:
+    "graph_bfs_reachability",
+    "graph_community_modularity",
+    "graph_connected_components",
+    "graph_kcore_membership",
+    "graph_ktruss_edges",
+    "graph_label_propagation",
+    "graph_sssp_weighted",
+    "spatial_dbscan_grid",
     "ivm_topk_retraction_equivalence",
-    "ingest_minhash_newpairs_equivalence",
-    # Engine/oracle changed this round (see test_oracle_parity_sf01
-    # CHANGED_THIS_ROUND for the per-change rationale):
-    "ivm_bitmap_distinct_equivalence",
-    "ivm_extrema_equivalence",
     "join_click_purchase_outer",
     "join_range_outer_5min",
-    "graph_connected_components",
-    "spatial_dbscan_grid",
-    # Stale re-verification (38: the rest of the r05-verified set):
-    "filter_boilerplate_crossdoc",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "interval_max_concurrency",
-    "join_asof_cogroup",
-    "join_bucketed_colocated",
-    "lateral_udtf_sentences",
-    "multimodal_features",
-    "multimodal_image_quadrants",
-    "multimodal_spectral_power",
-    "q5_region_year_revenue",
-    "q9_product_profit",
-    "quality_classifier_score",
-    "quantile_fixed_histogram",
-    "rag_chunk_retrieval_ivf",
-    "sample_weighted_priority",
-    "scan_sample_fraction",
-    "scd2_priority_intervals",
-    "search_phrase_positional",
-    "segment_rfm_customers",
-    "sessionize_event_paths",
-    "sketch_countmin_tokens",
-    "sketch_hll_portable",
-    "stats_chi_square_cells",
-    "streaks_active_days",
-    "text_bm25_topk",
-    "text_cooccurrence_lift",
-    "text_quality_score",
-    "text_readability",
-    "training_global_shuffle",
-    "vector_kmeans_lloyd",
-    "vector_kmeans_silhouette",
-    "vector_topk_lsh_portable",
-    "vector_topk_matryoshka",
-    "vector_topk_pq_portable",
-    "window_session_5min",
-    "window_wau_bitmap",
-    "window_weekly_active_users",
-    # Stale re-verification (2: alphabetical head of the r06 set):
-    "cohort_ltv_yearly",
-    "dedup_repeated_spans",
+    # Stale re-verification (36: the r06-verified set, rank order):
+    "finance_max_drawdown",
+    "graph_covisitation_pairs",
+    "lateral_posexplode_tokens",
+    "mine_hard_negatives",
+    "multimodal_audio_energy",
+    "multimodal_resize_features",
+    "pii_redact",
+    "pipeline_trainset_stats",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_cost_part",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "rollup_orders",
+    "sample_domain_mixture",
+    "scalar_case_when",
+    "scalar_try_functions",
+    "score_activity_decay",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "stats_benford_digits",
+    "stats_exact_percentiles",
+    "subquery_above_avg",
+    "subquery_exists",
+    "text_fingerprint",
+    "text_language_id",
+    "text_token_count_bpe",
+    "text_unigram_logprob",
+    "training_mlm_mask",
+    "unpivot_part_metrics",
+    "variant_extract_props",
 ]
 
 

@@ -271,6 +271,87 @@ def stream_maintain_kmv_view(
     return w.trigger(availableNow=True).start()
 
 
+WINDOWED_DISTINCT_FAMILIES = ("bitmap", "kmv", "hll")
+
+
+def stream_maintain_windowed_distinct_view(
+    changes_stream: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    id_col: str,
+    bucket_col: str,
+    horizon: int,
+    family: str = "bitmap",
+    k: int = 256,
+    query_name: str = "windowed_distinct_view",
+    checkpoint: str | None = None,
+):
+    """Streaming SLIDING-WINDOW distinct counts — the epoch-partitioned
+    expiring states (``ivm.maintain_{bitmap,kmv,hll}_windowed``,
+    round-13 verdict directive #5) advanced per micro-batch into a
+    versioned snapshot table. Arrivals fold into their epoch bucket's
+    sub-state; buckets past ``horizon`` of the monotone watermark
+    retire with the refresh, so the committed snapshot holds exactly
+    the live window (state bounded by horizon · per-bucket size per
+    group — the table every "distinct users, trailing N days"
+    dashboard reads). Idempotent per id within a bucket (replays
+    cannot inflate), with the usual epoch guard skipping redundant
+    versions; ``family`` picks bitmap (exact), kmv (bounded-state
+    estimate, ``k``) or hll (16 registers). Read with the matching
+    ``ivm.read_*_windowed_distinct`` over ``read_view``. The windowed
+    folds build shared() plan caches (watermark + filter both consume
+    the merged frame) — the sink releases them after each commit so a
+    long-running stream's executor storage stays bounded."""
+    if family not in WINDOWED_DISTINCT_FAMILIES:
+        raise ValueError(
+            f"family must be one of {WINDOWED_DISTINCT_FAMILIES}, got {family!r}"
+        )
+
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    def fold(cur: DataFrame | None, batch: DataFrame) -> DataFrame:
+        if family == "bitmap":
+            return ivm.maintain_bitmap_windowed(
+                cur, batch, group_cols, id_col, bucket_col, horizon
+            )
+        if family == "kmv":
+            return ivm.maintain_kmv_windowed(
+                cur, batch, group_cols, id_col, bucket_col, horizon, k=k
+            )
+        return ivm.maintain_hll_windowed(
+            cur, batch, group_cols, id_col, bucket_col, horizon
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(state_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        try:
+            cur = read_view(spark, state_path)
+        except FileNotFoundError:
+            cur = None
+        try:
+            V.versioned_append(
+                fold(cur, batch_df),
+                state_path,
+                meta=None if eid is None else {"epoch_id": eid},
+            )
+        finally:
+            release_shared_caches()
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
 def stream_maintain_hll_view(
     changes_stream: DataFrame,
     state_path: str,

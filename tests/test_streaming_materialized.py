@@ -1639,3 +1639,157 @@ def test_stream_minhash_index_replay_after_partial_commit(spark, tmp_path):
     assert len(got_rows) == len(got)  # no duplicated pair rows
     sig_rows = MV.read_minhash_index_sigs(spark, sigs).collect()
     assert len(sig_rows) == len({r["doc_id"] for r in sig_rows})  # once each
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed (epoch-expiring) distinct views
+# ---------------------------------------------------------------------------
+
+WD_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.LongType(), True),
+        T.StructField("i", T.LongType(), True),
+        T.StructField("bucket", T.LongType(), True),
+        T.StructField("_change_type", T.StringType(), True),
+    ]
+)
+
+# 3 micro-batches of advancing buckets with horizon 2: buckets 0-1
+# retire when the watermark reaches 3; batch 3 replays a bucket-3 row
+# (idempotent) and delivers a bucket-0 row now beyond the horizon
+# (dropped on arrival). Live window at the end: buckets {3, 4}.
+WD_BATCHES = [
+    [(0, 1, 0, "insert"), (0, 2, 1, "insert"), (1, 9, 1, "insert")],
+    [(0, 2, 2, "insert"), (0, 3, 3, "insert"), (1, 9, 3, "insert")],
+    [(0, 4, 4, "insert"), (0, 3, 3, "insert"), (0, 1, 0, "insert")],
+]
+WD_LIVE = [(0, 3), (0, 4), (1, 9)]  # (g, i) with bucket > 4 - 2
+
+
+def _write_wd(path: str, rows) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "g": pa.array([r[0] for r in rows], pa.int64()),
+                "i": pa.array([r[1] for r in rows], pa.int64()),
+                "bucket": pa.array([r[2] for r in rows], pa.int64()),
+                "_change_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_stream_windowed_distinct_views_match_batch(spark, tmp_path):
+    """All three windowed families streamed over the 3-batch feed end
+    in the same state as the batch folds (and for bitmap, the exact
+    live distinct): expiry fires mid-stream, the replay is a no-op,
+    and the beyond-horizon late row is dropped on arrival."""
+    from data_lake_with_spark_spark.operators.plan_cache import (
+        release_shared_caches,
+    )
+
+    src = tmp_path / "wd_changes"
+    src.mkdir()
+    for n, rows in enumerate(WD_BATCHES):
+        _write_wd(str(src / f"b{n}.parquet"), rows)
+
+    got = {}
+    for family in MV.WINDOWED_DISTINCT_FAMILIES:
+        state = str(tmp_path / f"wd_{family}")
+        stream = (
+            spark.readStream.schema(WD_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = MV.stream_maintain_windowed_distinct_view(
+            stream, state, ["g"], "i", "bucket", horizon=2, family=family,
+            k=2, query_name=f"wd_{family}_mv",
+            checkpoint=str(tmp_path / f"wd_{family}_ckpt"),
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+        assert V.current_version(state) == 2  # one version per batch
+        got[family] = MV.read_view(spark, state)
+
+    live_df = spark.createDataFrame(
+        [(g, i, "insert") for g, i in WD_LIVE], "g long, i long, _change_type string"
+    )
+    try:
+        bm = {
+            (r["g"], r["n_distinct"])
+            for r in ivm.read_bitmap_windowed_distinct(got["bitmap"], ["g"]).collect()
+        }
+        assert bm == {(0, 2), (1, 1)}
+        kmv_got = {
+            (r["g"], r["est_distinct"])
+            for r in ivm.read_kmv_windowed_distinct(got["kmv"], ["g"], k=2).collect()
+        }
+        kmv_want = {
+            (r["g"], r["est_distinct"])
+            for r in ivm.read_kmv_distinct(
+                ivm.maintain_kmv(None, live_df, ["g"], "i", k=2), ["g"], k=2
+            ).collect()
+        }
+        assert kmv_got == kmv_want
+        hll_got = {
+            (r["g"], r["users_est"])
+            for r in ivm.read_hll_windowed_distinct(got["hll"], ["g"]).collect()
+        }
+        hll_want = {
+            (r["g"], r["users_est"])
+            for r in ivm.read_hll_distinct(
+                ivm.maintain_hll(None, live_df, ["g"], "i"), ["g"]
+            ).collect()
+        }
+        assert hll_got == hll_want
+    finally:
+        release_shared_caches()
+
+
+def test_stream_windowed_distinct_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: a resumed windowed view folds only the new
+    micro-batch (epoch guard), expiry still fires on the new
+    watermark, and an idle resume commits nothing."""
+    src = tmp_path / "wdr_changes"
+    src.mkdir()
+    state = str(tmp_path / "wdr_view")
+    ckpt = str(tmp_path / "wdr_ckpt")
+    _write_wd(str(src / "b0.parquet"), WD_BATCHES[0])
+    _write_wd(str(src / "b1.parquet"), WD_BATCHES[1])
+
+    def run():
+        stream = (
+            spark.readStream.schema(WD_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = MV.stream_maintain_windowed_distinct_view(
+            stream, state, ["g"], "i", "bucket", horizon=2, family="bitmap",
+            query_name="wdr_mv", checkpoint=ckpt,
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+
+    run()
+    v1 = V.current_version(state)
+    _write_wd(str(src / "b2.parquet"), WD_BATCHES[2])
+    run()
+    assert V.current_version(state) == v1 + 1  # exactly one new fold
+    got = {
+        (r["g"], r["n_distinct"])
+        for r in ivm.read_bitmap_windowed_distinct(
+            MV.read_view(spark, state), ["g"]
+        ).collect()
+    }
+    assert got == {(0, 2), (1, 1)}
+    run()  # idle resume
+    assert V.current_version(state) == v1 + 1
+
+
+def test_stream_windowed_distinct_rejects_unknown_family(spark, tmp_path):
+    import pytest
+
+    stream = spark.readStream.schema(WD_SCHEMA).parquet(str(tmp_path))
+    with pytest.raises(ValueError, match="family"):
+        MV.stream_maintain_windowed_distinct_view(
+            stream, str(tmp_path / "x"), ["g"], "i", "bucket", 2, family="bloom"
+        )

@@ -57,14 +57,18 @@ DRIVER_WINDOW = [
     # round-14 BIRTHS first (so they never enter the queue), then
     # every query whose ENGINE OR ORACLE changed this round (re-gated
     # on verified rows), then the stalest previously-green tranche —
-    # the r06-verified set in evidence_queue.py rank order (its 8-name
-    # tail, vector_centroid_assign..window_sliding_hourly, plus the
-    # r07 head, queues for round 15).
-    # Round-14 births (epoch-partitioned expiring distinct states +
-    # the signed-multiplicity exact retractable distinct):
+    # the r06-verified set in evidence_queue.py rank order (its
+    # 10-name tail, unpivot_part_metrics..window_sliding_hourly, plus
+    # the r07 head, queues for round 15).
+    # Round-14 births (epoch-partitioned expiring distinct states,
+    # the signed-multiplicity exact retractable distinct, and the
+    # incrementally maintained connected components — alone and
+    # composed with the maintained MinHash index):
     "ivm_bitmap_windowed_equivalence",
     "ivm_kmv_windowed_portable",
     "ivm_distinct_retractable_equivalence",
+    "graph_cc_incremental_equivalence",
+    "ingest_dedup_clusters_maintained",
     # Engine changed this round (see test_oracle_parity_sf01
     # CHANGED_THIS_ROUND for the per-change rationale): the
     # Observation-fused stop probes + checkpoint stats reset across
@@ -82,7 +86,7 @@ DRIVER_WINDOW = [
     "ivm_topk_retraction_equivalence",
     "join_click_purchase_outer",
     "join_range_outer_5min",
-    # Stale re-verification (36: the r06-verified set, rank order):
+    # Stale re-verification (34: the r06-verified set, rank order):
     "finance_max_drawdown",
     "graph_covisitation_pairs",
     "lateral_posexplode_tokens",
@@ -117,8 +121,6 @@ DRIVER_WINDOW = [
     "text_token_count_bpe",
     "text_unigram_logprob",
     "training_mlm_mask",
-    "unpivot_part_metrics",
-    "variant_extract_props",
 ]
 
 

@@ -772,3 +772,99 @@ def ktruss(
             F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
         )
     )
+
+
+def cc_incremental_absorb(
+    labels: DataFrame | None,
+    new_pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Incrementally maintained connected components: fold a batch of
+    NEW undirected edges ``(a_id, b_id)`` into an existing component
+    assignment ``labels`` (``(id, lab)`` with ``lab`` = the component's
+    minimum member id — exactly ``min_label_components``'s fixpoint) and
+    return the updated assignment. ``labels=None`` starts the state
+    (first batch = the one-shot kernel). The invariant "lab = min node
+    id of the node's component over the UNION of all edges absorbed so
+    far" is preserved by every absorb, so absorbing any batch split of
+    an edge list yields exactly ``min_label_components`` over the whole
+    list — the equivalence the driver oracles
+    (graph_cc_incremental_equivalence) and the hypothesis differential
+    pins on random splits.
+
+    This is the cluster-maintenance half of a streaming dedup loop:
+    the maintained MinHash band index (ingest.minhash_index_new_pairs)
+    emits exactly the pairs NEW per batch, and this fold keeps the
+    duplicate-CLUSTER assignment current without ever re-flooding
+    history (ingest_dedup_clusters_maintained composes the two; the
+    incremental-connectivity framing follows the union-find contraction
+    in Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    merging components is CC over the CONTRACTED graph whose nodes are
+    current labels).
+
+    Per batch, with B = batch edges and N = state rows:
+    1. resolve the batch's endpoints to current labels — ONE broadcast
+       inner hash join probing the state with the O(B) endpoint list
+       (the state side streams, never shuffles; endpoints absent from
+       the state are new nodes and keep their own id);
+    2. CONTRACT: map each batch edge to its endpoint-label pair, drop
+       la == lb — at most O(B) label-graph edges;
+    3. run the iterative min-label kernel on that contracted graph
+       only (O(B) nodes/edges per round, never the corpus), skipped
+       entirely when no batch edge bridges two labels;
+    4. REMAP: old-label → new-label pairs that actually changed form a
+       ≤ 2·B-row mapping, broadcast against the state — one more
+       shuffle-free scan; new nodes append through the same mapping.
+
+    So history is never re-paired and never re-flooded: per refresh the
+    state is scanned (broadcast-joined) at most twice and only the
+    contracted O(B) graph iterates. Like every kernel here the returned
+    state is MATERIALIZED (stats-reset checkpoint): the next absorb
+    references it twice, so a lazy return would double the plan tree
+    per batch. At 100 TB the state lives in a
+    versioned table and only CHANGED rows commit (merge-on-read — see
+    streaming/materialized.stream_maintain_cc_view); reference scope:
+    /root/reference/etl.py has no counterpart surface."""
+    if labels is None:
+        return min_label_components(new_pairs, id_col=id_col, max_iter=max_iter)
+    edges = undirected_edges(new_pairs).localCheckpoint(eager=True)
+    endpoints = edges.select(F.col("src").alias(id_col)).distinct()
+    known = labels.join(F.broadcast(endpoints), id_col).localCheckpoint(eager=True)
+    fresh = (
+        endpoints.join(F.broadcast(known.select(id_col)), id_col, "left_anti")
+        .select(id_col, F.col(id_col).alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    ep_lab = known.unionByName(fresh)
+    la = ep_lab.select(F.col(id_col).alias("src"), F.col("lab").alias("_la"))
+    lb = ep_lab.select(F.col(id_col).alias("dst"), F.col("lab").alias("_lb"))
+    contracted = (
+        edges.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("_la") != F.col("_lb"))
+        .select(F.col("_la").alias("a_id"), F.col("_lb").alias("b_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if contracted.isEmpty():
+        return _ckpt_fresh_stats(labels.unionByName(fresh))
+    merged = min_label_components(contracted, id_col="_old_lab", max_iter=max_iter)
+    mapping = merged.where(F.col("_old_lab") != F.col("lab")).select(
+        "_old_lab", F.col("lab").alias("_new_lab")
+    )
+    remap = F.coalesce("_new_lab", "lab").alias("lab")
+    updated = (
+        labels.join(
+            F.broadcast(mapping), F.col("lab") == F.col("_old_lab"), "left"
+        )
+        .select(id_col, remap)
+    )
+    started = fresh.join(
+        F.broadcast(mapping), F.col("lab") == F.col("_old_lab"), "left"
+    ).select(id_col, remap)
+    # Checkpoint the new state (like every kernel in this module): the
+    # NEXT absorb references it twice (endpoint probe + remap scan), so
+    # a lazy return would double the plan tree per batch and inherit
+    # the stats-squaring hazard _ckpt_fresh_stats exists to disarm.
+    return _ckpt_fresh_stats(updated.unionByName(started))

@@ -53,6 +53,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "dedup_cluster_keep_min",
         "feature_quantile_bins",
         "graph_bfs_reachability",
+        "graph_cc_incremental_equivalence",
         "graph_sssp_weighted",
         "graph_community_modularity",
         "graph_connected_components",
@@ -60,6 +61,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "graph_label_propagation",
         "graph_pagerank_neardup",
         "graph_triangle_count",
+        "ingest_dedup_clusters_maintained",
         "join_bucketed_colocated",
         "rag_chunk_retrieval_ivf",
         "search_mmr_rerank",

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
 from data_lake_with_spark_spark.operators import ivm
+from data_lake_with_spark_spark.operators import similarity as SIM
 from data_lake_with_spark_spark.operators.plan_cache import shared
 from data_lake_with_spark_spark.plans.registry import register
 
@@ -259,3 +260,170 @@ def ivm_distinct_retractable_equivalence(
     for batch in batches:
         state = ivm.maintain_distinct_exact(state, batch, ["event_type"], "user_id")
     return ivm.read_distinct_exact(state, ["event_type"]).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Incrementally maintained connected components (the cluster half of
+# the streaming dedup loop): absorbing any batch split of an edge list
+# equals the one-shot min-label fixpoint. Two equivalences — the
+# kernel alone on the embedding near-dup graph (same graph and oracle
+# as graph_connected_components), and the full composed loop where the
+# maintained MinHash band index emits the per-batch NEW pairs that
+# feed the absorb (cluster maintenance without ever re-pairing or
+# re-flooding history).
+# ---------------------------------------------------------------------------
+
+
+def _mh_clusters_oracle(n_iter: int) -> str:
+    """Compose the one-shot portable-MinHash pair list (llm_ops.
+    MINHASH_PORTABLE_ORACLE, reused verbatim as a CTE chain) with the
+    unrolled min-label/pointer-jump CC rounds of lakehouse_ops.
+    _cc_oracle — the SQL twin of "cluster the near-dup pair graph"."""
+    from data_lake_with_spark_spark.plans.llm_ops import MINHASH_PORTABLE_ORACLE
+
+    head, final = MINHASH_PORTABLE_ORACLE.rsplit("\nSELECT i.a_id", 1)
+    pairs_select = "SELECT i.a_id" + final.rsplit("ORDER BY", 1)[0]
+    ctes = [
+        head
+        + ", mh_pairs AS MATERIALIZED (\n"
+        + pairs_select
+        + """), ed AS MATERIALIZED (
+  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+  UNION ALL SELECT b_id, a_id FROM mh_pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM ed
+), l0 AS MATERIALIZED (
+  SELECT id, id AS lab FROM nodes
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(LEAST(l.lab, pj.lab), MIN(n.lab)) AS lab
+  FROM l{i - 1} l
+  JOIN l{i - 1} pj ON pj.id = l.lab
+  JOIN ed ON ed.src = l.id
+  JOIN l{i - 1} n ON n.id = ed.dst
+  GROUP BY l.id, l.lab, pj.lab
+)"""
+        )
+    return "".join(ctes) + (
+        f"\nSELECT lab AS component, CAST(COUNT(*) AS BIGINT) AS n_members"
+        f"\nFROM l{n_iter} GROUP BY lab"
+        "\nORDER BY n_members DESC, component"
+    )
+
+
+def _cc_incr_oracle() -> str:
+    # The incremental absorb converges to the TRUE fixpoint, so its
+    # unrolled twin must be at least as deep as the fixpoint at every
+    # committed scale — at sf0.1 the vec_id<400 near-dup graph needs 9
+    # pointer-jump rounds (8 leaves one long component split in two,
+    # which is why graph_connected_components pins BOTH sides at 8);
+    # 10 adds a round of margin at trivial oracle cost.
+    from data_lake_with_spark_spark.plans.lakehouse_ops import _cc_oracle
+
+    return _cc_oracle(10)
+
+
+@register(
+    "graph_cc_incremental_equivalence",
+    oracle=_cc_incr_oracle(),
+    tags=("graph", "dedup", "ivm", "iterative"),
+)
+def graph_cc_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally MAINTAINED connected components
+    (operators/graph.cc_incremental_absorb): the near-dup edge list of
+    graph_connected_components arrives in 3 batches (mixed by a
+    deterministic hash of the pair) and is folded into a maintained
+    (id, lab) assignment — endpoints resolve to current labels via a
+    broadcast probe, only the O(batch)-sized CONTRACTED label graph
+    iterates, and a broadcast old→new mapping remaps the state. The
+    component histogram after the last absorb must equal the one-shot
+    min-label/pointer-jump SQL twin, unrolled past the fixpoint at
+    every committed scale (10 rounds — see _cc_incr_oracle; the
+    absorb converges, so unlike graph_connected_components there is
+    no pinned-round escape hatch) — the invariant "lab = component
+    min id over the union of edges so far" survives every absorb.
+    Random-split equivalence is hypothesis-pinned in
+    tests/test_cc_incremental.py.
+
+    Scale shape: per batch the state is broadcast-probed (never
+    shuffled, never re-flooded) and the iterative kernel touches only
+    the contracted graph; at 100 TB the state is a versioned table
+    committing only CHANGED rows per batch
+    (streaming/materialized.stream_maintain_cc_view)."""
+    from data_lake_with_spark_spark.operators import graph as GR
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = (
+        SIM.lsh_near_pairs(emb, threshold=0.35)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    state: DataFrame | None = None
+    for epoch in range(3):
+        batch = pairs.where(F.pmod(F.col("a_id") * 7 + F.col("b_id"), F.lit(3)) == epoch)
+        state = GR.cc_incremental_absorb(state, batch, id_col="id")
+    return (
+        state.groupBy(F.col("lab").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "component")
+    )
+
+
+@register(
+    "ingest_dedup_clusters_maintained",
+    oracle=_mh_clusters_oracle(6),
+    tags=("dedup", "llm", "ivm", "minhash", "graph", "iterative"),
+)
+def ingest_dedup_clusters_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED streaming dedup loop, maintained end to end:
+    documents arrive in 3 batches (doc_id % 3); each batch is signed
+    (llm_ops._mh_portable_sigs), probed against the maintained MinHash
+    band index for exactly the near-dup pairs NEW this batch
+    (ingest.minhash_index_new_pairs — the round-13 driver-oracled
+    equivalence), and those pair deltas fold into the maintained
+    cluster assignment (graph.cc_incremental_absorb). The final
+    duplicate-cluster histogram must equal the one-shot SQL twin:
+    the portable MinHash pair list over the WHOLE corpus
+    (MINHASH_PORTABLE_ORACLE's chain, reused verbatim) flooded to
+    components by the unrolled min-label/pointer-jump rounds. This is
+    the loop a 100 TB training-data pipeline runs on every ingest:
+    O(batch·bands) index probe + O(batch) contracted-graph clustering
+    per arrival — history is never re-tokenized, re-paired, or
+    re-flooded.
+
+    Scale shape: batch signatures are per-row HOF folds; the index
+    probe is a posting equi-join on (band, key); the cluster absorb
+    broadcast-probes and broadcast-remaps the label state; every
+    maintained table commits O(batch) rows."""
+    from data_lake_with_spark_spark.operators import graph as GR
+    from data_lake_with_spark_spark.operators import ingest as ING
+    from data_lake_with_spark_spark.plans.llm_ops import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        _mh_portable_sigs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_state: DataFrame | None = None
+    labels: DataFrame | None = None
+    for epoch in range(3):
+        batch_sigs = _mh_portable_sigs(
+            docs.where(F.col("doc_id") % 3 == epoch)
+        ).localCheckpoint(eager=True)
+        new_pairs = ING.minhash_index_new_pairs(
+            sig_state, batch_sigs, MINHASH_BANDS, MINHASH_ROWS, threshold=0.5
+        ).localCheckpoint(eager=True)
+        labels = GR.cc_incremental_absorb(labels, new_pairs.select("a_id", "b_id"))
+        sig_state = (
+            batch_sigs
+            if sig_state is None
+            else sig_state.unionByName(batch_sigs)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "component")
+    )

@@ -1181,3 +1181,83 @@ def read_ivf_drift(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintained connected components: the cluster half of the
+# streaming dedup loop (the pair half is
+# stream_maintain_minhash_index_view — chain its pairs table into this
+# view's pairs stream and the corpus's duplicate-cluster assignment
+# stays current per micro-batch).
+# ---------------------------------------------------------------------------
+
+
+def stream_maintain_cc_view(
+    pairs_stream: DataFrame,
+    labels_path: str,
+    query_name: str = "cc_view",
+    checkpoint: str | None = None,
+):
+    """Streaming twin of ``graph.cc_incremental_absorb``: each
+    micro-batch of undirected edges ``(a_id, b_id)`` folds into the
+    maintained component assignment at ``labels_path`` — a MERGE-ON-
+    READ versioned table keyed on ``id`` whose resolved view always
+    equals the one-shot ``min_label_components`` fixpoint over every
+    edge absorbed so far (the batch operator's driver-oracled
+    equivalence, graph_cc_incremental_equivalence).
+
+    Per refresh the sink reads the resolved assignment, absorbs the
+    batch (broadcast endpoint probe + contracted-graph CC + broadcast
+    remap — history never re-floods), and commits ONLY the rows whose
+    label changed or are new (an (id, lab) anti join against the
+    pre-batch state), so a refresh writes O(members of merged
+    components + new nodes), never the corpus. Reads resolve
+    last-writer-wins per id (``versioned_read_merged``); compaction
+    folds the deltas exactly like Delta OPTIMIZE after MERGE.
+
+    Exactly-once: a SINGLE table commit per batch, epoch-guarded — a
+    replayed micro-batch (foreachBatch is at-least-once) either finds
+    its epoch already committed and no-ops, or re-reads the untouched
+    pre-batch state and recomputes the identical delta. Kill-and-
+    resume and stream==batch equality are pinned in
+    tests/test_streaming_materialized.py."""
+    from data_lake_with_spark_spark.operators import graph as G
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(labels_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        pairs = batch_df.select("a_id", "b_id")
+        try:
+            state = V.versioned_read_merged(spark, labels_path, ["id"])
+        except FileNotFoundError:
+            state = None
+        new_state = G.cc_incremental_absorb(state, pairs)
+        delta = (
+            new_state
+            if state is None
+            else new_state.join(state, ["id", "lab"], "left_anti")
+        )
+        V.versioned_append(
+            delta,
+            labels_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = pairs_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
+def read_cc_labels(
+    spark: SparkSession, labels_path: str, version: int | None = None
+) -> DataFrame:
+    """The maintained component assignment (id, lab) as of ``version``
+    (default latest), resolved last-writer-wins per id."""
+    return V.versioned_read_merged(spark, labels_path, ["id"], version)

@@ -1,0 +1,141 @@
+"""Incrementally maintained connected components
+(operators/graph.cc_incremental_absorb): absorbing any batch split of
+an edge list must preserve the invariant "lab = min member id of the
+node's component over the union of edges so far", i.e. equal the
+one-shot ``min_label_components`` fixpoint after every batch. The
+lifecycles here pin the specific hazards of the contract:
+cross-batch chain merges, a later-arriving node that becomes the new
+component minimum, batches that merge nothing (the contracted graph is
+empty and the iterative kernel must be skipped, not run on an empty
+frame), and duplicate / reversed re-deliveries of known edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lake_with_spark_spark.operators import graph as G
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+
+
+def _labels(df):
+    return {r["id"]: r["lab"] for r in df.collect()}
+
+
+def _oneshot(spark, edges):
+    return _labels(G.min_label_components(_pairs(spark, edges)))
+
+
+def test_first_batch_equals_oneshot(spark):
+    edges = [(1, 2), (3, 4), (2, 3)]
+    got = _labels(G.cc_incremental_absorb(None, _pairs(spark, edges)))
+    assert got == _oneshot(spark, edges)
+
+
+def test_cross_batch_chain_merge(spark):
+    # Batch 1 makes {1,2} and {3,4}; batch 2's single edge (2,3) must
+    # merge them transitively into min-label 1.
+    s1 = G.cc_incremental_absorb(None, _pairs(spark, [(1, 2), (3, 4)]))
+    assert _labels(s1) == {1: 1, 2: 1, 3: 3, 4: 3}
+    s2 = G.cc_incremental_absorb(s1, _pairs(spark, [(2, 3)]))
+    assert _labels(s2) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_late_arriving_new_minimum_relabels_whole_component(spark):
+    # Component {5,6,7} labeled 5; node 0 arrives later attached to 7:
+    # the maintained label must drop to 0 for every member.
+    s1 = G.cc_incremental_absorb(None, _pairs(spark, [(5, 6), (6, 7)]))
+    s2 = G.cc_incremental_absorb(s1, _pairs(spark, [(0, 7)]))
+    assert _labels(s2) == {0: 0, 5: 0, 6: 0, 7: 0}
+
+
+def test_batch_that_merges_nothing_skips_the_kernel(spark):
+    # Batch 2 re-delivers a known edge (reversed) and adds a fresh
+    # disjoint pair: no existing labels merge, the contracted graph is
+    # empty for the re-delivery and trivial for the new pair.
+    s1 = G.cc_incremental_absorb(None, _pairs(spark, [(1, 2)]))
+    s2 = G.cc_incremental_absorb(s1, _pairs(spark, [(2, 1), (8, 9)]))
+    assert _labels(s2) == {1: 1, 2: 1, 8: 8, 9: 8}
+
+
+def test_duplicate_redelivery_is_a_noop(spark):
+    edges = [(1, 2), (2, 3)]
+    s1 = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    s2 = G.cc_incremental_absorb(s1, _pairs(spark, edges))
+    assert _labels(s2) == _labels(s1) == _oneshot(spark, edges)
+
+
+def test_multiway_merge_across_three_prior_components(spark):
+    # Three components from batch 1; one batch-2 star merges all of
+    # them plus two new nodes through a single new hub.
+    s1 = G.cc_incremental_absorb(
+        None, _pairs(spark, [(10, 11), (20, 21), (30, 31)])
+    )
+    s2 = G.cc_incremental_absorb(
+        s1, _pairs(spark, [(50, 11), (50, 21), (50, 31), (50, 51)])
+    )
+    want = _oneshot(
+        spark,
+        [(10, 11), (20, 21), (30, 31), (50, 11), (50, 21), (50, 31), (50, 51)],
+    )
+    assert _labels(s2) == want == {k: 10 for k in [10, 11, 20, 21, 30, 31, 50, 51]}
+
+
+def test_three_batch_split_equals_oneshot_on_deep_path(spark):
+    # Path 0..29 split by edge index residue: the per-batch contracted
+    # graphs are themselves chains, exercising the inner kernel's
+    # pointer jumping across batches.
+    edges = [(i, i + 1) for i in range(29)]
+    state = None
+    for r in range(3):
+        batch = [e for j, e in enumerate(edges) if j % 3 == r]
+        state = G.cc_incremental_absorb(state, _pairs(spark, batch))
+    assert _labels(state) == _oneshot(spark, edges) == {i: 0 for i in range(30)}
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis differential: random edge lists, random batch splits —
+# incremental absorb over the batches == one-shot fixpoint. Each
+# iterative absorb is a Spark-job cascade, so examples stay small.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_cc_incremental_matches_oneshot_on_random_splits(spark, data):
+    n_edges = data.draw(st.integers(min_value=1, max_value=14), label="n_edges")
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=11),
+                st.integers(min_value=0, max_value=11),
+            ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] != t[1]),
+            min_size=n_edges,
+            max_size=n_edges,
+        ),
+        label="edges",
+    )
+    n_batches = data.draw(st.integers(min_value=1, max_value=3), label="n_batches")
+    assign = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_batches - 1),
+            min_size=len(edges),
+            max_size=len(edges),
+        ),
+        label="assign",
+    )
+    state = None
+    for b in range(n_batches):
+        batch = [e for e, a in zip(edges, assign) if a == b]
+        if not batch:
+            continue
+        state = G.cc_incremental_absorb(state, _pairs(spark, batch))
+    want = _oneshot(spark, edges)
+    got = {} if state is None else _labels(state)
+    assert got == want

@@ -41,6 +41,8 @@ CHANGED_THIS_ROUND = [
     "ivm_bitmap_windowed_equivalence",
     "ivm_kmv_windowed_portable",
     "ivm_distinct_retractable_equivalence",
+    "graph_cc_incremental_equivalence",
+    "ingest_dedup_clusters_maintained",
     # round-14 engine change: Observation-fused stop probes +
     # _ckpt_fresh_stats (LogicalRDD stats-inheritance reset) across the
     # iterative graph kernels (label_propagation / bfs_hops / kcore /

@@ -1793,3 +1793,174 @@ def test_stream_windowed_distinct_rejects_unknown_family(spark, tmp_path):
         MV.stream_maintain_windowed_distinct_view(
             stream, str(tmp_path / "x"), ["g"], "i", "bucket", 2, family="bloom"
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintained connected components (stream_maintain_cc_view)
+# ---------------------------------------------------------------------------
+
+CC_SCHEMA = "a_id bigint, b_id bigint"
+# Three arrival batches engineered so every refresh exercises a
+# different absorb path: b1 seeds two components; b2 merges them
+# through a bridging edge AND starts a disjoint pair; b3 re-delivers a
+# known edge (no-op) while a NEW MINIMUM node (0) relabels {8,9}.
+CC_B1 = [(1, 2), (5, 6)]
+CC_B2 = [(2, 5), (8, 9)]
+CC_B3 = [(0, 9), (1, 2)]
+
+
+def _write_cc_edges(path: str, rows, order: int = 0) -> None:
+    import os
+    import time
+
+    pq.write_table(
+        pa.table(
+            {
+                "a_id": pa.array([r[0] for r in rows], pa.int64()),
+                "b_id": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    # FileStreamSource orders micro-batches by modification time —
+    # same-instant writes arrive in arbitrary order, so pin distinct
+    # mtimes to make the per-batch delta sizes deterministic.
+    t = time.time() - 1000 + order
+    os.utime(path, (t, t))
+
+
+def _cc_oneshot(spark, batches):
+    from data_lake_with_spark_spark.operators import graph as G
+
+    edges = [e for b in batches for e in b]
+    return {
+        (r["id"], r["lab"])
+        for r in G.min_label_components(
+            spark.createDataFrame(edges, CC_SCHEMA)
+        ).collect()
+    }
+
+
+def test_stream_cc_labels_equal_oneshot_with_bounded_deltas(spark, tmp_path):
+    """The resolved label table after a 3-batch arrival split must
+    equal the one-shot min-label fixpoint over every edge, and each
+    refresh must commit ONLY changed/new rows (the O(changed) merge-
+    on-read contract): 4, 4, 3 rows for this fixture, never the
+    whole assignment."""
+    src = tmp_path / "cc_edges"
+    src.mkdir()
+    _write_cc_edges(str(src / "b1.parquet"), CC_B1, order=0)
+    _write_cc_edges(str(src / "b2.parquet"), CC_B2, order=1)
+    _write_cc_edges(str(src / "b3.parquet"), CC_B3, order=2)
+    labels = str(tmp_path / "cc_labels")
+    stream = (
+        spark.readStream.schema(CC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_cc_view(
+        stream, labels, query_name="cc_mv",
+        checkpoint=str(tmp_path / "cc_ckpt"),
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+    got = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert got == _cc_oneshot(spark, [CC_B1, CC_B2, CC_B3])
+    assert got == {(0, 0), (8, 0), (9, 0), (1, 1), (2, 1), (5, 1), (6, 1)}
+    # one version per micro-batch, each committing only the delta
+    assert V.current_version(labels) == 2
+    delta_rows = [
+        spark.read.parquet(V.versioned_snapshot_dir(labels, v)).count()
+        for v in range(3)
+    ]
+    assert delta_rows == [4, 4, 3]
+
+
+def test_stream_cc_restart_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: a resumed run folds only the new micro-batch
+    (epoch guard), and an idle resume commits nothing."""
+    src = tmp_path / "ccr_edges"
+    src.mkdir()
+    _write_cc_edges(str(src / "b1.parquet"), CC_B1, order=0)
+    _write_cc_edges(str(src / "b2.parquet"), CC_B2, order=1)
+    labels = str(tmp_path / "ccr_labels")
+    ckpt = str(tmp_path / "ccr_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(CC_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = MV.stream_maintain_cc_view(
+            stream, labels, query_name="ccr_mv", checkpoint=ckpt
+        )
+        assert q.awaitTermination(600), "stream did not terminate"
+
+    run()
+    assert V.current_version(labels) == 1
+    mid = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert mid == _cc_oneshot(spark, [CC_B1, CC_B2])
+    _write_cc_edges(str(src / "b3.parquet"), CC_B3, order=2)
+    run()
+    got = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert got == _cc_oneshot(spark, [CC_B1, CC_B2, CC_B3])
+    assert V.current_version(labels) == 2
+    run()  # idle resume: no new files, no new commits
+    assert V.current_version(labels) == 2
+
+
+def test_stream_minhash_pairs_chain_into_cc_absorb(spark, tmp_path):
+    """The composed maintained dedup loop across BOTH state tables:
+    the streaming MinHash index's per-batch pair deltas, folded
+    version by version into cc_incremental_absorb, must land on the
+    same components as one-shot CC over the one-shot pair list —
+    i.e. the two maintained halves compose without re-pairing or
+    re-flooding anything."""
+    from data_lake_with_spark_spark.operators import graph as G
+    from data_lake_with_spark_spark.plans.llm_ops import (
+        MINHASH_BANDS,
+        MINHASH_ROWS,
+        _mh_portable_sigs,
+    )
+
+    src = tmp_path / "chain_docs"
+    src.mkdir()
+    _write_mhix(str(src / "b1.parquet"), MHIX_DOCS[:3])
+    _write_mhix(str(src / "b2.parquet"), MHIX_DOCS[3:5])
+    _write_mhix(str(src / "b3.parquet"), MHIX_DOCS[5:])
+    sigs = str(tmp_path / "chain_sigs")
+    pairs = str(tmp_path / "chain_pairs")
+    stream = (
+        spark.readStream.schema(MHIX_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_minhash_index_view(
+        stream, sigs, pairs, _mh_portable_sigs, MINHASH_BANDS, MINHASH_ROWS,
+        threshold=0.5, query_name="chain_mv",
+        checkpoint=str(tmp_path / "chain_ckpt"),
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+    state = None
+    for v in range(V.current_version(pairs) + 1):
+        delta = spark.read.parquet(V.versioned_snapshot_dir(pairs, v)).select(
+            "a_id", "b_id"
+        )
+        if delta.isEmpty():
+            continue
+        state = G.cc_incremental_absorb(state, delta)
+    got = {(r["id"], r["lab"]) for r in state.collect()}
+    oneshot_pairs = [(a, b) for a, b, _ in _mhix_oneshot(spark)]
+    want = {
+        (r["id"], r["lab"])
+        for r in G.min_label_components(
+            spark.createDataFrame(oneshot_pairs, CC_SCHEMA)
+        ).collect()
+    }
+    assert got == want and len(want) >= 4

@@ -58,8 +58,9 @@ DRIVER_WINDOW = [
     # every query whose ENGINE OR ORACLE changed this round (re-gated
     # on verified rows), then the stalest previously-green tranche —
     # the r06-verified set in evidence_queue.py rank order (its
-    # 10-name tail, unpivot_part_metrics..window_sliding_hourly, plus
-    # the r07 head, queues for round 15).
+    # 11-name tail — stats_exact_percentiles, unpivot_part_metrics,
+    # variant_extract_props, vector_centroid_assign..
+    # window_sliding_hourly — plus the r07 head, queues for round 15).
     # Round-14 births (epoch-partitioned expiring distinct states,
     # the signed-multiplicity exact retractable distinct, and the
     # incrementally maintained connected components — alone and
@@ -68,6 +69,7 @@ DRIVER_WINDOW = [
     "ivm_kmv_windowed_portable",
     "ivm_distinct_retractable_equivalence",
     "graph_cc_incremental_equivalence",
+    "graph_cc_retraction_equivalence",
     "ingest_dedup_clusters_maintained",
     # Engine changed this round (see test_oracle_parity_sf01
     # CHANGED_THIS_ROUND for the per-change rationale): the
@@ -86,7 +88,7 @@ DRIVER_WINDOW = [
     "ivm_topk_retraction_equivalence",
     "join_click_purchase_outer",
     "join_range_outer_5min",
-    # Stale re-verification (34: the r06-verified set, rank order):
+    # Stale re-verification (33: the r06-verified set, rank order):
     "finance_max_drawdown",
     "graph_covisitation_pairs",
     "lateral_posexplode_tokens",
@@ -113,7 +115,6 @@ DRIVER_WINDOW = [
     "setop_intersect",
     "setop_union",
     "stats_benford_digits",
-    "stats_exact_percentiles",
     "subquery_above_avg",
     "subquery_exists",
     "text_fingerprint",

@@ -868,3 +868,73 @@ def cc_incremental_absorb(
     # a lazy return would double the plan tree per batch and inherit
     # the stats-squaring hazard _ckpt_fresh_stats exists to disarm.
     return _ckpt_fresh_stats(updated.unionByName(started))
+
+
+def cc_incremental_retract(
+    labels: DataFrame,
+    surviving_pairs: DataFrame,
+    deleted_pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Retract a batch of DELETED edges from a maintained component
+    assignment (the delete half ``cc_incremental_absorb`` cannot serve:
+    removing an edge can SPLIT a component, and min labels are not
+    subtractable — the same non-transferability as bits/minima in the
+    distinct-state families). The standard answer, mirroring
+    ``ivm.maintain_topk_retractable``'s risk-group routing: identify
+    the components the deleted edges touch, rescan ONLY their induced
+    surviving subgraph with the iterative kernel, and pass every other
+    component through untouched.
+
+    ``surviving_pairs`` is the post-delete edge list (what the
+    maintained edge table holds after tombstoning — the operator never
+    diffs it against history), ``deleted_pairs`` the batch of removed
+    ``(a_id, b_id)`` edges (both endpoints must have been absorbed).
+    Returns the assignment whose rows equal the one-shot
+    ``min_label_components`` fixpoint over the surviving edges: nodes
+    of affected components that lose their last surviving edge DROP
+    from the state (the one-shot node universe is edge endpoints),
+    re-absorbing a dropped or re-added edge later reconnects through
+    ``cc_incremental_absorb`` — the driver-oracled round trip
+    (graph_cc_retraction_equivalence) and the random-lifecycle
+    hypothesis differential both pin this.
+
+    Scale shape, with D = deleted edges and A = members/edges of the
+    components they touch: the affected-label lookup is a broadcast
+    probe of the state with D's endpoint list; membership is a
+    broadcast semi-join on the bounded affected-label list; the
+    induced-edge restriction broadcast-probes the surviving edge table
+    (edges stream, never shuffle — a surviving edge's endpoints share
+    a component, so testing one endpoint suffices); only the O(A)
+    induced subgraph re-floods. The full state is scanned once for the
+    pass-through anti join. Never a full re-pair, never a full
+    re-flood."""
+    d_nodes = (
+        undirected_edges(deleted_pairs)
+        .select(F.col("src").alias(id_col))
+        .distinct()
+    )
+    affected = (
+        labels.join(F.broadcast(d_nodes), id_col)
+        .select("lab")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    members = labels.join(
+        F.broadcast(affected.withColumnRenamed("lab", "_alab")),
+        F.col("lab") == F.col("_alab"),
+    ).select(id_col, "lab").localCheckpoint(eager=True)
+    induced = surviving_pairs.join(
+        F.broadcast(members.select(F.col(id_col).alias("a_id"))), "a_id"
+    ).select("a_id", "b_id")
+    kept = labels.join(
+        F.broadcast(affected.withColumnRenamed("lab", "_alab")),
+        F.col("lab") == F.col("_alab"),
+        "left_anti",
+    )
+    if induced.isEmpty():
+        # every affected component lost all its edges: all members drop
+        return _ckpt_fresh_stats(kept)
+    reflooded = min_label_components(induced, id_col=id_col, max_iter=max_iter)
+    return _ckpt_fresh_stats(kept.unionByName(reflooded))

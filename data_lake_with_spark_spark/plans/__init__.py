@@ -54,6 +54,7 @@ EAGER_QUERIES: frozenset[str] = frozenset(
         "feature_quantile_bins",
         "graph_bfs_reachability",
         "graph_cc_incremental_equivalence",
+        "graph_cc_retraction_equivalence",
         "graph_sssp_weighted",
         "graph_community_modularity",
         "graph_connected_components",

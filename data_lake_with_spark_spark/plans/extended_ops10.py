@@ -427,3 +427,64 @@ def ingest_dedup_clusters_maintained(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), "component")
     )
+
+
+def _cc_retract_oracle() -> str:
+    # One-shot flooding over exactly the SURVIVING edges — the deleted
+    # subset (a+b) % 5 == 0 filtered out inside the pairs CTE; unrolled
+    # to 10 rounds for the same converging-fixpoint reason as
+    # _cc_incr_oracle (deleting edges can only lengthen shortest
+    # in-component paths, never past the intact graph's 9-round need).
+    from data_lake_with_spark_spark.plans.lakehouse_ops import _cc_oracle
+
+    return _cc_oracle(10, pair_filter="(a.vec_id + b.vec_id) % 5 <> 0")
+
+
+@register(
+    "graph_cc_retraction_equivalence",
+    oracle=_cc_retract_oracle(),
+    tags=("graph", "ivm", "cdc", "dedup", "iterative"),
+)
+def graph_cc_retraction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE maintained connected components
+    (operators/graph.cc_incremental_retract): the near-dup edge list
+    is absorbed in 2 batches, then every edge with (a_id + b_id) % 5
+    == 0 is DELETED — the change the absorb fold cannot express
+    (removing an edge can split a component; min labels are not
+    subtractable). The retract routes exactly the components the
+    deleted edges touch to an induced-subgraph rescan (broadcast
+    endpoint→label probe, broadcast membership semi-join, the
+    surviving edge list broadcast-probed so it streams) and passes
+    every other component through — the same bounded-rescan discipline
+    as the retractable top-k. The final histogram must equal one-shot
+    flooding over ONLY the surviving edges; endpoints whose last edge
+    died drop from the state, exactly the one-shot node universe.
+    Random-delete equivalence and the retract→re-absorb round trip are
+    pinned in tests/test_cc_incremental.py.
+
+    Scale shape: O(affected members + their edges) rescan per delete
+    batch, never a corpus re-flood; the state scans once for the
+    pass-through anti join."""
+    from data_lake_with_spark_spark.operators import graph as GR
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    pairs = (
+        SIM.lsh_near_pairs(emb, threshold=0.35)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    state: DataFrame | None = None
+    for epoch in range(2):
+        batch = pairs.where(
+            F.pmod(F.col("a_id") * 7 + F.col("b_id"), F.lit(2)) == epoch
+        )
+        state = GR.cc_incremental_absorb(state, batch, id_col="id")
+    doomed = F.pmod(F.col("a_id") + F.col("b_id"), F.lit(5)) == 0
+    state = GR.cc_incremental_retract(
+        state, pairs.where(~doomed), pairs.where(doomed)
+    )
+    return (
+        state.groupBy(F.col("lab").alias("component"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), "component")
+    )

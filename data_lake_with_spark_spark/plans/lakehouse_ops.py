@@ -573,10 +573,14 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cc_oracle(n_iter: int = 4) -> str:
+def _cc_oracle(n_iter: int = 4, pair_filter: str = "") -> str:
     # Each round references the previous labels THREE times (self,
     # pointer jump, neighbor lookup) — without MATERIALIZED the CTE
     # inliner would expand 3^n_iter copies of the whole chain.
+    # ``pair_filter``: optional extra SQL predicate on (a_id, b_id)
+    # ANDed into the pairs CTE — the retraction twin
+    # (graph_cc_retraction_equivalence) floods only the SURVIVING
+    # edges; "" leaves the generated SQL byte-identical to before.
     head = """WITH e AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v
   FROM embeddings WHERE vec_id < 400
@@ -594,6 +598,11 @@ def _cc_oracle(n_iter: int = 4) -> str:
 ), l0 AS MATERIALIZED (
   SELECT id, id AS lab FROM nodes
 )"""
+    if pair_filter:
+        head = head.replace(
+            ">= 0.35\n), ed AS",
+            f">= 0.35\n    AND {pair_filter}\n), ed AS",
+        )
     ctes = [head]
     for i in range(1, n_iter + 1):
         ctes.append(

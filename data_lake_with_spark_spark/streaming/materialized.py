@@ -1261,3 +1261,152 @@ def read_cc_labels(
     """The maintained component assignment (id, lab) as of ``version``
     (default latest), resolved last-writer-wins per id."""
     return V.versioned_read_merged(spark, labels_path, ["id"], version)
+
+
+def stream_maintain_cc_cdc_view(
+    changes_stream: DataFrame,
+    edges_path: str,
+    labels_path: str,
+    query_name: str = "cc_cdc_view",
+    checkpoint: str | None = None,
+):
+    """``stream_maintain_cc_view`` WITH a retraction story: the feed
+    carries ``(a_id, b_id, _change_type)`` rows, ``insert`` adding
+    edges and ``delete`` removing them (the change an insert-only fold
+    cannot express — removing an edge can SPLIT a component). Mirrors
+    the retractable top-k sink's architecture: the sink additionally
+    maintains the EDGE table the feed describes (merge-on-read, one
+    O(batch) append of alive + tombstone rows per refresh), because
+    once an edge is deleted the splitting verdict is unrecoverable from
+    the label state alone — the induced-subgraph rescan
+    (``graph.cc_incremental_retract``) reads the surviving edges of
+    JUST the affected components from it. Deletes apply first (against
+    the pre-batch edge set), then inserts absorb
+    (``graph.cc_incremental_absorb``); the resolved label table always
+    equals the one-shot fixpoint over the surviving edge set.
+
+    Feed preconditions (raised loudly, never silently merged): an
+    unknown ``_change_type`` fails the micro-batch in-plan before any
+    commit (the sink cannot reconstruct what the row meant); an edge
+    both inserted and deleted in ONE micro-batch raises (intra-batch
+    order is unknowable at the sink). Deleting an edge that was never
+    absorbed is a documented no-op (nothing to split).
+
+    Exactly-once across the TWO-table commit: the epoch guard sits on
+    the LABELS commit, which happens last. A replayed micro-batch that
+    finds its epoch already on the EDGE table (crash between the
+    commits) reads the edge state one version back — the exact
+    pre-batch edge set — skips the double-append, and recomputes the
+    identical label delta. Label rows whose node lost its last
+    surviving edge commit as TOMBSTONES (the one-shot node universe is
+    edge endpoints), so a later re-insert re-absorbs them cleanly."""
+    from pyspark.sql import functions as F
+
+    from data_lake_with_spark_spark.operators import graph as G
+    from data_lake_with_spark_spark.sources.versioned import TOMBSTONE
+
+    EKEYS = ["a_id", "b_id"]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = epoch_id if checkpoint is not None else None
+        if eid is not None:
+            last = applied_epoch(labels_path)
+            if last is not None and eid <= last:
+                return
+        spark = batch_df.sparkSession
+        ct = F.col("_change_type")
+        is_insert = (
+            F.when(ct == "insert", F.lit(True))
+            .when(ct == "delete", F.lit(False))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "stream_maintain_cc_cdc_view: unknown"
+                            " _change_type="
+                        ),
+                        F.coalesce(ct, F.lit("NULL")),
+                    )
+                ).cast("boolean")
+            )
+        )
+        ins = batch_df.where(is_insert).select(*EKEYS).dropDuplicates(EKEYS)
+        dels = batch_df.where(~is_insert).select(*EKEYS).dropDuplicates(EKEYS)
+        if not ins.join(dels, EKEYS).isEmpty():
+            raise ValueError(
+                "stream_maintain_cc_cdc_view: an edge appears as both "
+                "insert and delete in one micro-batch — intra-batch order "
+                "is unknowable at the sink; compact the feed so each edge "
+                "carries one net change per batch"
+            )
+        # pre-batch edge set; a replay after the edges commit reads one
+        # version back (the exact pre-batch state)
+        edges_done = eid is not None and (applied_epoch(edges_path) or -1) >= eid
+        try:
+            v = V.current_version(edges_path)
+            ev = v - 1 if edges_done else v
+            pre_edges = (
+                None
+                if ev is None or ev < 0
+                else V.versioned_read_merged(
+                    spark, edges_path, EKEYS, version=ev
+                ).select(*EKEYS)
+            )
+        except FileNotFoundError:
+            pre_edges = None
+        if pre_edges is not None:
+            pre_edges = pre_edges.localCheckpoint(eager=True)
+        try:
+            labels = V.versioned_read_merged(spark, labels_path, ["id"])
+        except FileNotFoundError:
+            labels = None
+        new_labels = labels
+        dels_known = (
+            dels.join(pre_edges, EKEYS) if pre_edges is not None else None
+        )
+        if (
+            labels is not None
+            and dels_known is not None
+            and not dels_known.isEmpty()
+        ):
+            surviving = pre_edges.join(dels, EKEYS, "left_anti")
+            new_labels = G.cc_incremental_retract(
+                new_labels, surviving, dels_known
+            )
+        if not ins.isEmpty():
+            new_labels = G.cc_incremental_absorb(new_labels, ins)
+        # commit edges FIRST (alive inserts + tombstoned deletes), then
+        # the epoch-guarded labels delta
+        if not edges_done:
+            edge_delta = ins.withColumn(TOMBSTONE, F.lit(False)).unionByName(
+                (dels_known if dels_known is not None else dels.limit(0))
+                .withColumn(TOMBSTONE, F.lit(True))
+            )
+            V.versioned_append(
+                edge_delta,
+                edges_path,
+                meta=None if eid is None else {"epoch_id": eid},
+            )
+        if labels is None:
+            delta = new_labels
+        else:
+            changed = new_labels.join(labels, ["id", "lab"], "left_anti")
+            dropped = (
+                labels.join(new_labels.select("id"), "id", "left_anti")
+                .withColumn(TOMBSTONE, F.lit(True))
+            )
+            delta = changed.withColumn(TOMBSTONE, F.lit(False)).unionByName(
+                dropped
+            )
+        V.versioned_append(
+            delta,
+            labels_path,
+            meta=None if eid is None else {"epoch_id": eid},
+        )
+
+    w = changes_stream.writeStream.foreachBatch(sink).queryName(query_name)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()

@@ -139,3 +139,95 @@ def test_cc_incremental_matches_oneshot_on_random_splits(spark, data):
     want = _oneshot(spark, edges)
     got = {} if state is None else _labels(state)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Edge retraction (cc_incremental_retract): affected components rescan
+# from their induced surviving subgraph; everything else passes through.
+# ---------------------------------------------------------------------------
+
+
+def _retract(spark, state, surviving, deleted):
+    return G.cc_incremental_retract(
+        state, _pairs(spark, surviving), _pairs(spark, deleted)
+    )
+
+
+def test_retract_splits_a_path_component(spark):
+    edges = [(1, 2), (2, 3), (3, 4)]
+    s = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    got = _labels(_retract(spark, s, [(1, 2), (3, 4)], [(2, 3)]))
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3} == _oneshot(spark, [(1, 2), (3, 4)])
+
+
+def test_retract_that_keeps_connectivity_is_label_stable(spark):
+    tri = [(1, 2), (2, 3), (1, 3)]
+    s = G.cc_incremental_absorb(None, _pairs(spark, tri))
+    got = _labels(_retract(spark, s, [(1, 2), (2, 3)], [(1, 3)]))
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_retract_last_edge_drops_both_endpoints(spark):
+    edges = [(1, 2), (8, 9)]
+    s = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    got = _labels(_retract(spark, s, [(1, 2)], [(8, 9)]))
+    assert got == {1: 1, 2: 1} == _oneshot(spark, [(1, 2)])
+
+
+def test_retract_leaves_untouched_components_alone(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    s = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    surviving = [(1, 2), (10, 11), (20, 21)]
+    got = _labels(_retract(spark, s, surviving, [(2, 3)]))
+    assert got == _oneshot(spark, surviving)
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_retract_then_reabsorb_round_trips(spark):
+    edges = [(1, 2), (2, 3)]
+    s = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    before = _labels(s)
+    s2 = _retract(spark, s, [(1, 2)], [(2, 3)])
+    s3 = G.cc_incremental_absorb(s2, _pairs(spark, [(2, 3)]))
+    assert _labels(s3) == before == {1: 1, 2: 1, 3: 1}
+
+
+def test_retract_isolating_a_mid_component_node(spark):
+    # star around 5: deleting one spoke drops only that leaf
+    edges = [(5, 6), (5, 7), (5, 8)]
+    s = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    got = _labels(_retract(spark, s, [(5, 6), (5, 7)], [(5, 8)]))
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_cc_retract_matches_oneshot_on_random_deletes(spark, data):
+    n_edges = data.draw(st.integers(min_value=2, max_value=12), label="n_edges")
+    edges = list(
+        dict.fromkeys(
+            data.draw(
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=9),
+                        st.integers(min_value=0, max_value=9),
+                    ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] != t[1]),
+                    min_size=n_edges,
+                    max_size=n_edges,
+                ),
+                label="edges",
+            )
+        )
+    )
+    kill = data.draw(
+        st.lists(st.booleans(), min_size=len(edges), max_size=len(edges)),
+        label="kill",
+    )
+    deleted = [e for e, k in zip(edges, kill) if k]
+    surviving = [e for e, k in zip(edges, kill) if not k]
+    state = G.cc_incremental_absorb(None, _pairs(spark, edges))
+    if deleted:
+        state = _retract(spark, state, surviving, deleted)
+    got = _labels(state)
+    want = _oneshot(spark, surviving) if surviving else {}
+    assert got == want

@@ -42,6 +42,7 @@ CHANGED_THIS_ROUND = [
     "ivm_kmv_windowed_portable",
     "ivm_distinct_retractable_equivalence",
     "graph_cc_incremental_equivalence",
+    "graph_cc_retraction_equivalence",
     "ingest_dedup_clusters_maintained",
     # round-14 engine change: Observation-fused stop probes +
     # _ckpt_fresh_stats (LogicalRDD stats-inheritance reset) across the

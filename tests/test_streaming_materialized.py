@@ -1964,3 +1964,177 @@ def test_stream_minhash_pairs_chain_into_cc_absorb(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Streaming CC with retraction (stream_maintain_cc_cdc_view)
+# ---------------------------------------------------------------------------
+
+CCC_SCHEMA = T.StructType(
+    [
+        T.StructField("a_id", T.LongType(), True),
+        T.StructField("b_id", T.LongType(), True),
+        T.StructField("_change_type", T.StringType(), True),
+    ]
+)
+# B1 builds a 4-path and a pair; B2 SPLITS the path (the change the
+# insert-only view cannot express) and starts a new pair; B3 deletes a
+# whole component (both endpoints must tombstone out) and RE-INSERTS
+# the previously deleted edge (reconnecting through tombstoned-then-
+# revived label rows).
+CCC_B1 = [(1, 2, "insert"), (2, 3, "insert"), (3, 4, "insert"), (10, 11, "insert")]
+CCC_B2 = [(2, 3, "delete"), (20, 21, "insert")]
+CCC_B3 = [(10, 11, "delete"), (2, 3, "insert")]
+CCC_FINAL = {(1, 1), (2, 1), (3, 1), (4, 1), (20, 20), (21, 20)}
+
+
+def _write_ccc(path: str, rows, order: int = 0) -> None:
+    import os
+    import time
+
+    pq.write_table(
+        pa.table(
+            {
+                "a_id": pa.array([r[0] for r in rows], pa.int64()),
+                "b_id": pa.array([r[1] for r in rows], pa.int64()),
+                "_change_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+    t = time.time() - 1000 + order
+    os.utime(path, (t, t))
+
+
+def _run_ccc(spark, src, edges, labels, ckpt, name):
+    stream = (
+        spark.readStream.schema(CCC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = MV.stream_maintain_cc_cdc_view(
+        stream, edges, labels, query_name=name, checkpoint=ckpt
+    )
+    assert q.awaitTermination(600), "stream did not terminate"
+
+
+def test_stream_cc_cdc_labels_equal_oneshot_over_survivors(spark, tmp_path):
+    from data_lake_with_spark_spark.operators import graph as G
+
+    src = tmp_path / "ccc_feed"
+    src.mkdir()
+    _write_ccc(str(src / "b1.parquet"), CCC_B1, order=0)
+    _write_ccc(str(src / "b2.parquet"), CCC_B2, order=1)
+    _write_ccc(str(src / "b3.parquet"), CCC_B3, order=2)
+    edges = str(tmp_path / "ccc_edges")
+    labels = str(tmp_path / "ccc_labels")
+    _run_ccc(spark, src, edges, labels, str(tmp_path / "ccc_ckpt"), "ccc_mv")
+    got = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert got == CCC_FINAL
+    # the resolved edge table is exactly the surviving edge set
+    surv = {
+        (r["a_id"], r["b_id"])
+        for r in V.versioned_read_merged(spark, edges, ["a_id", "b_id"]).collect()
+    }
+    assert surv == {(1, 2), (2, 3), (3, 4), (20, 21)}
+    # and the label table equals one-shot CC over it
+    want = {
+        (r["id"], r["lab"])
+        for r in G.min_label_components(
+            spark.createDataFrame(sorted(surv), "a_id bigint, b_id bigint")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_cc_cdc_restart_from_checkpoint(spark, tmp_path):
+    src = tmp_path / "cccr_feed"
+    src.mkdir()
+    _write_ccc(str(src / "b1.parquet"), CCC_B1, order=0)
+    edges = str(tmp_path / "cccr_edges")
+    labels = str(tmp_path / "cccr_labels")
+    ckpt = str(tmp_path / "cccr_ckpt")
+    _run_ccc(spark, src, edges, labels, ckpt, "cccr_mv")
+    mid = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert mid == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    _write_ccc(str(src / "b2.parquet"), CCC_B2, order=1)
+    _write_ccc(str(src / "b3.parquet"), CCC_B3, order=2)
+    _run_ccc(spark, src, edges, labels, ckpt, "cccr_mv")
+    got = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert got == CCC_FINAL
+    v = V.current_version(labels)
+    _run_ccc(spark, src, edges, labels, ckpt, "cccr_mv")  # idle resume
+    assert V.current_version(labels) == v
+
+
+def test_stream_cc_cdc_replay_after_partial_commit(spark, tmp_path):
+    """Crash BETWEEN the edges commit and the labels commit: the
+    replayed micro-batch finds its epoch already on the edge table, so
+    it must read the edge state one version BACK (the exact pre-batch
+    set), skip the edges double-append, and emit the identical label
+    delta."""
+    from pyspark.sql import functions as F
+    from data_lake_with_spark_spark.sources.versioned import TOMBSTONE
+
+    src = tmp_path / "cccp_feed"
+    src.mkdir()
+    edges = str(tmp_path / "cccp_edges")
+    labels = str(tmp_path / "cccp_labels")
+    ckpt = str(tmp_path / "cccp_ckpt")
+    _write_ccc(str(src / "b1.parquet"), CCC_B1, order=0)
+    _run_ccc(spark, src, edges, labels, ckpt, "cccp_mv")  # epoch 0 done
+    # simulate the torn epoch-1 sink: edges committed, labels NOT
+    torn = spark.createDataFrame(
+        [(20, 21, False), (2, 3, True)], f"a_id bigint, b_id bigint, {TOMBSTONE} boolean"
+    )
+    V.versioned_append(torn, edges, meta={"epoch_id": 1})
+    assert MV.applied_epoch(edges) == 1 and MV.applied_epoch(labels) == 0
+    _write_ccc(str(src / "b2.parquet"), CCC_B2, order=1)
+    _run_ccc(spark, src, edges, labels, ckpt, "cccp_mv")  # replayed epoch 1
+    got = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10), (20, 20), (21, 20)}
+    # no edges double-append: exactly versions 0 and 1
+    assert V.current_version(edges) == 1
+    surv = {
+        (r["a_id"], r["b_id"])
+        for r in V.versioned_read_merged(spark, edges, ["a_id", "b_id"]).collect()
+    }
+    assert surv == {(1, 2), (3, 4), (10, 11), (20, 21)}
+
+
+def test_stream_cc_cdc_rejects_unknown_change_type(spark, tmp_path):
+    src = tmp_path / "cccu_feed"
+    src.mkdir()
+    _write_ccc(str(src / "b1.parquet"), [(1, 2, "update")], order=0)
+    stream = spark.readStream.schema(CCC_SCHEMA).parquet(str(src))
+    q = MV.stream_maintain_cc_cdc_view(
+        stream, str(tmp_path / "cccu_edges"), str(tmp_path / "cccu_labels"),
+        query_name="cccu_mv",
+    )
+    with pytest.raises(Exception, match="unknown _change_type"):
+        q.awaitTermination(600)
+
+
+def test_stream_cc_cdc_rejects_intra_batch_insert_delete(spark, tmp_path):
+    src = tmp_path / "ccci_feed"
+    src.mkdir()
+    _write_ccc(
+        str(src / "b1.parquet"),
+        [(1, 2, "insert"), (1, 2, "delete")],
+        order=0,
+    )
+    stream = spark.readStream.schema(CCC_SCHEMA).parquet(str(src))
+    q = MV.stream_maintain_cc_cdc_view(
+        stream, str(tmp_path / "ccci_edges"), str(tmp_path / "ccci_labels"),
+        query_name="ccci_mv",
+    )
+    with pytest.raises(Exception, match="both insert and delete"):
+        q.awaitTermination(600)

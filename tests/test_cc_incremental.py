@@ -231,3 +231,50 @@ def test_cc_retract_matches_oneshot_on_random_deletes(spark, data):
     got = _labels(state)
     want = _oneshot(spark, surviving) if surviving else {}
     assert got == want
+
+
+def test_many_batch_absorb_endurance_and_compaction(spark, tmp_path):
+    # 14 single-edge absorbs building one long path: pins that the
+    # per-absorb stats-reset checkpoint keeps plan growth bounded (a
+    # lazy-return implementation re-plans 2^batches trees and dies
+    # long before 14), and that compacting the streaming view's
+    # merge-on-read label table preserves the resolved assignment.
+    from data_lake_with_spark_spark.sources import versioned as V
+    from data_lake_with_spark_spark.streaming import materialized as MV
+
+    edges = [(i, i + 1) for i in range(14)]
+    state = None
+    for e in edges:
+        state = G.cc_incremental_absorb(state, _pairs(spark, [e]))
+    assert _labels(state) == {i: 0 for i in range(15)}
+
+    # persist the same history through the streaming sink's table
+    # shape (append deltas keyed on id), then compact and re-resolve
+    labels_path = str(tmp_path / "cc_endurance_labels")
+    prev = None
+    for e in edges[:6]:
+        cur = G.cc_incremental_absorb(
+            prev if prev is None else V.versioned_read_merged(
+                spark, labels_path, ["id"]
+            ),
+            _pairs(spark, [e]),
+        )
+        old = (
+            None
+            if prev is None
+            else V.versioned_read_merged(spark, labels_path, ["id"])
+        )
+        delta = cur if old is None else cur.join(old, ["id", "lab"], "left_anti")
+        V.versioned_append(delta, labels_path)
+        prev = cur
+    before = {
+        (r["id"], r["lab"])
+        for r in MV.read_cc_labels(spark, labels_path).collect()
+    }
+    assert before == {(i, 0) for i in range(7)}
+    V.compact(spark, labels_path, keys=["id"])
+    after = {
+        (r["id"], r["lab"])
+        for r in MV.read_cc_labels(spark, labels_path).collect()
+    }
+    assert after == before

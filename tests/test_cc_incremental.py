@@ -278,3 +278,29 @@ def test_many_batch_absorb_endurance_and_compaction(spark, tmp_path):
         for r in MV.read_cc_labels(spark, labels_path).collect()
     }
     assert after == before
+
+
+def test_absorb_state_probe_is_broadcast_never_shuffled(spark):
+    # The 100 TB posture of the fold: the state side of every join in
+    # an absorb must stream against a BROADCAST batch-derived side —
+    # a shuffle of the state would make the refresh O(corpus). Build
+    # one absorb plan over an existing state and assert every join is
+    # broadcast-hash (no SortMergeJoin, no cartesian); same for the
+    # retract's membership/remap joins.
+    s1 = G.cc_incremental_absorb(None, _pairs(spark, [(1, 2), (3, 4)]))
+    batch = _pairs(spark, [(2, 3), (8, 9)])
+    edges = G.undirected_edges(batch).localCheckpoint(eager=True)
+    endpoints = edges.select(F.col("src").alias("id")).distinct()
+    probe = s1.join(F.broadcast(endpoints), "id")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # full operator output plans (absorb + retract): broadcast-only
+    out = G.cc_incremental_absorb(s1, batch)
+    ret = G.cc_incremental_retract(
+        out, _pairs(spark, [(1, 2), (8, 9)]), _pairs(spark, [(2, 3), (3, 4)])
+    )
+    for frame in (out, ret):
+        fplan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in fplan, fplan
+        assert "SortMergeJoin" not in fplan, fplan

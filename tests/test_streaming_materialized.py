@@ -2138,3 +2138,67 @@ def test_stream_cc_cdc_rejects_intra_batch_insert_delete(spark, tmp_path):
     )
     with pytest.raises(Exception, match="both insert and delete"):
         q.awaitTermination(600)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 41])
+def test_stream_cc_cdc_random_feed_matches_oneshot(spark, tmp_path, seed):
+    """Seeded random insert/delete feeds through the REAL sink path
+    (random micro-batch splits, deletes only of currently-alive edges,
+    re-inserts of previously deleted ones): the resolved label table
+    must equal one-shot CC over the surviving edge set, and the
+    resolved edge table must equal the model's surviving set."""
+    import random
+
+    from data_lake_with_spark_spark.operators import graph as G
+
+    rng = random.Random(seed)
+    alive: set = set()
+    batches = []
+    for _ in range(3):
+        rows = []
+        touched: set = set()  # sink contract: one net change per edge per batch
+        for _ in range(rng.randint(2, 5)):
+            deletable = sorted(alive - touched)
+            if deletable and rng.random() < 0.35:
+                e = rng.choice(deletable)
+                rows.append((e[0], e[1], "delete"))
+                alive.discard(e)
+                touched.add(e)
+            else:
+                a, b = rng.sample(range(10), 2)
+                e = (min(a, b), max(a, b))
+                if e in touched or e in alive:
+                    continue
+                rows.append((e[0], e[1], "insert"))
+                alive.add(e)
+                touched.add(e)
+        if rows:
+            batches.append(rows)
+    src = tmp_path / f"cccf{seed}_feed"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        _write_ccc(str(src / f"b{i}.parquet"), rows, order=i)
+    edges = str(tmp_path / f"cccf{seed}_edges")
+    labels = str(tmp_path / f"cccf{seed}_labels")
+    _run_ccc(
+        spark, src, edges, labels, str(tmp_path / f"cccf{seed}_ckpt"),
+        f"cccf{seed}_mv",
+    )
+    surv = {
+        (r["a_id"], r["b_id"])
+        for r in V.versioned_read_merged(spark, edges, ["a_id", "b_id"]).collect()
+    }
+    assert surv == alive
+    got = {
+        (r["id"], r["lab"]) for r in MV.read_cc_labels(spark, labels).collect()
+    }
+    if alive:
+        want = {
+            (r["id"], r["lab"])
+            for r in G.min_label_components(
+                spark.createDataFrame(sorted(alive), "a_id bigint, b_id bigint")
+            ).collect()
+        }
+    else:
+        want = set()
+    assert got == want

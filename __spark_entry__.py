@@ -43,8 +43,8 @@ from data_lake_with_spark_spark.plans import (  # noqa: E402
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS_r{N}.json records exactly the FIRST 50
-# entries of queries() in dict-insertion order. With 393 registered
-# queries (379 oracled), insertion order decides which operators get
+# entries of queries() in dict-insertion order. With 399 registered
+# queries (385 oracled), insertion order decides which operators get
 # driver-verified rows — so the dict leads with a hand-picked 50; the
 # remaining queries follow in sorted order and are covered by
 # tests/test_oracle_parity.py against the same DuckDB oracle.
@@ -185,7 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # The driver collects query N's result before constructing
             # query N+1, so releasing here is safe and bounds executor
             # storage to one query's shared() caches across the whole
-            # 381-query driver session (bench/sweep/pytest already
+            # 399-query driver session (bench/sweep/pytest already
             # release between timings).
             release_shared_caches()
             return REGISTRY[name].spark(_configure(spark), sf_dir)

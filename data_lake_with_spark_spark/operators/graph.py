@@ -60,10 +60,28 @@ def _check_iters(
 
 
 def undirected_edges(pairs: DataFrame) -> DataFrame:
-    """Both directions of each (a_id, b_id) pair: (src, dst)."""
-    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    rev = pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
-    return fwd.unionAll(rev)
+    """Both directions of each (a_id, b_id) pair: (src, dst).
+
+    ONE pass over ``pairs`` via explode, NOT a union of two
+    projections (round-14 optimization, guide §2.4/§7.2): a union
+    duplicates the whole upstream subtree in the plan, so a pair list
+    produced by an expensive generator (the LSH near-pair verify, a
+    PPJoin) was computed TWICE by every kernel that starts from
+    undirected edges — exchange reuse only dedups the shuffle
+    subtrees, the post-exchange verify stages re-ran per branch.
+    Explode emits both directions from a single evaluation; row order
+    differs from the old union (immaterial — every consumer
+    aggregates), values are identical."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("src"), F.col("b_id").alias("dst")),
+                F.struct(
+                    F.col("b_id").alias("src"), F.col("a_id").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
 
 
 def degrees(pairs: DataFrame) -> DataFrame:
@@ -93,7 +111,12 @@ def pagerank(
     session's default shuffle width; 10 iterations at the wrong width
     is 10× the overhead). An empty graph returns an empty (id, rank)
     frame (no 1/n to divide by)."""
-    edges = undirected_edges(pairs)
+    # materialize edges ONCE up front: nodes, out_deg and out_edges all
+    # re-reference this frame — from a lazy frame each job re-ran the
+    # upstream pair generator (LSH verify, PPJoin)
+    edges = _rightsize_edges(
+        undirected_edges(pairs).localCheckpoint(eager=True)
+    )
     nodes = edges.select(F.col("src").alias(id_col)).distinct()
     if all_ids is not None:
         nodes = nodes.unionByName(
@@ -159,7 +182,11 @@ def pagerank_portable(
     localCheckpoint (NOTE: the checkpoints make plan CONSTRUCTION
     eager, like the triangle census). An empty graph returns an empty
     (id, rank_scaled) frame — no teleport denominator to compute."""
-    edges = undirected_edges(pairs)
+    # same up-front edge materialization as ``pagerank`` — nodes and
+    # out_edges both re-reference this frame
+    edges = _rightsize_edges(
+        undirected_edges(pairs).localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias(id_col))
         .distinct()
@@ -196,6 +223,29 @@ def pagerank_portable(
             .localCheckpoint(eager=True)
         )
     return ranks.select(id_col, F.col("rs").alias("rank_scaled"))
+
+
+def _rightsize_edges(ck: DataFrame, target_rows: int = 200_000) -> DataFrame:
+    """Right-size an already-CHECKPOINTED edge snapshot for an
+    iterative kernel (round-14 optimization, guide §2.2/§2.6): the
+    checkpoint inherits its producer's partitioning — the session
+    shuffle width for a generated pair list — so a tiny graph fans
+    every one of its O(rounds) stages across ~cores near-empty tasks
+    (measured: 30-odd extra task launches per round, ~0.5s over an
+    8-round CC at sf0.1), while a huge edge list crammed into few
+    partitions would serialize every round. Derive the width from the
+    MATERIALIZED row count (the count is a cheap post-checkpoint job)
+    instead: ~``target_rows`` per partition, shrink via narrow
+    coalesce, widen via one repartition — both directions amortize
+    over every subsequent round. Values are untouched; only layout."""
+    n = ck.count()
+    cur = ck.rdd.getNumPartitions()
+    want = max(1, (n + target_rows - 1) // target_rows)
+    if want < cur:
+        return ck.coalesce(want)
+    if want > cur * 2:
+        return ck.repartition(want).localCheckpoint(eager=True)
+    return ck
 
 
 def _ckpt_fresh_stats(df: DataFrame) -> DataFrame:
@@ -267,13 +317,17 @@ def label_propagation(
     from pyspark.sql import Observation, Window
 
     _check_iters("label_propagation", n_iter, max_iter)
-    edges = undirected_edges(pairs)
+    # checkpoint edges FIRST, then derive the node set from the
+    # materialized snapshot — deriving it from the lazy frame ran the
+    # whole upstream pair generator (LSH verify, PPJoin) twice
+    edges = _rightsize_edges(
+        undirected_edges(pairs).localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias(id_col))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(id_col, F.col(id_col).alias("lab")).localCheckpoint(
         eager=True
     )
@@ -393,7 +447,7 @@ def min_label_components(
     from pyspark.sql import Observation
 
     _check_iters("min_label_components", n_iter, max_iter)
-    edges = undirected_edges(pairs).localCheckpoint(eager=True)
+    edges = _rightsize_edges(undirected_edges(pairs).localCheckpoint(eager=True))
 
     def ckpt_sig(frame: DataFrame) -> tuple[DataFrame, object]:
         """Materialize one round + its convergence signature in ONE
@@ -482,7 +536,7 @@ def bfs_hops(
 
     _check_iters("bfs_hops", n_hops, max_hops, "n_hops", "max_hops")
     spark = pairs.sparkSession
-    edges = undirected_edges(pairs).localCheckpoint(eager=True)
+    edges = _rightsize_edges(undirected_edges(pairs).localCheckpoint(eager=True))
     dist = spark.createDataFrame(
         [(source, 0)], f"{id_col} bigint, hops int"
     ).localCheckpoint(eager=True)
@@ -543,7 +597,7 @@ def kcore(
     from pyspark.sql import Observation
 
     _check_iters("kcore", n_iter, max_iter)
-    edges = undirected_edges(pairs).localCheckpoint(eager=True)
+    edges = _rightsize_edges(undirected_edges(pairs).localCheckpoint(eager=True))
     alive_plan = edges.select(F.col("src").alias(id_col)).distinct()
     if n_iter is None:
         obs0 = Observation()
@@ -621,7 +675,7 @@ def sssp_weighted(
         F.col("a_id").alias("dst"),
         F.col(cost_col).cast("bigint").alias("_cost"),
     )
-    edges = fwd.unionAll(rev).localCheckpoint(eager=True)
+    edges = _rightsize_edges(fwd.unionAll(rev).localCheckpoint(eager=True))
     dist = spark.createDataFrame(
         [(source, 0)], f"{id_col} bigint, dist bigint"
     ).localCheckpoint(eager=True)
@@ -828,7 +882,9 @@ def cc_incremental_absorb(
     /root/reference/etl.py has no counterpart surface."""
     if labels is None:
         return min_label_components(new_pairs, id_col=id_col, max_iter=max_iter)
-    edges = undirected_edges(new_pairs).localCheckpoint(eager=True)
+    edges = _rightsize_edges(
+        undirected_edges(new_pairs).localCheckpoint(eager=True)
+    )
     endpoints = edges.select(F.col("src").alias(id_col)).distinct()
     known = labels.join(F.broadcast(endpoints), id_col).localCheckpoint(eager=True)
     fresh = (

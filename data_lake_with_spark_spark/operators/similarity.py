@@ -77,10 +77,15 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    c = widen_if_narrow(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        embeddings.sparkSession,
     )
     score = (
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
@@ -133,9 +138,13 @@ def lsh_topk(
             F.col(id_col).alias(out_id), buckets(F.col(vec_col)).alias("bks")
         )
 
-    c = (
-        with_buckets(embeddings, "neighbor_id")
-        .select("neighbor_id", F.posexplode("bks").alias("tbl", "bucket"))
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    c = widen_if_narrow(
+        with_buckets(embeddings, "neighbor_id").select(
+            "neighbor_id", F.posexplode("bks").alias("tbl", "bucket")
+        ),
+        embeddings.sparkSession,
     )
     # queries: per table, own bucket + all hamming-1 probes
     q_b = with_buckets(queries, "query_id")
@@ -742,11 +751,23 @@ def lsh_near_pairs(
     tb = embeddings.select(
         F.col(id_col).alias("id"), buckets(F.col(vec_col)).alias("bks")
     ).select("id", F.posexplode("bks").alias("tbl", "bucket"))
-    # Self-join via alias (not renamed projections): both sides share
-    # one canonical subplan, so ReuseExchange evaluates the pandas-UDF
-    # bucketing + explode ONCE and the second side reads the shuffle.
+    # Probe-side width (round-14 optimization, guide §2.5/§2.6): the
+    # testdata parquet is a single split, so the broadcast bucket join
+    # — whose OUTPUT is ~128× its input (every co-bucketed pair) —
+    # would generate all candidates in ONE task. Spread the skinny
+    # (id, tbl, bucket) posting rows across the cluster first; on a
+    # properly-split table this is a no-op (widen_if_narrow contract).
+    # Measured at sf0.1 (2k vecs, 6.1M raw candidates): candidate
+    # phase 3.3s → 1.2s, full operator ~5s → ~2.1s, identical rows.
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    probe = widen_if_narrow(tb, embeddings.sparkSession)
+    cores = embeddings.sparkSession.sparkContext.defaultParallelism
+    # Self-join: the build side stays the un-widened tb (broadcast —
+    # one pandas-UDF bucketing per side; the probe side's widening
+    # shuffle is the same skinny posting rows).
     cand = (
-        tb.alias("a")
+        probe.alias("a")
         .join(
             tb.alias("b"),
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -754,16 +775,28 @@ def lsh_near_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        # Pin the dedup exchange to cluster width: AQE's byte-based
+        # coalescing sees ~16 B/row and shrinks this stage far below
+        # core count, but the stage DOWNSTREAM of it evaluates the
+        # 64-dim verify dot per surviving pair — compute-heavy per
+        # byte, exactly what byte-accounting underestimates. The
+        # explicit key repartition doubles as the dedup shuffle
+        # (same keys → single exchange), so this adds no hop.
+        .repartition(cores, "a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    # Vectors pre-cast to array<double> ONCE per side (2 casts per
+    # VECTOR instead of 2 per pair-element in the verify lambda);
+    # float→double widening is exact, so the verify cosine is
+    # bit-identical (A/B-checked: symmetric diff 0 at sf0.1).
     a = embeddings.select(
         F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("a_vec"),
+        F.col(vec_col).cast("array<double>").alias("a_vec"),
         norm(F.col(vec_col)).alias("a_norm"),
     )
     b = embeddings.select(
         F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
+        F.col(vec_col).cast("array<double>").alias("b_vec"),
         norm(F.col(vec_col)).alias("b_norm"),
     )
     cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
@@ -797,10 +830,15 @@ def mine_hard_negatives(
         F.col(vec_col).alias("a_vec"),
         norm(F.col(vec_col)).alias("a_norm"),
     )
-    c = embeddings.select(
-        F.col(id_col).alias("negative_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    c = widen_if_narrow(
+        embeddings.select(
+            F.col(id_col).alias("negative_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        embeddings.sparkSession,
     )
     raw = dot(F.col("a_vec"), F.col("c_vec")) / (F.col("a_norm") * F.col("c_norm"))
     scored = (
@@ -856,16 +894,21 @@ def matryoshka_topk(
         norm(F.col("q_pre")).alias("q_pre_norm"),
         norm(F.col("q_vec")).alias("q_norm"),
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.slice(F.col(vec_col), 1, d).alias("c_pre"),
-    ).select(
-        "neighbor_id",
-        "c_vec",
-        "c_pre",
-        norm(F.col("c_pre")).alias("c_pre_norm"),
-        norm(F.col("c_vec")).alias("c_norm"),
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    c = widen_if_narrow(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.slice(F.col(vec_col), 1, d).alias("c_pre"),
+        ).select(
+            "neighbor_id",
+            "c_vec",
+            "c_pre",
+            norm(F.col("c_pre")).alias("c_pre_norm"),
+            norm(F.col("c_vec")).alias("c_norm"),
+        ),
+        embeddings.sparkSession,
     )
     coarse_score = dot(F.col("q_pre"), F.col("c_pre")) / (
         F.col("q_pre_norm") * F.col("c_pre_norm")

@@ -895,15 +895,21 @@ def cc_incremental_absorb(
     ep_lab = known.unionByName(fresh)
     la = ep_lab.select(F.col(id_col).alias("src"), F.col("lab").alias("_la"))
     lb = ep_lab.select(F.col(id_col).alias("dst"), F.col("lab").alias("_lb"))
+    # the bridge-edge probe rides the contracted checkpoint job via
+    # Observation — the former isEmpty() was one more action per absorb
+    from pyspark.sql import Observation
+
+    obs = Observation()
     contracted = (
         edges.join(F.broadcast(la), "src")
         .join(F.broadcast(lb), "dst")
         .where(F.col("_la") != F.col("_lb"))
         .select(F.col("_la").alias("a_id"), F.col("_lb").alias("b_id"))
         .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if contracted.isEmpty():
+    if obs.get["n"] == 0:
         return _ckpt_fresh_stats(labels.unionByName(fresh))
     merged = min_label_components(contracted, id_col="_old_lab", max_iter=max_iter)
     mapping = merged.where(F.col("_old_lab") != F.col("lab")).select(

@@ -344,8 +344,11 @@ def minhash_signatures(
     shuffle computes all k minima (map-side partial min).
     """
     sh = shingle_table(docs, id_col, text_col, n)
+    # expr-string form (round-14: one py4j call per aggregate instead
+    # of ~6 — plan construction is driver latency the bench pays per
+    # pass); analyzes to the identical min(xxhash64(shingle, i))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        F.expr(f"min(xxhash64(shingle, {i}))").alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -369,24 +372,20 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
+    # single-selectExpr banding (same py4j-chatter cut as the
+    # signature aggregates; identical analyzed expressions)
+    band_structs = ", ".join(
+        "struct(CAST({b} AS INT) AS band, xxhash64({cols}) AS val)".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
         for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("val"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    )
+    stacked = sig.selectExpr(
+        "id", f"explode(array({band_structs})) AS bv"
+    ).selectExpr("id", "bv.band AS band", "bv.val AS val")
     a = stacked.alias("a")
     b = stacked.alias("b")
     candidates = (

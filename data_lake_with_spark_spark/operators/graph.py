@@ -114,9 +114,7 @@ def pagerank(
     # materialize edges ONCE up front: nodes, out_deg and out_edges all
     # re-reference this frame — from a lazy frame each job re-ran the
     # upstream pair generator (LSH verify, PPJoin)
-    edges = _rightsize_edges(
-        undirected_edges(pairs).localCheckpoint(eager=True)
-    )
+    edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
     nodes = edges.select(F.col("src").alias(id_col)).distinct()
     if all_ids is not None:
         nodes = nodes.unionByName(
@@ -184,9 +182,7 @@ def pagerank_portable(
     (id, rank_scaled) frame — no teleport denominator to compute."""
     # same up-front edge materialization as ``pagerank`` — nodes and
     # out_edges both re-reference this frame
-    edges = _rightsize_edges(
-        undirected_edges(pairs).localCheckpoint(eager=True)
-    )
+    edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
     nodes = (
         edges.select(F.col("src").alias(id_col))
         .distinct()
@@ -225,27 +221,56 @@ def pagerank_portable(
     return ranks.select(id_col, F.col("rs").alias("rank_scaled"))
 
 
-def _rightsize_edges(ck: DataFrame, target_rows: int = 200_000) -> DataFrame:
-    """Right-size an already-CHECKPOINTED edge snapshot for an
-    iterative kernel (round-14 optimization, guide §2.2/§2.6): the
-    checkpoint inherits its producer's partitioning — the session
-    shuffle width for a generated pair list — so a tiny graph fans
-    every one of its O(rounds) stages across ~cores near-empty tasks
-    (measured: 30-odd extra task launches per round, ~0.5s over an
-    8-round CC at sf0.1), while a huge edge list crammed into few
-    partitions would serialize every round. Derive the width from the
-    MATERIALIZED row count (the count is a cheap post-checkpoint job)
-    instead: ~``target_rows`` per partition, shrink via narrow
-    coalesce, widen via one repartition — both directions amortize
-    over every subsequent round. Values are untouched; only layout."""
-    n = ck.count()
+# State-side broadcast bound for the iterative kernels' per-round
+# joins (guide §3.1 — pick the strategy deliberately): a label/state
+# frame is (id, lab) longs, ~16 B a row, so 4M rows ≈ 64 MB — the
+# session's autoBroadcastJoinThreshold. Node count ≤ undirected edge
+# count (every node has ≥1 edge row), so the edge count measured by
+# _rightsize_edges is a FREE upper bound to gate on: below it the
+# round join broadcasts the state (one shuffle per round — the agg);
+# above it the kernels keep the shuffle join, the 100 TB path.
+BROADCAST_STATE_MAX_ROWS = 4_000_000
+
+# Contracted-graph size (MEASURED per absorb by the checkpoint-riding
+# Observation) below which cc_incremental_absorb merges labels with a
+# driver-side union-find instead of the distributed kernel — ~200k
+# (long, long) rows is a few MB of driver memory, the same bounded-
+# driver-artifact budget as the k-means codebooks and the MMR pool.
+DRIVER_UNIONFIND_MAX_EDGES = 200_000
+
+
+def _rightsize_edges(
+    frame: DataFrame, target_rows: int = 200_000
+) -> tuple[DataFrame, int]:
+    """Checkpoint an edge snapshot for an iterative kernel and
+    right-size its layout (round-14 optimization, guide §2.2/§2.6): a
+    plain checkpoint inherits its producer's partitioning — the
+    session shuffle width for a generated pair list — so a tiny graph
+    fans every one of its O(rounds) stages across ~cores near-empty
+    tasks (measured: 30-odd extra task launches per round, ~0.5s over
+    an 8-round CC at sf0.1), while a huge edge list crammed into few
+    partitions would serialize every round. The row count rides the
+    checkpoint job via ``Observation`` (zero extra actions) and
+    derives the width: ~``target_rows`` per partition, shrink via
+    narrow coalesce, widen via one repartition — both directions
+    amortize over every subsequent round. Values untouched; only
+    layout. Returns ``(snapshot, row_count)`` — callers reuse the
+    count for their own size-gated decisions (state broadcast,
+    driver union-find)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ck = frame.observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    n = obs.get["n"]
     cur = ck.rdd.getNumPartitions()
     want = max(1, (n + target_rows - 1) // target_rows)
     if want < cur:
-        return ck.coalesce(want)
+        return ck.coalesce(want), n
     if want > cur * 2:
-        return ck.repartition(want).localCheckpoint(eager=True)
-    return ck
+        return ck.repartition(want).localCheckpoint(eager=True), n
+    return ck, n
 
 
 def _ckpt_fresh_stats(df: DataFrame) -> DataFrame:
@@ -320,9 +345,7 @@ def label_propagation(
     # checkpoint edges FIRST, then derive the node set from the
     # materialized snapshot — deriving it from the lazy frame ran the
     # whole upstream pair generator (LSH verify, PPJoin) twice
-    edges = _rightsize_edges(
-        undirected_edges(pairs).localCheckpoint(eager=True)
-    )
+    edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
     nodes = (
         edges.select(F.col("src").alias(id_col))
         .distinct()
@@ -447,7 +470,7 @@ def min_label_components(
     from pyspark.sql import Observation
 
     _check_iters("min_label_components", n_iter, max_iter)
-    edges = _rightsize_edges(undirected_edges(pairs).localCheckpoint(eager=True))
+    edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
 
     def ckpt_sig(frame: DataFrame) -> tuple[DataFrame, object]:
         """Materialize one round + its convergence signature in ONE
@@ -481,14 +504,23 @@ def min_label_components(
     edge_probes = edges.select(
         F.col("src").alias(id_col), F.col("dst").alias("_key")
     )
+    # Per-round join strategy, decided from MEASURED size (guide §3.1):
+    # the stats-reset checkpoint makes every round's labels look huge,
+    # so the planner picks a sort-merge join and AQE materializes two
+    # shuffle stages per round. Node count ≤ the edge count measured at
+    # snapshot time, so below BROADCAST_STATE_MAX_ROWS the label lookup
+    # side is provably broadcast-safe and each round collapses to the
+    # one unavoidable agg shuffle. Values are join-strategy-independent.
+    _bc_state = _n_edges <= BROADCAST_STATE_MAX_ROWS
     for r in range(rounds):
         probes = edge_probes.unionAll(
             labels.select(id_col, F.col("lab").alias("_key"))
         )
+        lookup = labels.select(F.col(id_col).alias("_key"), "lab")
+        if _bc_state:
+            lookup = F.broadcast(lookup)
         nxt = (
-            probes.join(
-                labels.select(F.col(id_col).alias("_key"), "lab"), "_key"
-            )
+            probes.join(lookup, "_key")
             .groupBy(id_col)
             .agg(F.min("lab").alias("lab"))
         )
@@ -536,7 +568,7 @@ def bfs_hops(
 
     _check_iters("bfs_hops", n_hops, max_hops, "n_hops", "max_hops")
     spark = pairs.sparkSession
-    edges = _rightsize_edges(undirected_edges(pairs).localCheckpoint(eager=True))
+    edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
     dist = spark.createDataFrame(
         [(source, 0)], f"{id_col} bigint, hops int"
     ).localCheckpoint(eager=True)
@@ -597,7 +629,7 @@ def kcore(
     from pyspark.sql import Observation
 
     _check_iters("kcore", n_iter, max_iter)
-    edges = _rightsize_edges(undirected_edges(pairs).localCheckpoint(eager=True))
+    edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
     alive_plan = edges.select(F.col("src").alias(id_col)).distinct()
     if n_iter is None:
         obs0 = Observation()
@@ -675,7 +707,7 @@ def sssp_weighted(
         F.col("a_id").alias("dst"),
         F.col(cost_col).cast("bigint").alias("_cost"),
     )
-    edges = _rightsize_edges(fwd.unionAll(rev).localCheckpoint(eager=True))
+    edges, _n_edges = _rightsize_edges(fwd.unionAll(rev))
     dist = spark.createDataFrame(
         [(source, 0)], f"{id_col} bigint, dist bigint"
     ).localCheckpoint(eager=True)
@@ -882,9 +914,7 @@ def cc_incremental_absorb(
     /root/reference/etl.py has no counterpart surface."""
     if labels is None:
         return min_label_components(new_pairs, id_col=id_col, max_iter=max_iter)
-    edges = _rightsize_edges(
-        undirected_edges(new_pairs).localCheckpoint(eager=True)
-    )
+    edges, _n_edges = _rightsize_edges(undirected_edges(new_pairs))
     endpoints = edges.select(F.col("src").alias(id_col)).distinct()
     known = labels.join(F.broadcast(endpoints), id_col).localCheckpoint(eager=True)
     fresh = (
@@ -909,12 +939,59 @@ def cc_incremental_absorb(
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if obs.get["n"] == 0:
+    n_contracted = obs.get["n"]
+    if n_contracted == 0:
         return _ckpt_fresh_stats(labels.unionByName(fresh))
-    merged = min_label_components(contracted, id_col="_old_lab", max_iter=max_iter)
-    mapping = merged.where(F.col("_old_lab") != F.col("lab")).select(
-        "_old_lab", F.col("lab").alias("_new_lab")
-    )
+    if n_contracted <= DRIVER_UNIONFIND_MAX_EDGES:
+        # Two-level merge (round-14 optimization, the Kiveris et al.
+        # contraction made explicit): the contracted label graph is
+        # O(batch) by construction and its exact size was just measured
+        # by the Observation — below the bound, its components are a
+        # driver-side union-find over the already-checkpointed rows
+        # (the bounded-driver-artifact pattern: k-means codebooks, MMR
+        # pool), replacing ~4 distributed jobs per absorb. Result is
+        # the same fixpoint (component min label) the iterative kernel
+        # converges to; above the bound the distributed kernel runs
+        # unchanged — the 100 TB path.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in contracted.collect():
+            a, b = row["a_id"], row["b_id"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        changed = [
+            (int(node), int(comp_min[find(node)]))
+            for node in parent
+            if comp_min[find(node)] != node
+        ]
+        spark = labels.sparkSession
+        mapping = spark.createDataFrame(
+            changed, schema="_old_lab bigint, _new_lab bigint"
+        )
+    else:
+        merged = min_label_components(
+            contracted, id_col="_old_lab", max_iter=max_iter
+        )
+        mapping = merged.where(F.col("_old_lab") != F.col("lab")).select(
+            "_old_lab", F.col("lab").alias("_new_lab")
+        )
     remap = F.coalesce("_new_lab", "lab").alias("lab")
     updated = (
         labels.join(

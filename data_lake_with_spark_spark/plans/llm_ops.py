@@ -1526,20 +1526,18 @@ def _mh_portable_sigs(docs: DataFrame) -> DataFrame:
             )
         ).alias("sh"),
     ).repartition("doc_id")  # barrier: materialize tokens/shingles once
-    hs = F.transform(
-        "sh",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    # expr-string forms (round-14: the Column-API lambdas cost ~300
+    # py4j round-trips per construction — driver latency the bench and
+    # the maintained ingest loop pay per batch; these analyze to the
+    # identical HOF expressions)
+    hs = F.expr(
+        "transform(sh, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
     )
-
-    def _perm_min(a: int, b: int):
-        # closure, not default-arg lambda: PySpark maps every lambda
-        # parameter (defaults included) onto HOF arguments
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        )
-
     sig_cols = [
-        _perm_min(a, b).alias(f"s{i}") for i, (a, b) in enumerate(MINHASH_PERMS)
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))").alias(
+            f"s{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return sh_arr.withColumn("hs", hs).select("doc_id", "sh", *sig_cols)
 

@@ -200,18 +200,24 @@ def time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.9 B8). DuckDB's dayofweek is 0=Sunday vs Spark's
     1=Sunday, hence the +1 in the oracle."""
     ev = _t(spark, sf_dir, "events")
+    # distinct on ts FIRST (round-14 optimization, guide §2.3): every
+    # calendar field is a pure function of ts, so dedup before deriving
+    # them — the distinct exchange then carries ONE column instead of
+    # seven and the field math runs once per SURVIVING timestamp,
+    # parallel, after the shuffle. Identical rows (A/B-checked).
     return (
-        ev.select(
-            F.col("ts").alias("start_time"),
-            F.hour("ts").alias("hour"),
-            F.dayofmonth("ts").alias("day"),
-            F.weekofyear("ts").alias("week"),
-            F.month("ts").alias("month"),
-            F.year("ts").alias("year"),
-            F.dayofweek("ts").alias("weekday"),
-        )
+        ev.select(F.col("ts").alias("start_time"))
         .distinct()
         .orderBy("start_time")
+        .select(
+            "start_time",
+            F.hour("start_time").alias("hour"),
+            F.dayofmonth("start_time").alias("day"),
+            F.weekofyear("start_time").alias("week"),
+            F.month("start_time").alias("month"),
+            F.year("start_time").alias("year"),
+            F.dayofweek("start_time").alias("weekday"),
+        )
     )
 
 
@@ -230,12 +236,19 @@ ORDER BY event_id
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from a string column (E6)."""
     ev = _t(spark, sf_dir, "events")
+    # parse AFTER the presentation sort (round-14 optimization): the
+    # range exchange samples its child, so a pre-sort parse ran the
+    # JSON extraction twice (sampling pass + shuffle pass); above the
+    # sort it runs exactly once per row, post-shuffle and parallel.
+    # No optimizer rule moves projections below a Sort, so the shape
+    # is stable. Identical rows (A/B-checked).
     return (
-        ev.select(
+        ev.select("event_id", "props")
+        .orderBy("event_id")
+        .select(
             "event_id",
             F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         )
-        .orderBy("event_id")
     )
 
 

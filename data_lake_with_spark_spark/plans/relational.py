@@ -113,7 +113,14 @@ def q5_region_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``etl.py:246-247``). Scale: region/nation broadcast (scale-invariant
     dims); lineitem⋈orders⋈customer shuffle on their keys with AQE.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    from data_lake_with_spark_spark.catalog import widen_if_narrow
+
+    # fact side widened when narrow (round-14 optimization): all four
+    # dims broadcast, so the single-row-group lineitem scan otherwise
+    # runs the whole join+partial-agg pipeline in one task; dsum's
+    # decimal accumulation is order-independent, so values are
+    # partitioning-proof. Measured 1.42s → 1.23s at sf0.1.
+    li = widen_if_narrow(_t(spark, sf_dir, "lineitem"), spark)
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")

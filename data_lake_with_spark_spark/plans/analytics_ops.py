@@ -319,17 +319,24 @@ def sessionize_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
     )
-    return (
-        sessioned.groupBy("user_id", "sess_id")
-        .agg(
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
+    # shared() before the presentation sort (round-14 optimization):
+    # the groupBy reuses the window's user_id partitioning, so the
+    # range exchange's SAMPLING pass re-executed the whole two-window +
+    # collect_list aggregation stage (no shuffle in between to read
+    # back). The lazy cache makes sampling and the write pass read the
+    # 9.5k aggregated rows instead. Measured 1.22s → 0.68s at sf0.1.
+    agg = shared(
+        sessioned.groupBy("user_id", "sess_id").agg(
             F.min("ts").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
             F.array_join(
                 F.transform(ordered, lambda x: x["event_type"]), ">"
             ).alias("path"),
         )
-        .orderBy("user_id", "sess_id")
     )
+    return agg.orderBy("user_id", "sess_id")
 
 
 PROFILE_ORACLE = """

@@ -1517,6 +1517,14 @@ def _mh_portable_sigs(docs: DataFrame) -> DataFrame:
     dedup_minhash_portable, ml_minhash_jaccard_error, and
     pipeline_neardup_trainset."""
     toked = docs.select("doc_id", TXT.tokens("text").alias("toks"))
+    # barrier: materialize tokens/shingles once. Width pinned to the
+    # cluster (round-14 optimization): the unpinned hash repartition is
+    # AQE-coalescible, and byte-accounting shrank this exchange to ~1
+    # task while the stage ABOVE it evaluates md5 + 16 affine
+    # permutations per shingle — compute-heavy per byte, exactly what
+    # the coalescer underestimates. Measured 0.71s → 0.44s per batch
+    # at sf0.1; at scale defaultParallelism is the floor, not a cap.
+    cores = docs.sparkSession.sparkContext.defaultParallelism
     sh_arr = toked.where(F.size("toks") >= 3).select(
         "doc_id",
         F.array_distinct(
@@ -1525,7 +1533,7 @@ def _mh_portable_sigs(docs: DataFrame) -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
             )
         ).alias("sh"),
-    ).repartition("doc_id")  # barrier: materialize tokens/shingles once
+    ).repartition(cores, "doc_id")
     # expr-string forms (round-14: the Column-API lambdas cost ~300
     # py4j round-trips per construction — driver latency the bench and
     # the maintained ingest loop pay per batch; these analyze to the

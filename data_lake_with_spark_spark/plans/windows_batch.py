@@ -120,8 +120,13 @@ def window_session_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 5-minute inactivity gap per user —
     Spark's session_window end = last event + gap, mirrored in the
     oracle's lag/cumsum sessionization."""
+    from data_lake_with_spark_spark.operators.plan_cache import shared
+
     ev = _events(spark, sf_dir)
-    return (
+    # shared() before the presentation sort — same sampling-recompute
+    # fix as sessionize_event_paths: the range exchange otherwise
+    # re-runs the sort-based session-window merge for its sample pass.
+    agg = shared(
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -134,8 +139,8 @@ def window_session_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "session_start")
     )
+    return agg.orderBy("user_id", "session_start")
 
 
 DAILY_USERS_ORACLE = """

@@ -18,6 +18,23 @@ from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_s
 from data_lake_with_spark_spark.plans.registry import register
 
 
+
+# Covis-join build-side broadcast gate (round-15 ADVICE fix): the
+# (win, user_id) distinct frame broadcasts while the EVENTS scan it
+# derives from is estimated under this bound (the distinct output is
+# strictly smaller than the scan; 48 MB of scan keeps the built hash
+# relation comfortably under the session's 64 MB auto threshold with
+# row-overhead headroom). Above it, the co-visitation join shuffles
+# both sides on ``win`` — the 100 TB path.
+COVIS_BROADCAST_MAX_INPUT_BYTES = 48 << 20
+
+
+def _plan_size_bytes(df):
+    """Catalyst's estimated output size of the plan (file-size derived
+    for parquet scans) — lazy, no job at construction."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))  # noqa: SLF001
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -1256,15 +1273,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # probe side widened (round-14 optimization): the distinct output
-    # is under AQE's coalesce floor, so the co-visitation self-join —
-    # whose output is ~50x its input — otherwise explodes its pairs in
-    # one task (the lsh_near_pairs pattern; measured 1.34s -> 1.01s at
-    # sf0.1, identical edges).
-    aa = win.select("win", F.col("user_id").alias("u")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Probe side widened, build side broadcast-PINNED (round-14
+    # widening + round-15 ADVICE fix): the distinct output is under
+    # AQE's coalesce floor, so the co-visitation self-join — whose
+    # output is ~50x its input — otherwise explodes its pairs in one
+    # task (the lsh_near_pairs pattern; measured 1.34s -> 1.01s at
+    # sf0.1, identical edges). The key-less round-robin widening only
+    # pays when the other side BROADCASTS — against a shuffle join on
+    # ``win`` it would be a wasted extra exchange — so the broadcast is
+    # hinted explicitly (no longer estimate-dependent), gated on the
+    # events scan estimate: past the bound both sides shuffle on win
+    # and the widening repartition is dropped — the 100 TB path.
+    aa = win.select("win", F.col("user_id").alias("u"))
     bb = win.select("win", F.col("user_id").alias("v"))
+    if _plan_size_bytes(ev) <= COVIS_BROADCAST_MAX_INPUT_BYTES:
+        aa = aa.repartition(spark.sparkContext.defaultParallelism)
+        bb = F.broadcast(bb)
     edges = (
         aa.join(bb, "win")
         .where(F.col("u") < F.col("v"))
@@ -1390,15 +1414,22 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # probe side widened (round-14 optimization): the distinct output
-    # is under AQE's coalesce floor, so the co-visitation self-join —
-    # whose output is ~50x its input — otherwise explodes its pairs in
-    # one task (the lsh_near_pairs pattern; measured 1.34s -> 1.01s at
-    # sf0.1, identical edges).
-    aa = win.select("win", F.col("user_id").alias("u")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Probe side widened, build side broadcast-PINNED (round-14
+    # widening + round-15 ADVICE fix): the distinct output is under
+    # AQE's coalesce floor, so the co-visitation self-join — whose
+    # output is ~50x its input — otherwise explodes its pairs in one
+    # task (the lsh_near_pairs pattern; measured 1.34s -> 1.01s at
+    # sf0.1, identical edges). The key-less round-robin widening only
+    # pays when the other side BROADCASTS — against a shuffle join on
+    # ``win`` it would be a wasted extra exchange — so the broadcast is
+    # hinted explicitly (no longer estimate-dependent), gated on the
+    # events scan estimate: past the bound both sides shuffle on win
+    # and the widening repartition is dropped — the 100 TB path.
+    aa = win.select("win", F.col("user_id").alias("u"))
     bb = win.select("win", F.col("user_id").alias("v"))
+    if _plan_size_bytes(ev) <= COVIS_BROADCAST_MAX_INPUT_BYTES:
+        aa = aa.repartition(spark.sparkContext.defaultParallelism)
+        bb = F.broadcast(bb)
     edges = (
         aa.join(bb, "win")
         .where(F.col("u") < F.col("v"))
@@ -1432,10 +1463,17 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge = e1.join(e2, "b").select("a", "b", "c")
     closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
     tris = wedge.join(closing, ["a", "c"], "inner")
+    # ONE evaluation of the triangle join via explode, NOT a 3-way
+    # union of corner projections (round-15 optimization, guide
+    # §2.4/§7.2 — the undirected_edges lesson): the three union
+    # branches are distinct canonical plans, so the wedge⋈closing
+    # join re-ran per corner (phase-measured +1.3s of the query's
+    # 3.5s at sf0.1). Explode emits the same corner multiset in one
+    # pass; the consumer aggregates, so row order is immaterial.
     per_node = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )

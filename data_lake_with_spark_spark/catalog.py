@@ -81,6 +81,35 @@ def load_tables(
     return {name: load_table(spark, sf_dir, name) for name in names}
 
 
+# Partition-count probe cache for the narrowness checks below
+# (round-15 construction-chatter cut, guide §1.2 applied to DRIVER
+# latency): ``df.rdd.getNumPartitions()`` on a FRESH plan builds the
+# whole python-RDD conversion — measured ~80 ms per call, paid once
+# per widen site per bench pass. The count is a pure function of the
+# SEMANTIC plan (source layout + narrow chain), so it is memoized on
+# ``analyzed().semanticHash()`` (~14 ms). A hash collision or a
+# mid-session file change could return a stale count, which only
+# flips a repartition DECISION — values are unaffected by layout.
+_NPART_CACHE: dict[tuple[int, int], int] = {}
+
+
+def scan_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s physical scan, memoized on the
+    analyzed plan's semantic hash (see _NPART_CACHE note)."""
+    try:
+        key = (
+            id(df.sparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),  # noqa: SLF001
+        )
+    except Exception:  # non-classic session — probe directly
+        return df.rdd.getNumPartitions()
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _NPART_CACHE[key] = n
+    return n
+
+
 def widen_if_narrow(df: DataFrame, spark: SparkSession, min_ratio: float = 0.5) -> DataFrame:
     """Repartition a scan that is narrower than the cluster.
 
@@ -95,7 +124,7 @@ def widen_if_narrow(df: DataFrame, spark: SparkSession, min_ratio: float = 0.5) 
     an extra hop would just add cost.
     """
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, int(cores * min_ratio)):
+    if scan_partitions(df) < max(2, int(cores * min_ratio)):
         return df.repartition(cores)
     return df
 

@@ -66,9 +66,18 @@ def _token_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``widen_if_narrow`` doubles as the barrier AND fixes the
     single-file testdata scan (1 task) — on a properly-split table it
     falls back to ``repartition(id)`` only to keep the barrier."""
-    toks = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    # expr-string construction (round-15: plan-construction py4j
+    # chatter is driver latency paid per bench pass — guide §1.2 "per
+    # task work" applied to the DRIVER; analyzes to the identical
+    # filter(split(trim(text))) expression tokens() builds)
+    toks = docs.selectExpr(
+        f"`{id_col}` AS id",
+        f"filter(split(trim(`{text_col}`), '\\\\s+'), t -> t != '') AS toks",
+    )
+    from data_lake_with_spark_spark.catalog import scan_partitions
+
     cores = docs.sparkSession.sparkContext.defaultParallelism
-    if toks.rdd.getNumPartitions() < max(2, cores // 2):
+    if scan_partitions(toks) < max(2, cores // 2):
         return toks.repartition(cores)
     return toks.repartition("id")
 
@@ -81,13 +90,12 @@ def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     explode+window-lead+distinct form (which shuffled every token
     twice) and identical output."""
     toks = _token_arrays(docs, id_col, text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-    )
-    return (
-        toks.where(F.size("toks") >= n)
-        .select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    # single-selectExpr HOF pipeline (round-15 construction-chatter
+    # cut; identical analyzed expressions to the Column form)
+    return toks.where(f"size(toks) >= {n}").selectExpr(
+        "id",
+        f"explode(array_distinct(transform(sequence(0, size(toks) - {n}),"
+        f" i -> concat_ws(' ', slice(toks, i + 1, {n}))))) AS shingle",
     )
 
 
@@ -112,13 +120,13 @@ def sorted_shingle_arrays(
     no shingles and are excluded.
     """
     toks = _token_arrays(docs, id_col, text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i + 1, n))),
-    )
-    return (
-        toks.where(F.size("toks") >= n)
-        .select("id", F.sort_array(F.array_distinct(sh)).alias("sorted_shingles"))
+    # single-selectExpr HOF pipeline (round-15 construction-chatter
+    # cut; same analyzed transform/xxhash64 tree as the Column form)
+    return toks.where(f"size(toks) >= {n}").selectExpr(
+        "id",
+        f"sort_array(array_distinct(transform(sequence(0, size(toks) - {n}),"
+        f" i -> xxhash64(concat_ws(' ', slice(toks, i + 1, {n}))))))"
+        " AS sorted_shingles",
     )
 
 
@@ -132,11 +140,14 @@ def prefix_from_arrays(arrays: DataFrame, threshold: float) -> DataFrame:
     (Document-frequency order would make prefixes rarer/candidates
     fewer, but costs 2 more shuffles — measured net-slower here.)
     Pure column math over the stored arrays — no text access."""
-    out = arrays.withColumn("n_sh", F.size("sorted_shingles"))
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + 1
+    # expr-string form (round-15 construction-chatter cut); the D
+    # suffix keeps the threshold a DOUBLE literal exactly like
+    # F.lit(threshold), so ceil sees the identical arithmetic
+    return arrays.selectExpr("*", "size(sorted_shingles) AS n_sh").selectExpr(
+        "*",
+        f"slice(sorted_shingles, 1,"
+        f" (n_sh - CAST(ceil({threshold!r}D * n_sh) AS INT)) + 1) AS prefix",
     )
-    return out.withColumn("prefix", F.slice("sorted_shingles", F.lit(1), prefix_len))
 
 
 def _prefix_filtered_shingles(
@@ -182,25 +193,28 @@ def jaccard_verify(
     broadcast joins (zero shuffles in the verify phase) — callers
     enable it when the corpus is small enough (see
     BROADCAST_ARRAYS_MAX_DOCS)."""
-    arr_a = shingle_arrays.select(
-        F.col("id").alias("a_id"),
-        F.col("sorted_shingles").alias("a_sh"),
-        F.col("n_sh").alias("n_a"),
+    arr_a = shingle_arrays.selectExpr(
+        "id AS a_id", "sorted_shingles AS a_sh", "n_sh AS n_a"
     )
-    arr_b = shingle_arrays.select(
-        F.col("id").alias("b_id"),
-        F.col("sorted_shingles").alias("b_sh"),
-        F.col("n_sh").alias("n_b"),
+    arr_b = shingle_arrays.selectExpr(
+        "id AS b_id", "sorted_shingles AS b_sh", "n_sh AS n_b"
     )
     if broadcast_arrays:
         arr_a, arr_b = F.broadcast(arr_a), F.broadcast(arr_b)
-    inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    # expr-string form (round-15 construction-chatter cut): the
+    # intersect subtree appears twice exactly like the Column form's
+    # reused ``inter`` Column; 0.5D/1e6 keep double literal types
+    jac = (
+        "size(array_intersect(a_sh, b_sh))"
+        " / (n_a + n_b - size(array_intersect(a_sh, b_sh)))"
+    )
     return (
         candidates.join(arr_a, "a_id")
         .join(arr_b, "b_id")
-        .select("a_id", "b_id", (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .selectExpr(
+            "a_id", "b_id", f"floor(({jac}) * 1e6 + 0.5D) / 1e6 AS jaccard"
+        )
+        .where(f"jaccard >= {threshold!r}D")
     )
 
 
@@ -236,33 +250,32 @@ def jaccard_pairs_from_prefix(
     for the algorithm. Split out so callers holding PRECOMPUTED shingle
     arrays (the ingestion companion column) skip tokenization
     entirely."""
-    posting = pref.select("id", "n_sh", F.posexplode("prefix").alias("pos", "shingle"))
+    posting = pref.selectExpr(
+        "id", "n_sh", "posexplode(prefix) AS (pos, shingle)"
+    )
     a = posting.alias("a")
     b = posting.alias("b")
-    length_ok = (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh")) & (
-        F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")
-    )
-    # PPJoin positional filter: overlap can't exceed what's left after
-    # the matching prefix position on either side; jaccard ≥ t needs
-    # overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉. Lossless; halves candidates here.
-    alpha = F.ceil(
-        F.lit(threshold / (1 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
-    )
-    ubound = F.least(
-        F.col("a.n_sh") - F.col("a.pos"), F.col("b.n_sh") - F.col("b.pos")
-    )
+    # Join predicate as ONE expr string (round-15 construction-chatter
+    # cut — the Column-API conjunction was ~20 py4j round-trips per
+    # construction; analyzes to the identical predicate, D-suffixed
+    # literals keeping F.lit(threshold)'s double type).
+    # PPJoin positional filter included: overlap can't exceed what's
+    # left after the matching prefix position on either side; jaccard
+    # ≥ t needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉. Lossless; halves
+    # candidates here.
     # No pre-verify distinct: the positional filter already leaves <5%
     # duplicate candidates (measured 221k raw vs 211k distinct at
     # sf0.1), so deduplicating BEFORE verify costs a full candidate
     # shuffle to save 5% of the (cheap, map-side) intersect work.
     # Dedup after verify instead, on the few surviving pairs.
-    candidates = a.join(
-        b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col("a.id") < F.col("b.id"))
-        & length_ok
-        & (ubound >= alpha),
-    ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    cond = F.expr(
+        f"a.shingle = b.shingle AND a.id < b.id"
+        f" AND b.n_sh >= {threshold!r}D * a.n_sh"
+        f" AND b.n_sh * {threshold!r}D <= a.n_sh"
+        f" AND least(a.n_sh - a.pos, b.n_sh - b.pos)"
+        f" >= ceil({threshold / (1 + threshold)!r}D * (a.n_sh + b.n_sh))"
+    )
+    candidates = a.join(b, cond).selectExpr("a.id AS a_id", "b.id AS b_id")
     verified = jaccard_verify(candidates, pref, threshold, broadcast_arrays)
     return verified.distinct()
 

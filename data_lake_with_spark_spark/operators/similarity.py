@@ -29,6 +29,22 @@ from pyspark.sql import types as T
 
 from data_lake_with_spark_spark.functions.vector import cosine, dot, hyperplane_bucket, norm  # noqa: F401
 
+# Build-side broadcast gate for the LSH bucket self-join (round-15
+# ADVICE fix): the (id, tbl, bucket) posting frame is ~24 long-triples
+# per vector, far smaller than the embeddings scan it derives from, so
+# while the SCAN estimate is under this bound the posting side is
+# provably broadcast-safe and the join shape is pinned instead of
+# estimate-dependent (the planner's size guess for a pandas-UDF output
+# is unreliable). Past the bound the planner keeps the choice — the
+# 100 TB path.
+BROADCAST_POSTING_MAX_INPUT_BYTES = 48 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated output size of the plan (file-size derived
+    for parquet scans) — lazy, no job at construction."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))  # noqa: SLF001
+
 
 def random_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
@@ -765,18 +781,24 @@ def lsh_near_pairs(
 
     probe = widen_if_narrow(tb, embeddings.sparkSession)
     cores = embeddings.sparkSession.sparkContext.defaultParallelism
-    # Self-join: the build side stays the un-widened tb (broadcast —
-    # one pandas-UDF bucketing per side; the probe side's widening
-    # shuffle is the same skinny posting rows).
+    # Self-join: the build side is the un-widened tb, broadcast
+    # EXPLICITLY (round-15 ADVICE fix — the shape was previously
+    # estimate-dependent: if the planner's UDF-derived size guess
+    # flipped to sort-merge, the pandas-UDF bucketing would evaluate
+    # twice plus an extra shuffle). Size-gated on the embeddings scan
+    # estimate: the posting side is (id, tbl, bucket) longs, ~24
+    # rows/vector — small while the input is; past the gate the
+    # planner keeps the choice (the 100 TB path).
+    b_side = tb.alias("b")
+    if _plan_size_bytes(embeddings) <= BROADCAST_POSTING_MAX_INPUT_BYTES:
+        b_side = F.broadcast(b_side)
     cand = (
         probe.alias("a")
         .join(
-            tb.alias("b"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            b_side,
+            F.expr("a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id"),
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .selectExpr("a.id AS a_id", "b.id AS b_id")
         # Pin the dedup exchange to cluster width: AQE's byte-based
         # coalescing sees ~16 B/row and shrinks this stage far below
         # core count, but the stage DOWNSTREAM of it evaluates the
@@ -791,22 +813,39 @@ def lsh_near_pairs(
     # VECTOR instead of 2 per pair-element in the verify lambda);
     # float→double widening is exact, so the verify cosine is
     # bit-identical (A/B-checked: symmetric diff 0 at sf0.1).
-    a = embeddings.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).cast("array<double>").alias("a_vec"),
-        norm(F.col(vec_col)).alias("a_norm"),
+    # expr-string construction of the verify attachment (round-15
+    # construction-chatter cut; identical analyzed expressions — the
+    # pre-cast array<double> sides and the zip_with/aggregate cosine
+    # are exactly what the Column helpers built)
+    norm_sql = (
+        f"sqrt(aggregate(`{vec_col}`, 0.0D,"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     )
-    b = embeddings.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).cast("array<double>").alias("b_vec"),
-        norm(F.col(vec_col)).alias("b_norm"),
+    a = embeddings.selectExpr(
+        f"`{id_col}` AS a_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS a_vec",
+        f"{norm_sql} AS a_norm",
     )
-    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    b = embeddings.selectExpr(
+        f"`{id_col}` AS b_id",
+        f"CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS b_vec",
+        f"{norm_sql} AS b_norm",
+    )
+    dot_sql = (
+        "aggregate(zip_with(a_vec, b_vec,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
     return (
         cand.join(a, "a_id")
         .join(b, "b_id")
-        .select("a_id", "b_id", (F.floor(cos * 1e6 + 0.5) / 1e6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+        .selectExpr(
+            "a_id",
+            "b_id",
+            f"floor(({dot_sql}) / (a_norm * b_norm) * 1e6 + 0.5D) / 1e6"
+            " AS cos_sim",
+        )
+        .where(f"cos_sim >= {threshold!r}D")
     )
 
 

@@ -54,6 +54,24 @@ def davg(col: Column, scale: int = 4) -> Column:
     return pround(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
 
 
+def dsum_expr(expr: str, scale: int = 2) -> Column:
+    """``dsum`` built from ONE expr string (round-15
+    construction-chatter cut): the Column form costs ~6 py4j round
+    trips per aggregate — driver latency the bench pays per pass.
+    Parses to the identical ROUND(SUM(CAST(...)))::DOUBLE tree."""
+    return F.expr(f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE)")
+
+
+def davg_expr(expr: str, scale: int = 4) -> Column:
+    """``davg`` as one expr string (see dsum_expr); D-suffixed literals
+    keep the rounding factors DOUBLE exactly like F.lit(float(...))."""
+    factor = float(10**scale)
+    return F.expr(
+        f"FLOOR((CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr})) * {factor!r}D + 0.5D) / {factor!r}D"
+    )
+
+
 def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,6))), {scale}) AS DOUBLE)"
 

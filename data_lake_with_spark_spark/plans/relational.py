@@ -29,7 +29,14 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from data_lake_with_spark_spark.catalog import load_table
-from data_lake_with_spark_spark.plans.parity import davg, davg_sql, dsum, dsum_sql
+from data_lake_with_spark_spark.plans.parity import (
+    davg,
+    davg_expr,
+    davg_sql,
+    dsum,
+    dsum_expr,
+    dsum_sql,
+)
 from data_lake_with_spark_spark.plans.registry import register
 
 
@@ -70,18 +77,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_with_spark_spark.catalog import widen_if_narrow
 
     li = widen_if_narrow(_t(spark, sf_dir, "lineitem"), spark)
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # expr-string aggregates (round-15 construction-chatter cut): the
+    # Column-built dsum/davg chain was ~60 py4j round trips per
+    # construction; these parse to the identical aggregate trees
+    disc = "l_extendedprice * (1 - l_discount)"
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where("l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc).alias("sum_disc_price"),
-            dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            dsum_expr("l_quantity").alias("sum_qty"),
+            dsum_expr("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc).alias("sum_disc_price"),
+            dsum_expr(f"({disc}) * (1 + l_tax)").alias("sum_charge"),
+            davg_expr("l_quantity").alias("avg_qty"),
+            davg_expr("l_extendedprice").alias("avg_price"),
+            davg_expr("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -135,7 +145,7 @@ def q5_region_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum_expr("l_extendedprice * (1 - l_discount)").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy("region_name", "order_year")

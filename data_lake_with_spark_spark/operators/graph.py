@@ -223,13 +223,16 @@ def pagerank_portable(
 
 # State-side broadcast bound for the iterative kernels' per-round
 # joins (guide §3.1 — pick the strategy deliberately): a label/state
-# frame is (id, lab) longs, ~16 B a row, so 4M rows ≈ 64 MB — the
-# session's autoBroadcastJoinThreshold. Node count ≤ undirected edge
-# count (every node has ≥1 edge row), so the edge count measured by
-# _rightsize_edges is a FREE upper bound to gate on: below it the
-# round join broadcasts the state (one shuffle per round — the agg);
-# above it the kernels keep the shuffle join, the 100 TB path.
-BROADCAST_STATE_MAX_ROWS = 4_000_000
+# frame is (id, lab) longs — 16 B of data but ~50-100 B per row once
+# built into a broadcast hash relation (UnsafeRow + map overhead), so
+# the round-14 4M-row bound could pin ~128-400 MB of sustained
+# per-round broadcast state (round-15 ADVICE fix). 1M rows keeps the
+# built relation comfortably inside the session's 64 MB auto
+# threshold with overhead headroom; the gate now compares the EXACT
+# node count (measured for free on the initial-labels checkpoint),
+# not the edge-count proxy. Above it the kernels keep the shuffle
+# join — the 100 TB path.
+BROADCAST_STATE_MAX_ROWS = 1_000_000
 
 # Contracted-graph size (MEASURED per absorb by the checkpoint-riding
 # Observation) below which cc_incremental_absorb merges labels with a
@@ -479,29 +482,36 @@ def min_label_components(
     _check_iters("min_label_components", n_iter, max_iter)
     edges, _n_edges = _rightsize_edges(undirected_edges(pairs))
 
-    def ckpt_sig(frame: DataFrame) -> tuple[DataFrame, object]:
-        """Materialize one round + its convergence signature in ONE
-        job: the Observation fires on the localCheckpoint action."""
+    def ckpt_sig(frame: DataFrame) -> tuple[DataFrame, object, int]:
+        """Materialize one round + its convergence signature + the row
+        count in ONE job: the Observation fires on the localCheckpoint
+        action (the count feeds the broadcast gate below)."""
         obs = Observation()
         out = _ckpt_fresh_stats(
             frame.observe(
-                obs, F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+                obs,
+                F.sum(F.col("lab").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
             )
         )
-        return out, obs.get["s"]
+        vals = obs.get
+        return out, vals["s"], vals["n"]
 
     if n_iter is None:
-        labels, sig = ckpt_sig(
+        labels, sig, _n_nodes = ckpt_sig(
             edges.groupBy(F.col("src").alias(id_col)).agg(
                 F.least(F.min("dst"), F.first("src")).alias("lab")
             )
         )
     else:
+        obs0 = Observation()
         nodes = (
             edges.select(F.col("src").alias(id_col))
             .distinct()
+            .observe(obs0, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        _n_nodes = obs0.get["n"]
         labels = nodes.select(id_col, F.col(id_col).alias("lab")).localCheckpoint(
             eager=True
         )
@@ -514,11 +524,13 @@ def min_label_components(
     # Per-round join strategy, decided from MEASURED size (guide §3.1):
     # the stats-reset checkpoint makes every round's labels look huge,
     # so the planner picks a sort-merge join and AQE materializes two
-    # shuffle stages per round. Node count ≤ the edge count measured at
-    # snapshot time, so below BROADCAST_STATE_MAX_ROWS the label lookup
-    # side is provably broadcast-safe and each round collapses to the
+    # shuffle stages per round. The gate is the EXACT node count
+    # (round-15 ADVICE fix — it rode the labels/nodes checkpoint job
+    # for free; the old edge-count proxy could re-broadcast ~4M-row
+    # states every round): below BROADCAST_STATE_MAX_ROWS the label
+    # lookup side is broadcast-safe and each round collapses to the
     # one unavoidable agg shuffle. Values are join-strategy-independent.
-    _bc_state = _n_edges <= BROADCAST_STATE_MAX_ROWS
+    _bc_state = _n_nodes <= BROADCAST_STATE_MAX_ROWS
     for r in range(rounds):
         probes = edge_probes.unionAll(
             labels.select(id_col, F.col("lab").alias("_key"))
@@ -532,7 +544,7 @@ def min_label_components(
             .agg(F.min("lab").alias("lab"))
         )
         if n_iter is None:
-            new_labels, new_sig = ckpt_sig(nxt)
+            new_labels, new_sig, _ = ckpt_sig(nxt)
             if new_sig == sig:
                 LAST_CONVERGENCE_ROUNDS["min_label_components"] = r + 1
                 return new_labels

@@ -547,6 +547,17 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     rows = sorted(pool.collect(), key=lambda r: (-r["rel"], r["vec_id"]))
+    # Zero-norm guard (round-15 ADVICE): the JVM expression this loop
+    # replaced yields NaN on a zero-norm embedding and still completes;
+    # Python float division would raise ZeroDivisionError deep in the
+    # greedy loop instead, and NaN mis-sorts under Python comparisons.
+    # A zero-norm vector in the pool is corrupt input — fail loudly and
+    # name it before the loop rather than either silent behavior.
+    for r in rows:
+        if not any(float(x) != 0.0 for x in r["embedding"]):
+            raise ValueError(
+                f"search_mmr_rerank: zero-norm embedding vec_id={r['vec_id']}"
+            )
 
     def _pcos(a: list, b: list) -> float:
         dp = 0.0

@@ -129,8 +129,15 @@ def q5_region_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims broadcast, so the single-row-group lineitem scan otherwise
     # runs the whole join+partial-agg pipeline in one task; dsum's
     # decimal accumulation is order-independent, so values are
-    # partitioning-proof. Measured 1.42s → 1.23s at sf0.1.
-    li = widen_if_narrow(_t(spark, sf_dir, "lineitem"), spark)
+    # partitioning-proof. Width is ESTIMATE-derived (round-15, the
+    # verdict's row-aware directive): q5's per-row work is
+    # byte-proportional, and the quiet-box A/B read width 8/16 ≈
+    # 0.95-0.99s vs 32 ≈ 1.09s vs unwidened ≈ 1.23s at sf0.1 — 1 MB
+    # of scan per partition lands ~11 here and clamps to cores on any
+    # real table.
+    li = widen_if_narrow(
+        _t(spark, sf_dir, "lineitem"), spark, target_bytes=1 << 20
+    )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
